@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via a count-collapsing action
+(``df.write.format('noop')``) so the full plan executes without
+driver-side materialization of results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from layer_apache_hive_spark.registry import all_queries
+from layer_apache_hive_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    only = set(sys.argv[1:])  # optional: bench.py q1 q2 ...
+    spark = get_spark(app_name="bench")
+    qs = all_queries()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            sys.exit(f"bench.py: unknown query id(s): {sorted(unknown)}; "
+                     f"known: {sorted(qs)}")
+        qs = {k: v for k, v in qs.items() if k in only}
+
+    # Warm the JVM + parquet footers once (excluded from timings).
+    next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for qid, fn in sorted(qs.items()):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[qid] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Catalog: external-table registration over the testdata parquet.
+
+Hive's metastore (Thrift service + MySQL backing store — the exact
+thing the reference charm wires up, SURVEY.md §1.1) maps to the Spark
+catalog; for this repo the in-memory catalog + temp views over parquet
+is the equivalent of Hive EXTERNAL TABLEs (schema over an existing
+path, drop keeps data).
+
+At 100 TB the same function body becomes
+``spark.read.parquet('s3://…/table/')`` over a partitioned layout —
+partition discovery + pruning are built into the source; nothing here
+is scale-sensitive.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The ten driver-generated tables (FIXTURES.md).
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; return the frames."""
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table without registering a view (operator-level use)."""
+    return spark.read.parquet(table_path(sf_dir, name))

@@ -1,0 +1,47 @@
+"""The main correctness gate: every registered oracle-able query must
+match its DuckDB twin exactly (row-count, schema names, values).
+
+This parametrizes over the full registry, so adding an operator with
+``@register(id, oracle=...)`` automatically adds its parity test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from layer_apache_hive_spark.registry import _load_all_modules, _REGISTRY
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+_load_all_modules()
+_ORACLE_IDS = sorted(qid for qid, q in _REGISTRY.items() if q.oracle)
+_ROWS_ONLY_IDS = sorted(qid for qid, q in _REGISTRY.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("qid", _ORACLE_IDS)
+def test_oracle_parity(spark, oracle_con, qid):
+    q = _REGISTRY[qid]
+    assert_matches_oracle(q.fn(spark, SF_DIR), oracle_con, q.oracle)
+
+
+@pytest.mark.parametrize("qid", _ROWS_ONLY_IDS)
+def test_rows_only_runs(spark, qid):
+    """No-oracle queries must at least run and return a stable schema."""
+    q = _REGISTRY[qid]
+    df = q.fn(spark, SF_DIR)
+    assert df.columns  # non-empty schema
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(callable(f) for f in qs.values())
