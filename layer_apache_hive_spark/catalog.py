@@ -43,12 +43,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view; return the frames."""
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = read_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         dfs[name] = df
     return dfs
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table without registering a view (operator-level use)."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Read one table without registering a view (operator-level use).
+
+    ``events.ts`` is nanosecond-precision in the parquet footer; Spark's
+    TimestampType is microsecond, so the session reads it as a nanos
+    long (spark.sql.legacy.parquet.nanosAsLong) and we truncate to µs
+    here — matching DuckDB's ns→µs cast behavior (FIXTURES.md).
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

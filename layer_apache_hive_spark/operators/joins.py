@@ -1,1 +1,202 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Join operators (SURVEY.md §2.3).
+
+Hive loci: CommonJoinOperator.java (shuffle join), MapJoinOperator.java
+(broadcast), SMBMapJoinOperator.java (bucketed), SkewJoinResolver.
+In Spark these physical strategies are planner choices behind one
+``df.join`` surface: SortMergeJoin for large=large, BroadcastHashJoin
+when a side fits ``autoBroadcastJoinThreshold`` (or AQE converts at
+runtime), BroadcastNestedLoop for non-equi.
+
+Scale notes (100 TB):
+- fact⋈fact (lineitem⋈orders) shuffles both sides on the key — the
+  dominant network cost; bucketing both tables on the key
+  (join_bucket_smb) removes the Exchange entirely.
+- fact⋈dim always broadcasts (region/nation/supplier are
+  scale-invariant); spelled explicitly with F.broadcast where the
+  statistics might not prove it.
+- events⋈customer is the skewed case (user_id covers only the lowest
+  ~10% of customer keys, FIXTURES.md) — AQE skew-join splitting is on
+  in session.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from layer_apache_hive_spark.catalog import read_table
+from layer_apache_hive_spark.registry import register
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_orderstatus, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 150000
+""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, both sides shuffled on the key (common join)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, e.event_id, e.event_type
+FROM customer c LEFT OUTER JOIN events e ON c.c_custkey = e.user_id
+WHERE c.c_custkey < 300
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join onto the skewed events table (nulls preserved)."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    e = read_table(spark, sf_dir, "events")
+    return c.join(e, c.c_custkey == e.user_id, "left").select(
+        "c_custkey", "c_name", "event_id", "event_type"
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, e.event_id, e.event_type
+FROM events e RIGHT OUTER JOIN customer c ON c.c_custkey = e.user_id
+WHERE c.c_custkey < 300
+""",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of join_left_outer)."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    e = read_table(spark, sf_dir, "events")
+    return e.join(c, c.c_custkey == e.user_id, "right").select(
+        "c_custkey", "c_name", "event_id", "event_type"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, l.l_orderkey AS li_orderkey, l.l_linenumber
+FROM (SELECT * FROM orders WHERE o_orderkey < 100) o
+FULL OUTER JOIN (SELECT * FROM lineitem WHERE l_orderkey BETWEEN 50 AND 150) l
+  ON o.o_orderkey = l.l_orderkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").between(50, 150))
+        .withColumnRenamed("l_orderkey", "li_orderkey")
+    )
+    return o.join(li, o.o_orderkey == li.li_orderkey, "full").select(
+        "o_orderkey", "o_totalprice", "li_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+""",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI JOIN — Hive's EXISTS/IN rewrite, explicit in Spark."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI JOIN — NOT EXISTS (customers with no orders)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two scale-invariant dimension tables."""
+    r = read_table(spark, sf_dir, "region")
+    n = read_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_theta",
+    oracle="""
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, a.s_nationkey,
+       a.s_acctbal AS bal_a, b.s_acctbal AS bal_b
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
+""",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + non-equi residual predicate (theta join).
+
+    Same-nation supplier pairs ordered by account balance — the equi
+    part still hashes/shuffles on nationkey; only the residual runs
+    per-pair, so this stays scalable (never a full cross product).
+    """
+    s = read_table(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_acctbal") < F.col("b.s_acctbal")),
+    ).select(
+        F.col("a.s_suppkey").alias("supp_a"),
+        F.col("b.s_suppkey").alias("supp_b"),
+        F.col("a.s_nationkey").alias("s_nationkey"),
+        F.col("a.s_acctbal").alias("bal_a"),
+        F.col("b.s_acctbal").alias("bal_b"),
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+SELECT n.n_name, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map join (Hive MapJoinOperator): dimension side broadcast.
+
+    F.broadcast pins BroadcastHashJoin — no shuffle of the customer
+    side at any scale; nation is 25 rows forever.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -1,1 +1,167 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Projection / filter / predicate / expression operators (SURVEY.md §2.2).
+
+Hive loci: SelectOperator.java, FilterOperator.java, and the generic
+UDFs behind IN/BETWEEN/LIKE/CASE/COALESCE/cast. In Spark every one of
+these is a Catalyst expression inside whole-stage codegen; filters and
+projections push into the parquet scan (PushedFilters/ReadSchema), so
+at 100 TB these queries read only the referenced columns and skip
+row-groups via min/max stats — no shuffle at all (embarrassingly
+parallel over file splits).
+
+Cast parity note: Spark runs with ANSI off (session.py) so invalid
+casts yield NULL like Hive; the DuckDB twin spells that TRY_CAST.
+double→int differs (Spark truncates, DuckDB rounds), so cross-engine
+queries spell the truncation explicitly with FLOOR.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from layer_apache_hive_spark.catalog import read_table
+from layer_apache_hive_spark.registry import register
+
+
+@register(
+    "project_select",
+    oracle="""
+SELECT
+  p_partkey,
+  p_name AS part_name,
+  p_retailprice * 1.1 AS boosted_price,
+  p_size + 1 AS size_plus,
+  upper(p_brand) AS brand_uc
+FROM part
+""",
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with aliases + row-level expressions (SelectOperator)."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey"),
+        F.col("p_name").alias("part_name"),
+        (F.col("p_retailprice") * 1.1).alias("boosted_price"),
+        (F.col("p_size") + 1).alias("size_plus"),
+        F.upper("p_brand").alias("brand_uc"),
+    )
+
+
+@register(
+    "project_distinct",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""",
+)
+def project_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT — rewritten to an aggregate in both engines."""
+    return read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "filter_basic",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE (l_quantity > 30 AND l_discount < 0.05) OR NOT (l_returnflag = 'N')
+""",
+)
+def filter_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter with AND/OR/NOT comparisons (FilterOperator)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cond = ((F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05)) | (
+        ~(F.col("l_returnflag") == "N")
+    )
+    return li.filter(cond).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@register(
+    "filter_in_between_like",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice BETWEEN 50000 AND 200000
+  AND o_orderpriority LIKE '%H%'
+  AND regexp_matches(o_orderstatus, '^[OF]$')
+  AND o_orderkey IS NOT NULL
+""",
+)
+def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / RLIKE / IS [NOT] NULL predicates."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderpriority").like("%H%")
+        & F.col("o_orderstatus").rlike("^[OF]$")
+        & F.col("o_orderkey").isNotNull()
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus")
+
+
+@register(
+    "expr_case_when",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CASE WHEN l_returnflag = 'R' THEN 'returned'
+       WHEN l_returnflag = 'A' THEN 'acked'
+       ELSE 'none' END AS flag_desc,
+  CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class,
+  coalesce(nullif(l_linestatus, 'F'), 'FILLED') AS status_or_filled,
+  CASE WHEN l_discount > 0.05 THEN l_discount ELSE 0.0 END AS big_discount
+FROM lineitem
+""",
+)
+def expr_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / IF / COALESCE / NULLIF conditional expressions."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_returnflag") == "A", "acked")
+        .otherwise("none")
+        .alias("flag_desc"),
+        F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
+        F.coalesce(F.nullif("l_linestatus", F.lit("F")), F.lit("FILLED")).alias(
+            "status_or_filled"
+        ),
+        F.when(F.col("l_discount") > 0.05, F.col("l_discount"))
+        .otherwise(F.lit(0.0))
+        .alias("big_discount"),
+    )
+
+
+@register(
+    "expr_cast",
+    oracle="""
+SELECT
+  o_orderkey,
+  CAST(o_orderkey AS VARCHAR) AS key_str,
+  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
+  CAST(o_orderdate AS DATE) AS order_date,
+  TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast_null,
+  TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip_key
+FROM orders
+""",
+)
+def expr_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts across the type lattice, incl. Hive null-on-error behavior.
+
+    Spark's non-ANSI CAST('O' AS INT) → NULL is the Hive semantic; the
+    oracle spells it TRY_CAST. double→int truncation is spelled FLOOR
+    on both sides because DuckDB's plain cast rounds.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderstatus").cast("int").alias("bad_cast_null"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("roundtrip_key"),
+    )

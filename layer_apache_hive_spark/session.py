@@ -55,6 +55,10 @@ def get_spark(
         # Parquet: vectorized reader + pushdown are default-on; keep
         # sane split sizing for the local harness.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's
+        # µs TimestampType rejects outright; read as long and let
+        # catalog.read_table normalize to µs (FIXTURES.md ns note).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,1 +1,115 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Source scans across storage formats (SURVEY.md §2.1).
+
+Hive's SerDe model is schema-on-read over pluggable formats (TextFile,
+ORC, Parquet, JSON, Avro). Spark ships all of them as DataSource V1/V2
+readers with predicate pushdown + column pruning (parquet/ORC also get
+row-group skipping from min/max stats).
+
+The non-parquet scans materialize a small deterministic copy of the
+``nation`` dimension (25 rows, scale-invariant) under .tmp/ and read
+it back — exercising the real reader against the parquet-backed
+oracle. The per-run write cost is trivial and keeps /root/testdata
+read-only.
+
+Sampling: Hive TABLESAMPLE(BUCKET x OUT OF y ON col) is a
+deterministic hash filter. ``df.sample(fraction, seed)`` is
+partition-order dependent, so the cross-engine form here hashes md5 of
+the key — stable in any engine, any partitioning, any scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from layer_apache_hive_spark.catalog import read_table
+from layer_apache_hive_spark.registry import register
+
+TMP_ROOT = "/root/repo/.tmp"
+
+
+def _fixture_dir(sf_dir: str, kind: str) -> str:
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return f"{TMP_ROOT}/scan_fixtures/{label}/{kind}"
+
+
+_NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+""",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with filter + projection pushed into the reader.
+
+    .explain(formatted) shows PushedFilters: [GreaterThanOrEqual
+    (l_shipdate,...)] and a 3-column ReadSchema — at 100 TB this reads
+    3 of 11 columns and skips row-groups by min/max.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+
+
+@register("scan_orc", oracle=_NATION_ORACLE)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (Hive's native columnar format, SARG pushdown built-in)."""
+    path = _fixture_dir(sf_dir, "nation_orc")
+    n = read_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register("scan_text_csv", oracle=_NATION_ORACLE)
+def scan_text_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-text scan (TextFile + LazySimpleSerDe, ROW FORMAT
+    DELIMITED FIELDS TERMINATED BY '|') with an explicit read schema."""
+    path = _fixture_dir(sf_dir, "nation_csv")
+    n = read_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("sep", "|").option("header", "false").csv(path)
+    return spark.read.schema(_NATION_SCHEMA).option("sep", "|").csv(path)
+
+
+@register("scan_json", oracle=_NATION_ORACLE)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan (Hive JsonSerDe) with an explicit read schema."""
+    path = _fixture_dir(sf_dir, "nation_json")
+    n = read_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").json(path)
+    return spark.read.schema(_NATION_SCHEMA).json(path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "sample_rows",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+""",
+)
+def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE(BUCKET 1 OUT OF 10 ON key): deterministic ~10% hash
+    sample — engine-portable (md5), partition-layout independent."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    ).select("o_orderkey", "o_totalprice")

@@ -19,48 +19,32 @@ import time
 import traceback
 
 import duckdb
-import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
 from layer_apache_hive_spark.catalog import TABLES, table_path  # noqa: E402
+from layer_apache_hive_spark.oracle_compare import compare_frames  # noqa: E402
 from layer_apache_hive_spark.session import get_spark  # noqa: E402
-
-
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            try:
-                df[c] = df[c].dt.tz_localize(None)
-            except TypeError:
-                pass
-            df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
-    if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--skip-smoke", action="store_true")
     ap.add_argument("ids", nargs="*")
     args = ap.parse_args()
 
     spark = get_spark(app_name="verify-contract")
     failures: list[str] = []
 
-    # 1. smoke
-    t0 = time.perf_counter()
-    n = entrymod.entry(spark).count()
-    print(f"smoke: entry() rows={n} ({time.perf_counter() - t0:.1f}s)")
-    if n <= 0:
-        failures.append("smoke: entry() returned 0 rows")
+    if not args.skip_smoke:
+        t0 = time.perf_counter()
+        n = entrymod.entry(spark).count()
+        print(f"smoke: entry() rows={n} ({time.perf_counter() - t0:.1f}s)")
+        if n <= 0:
+            failures.append("smoke: entry() returned 0 rows")
 
-    # 2. correctness
     con = duckdb.connect()
     for name in TABLES:
         con.execute(
@@ -77,29 +61,18 @@ def main() -> int:
                 print(f"  {qid}: rows-only, rows={got.count()} "
                       f"({time.perf_counter() - t0:.1f}s)")
                 continue
-            gp = normalize(got.toPandas())
-            wp = normalize(con.execute(oracles[qid]).df())
-            status = []
-            if list(gp.columns) != list(wp.columns):
-                status.append(f"cols spark={list(gp.columns)} oracle={list(wp.columns)}")
-            if len(gp) != len(wp):
-                status.append(f"rows spark={len(gp)} oracle={len(wp)}")
-            if not status:
-                try:
-                    pd.testing.assert_frame_equal(gp, wp, check_dtype=False, check_exact=True)
-                except AssertionError as err:
-                    status.append(f"values: {str(err).splitlines()[-1]}")
-            if status:
-                failures.append(f"{qid}: " + "; ".join(status))
-                print(f"  {qid}: MISMATCH — {'; '.join(status)}")
+            problems = compare_frames(got.toPandas(), con.execute(oracles[qid]).df())
+            if problems:
+                failures.append(f"{qid}: " + "; ".join(problems)[:300])
+                print(f"  {qid}: MISMATCH — {'; '.join(problems)[:300]}")
             else:
-                print(f"  {qid}: ok rows={len(gp)} ({time.perf_counter() - t0:.1f}s)")
+                print(f"  {qid}: ok ({time.perf_counter() - t0:.1f}s)")
         except Exception:
             failures.append(f"{qid}: exception")
             print(f"  {qid}: EXCEPTION\n{traceback.format_exc()}")
 
     spark.stop()
-    print(f"\n{len(ids) - len(failures)}/{len(ids)} queries ok")
+    print(f"\n{len(ids) - len(failures)}/{len(ids)} checks ok")
     if failures:
         print("FAILURES:\n  " + "\n  ".join(failures))
         return 1
