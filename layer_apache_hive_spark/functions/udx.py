@@ -1,1 +1,251 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""UDF / UDAF / UDTF / TRANSFORM surface (SURVEY.md §2.9).
+
+Hive extension points → Spark-native replacements:
+- UDF (GenericUDF, Java jar)        → pandas_udf (Arrow-vectorized)
+- UDAF (GenericUDAFResolver2)       → pandas_udf GROUPED_AGG
+- UDTF + LATERAL VIEW (explode etc) → F.explode/posexplode/stack
+  (Spark also accepts Hive's LATERAL VIEW syntax verbatim)
+- TRANSFORM ... USING 'script'      → mapInPandas
+- per-group table function          → groupBy().applyInPandas
+
+UDFs are the slow path (JVM→Arrow→Python round trip): everything
+here is Arrow-batched (pandas_udf / mapInPandas), never row-at-a-time
+Python UDFs — the ~10-100× difference at 100 TB. Where the logic is
+SQL-expressible the oracle twin recomputes it in SQL, so the UDF
+machinery itself is value-checked, not just run.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from layer_apache_hive_spark.catalog import read_table
+from layer_apache_hive_spark.registry import register
+
+
+# --- scalar UDF -------------------------------------------------------------
+
+
+@F.pandas_udf(DoubleType())
+def _discounted_charge(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized scalar UDF: charge = price * (1-discount) * (1+tax)."""
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@register(
+    "udf_scalar",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem
+WHERE l_orderkey < 1000
+""",
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-batched) — the CREATE FUNCTION path.
+
+    The same arithmetic is recomputed in plain SQL by the oracle, so
+    the Arrow round trip is value-checked: per-element IEEE double ops
+    are deterministic, no rounding needed.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _discounted_charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+# --- grouped-agg UDAF -------------------------------------------------------
+
+
+@F.pandas_udf(DoubleType())
+def _decimal_mean(v: pd.Series) -> float:
+    """Order-stable mean: sum in extended precision then one divide.
+
+    pandas' float64 sum over a partition could differ from DuckDB's;
+    summing via Python ints of scaled values keeps it exact (the UDAF
+    analog of functions.numeric.davg).
+    """
+    scaled = (v * 10_000).round().astype("int64")
+    return float(int(scaled.sum()) / 10_000) / len(v)
+
+
+@register(
+    "udaf_grouped",
+    oracle="""
+SELECT
+  user_id,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) / COUNT(value) AS mean_value
+FROM events
+GROUP BY user_id
+""",
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf — the GenericUDAFResolver2 path."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(_decimal_mean("value").alias("mean_value"))
+
+
+# --- UDTF / LATERAL VIEW ----------------------------------------------------
+
+
+@register(
+    "udtf_explode",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode() — one output row per array element.
+
+    Runs through Spark SQL's Hive-compatible LATERAL VIEW syntax to
+    exercise the literal HiveQL surface.
+    """
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, token
+        FROM udtf_docs
+        LATERAL VIEW explode(split(text, ' ')) t AS token
+        """
+    )
+
+
+@register(
+    "udtf_posexplode",
+    oracle="""
+SELECT doc_id,
+       CAST(unnest(range(0, len(toks))) AS INTEGER) AS pos,
+       unnest(toks) AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 100)
+""",
+)
+def udtf_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — element + 0-based position (oracle: WITH ORDINALITY)."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+
+
+@register(
+    "udtf_stack",
+    oracle="""
+SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS metric_value FROM supplier
+UNION ALL
+SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
+""",
+)
+def udtf_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack(n, ...) — rows from columns (unpivot); oracle = UNION ALL."""
+    s = read_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.expr(
+            "stack(2, 'acctbal', s_acctbal, 'nationkey', CAST(s_nationkey AS DOUBLE)) "
+            "AS (metric, metric_value)"
+        ),
+    )
+
+
+@register(
+    "udtf_inline",
+    oracle="""
+SELECT r_regionkey, 'lo' AS bound_kind, r_regionkey * 10 AS bound FROM region
+UNION ALL
+SELECT r_regionkey, 'hi', r_regionkey * 10 + 9 FROM region
+""",
+)
+def udtf_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline(array(struct(...))) — explode an array of structs."""
+    r = read_table(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("lo").alias("bound_kind"),
+                    (F.col("r_regionkey") * 10).alias("bound"),
+                ),
+                F.struct(
+                    F.lit("hi").alias("bound_kind"),
+                    (F.col("r_regionkey") * 10 + 9).alias("bound"),
+                ),
+            )
+        ),
+    )
+
+
+# --- grouped-map / TRANSFORM ------------------------------------------------
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group z-score via exact integer accumulation (deterministic)."""
+    scaled = (pdf["value"] * 10_000).round().astype("int64")
+    n = len(pdf)
+    mean = int(scaled.sum()) / 10_000 / n
+    # population variance from exact sums of scaled ints
+    sum_sq = int((scaled.astype(object) ** 2).sum())  # python ints: no overflow
+    var = sum_sq / 10_000**2 / n - mean * mean
+    std = var**0.5
+    out = pdf[["event_id", "user_id", "value"]].copy()
+    out["zscore"] = 0.0 if std == 0 else (pdf["value"] - mean) / std
+    out["zscore"] = out["zscore"].round(6)
+    return out
+
+
+@register("udtf_grouped_map", oracle=None)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (per-group table function).
+
+    Rows-only: float sqrt/divide ordering makes an exact SQL twin
+    brittle; tests/test_udx.py checks the z-score math directly.
+    Scale note: one Arrow batch per group — groups are per-user event
+    slices (bounded); never applyInPandas over an unbounded group.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(
+        _zscore_group,
+        schema="event_id long, user_id long, value double, zscore double",
+    )
+
+
+def _tokenize_batches(it):
+    """mapInPandas worker: tokenize documents, emit (doc_id, token, token_len)."""
+    for pdf in it:
+        toks = pdf["text"].str.split(" ")
+        out = pdf[["doc_id"]].copy()
+        out["tokens"] = toks
+        out = out.explode("tokens", ignore_index=True)
+        out = out.rename(columns={"tokens": "token"})
+        out["token_len"] = out["token"].str.len().astype("int64")
+        yield out
+
+
+@register(
+    "transform_script",
+    oracle="""
+SELECT doc_id, token, length(token) AS token_len
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id < 100
+)
+""",
+)
+def transform_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSFORM ... USING 'script' stand-in: mapInPandas streaming the
+    table through Python in Arrow batches (row-count-changing allowed),
+    value-checked against the SQL tokenization."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", "text").mapInPandas(
+        _tokenize_batches, schema="doc_id long, token string, token_len long"
+    )

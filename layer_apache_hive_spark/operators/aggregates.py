@@ -70,3 +70,301 @@ def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# --- basic stats ------------------------------------------------------------
+
+
+@register(
+    "agg_basic_stats",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  COUNT(*) AS n_rows,
+  COUNT(l_quantity) AS n_qty,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_davg('l_quantity')} AS avg_qty,
+  MIN(l_quantity) AS min_qty,
+  MAX(l_quantity) AS max_qty,
+  MIN(l_shipdate) AS min_shipdate,
+  MAX(l_shipdate) AS max_shipdate
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM/AVG/MIN/MAX — the built-in UDAF set."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_quantity").alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_suppkey) AS distinct_supps,
+  COUNT(DISTINCT l_partkey) AS distinct_parts,
+  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_distinct_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-DISTINCT aggregate in one query (Catalyst expands to a
+    multi-phase plan, same as Hive's GroupByOperator distinct path)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.sum_distinct(F.col("l_quantity").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sum_distinct_qty"),
+    )
+
+
+@register(
+    "agg_stddev_corr",
+    oracle="""
+SELECT
+  l_returnflag,
+  ROUND(var_samp(l_quantity), 4) AS var_qty,
+  ROUND(var_pop(l_quantity), 4) AS varp_qty,
+  ROUND(stddev_samp(l_quantity), 4) AS std_qty,
+  ROUND(stddev_pop(l_quantity), 4) AS stdp_qty,
+  ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+  ROUND(covar_pop(l_quantity, l_discount), 6) AS covp_qd,
+  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stddev_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (GenericUDAFVariance/Covariance/Correlation).
+
+    Computed over small-magnitude columns and rounded: the float
+    accumulation error (~1e-12 relative) sits far below the rounding
+    step, so cross-engine hashes agree (SURVEY §5.2 determinism note).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.var_pop("l_quantity"), 4).alias("varp_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("stdp_qty"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qd"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covp_qd"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+SELECT
+  l_returnflag,
+  quantile_cont(l_quantity, 0.25) AS q25,
+  quantile_cont(l_quantity, 0.5) AS median_qty,
+  quantile_cont(l_quantity, 0.75) AS q75
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Hive UDAFPercentile ↔ Spark percentile ↔
+    DuckDB quantile_cont; all linear interpolation).
+
+    percentile_approx (GenericUDAFPercentileApprox) exists in Spark
+    under the same name but its t-digest buckets are engine-specific —
+    exercised in agg_percentile_approx (rows-only)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+    )
+
+
+@register("agg_percentile_approx", oracle=None)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx: sketch-based, engine-specific values →
+    rows-only check. At 100 TB this is the right default (bounded
+    memory per group vs exact percentile's full sort)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 1000).alias("approx_iqr"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT
+  l_linenumber,
+  list_sort(list(DISTINCT l_returnflag)) AS flags,
+  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+  COUNT(*) AS n
+FROM lineitem
+WHERE l_orderkey < 50
+GROUP BY l_linenumber
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set/collect_list (GenericUDAFCollectSet/List) — arrays
+    sorted before emission per the §5.2 determinism rule."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return li.groupBy("l_linenumber").agg(
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT
+  CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket,
+  COUNT(*) AS n,
+  CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+  CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+FROM lineitem
+GROUP BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (histogram_numeric's heuristic
+    buckets are engine-specific; fixed-width is the deterministic,
+    scale-safe equivalent — single shuffle on ~O(buckets) keys)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").cast("double").alias("lo"),
+            F.max("l_extendedprice").cast("double").alias("hi"),
+        )
+    )
+
+
+# --- multi-group aggregates (rollup / cube / grouping sets) -----------------
+
+_ROLLUP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, 0 AS gid, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+UNION ALL
+SELECT l_returnflag, NULL, 1, COUNT(*), {sql_dsum('l_quantity')}
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT NULL, NULL, 3, COUNT(*), {sql_dsum('l_quantity')}
+FROM lineitem
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... WITH ROLLUP + GROUPING__ID.
+
+    The oracle spells the rollup as UNION ALL of its grouping sets with
+    Spark's grouping_id() bit convention (leftmost column = MSB), so no
+    DuckDB GROUPING_ID convention risk enters the hash.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, 0 AS gid, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+UNION ALL
+SELECT l_returnflag, NULL, 1, COUNT(*), {sql_dsum('l_quantity')}
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT NULL, l_linestatus, 2, COUNT(*), {sql_dsum('l_quantity')}
+FROM lineitem GROUP BY l_linestatus
+UNION ALL
+SELECT NULL, NULL, 3, COUNT(*), {sql_dsum('l_quantity')}
+FROM lineitem
+"""
+
+
+@register("agg_cube", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... WITH CUBE (all 2^k grouping sets)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+_GSETS_ORACLE = f"""
+SELECT l_returnflag, NULL AS l_linestatus, 1 AS gid, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT NULL, l_linestatus, 2, COUNT(*), {sql_dsum('l_quantity')}
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gsets_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, grouping_id() AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+        FROM gsets_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+SELECT l_suppkey, {sql_dsum('l_quantity')} AS total_qty, COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_suppkey
+HAVING {sql_dsum('l_quantity')} > 14000
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — post-aggregation filter (Filter above GroupBy)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            dsum("l_quantity").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .filter(F.col("total_qty") > 14000)
+    )

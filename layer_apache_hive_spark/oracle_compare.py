@@ -12,10 +12,13 @@ from __future__ import annotations
 import datetime
 import decimal
 
+import numpy as np
 import pandas as pd
 
 
 def _normalize_object_cell(v):
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
     if isinstance(v, (list, tuple)):
         return tuple(
             float(x) if isinstance(x, decimal.Decimal) else x for x in v
