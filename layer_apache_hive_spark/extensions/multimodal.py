@@ -1,1 +1,142 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Multimodal columns (SURVEY.md §2.11): image/audio/video payloads as
+opaque BinaryType columns + typed StructType metadata, processed by
+Arrow-batched Pandas UDFs.
+
+The container has no image/audio libraries, so the DECODE step is a
+clearly-marked deterministic fake (and the real-library call path
+raises NotImplementedError behind a flag) — but everything Spark-side
+is real and tested: the binary column construction, the metadata
+struct schema, the mapInPandas signature/batching, and the
+partitioning shape.
+
+Scale notes (100 TB of media): payloads stay in binary columns
+(parquet keeps them out of dictionary encoding); decode/feature
+extraction is mapInPandas so each task streams Arrow batches without
+driver involvement; repartition by a content-hash prefix balances
+skew from variable payload sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from layer_apache_hive_spark.catalog import read_table
+from layer_apache_hive_spark.registry import register
+
+# Flip to True in an environment with real codecs (PIL/librosa/ffmpeg).
+REAL_DECODERS_AVAILABLE = False
+
+
+@register(
+    "ext_multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS payload_bytes,
+       n_chars AS meta_n_chars,
+       lang AS meta_lang,
+       CAST(n_chars % 640 AS INTEGER) AS meta_width,
+       CAST(n_chars % 480 AS INTEGER) AS meta_height,
+       octet_length(encode(text)) = n_chars AS ascii_clean
+FROM documents
+""",
+)
+def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column modeling: binary payload + typed metadata.
+
+    documents.text stands in for a media payload (cast to BinaryType);
+    metadata is a StructType column with typed fields. The oracle
+    checks the byte-level view (octet_length over the encoded payload)
+    — i.e. the schema plumbing, which is the real deliverable here.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    meta = F.struct(
+        F.col("n_chars").alias("n_chars"),
+        F.col("lang").alias("lang"),
+        (F.col("n_chars") % 640).cast("int").alias("width"),
+        (F.col("n_chars") % 480).cast("int").alias("height"),
+    )
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        meta.alias("meta"),
+    ).select(
+        "doc_id",
+        F.length("payload").alias("payload_bytes"),
+        F.col("meta.n_chars").alias("meta_n_chars"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.width").alias("meta_width"),
+        F.col("meta.height").alias("meta_height"),
+        (F.length("payload") == F.col("meta.n_chars")).alias("ascii_clean"),
+    )
+
+
+def _decode_media(payload: bytes, width: int, height: int) -> list[float]:
+    """Feature-extract a media payload.
+
+    REAL PATH (stubbed): decode image bytes → resize → pooled features.
+    FAKE PATH: deterministic 4-dim feature from the raw bytes, so the
+    full pipeline is testable without codecs.
+    """
+    if REAL_DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            "real decode path requires an image library (PIL/opencv); "
+            "not installed in this environment by design"
+        )
+    n = len(payload) or 1
+    byte_sum = sum(payload)
+    return [
+        float(n),
+        float(byte_sum % 256),
+        float(byte_sum / n),
+        float(width * height % 1000),
+    ]
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one Arrow batch in, one feature batch out."""
+    for pdf in it:
+        feats = [
+            _decode_media(p, w, h)
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+        ]
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "feat_len": [f[0] for f in feats],
+                "feat_bytemod": [f[1] for f in feats],
+                "feat_bytemean": [f[2] for f in feats],
+                "feat_dims": [f[3] for f in feats],
+            }
+        )
+        yield out
+
+
+@register("ext_multimodal_decode", oracle=None)
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract over binary payloads via mapInPandas.
+
+    Rows-only: the fake decoder is Python-side by design (the real one
+    would be too — that is the point of the mapInPandas shape). The
+    repartition(8, doc_id) spreads variable-size payloads; at 100 TB
+    partition count comes from data size / 128MB, not a literal.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        (F.col("n_chars") % 640).cast("int").alias("width"),
+        (F.col("n_chars") % 480).cast("int").alias("height"),
+    ).repartition(8, "doc_id")
+    return src.mapInPandas(
+        _decode_batches,
+        schema=(
+            "doc_id long, feat_len double, feat_bytemod double, "
+            "feat_bytemean double, feat_dims double"
+        ),
+    )

@@ -1,1 +1,249 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Text analysis operators (SURVEY.md §2.11): token stats, TF-IDF,
+language/source aggregates, quality scoring, fingerprinting, and a
+heuristic language-ID — the pieces of a training-data pipeline.
+
+All are pure DataFrame/SQL programs (explode → shuffle on token/doc
+keys), scan-bound at 100 TB; the only log() call is rounded to absorb
+libm ulp drift (same policy as fn_math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from layer_apache_hive_spark.catalog import read_table
+from layer_apache_hive_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from layer_apache_hive_spark.registry import register
+
+_STOPWORDS = ["a", "the", "of", "and", "or", "in", "on", "to", "is"]
+
+
+@register(
+    "ext_text_tokens",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(DISTINCT token) AS n_distinct,
+       MIN(token) AS first_alpha,
+       MAX(length(token)) AS max_token_len,
+       CAST(SUM(CAST(length(token) AS DECIMAL(38,4))) AS DOUBLE)
+         / COUNT(token) AS avg_token_len
+FROM toks
+GROUP BY doc_id
+""",
+)
+def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + per-document token statistics (token counting)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.min("token").alias("first_alpha"),
+        F.max(F.length("token")).alias("max_token_len"),
+        davg(F.length("token")).alias("avg_token_len"),
+    )
+
+
+@register(
+    "ext_text_tfidf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM toks WHERE doc_id < 100
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 8) AS tfidf
+FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+""",
+)
+def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF in SQL form: term counts ⋈ document frequencies.
+
+    The df side is vocabulary-sized (bounded) → broadcast join; the
+    corpus size enters as a scalar. HashingTF+IDF (pyspark.ml) is the
+    same computation with hashed buckets — this form stays exact and
+    oracle-checkable.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (
+        toks.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; at scale use a broadcast scalar subquery
+    tfidf = F.round(
+        F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 8
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .select("doc_id", "token", "tf", "df", tfidf.alias("tfidf"))
+    )
+
+
+@register(
+    "ext_text_lang_stats",
+    oracle=f"""
+SELECT lang,
+       source,
+       COUNT(*) AS n_docs,
+       {sql_davg('n_chars')} AS avg_chars,
+       {sql_dsum('n_chars')} AS total_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def ext_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language × source corpus statistics (the lang/source
+    breakdown every curation pipeline starts with)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        dsum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_SQL_STOPLIST = "', '".join(_STOPWORDS)
+
+
+@register(
+    "ext_text_quality",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         COUNT(DISTINCT token) AS n_distinct,
+         COUNT(*) FILTER (token IN ('{_SQL_STOPLIST}')) AS n_stop
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       d.n_chars,
+       s.n_tokens,
+       ROUND(CAST(s.n_distinct AS DOUBLE) / s.n_tokens, 8) AS distinct_ratio,
+       ROUND(CAST(s.n_stop AS DOUBLE) / s.n_tokens, 8) AS stopword_ratio,
+       ROUND(CAST(d.n_chars AS DOUBLE) / s.n_tokens, 8) AS chars_per_token,
+       (d.n_chars >= 100 AND d.n_chars <= 500) AS length_ok,
+       (CAST(s.n_distinct AS DOUBLE) / s.n_tokens) >= 0.2 AS diversity_ok
+FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+""",
+)
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio / lexical-diversity
+    signals with pass/fail gates (the pretraining-filter shape)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.count(F.when(F.col("token").isin(_STOPWORDS), 1)).alias("n_stop"),
+    )
+    j = d.select("doc_id", "n_chars").join(stats, "doc_id")
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return j.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(distinct_ratio, 8).alias("distinct_ratio"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 8).alias(
+            "stopword_ratio"
+        ),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 8).alias(
+            "chars_per_token"
+        ),
+        ((F.col("n_chars") >= 100) & (F.col("n_chars") <= 500)).alias("length_ok"),
+        (distinct_ratio >= 0.2).alias("diversity_ok"),
+    )
+
+
+@register(
+    "ext_text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS fingerprint,
+       md5(text) AS exact_fingerprint
+FROM documents
+""",
+)
+def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonical (sorted distinct tokens) and
+    exact md5 fingerprints — the keys for exact/canonical dedup at
+    scale (fingerprint column is what gets shuffled, not the text)."""
+    d = read_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " "))))
+    return d.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.md5("text").alias("exact_fingerprint"),
+    )
+
+
+@register("ext_text_langid", oracle=None)
+def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: score each doc against per-language token
+    profiles learned from the corpus itself (top-10 most
+    over-represented tokens per lang), predict the argmax.
+
+    Rows-only: the profile learning makes a SQL twin impractically
+    large, and the labels are synthetic anyway — tests assert the
+    mechanism (prediction coverage + determinism), not accuracy.
+    Scale: profiles are vocabulary-sized → broadcast; scoring is one
+    explode + broadcast join + groupBy.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    lang_tok = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    lang_tot = lang_tok.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    glob_tok = toks.groupBy("token").agg(F.count(F.lit(1)).alias("gcnt"))
+    glob_tot = toks.count()
+    from pyspark.sql import Window
+
+    rel = (
+        lang_tok.join(lang_tot, "lang")
+        .join(glob_tok, "token")
+        .withColumn(
+            "lift",
+            (F.col("cnt") / F.col("tot")) / (F.col("gcnt") / F.lit(float(glob_tot))),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("lift").desc(), F.col("token"))
+    profiles = rel.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    scored = (
+        toks.join(
+            F.broadcast(profiles.select("lang", "token", "lift").withColumnRenamed("lang", "cand_lang")),
+            "token",
+        )
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum(F.log("lift")).alias("score"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
+    pred = scored.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") == 1)
+    return (
+        pred.select("doc_id", F.col("cand_lang").alias("predicted_lang"))
+        .join(d.select("doc_id", F.col("lang").alias("actual_lang")), "doc_id")
+        .withColumn("correct", F.col("predicted_lang") == F.col("actual_lang"))
+    )

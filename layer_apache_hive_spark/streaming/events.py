@@ -1,1 +1,235 @@
-"""Placeholder — filled in during round 1 build-out."""
+"""Time-window analytics over the events table (SURVEY.md §2.10).
+
+The reference stack (Hive) is batch-only — its "streaming" API is
+transactional ingest, not stream processing. The batch queries here
+are therefore the Hive-parity surface (time-bucketed GROUP BYs), and
+each one's *identical* aggregation re-runs unchanged as a Structured
+Streaming query (the streaming mirrors below, rows-only by design).
+
+Timestamp precision: events.ts is ns in parquet; the catalog reads it
+truncated to µs (catalog.read_table), and DuckDB casts its ns
+timestamp to µs in the oracle — both sides land on the same µs value
+(FIXTURES.md ⚠ note).
+
+Scale notes (100 TB): every query shuffles once on the
+(window-bucket, key) pair; watermarking bounds streaming state; the
+batch forms are partition-prunable by date at scale.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from layer_apache_hive_spark.catalog import read_table
+from layer_apache_hive_spark.functions.numeric import dsum, sql_dsum
+from layer_apache_hive_spark.registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "evt_tumbling_window",
+    oracle=f"""
+SELECT
+  strftime(make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300000000),
+           '{_SQL_TS_FMT}') AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window aggregate — F.window('ts','5 minutes').
+
+    The same expression runs on a stream unchanged (see
+    evt_stream_tumbling); the oracle floors epoch-µs to the bucket.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "evt_sliding_window",
+    oracle=f"""
+WITH grid AS (SELECT 0 AS i UNION ALL SELECT 1)
+SELECT
+  strftime(make_timestamp(
+    ((epoch_us(CAST(ts AS TIMESTAMP)) - i * 300000000) // 600000000) * 600000000
+      + i * 300000000),
+    '{_SQL_TS_FMT}') AS window_start,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS total_value
+FROM events CROSS JOIN grid
+GROUP BY 1
+""",
+)
+def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10-minute length, 5-minute slide): every event
+    lands in length/slide = 2 windows; the oracle replays the same
+    assignment as 2 shifted tumbling grids."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "evt_session_window",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - CAST(LAG(ts) OVER w AS TIMESTAMP)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       strftime(CAST(MIN(ts) AS TIMESTAMP), '{_SQL_TS_FMT}') AS session_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+""",
+)
+def evt_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (30-minute gap) per user — F.session_window.
+
+    Oracle is the classic gaps-and-islands rewrite (LAG → new-session
+    flag → running sum → group), per SURVEY §2.10.
+    """
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "evt_stateful_dedup",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def evt_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based dedup — batch dropDuplicates; the streaming form is
+    dropDuplicates + watermark (evt_stream_dedup, rows-only)."""
+    e = read_table(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+
+
+# --- Structured Streaming mirrors (rows-only: SURVEY §2.10) -----------------
+
+
+def _stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over a .tmp copy of events.parquet (file source needs
+    a directory it can list; /root/testdata stays untouched)."""
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    src_dir = f"/root/repo/.tmp/stream_src/{label}"
+    if not glob.glob(f"{src_dir}/*.parquet"):
+        os.makedirs(src_dir, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    # Use the RAW parquet schema (ts arrives as nanos-long under the
+    # legacy conf), then normalize to µs TimestampType below.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(schema).parquet(src_dir)
+    # parquet file carries ns→long ts under the legacy conf only for
+    # batch reads; normalize defensively if it arrives as bigint.
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def _run_stream(df, query_name: str, spark: SparkSession) -> DataFrame:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)
+
+
+@register("evt_stream_tumbling", oracle=None)
+def evt_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evt_tumbling_window aggregation running as a real
+    Structured Streaming query (file source → watermark → windowed
+    agg → memory sink). Rows-only; its batch twin is the value gate.
+    """
+    src = _stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_stream(agg, "stream_tumbling", spark)
+
+
+@register("evt_stream_dedup", oracle=None)
+def evt_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup with a watermark bounding state
+    (dropDuplicatesWithinWatermark pattern)."""
+    src = _stream_source(spark, sf_dir)
+    deduped = (
+        src.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+    return _run_stream(deduped, "stream_dedup", spark)
