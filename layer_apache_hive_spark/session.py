@@ -59,7 +59,11 @@ def get_spark(
         # µs TimestampType rejects outright; read as long and let
         # catalog.read_table normalize to µs (FIXTURES.md ns note).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver hosts executors + caches + broadcasts for
+        # the whole 90-query bench; small heaps GC-thrash late in the
+        # run (observed 3x slowdowns). On a cluster this is per-node
+        # executor memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
