@@ -322,3 +322,44 @@ def fn_misc_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("map_k1"),
         F.shiftleft(F.col("c_custkey"), 2).alias("key_shl2"),
     )
+
+
+@register(
+    "fn_typeconv",
+    oracle="""
+SELECT
+  o_orderkey,
+  CAST(o_orderkey AS VARCHAR) AS key_str,
+  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+  CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+  hex(encode(o_orderstatus)) AS status_hex,
+  split_part(split_part(CONCAT('st=', o_orderstatus, ',pr=', o_orderpriority),
+                        ',', 2), '=', 2) AS prio_from_map
+FROM orders
+WHERE o_orderkey < 2000
+""",
+)
+def fn_typeconv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-conversion surface (SURVEY §2.8 fn_typeconv): CAST across
+    the lattice, binary(), str_to_map (Hive FunctionRegistry
+    conversion group).
+
+    Dialect traps handled: double→int truncates in Spark but rounds in
+    DuckDB (FLOOR on both sides); DECIMAL casts round HALF_UP in Spark
+    vs truncate in DuckDB (avoided — exercised rows-only in expr_cast).
+    """
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
+        F.hex(F.col("o_orderstatus").cast("binary")).alias("status_hex"),
+        F.str_to_map(
+            F.concat(F.lit("st="), "o_orderstatus", F.lit(",pr="), "o_orderpriority"),
+            F.lit(","),
+            F.lit("="),
+        )
+        .getItem("pr")
+        .alias("prio_from_map"),
+    )

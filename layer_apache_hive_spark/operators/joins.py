@@ -200,3 +200,60 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "join_bucket_smb",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_lines
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey < 5000
+GROUP BY o.o_orderkey, o.o_totalprice
+""",
+)
+def join_bucket_smb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket map join / SMB join (Hive SMBMapJoinOperator.java,
+    BucketMapJoinOptimizer.java; surface: CLUSTERED BY ... SORTED BY
+    ... INTO n BUCKETS):
+
+    both fact tables are written bucketed+sorted on the join key, so
+    the sort-merge join needs NO Exchange and NO Sort — the 100 TB
+    answer for repeated fact⋈fact joins (pay the shuffle once at
+    write time, join co-located forever after).
+    tests/test_oracle_parity.py asserts the Exchange-free plan.
+    """
+    from layer_apache_hive_spark.sources.sinks import TMP_ROOT
+
+    label = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    specs = {
+        "orders": ("o_orderkey", f"bkt_orders_{label}"),
+        "lineitem": ("l_orderkey", f"bkt_lineitem_{label}"),
+    }
+    for tbl, (key, name) in specs.items():
+        if not spark.catalog.tableExists(name):
+            (
+                read_table(spark, sf_dir, tbl)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{TMP_ROOT}/bucketed/{label}/{tbl}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    o = spark.table(specs["orders"][1]).filter(F.col("o_orderkey") < 5000)
+    li = spark.table(specs["lineitem"][1])
+    # merge hint pins SortMergeJoin (AQE would broadcast at this toy
+    # scale, hiding the point): bucketed+sorted inputs ⇒ zero Exchange
+    # and zero Sort in the executed plan, and the downstream groupBy
+    # on the bucket key reuses the partitioning too.
+    return (
+        o.join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

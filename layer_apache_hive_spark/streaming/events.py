@@ -233,3 +233,133 @@ def evt_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
     return _run_stream(deduped, "stream_dedup", spark)
+
+
+def _stream_source_parts(spark: SparkSession, sf_dir: str, n_parts: int = 2) -> DataFrame:
+    """Multi-file stream source (maxFilesPerTrigger=1 ⇒ one micro-batch
+    per file) so watermark semantics are observable: the watermark
+    advances between batches, not within one."""
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    src_dir = f"/root/repo/.tmp/stream_src_parts/{label}"
+    if not glob.glob(f"{src_dir}/*.parquet"):
+        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+            n_parts
+        ).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+@register("evt_watermark_late", oracle=None)
+def evt_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark / late-data handling (SURVEY §2.10, N/A in Hive):
+    append-mode windowed agg over a 2-file source. Batch 1 emits
+    nothing (watermark still at epoch); after it the watermark jumps
+    to max(ts)-10min, so batch 2 finalizes and emits exactly the
+    windows below it and *drops* later-arriving rows for them —
+    the rows-only count is the finalized-window count.
+    """
+    src = _stream_source_parts(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_wm_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("stream_wm_late")
+
+
+@register("evt_sessionize_state", oracle=None)
+def evt_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful sessionization via applyInPandasWithState
+    (SURVEY §2.10, N/A in Hive — Spark's replacement for custom
+    stateful UDAF/Storm-style logic).
+
+    Per user_id: order events by time, close a session when the gap
+    exceeds 30 minutes. Completed sessions are emitted as they close;
+    the still-open session rides in GroupState between micro-batches
+    (state size bounded by one (start, last_ts, count) per live user —
+    the 100 TB posture is keys×constant, never events×anything).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state: GroupState):
+        (user_id,) = key
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_all.sort()
+        if state.exists:
+            start, last, cnt = state.get
+        else:
+            start = last = cnt = None
+        out = []
+        for t in ts_all:
+            if start is None:
+                start, last, cnt = t, t, 1
+            elif t - last > gap_us:
+                out.append((user_id, start, last, cnt))
+                start, last, cnt = t, t, 1
+            else:
+                last, cnt = t, cnt + 1
+        state.update((start, last, cnt))
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
+        )
+
+    src = _stream_source_parts(spark, sf_dir)
+    sessions = (
+        src.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType="user_id long, session_start_us long, "
+            "session_end_us long, n_events long",
+            stateStructType="start long, last long, cnt long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("stream_sessionize")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table("stream_sessionize")
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
+            F.timestamp_micros(F.col("session_end_us")).alias("session_end"),
+            "n_events",
+        )
+    )

@@ -45,3 +45,13 @@ def test_contract_shape():
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_bucket_smb_plan_is_exchange_free(spark):
+    """join_bucket_smb's point is physical: bucketed+sorted inputs ⇒
+    sort-merge join AND downstream agg with zero Exchange nodes."""
+    q = _REGISTRY["join_bucket_smb"]
+    df = q.fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
