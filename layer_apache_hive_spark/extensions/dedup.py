@@ -89,31 +89,30 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     docs = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.xxhash64("sh"))).alias("hs")
     )
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    # repartition the skinny pair table BEFORE widening it with the
-    # array columns: AQE coalesces the candidate shuffle to ~1
-    # partition (it is only a few MB), which would serialize the
-    # python-side verify below.
-    ncores = cand.sparkSession.sparkContext.defaultParallelism
-    paired = (
-        cand.repartition(ncores)
-        .join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
-    )
+    # ship the doc→hash-array map as a python broadcast (a couple MB
+    # here): the pair table then stays skinny end-to-end. At corpus
+    # sizes where this no longer fits an executor, swap to the
+    # equivalent JVM form — join `docs` onto the pairs twice on
+    # doc_id — which is the same linear-in-candidates plan with a
+    # shuffle instead of a broadcast.
+    arrs = {
+        row["doc_id"]: np.asarray(row["hs"], dtype=np.int64)
+        for row in docs.collect()
+    }
+    bv = sh.sparkSession.sparkContext.broadcast(arrs)
 
     def intersect(batches):
+        d = bv.value
         for pdf in batches:
             n = len(pdf)
             shared = np.empty(n, dtype=np.int64)
             sz_a = np.empty(n, dtype=np.int64)
             sz_b = np.empty(n, dtype=np.int64)
-            for k, (ha, hb) in enumerate(zip(pdf["hs_a"], pdf["hs_b"])):
-                ha = np.asarray(ha, dtype=np.int64)
-                hb = np.asarray(hb, dtype=np.int64)
+            for k, (da, db) in enumerate(zip(pdf["doc_a"], pdf["doc_b"])):
+                ha, hb = d[da], d[db]
                 sz_a[k] = ha.size
                 sz_b[k] = hb.size
-                # both sides pre-sorted by sort_array, values distinct
+                # pre-sorted by sort_array, values distinct
                 shared[k] = np.intersect1d(ha, hb, assume_unique=True).size
             yield pd.DataFrame(
                 {
@@ -124,7 +123,11 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
                 }
             )
 
-    return paired.mapInPandas(
+    # repartition the skinny pair table: AQE coalesces the candidate
+    # shuffle to ~1 partition (a few MB), which would serialize the
+    # python-side verify.
+    ncores = cand.sparkSession.sparkContext.defaultParallelism
+    return cand.repartition(ncores).mapInPandas(
         intersect,
         schema="doc_a long, doc_b long, shared_shingles long, jaccard double",
     )
@@ -220,9 +223,12 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
     )
     min_overlap = F.ceil(F.lit(_TAU / (1.0 + _TAU)) * (F.col("a.sz") + F.col("b.sz")))
+    # shuffle_hash hint: pin the join strategy — AQE otherwise flaps
+    # between broadcasting the 185k-row array-bearing side (slow,
+    # observed 3-5x regressions) and SMJ, run to run
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "sh")
+        .join(prefix.alias("b").hint("shuffle_hash"), "sh")
         .filter(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.sz") >= _TAU * F.col("a.sz"))

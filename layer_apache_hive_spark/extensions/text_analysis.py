@@ -219,15 +219,18 @@ def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_tok = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
     lang_tot = lang_tok.groupBy("lang").agg(F.sum("cnt").alias("tot"))
     glob_tok = toks.groupBy("token").agg(F.count(F.lit(1)).alias("gcnt"))
-    glob_tot = toks.count()
+    # total corpus tokens as a broadcast 1-row aggregate, NOT an eager
+    # .count(): that would run a full extra job at plan-build time
+    glob_tot = toks.agg(F.count(F.lit(1)).cast("double").alias("gtot"))
     from pyspark.sql import Window
 
     rel = (
         lang_tok.join(lang_tot, "lang")
         .join(glob_tok, "token")
+        .crossJoin(F.broadcast(glob_tot))
         .withColumn(
             "lift",
-            (F.col("cnt") / F.col("tot")) / (F.col("gcnt") / F.lit(float(glob_tot))),
+            (F.col("cnt") / F.col("tot")) / (F.col("gcnt") / F.col("gtot")),
         )
     )
     w = Window.partitionBy("lang").orderBy(F.col("lift").desc(), F.col("token"))

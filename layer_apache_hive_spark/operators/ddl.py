@@ -1,0 +1,83 @@
+"""DDL / metadata / statistics surface (SURVEY.md §2.12).
+
+Hive loci: DDLSemanticAnalyzer.java (CREATE/ALTER/DROP/SHOW/DESCRIBE),
+ql/stats/* (ANALYZE TABLE ... COMPUTE STATISTICS feeding the CBO),
+MSCK REPAIR TABLE. Spark SQL supports the same statements verbatim;
+this module exercises them end-to-end so the parity claim is
+checkable, and returns the catalog listing as the query result.
+
+Scale note: these are metadata operations — O(partitions) listing at
+worst (RECOVER PARTITIONS); ANALYZE feeds `spark.sql.cbo.enabled`
+join reordering exactly like Hive's `hive.cbo.enable` + Calcite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from layer_apache_hive_spark.catalog import read_table
+from layer_apache_hive_spark.registry import register
+
+
+@register("ddl_catalog", oracle=None)
+def ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips the §2.12 DDL inventory in a scratch database:
+
+    CREATE DATABASE / CREATE TABLE AS SELECT / CREATE VIEW /
+    SHOW TABLES / DESCRIBE / ALTER TABLE RENAME /
+    ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL COLUMNS] /
+    ALTER TABLE ... RECOVER PARTITIONS (Hive: MSCK REPAIR TABLE) /
+    DROP. Returns the post-DDL table listing + row-count stats, so a
+    wrong statement fails the query rather than passing silently.
+    """
+    import shutil
+
+    label = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    db = f"ddl_demo_{label}"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    # the in-memory catalog is per-session but the warehouse dir is
+    # not: remove leftovers from prior sessions or managed CREATE
+    # fails with LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        os.path.join(warehouse.removeprefix("file:"), f"{db}.db"),
+        ignore_errors=True,
+    )
+    spark.sql(f"CREATE DATABASE {db}")
+
+    nation = read_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").saveAsTable(f"{db}.nation_copy")
+
+    # partitioned table + recover-partitions (MSCK analog)
+    region = read_table(spark, sf_dir, "region")
+    path = f"/root/repo/.tmp/ddl/{label}/region_part"
+    region.write.mode("overwrite").partitionBy("r_regionkey").parquet(path)
+    spark.sql(
+        f"CREATE TABLE {db}.region_part (r_name STRING, r_comment STRING) "
+        f"USING PARQUET PARTITIONED BY (r_regionkey BIGINT) LOCATION '{path}'"
+    )
+    spark.sql(f"ALTER TABLE {db}.region_part RECOVER PARTITIONS")
+
+    spark.sql(
+        f"CREATE OR REPLACE VIEW {db}.nation_v AS "
+        f"SELECT n_nationkey, upper(n_name) AS n_name FROM {db}.nation_copy"
+    )
+    spark.sql(f"ALTER TABLE {db}.nation_copy RENAME TO {db}.nation_renamed")
+    spark.sql(f"ANALYZE TABLE {db}.nation_renamed COMPUTE STATISTICS")
+    spark.sql(
+        f"ANALYZE TABLE {db}.nation_renamed COMPUTE STATISTICS FOR ALL COLUMNS"
+    )
+    # DESCRIBE must parse; result shape is engine-specific
+    spark.sql(f"DESCRIBE TABLE {db}.nation_renamed").collect()
+
+    n_rows = spark.table(f"{db}.nation_renamed").count()
+    n_parts = spark.sql(f"SHOW PARTITIONS {db}.region_part").count()
+    tables = spark.sql(f"SHOW TABLES IN {db}").select(
+        "tableName", "isTemporary"
+    )
+    return tables.withColumn("nation_rows", F.lit(n_rows)).withColumn(
+        "region_partitions", F.lit(n_parts)
+    )

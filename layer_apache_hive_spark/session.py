@@ -65,5 +65,8 @@ def get_spark(
         # executor memory instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
+        # managed-table location (saveAsTable without explicit path);
+        # kept under the gitignored scratch dir
+        .config("spark.sql.warehouse.dir", "/root/repo/.tmp/warehouse")
     )
     return builder.getOrCreate()
