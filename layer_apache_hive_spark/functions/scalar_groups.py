@@ -50,7 +50,10 @@ SELECT
   translate(p_brand, 'Br', 'Xy') AS brand_translated,
   levenshtein(p_brand, p_type) AS brand_type_dist,
   printf('%s/%d', p_brand, p_partkey) AS formatted,
-  upper(substring(p_type, 1, 1)) || lower(substring(p_type, 2)) AS type_initcap
+  upper(substring(p_type, 1, 1)) || lower(substring(p_type, 2)) AS type_initcap,
+  decode(encode(p_name)) AS codec_roundtrip,
+  instr(p_type, 'STEEL') AS steel_at,
+  repeat(' ', 3) || p_brand AS brand_spaced
 FROM part
 WHERE p_partkey < 500
 """,
@@ -82,6 +85,9 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
         F.format_string("%s/%d", "p_brand", "p_partkey").alias("formatted"),
         F.initcap("p_type").alias("type_initcap"),
+        F.decode(F.encode("p_name", "UTF-8"), "UTF-8").alias("codec_roundtrip"),
+        F.locate("STEEL", F.col("p_type")).alias("steel_at"),
+        F.concat(F.expr("space(3)"), "p_brand").alias("brand_spaced"),
     )
 
 
@@ -106,7 +112,15 @@ SELECT
   CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec,
   make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000) AS from_epoch,
   strftime(o_orderdate, '%Y-%m-%d') AS fmt_ymd,
-  CAST(o_orderdate AS DATE) AS as_date
+  CAST(o_orderdate AS DATE) AS as_date,
+  hour(CAST(o_orderdate AS TIMESTAMP) + (o_orderkey % 86400) * INTERVAL 1 SECOND) AS hr,
+  minute(CAST(o_orderdate AS TIMESTAMP) + (o_orderkey % 86400) * INTERVAL 1 SECOND) AS mi,
+  second(CAST(o_orderdate AS TIMESTAMP) + (o_orderkey % 86400) * INTERVAL 1 SECOND) AS sec,
+  ROUND((day(o_orderdate) - 1) / 31.0, 8) AS mb_frac,
+  CAST(o_orderdate AS DATE)
+    + CAST(CASE WHEN ((1 - dayofweek(o_orderdate)) % 7 + 7) % 7 = 0 THEN 7
+                ELSE ((1 - dayofweek(o_orderdate)) % 7 + 7) % 7 END AS INTEGER)
+    AS next_monday
 FROM orders
 WHERE o_orderkey < 1000
 """,
@@ -135,6 +149,22 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp(F.from_unixtime(F.unix_timestamp(d))).alias("from_epoch"),
         F.date_format(d, "yyyy-MM-dd").alias("fmt_ymd"),
         F.to_date(d).alias("as_date"),
+        # derived intra-day timestamp so hour/minute/second are nonzero
+        F.hour(_tsk(o)).alias("hr"),
+        F.minute(_tsk(o)).alias("mi"),
+        F.second(_tsk(o)).alias("sec"),
+        # months_between(d, trunc(d)) = (day-1)/31 by Spark's formula —
+        # replicated literally in the oracle
+        F.round(F.months_between(dd, F.trunc(dd, "month")), 8).alias("mb_frac"),
+        F.next_day(dd, "Mon").alias("next_monday"),
+    )
+
+
+def _tsk(o: DataFrame) -> F.Column:
+    """Deterministic intra-day timestamp: orderdate + (key % 86400) s."""
+    return F.timestamp_seconds(
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+        + F.col("o_orderkey") % 86400
     )
 
 
@@ -164,7 +194,12 @@ SELECT
   greatest(l_quantity, 25.0) AS qty_hi,
   least(l_quantity, 25.0) AS qty_lo,
   ((CAST(l_quantity AS BIGINT) % 7) + 7) % 7 AS qty_mod7,
-  ROUND(pi(), 8) AS pi_val
+  ROUND(pi(), 8) AS pi_val,
+  ROUND(asin(l_discount), 8) AS asin_disc,
+  ROUND(acos(l_discount), 8) AS acos_disc,
+  ROUND(tan(l_tax), 8) AS tan_tax,
+  factorial(l_linenumber) AS line_fact,
+  ROUND(exp(1), 8) AS e_val
 FROM lineitem
 WHERE l_orderkey < 300
 """,
@@ -197,6 +232,11 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(q, F.lit(25.0)).alias("qty_lo"),
         F.pmod(q.cast("bigint"), F.lit(7)).alias("qty_mod7"),
         F.round(F.lit(3.141592653589793), 8).alias("pi_val"),
+        F.round(F.asin("l_discount"), 8).alias("asin_disc"),
+        F.round(F.acos("l_discount"), 8).alias("acos_disc"),
+        F.round(F.tan("l_tax"), 8).alias("tan_tax"),
+        F.factorial(F.col("l_linenumber")).alias("line_fact"),
+        F.round(F.exp(F.lit(1.0)), 8).alias("e_val"),
     )
 
 

@@ -51,6 +51,7 @@ def register(query_id: str, oracle: Optional[str] = None, doc: str = ""):
 def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import layer_apache_hive_spark.operators.aggregates  # noqa: F401
+    import layer_apache_hive_spark.operators.composite  # noqa: F401
     import layer_apache_hive_spark.operators.ddl  # noqa: F401
     import layer_apache_hive_spark.operators.joins  # noqa: F401
     import layer_apache_hive_spark.operators.relational  # noqa: F401
