@@ -203,14 +203,36 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-@register("udtf_grouped_map", oracle=None)
+@register(
+    "udtf_grouped_map",
+    oracle="""
+WITH scaled AS (
+  SELECT event_id, user_id, value,
+         CAST(round(value * 10000) AS BIGINT) AS sv
+  FROM events
+), stats AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         (CAST(SUM(sv) AS DOUBLE) / 10000) / COUNT(*) AS mean,
+         (CAST(SUM(sv * sv) AS DOUBLE) / 100000000) / COUNT(*) AS msq
+  FROM scaled GROUP BY user_id
+)
+SELECT s.event_id, s.user_id, s.value,
+       CASE WHEN sqrt(msq - mean * mean) = 0 THEN 0.0
+            ELSE round((s.value - mean) / sqrt(msq - mean * mean), 6)
+       END AS zscore
+FROM scaled s JOIN stats USING (user_id)
+""",
+)
 def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map (per-group table function).
 
-    Rows-only: float sqrt/divide ordering makes an exact SQL twin
-    brittle; tests/test_udx.py checks the z-score math directly.
-    Scale note: one Arrow batch per group — groups are per-user event
-    slices (bounded); never applyInPandas over an unbounded group.
+    Oracle-able because _zscore_group accumulates on exact scaled
+    integers (sums stay < 2^53, so int→double is exact in both
+    engines and the division order is replicated literally in the
+    SQL twin). Scale note: one Arrow batch per group — groups are
+    per-user event slices (bounded); never applyInPandas over an
+    unbounded group.
     """
     e = read_table(spark, sf_dir, "events")
     return e.groupBy("user_id").applyInPandas(

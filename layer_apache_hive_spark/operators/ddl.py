@@ -22,7 +22,16 @@ from layer_apache_hive_spark.catalog import read_table
 from layer_apache_hive_spark.registry import register
 
 
-@register("ddl_catalog", oracle=None)
+@register(
+    "ddl_catalog",
+    oracle="""
+SELECT t.tableName,
+       false AS isTemporary,
+       (SELECT COUNT(*) FROM nation) AS nation_rows,
+       (SELECT COUNT(DISTINCT r_regionkey) FROM region) AS region_partitions
+FROM (VALUES ('nation_renamed'), ('nation_v'), ('region_part')) t(tableName)
+""",
+)
 def ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trips the §2.12 DDL inventory in a scratch database:
 
@@ -75,8 +84,13 @@ def ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_rows = spark.table(f"{db}.nation_renamed").count()
     n_parts = spark.sql(f"SHOW PARTITIONS {db}.region_part").count()
-    tables = spark.sql(f"SHOW TABLES IN {db}").select(
-        "tableName", "isTemporary"
+    # session-global temp views leak into every database's SHOW TABLES;
+    # keep only this db's persistent entries so the result is
+    # independent of what else ran in the session
+    tables = (
+        spark.sql(f"SHOW TABLES IN {db}")
+        .filter(~F.col("isTemporary"))
+        .select("tableName", "isTemporary")
     )
     return tables.withColumn("nation_rows", F.lit(n_rows)).withColumn(
         "region_partitions", F.lit(n_parts)
