@@ -140,3 +140,108 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feat_bytemean double, feat_dims double"
         ),
     )
+
+
+_RESIZE_W, _RESIZE_H = 16, 16  # target "thumbnail" byte budget
+
+
+def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binary in, size-bounded binary out.
+
+    REAL PATH (stubbed behind REAL_DECODERS_AVAILABLE): decode →
+    bilinear resize → re-encode. FAKE PATH: deterministic byte
+    truncation to the target budget — same schema, batching, and
+    binary-in/binary-out shape as the real thing.
+    """
+    budget = _RESIZE_W * _RESIZE_H
+    for pdf in it:
+        if REAL_DECODERS_AVAILABLE:
+            raise NotImplementedError("real resize needs an image library")
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "thumb": [bytes(p[:budget]) for p in pdf["payload"]],
+                "thumb_w": _RESIZE_W,
+                "thumb_h": _RESIZE_H,
+            }
+        )
+        yield out
+
+
+@register(
+    "ext_multimodal_resize",
+    oracle=f"""
+SELECT doc_id,
+       LEAST(n_chars, {_RESIZE_W * _RESIZE_H}) AS thumb_bytes,
+       {_RESIZE_W} AS thumb_w, {_RESIZE_H} AS thumb_h
+FROM documents
+""",
+)
+def ext_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail over binary payloads (mapInPandas, binary →
+    binary). The oracle checks the byte-level contract of the fake
+    path (output bounded by the target budget)."""
+    d = read_table(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    ).repartition(8, "doc_id")
+    resized = src.mapInPandas(
+        _resize_batches,
+        schema="doc_id long, thumb binary, thumb_w int, thumb_h int",
+    )
+    return resized.select(
+        "doc_id",
+        F.length("thumb").alias("thumb_bytes"),
+        "thumb_w",
+        "thumb_h",
+    )
+
+
+_FRAME_BYTES, _FRAME_STRIDE = 32, 2  # frame size; keep every 2nd frame
+
+
+def _framesample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one row in → one row per SAMPLED frame out
+    (the UDTF/posexplode shape for media)."""
+    for pdf in it:
+        ids, frames, nos = [], [], []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(p) + _FRAME_BYTES - 1) // _FRAME_BYTES
+            for i in range(0, n_frames, _FRAME_STRIDE):
+                ids.append(doc_id)
+                nos.append(i)
+                frames.append(bytes(p[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]))
+        yield pd.DataFrame(
+            {"doc_id": pd.array(ids, dtype="int64"),
+             "frame_no": pd.array(nos, dtype="int64"),
+             "frame": frames}
+        )
+
+
+@register(
+    "ext_multimodal_framesample",
+    oracle=f"""
+SELECT d.doc_id,
+       f.i AS frame_no,
+       LEAST({_FRAME_BYTES}, d.n_chars - f.i * {_FRAME_BYTES}) AS frame_bytes
+FROM documents d
+CROSS JOIN LATERAL (
+  SELECT unnest(range(0, CAST(CEIL(d.n_chars / {_FRAME_BYTES}.0) AS BIGINT))) AS i
+) f
+WHERE f.i % {_FRAME_STRIDE} = 0
+""",
+)
+def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a video-shaped binary payload: fixed-size
+    byte frames, keep every k-th (mapInPandas fan-out — one input row,
+    many frame rows). Oracle checks frame numbering + byte lengths."""
+    d = read_table(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    ).repartition(8, "doc_id")
+    frames = src.mapInPandas(
+        _framesample_batches, schema="doc_id long, frame_no long, frame binary"
+    )
+    return frames.select(
+        "doc_id", "frame_no", F.length("frame").alias("frame_bytes")
+    )

@@ -271,3 +271,30 @@ def transform_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         _tokenize_batches, schema="doc_id long, token string, token_len long"
     )
+
+
+@register(
+    "transform_script_using",
+    oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source
+FROM documents WHERE doc_id < 200
+""",
+)
+def transform_script_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's literal script-streaming surface (ScriptOperator.java):
+    ``SELECT TRANSFORM(cols) USING '<cmd>' AS (...)`` — Spark SQL
+    supports the syntax verbatim (ROW FORMAT DELIMITED, tab-separated
+    pipe through the child process). Identity transform via ``cat`` so
+    the result is oracle-checkable; TRANSFORM output columns are
+    STRING by contract, mirrored with CAST in the twin.
+
+    Scale note: one child process per task streaming stdin/stdout —
+    prefer mapInPandas (transform_script) for anything hot; this row
+    exists for surface parity.
+    """
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT TRANSFORM(doc_id, lang, source) USING 'cat' "
+        "AS (doc_id STRING, lang STRING, source STRING) "
+        "FROM documents WHERE doc_id < 200"
+    )
