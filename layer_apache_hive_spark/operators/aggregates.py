@@ -368,3 +368,24 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_qty") > 14000)
     )
+
+
+@register("agg_approx_ndv", oracle=None)
+def agg_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counts via HyperLogLog++
+    (approx_count_distinct) next to the exact counts — Hive's ndv /
+    compute_stats sketch analog, and the cardinality-estimation
+    primitive a 100 TB pipeline uses where exact COUNT(DISTINCT)'s
+    shuffle is unaffordable.
+
+    Rows-only: sketch estimates are engine-specific.
+    tests/test_oracle_parity.py::test_approx_ndv_error bounds the
+    relative error against the exact count instead.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ndv_orderkey"),
+        F.countDistinct("l_orderkey").alias("exact_orderkey"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("ndv_partkey"),
+        F.countDistinct("l_partkey").alias("exact_partkey"),
+    )

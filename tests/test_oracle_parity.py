@@ -55,3 +55,13 @@ def test_bucket_smb_plan_is_exchange_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
+
+
+def test_approx_ndv_error(spark):
+    """HLL++ estimates must stay within the configured 2% rsd (allow
+    4x headroom for small-cardinality groups)."""
+    q = _REGISTRY["agg_approx_ndv"]
+    for row in q.fn(spark, SF_DIR).collect():
+        for col in ("orderkey", "partkey"):
+            exact, approx = row[f"exact_{col}"], row[f"ndv_{col}"]
+            assert abs(approx - exact) <= max(0.08 * exact, 2)
