@@ -60,8 +60,23 @@ def test_bucket_smb_plan_is_exchange_free(spark):
 def test_approx_ndv_error(spark):
     """HLL++ estimates must stay within the configured 2% rsd (allow
     4x headroom for small-cardinality groups)."""
+    from pyspark.sql import functions as F
+    from layer_apache_hive_spark.catalog import read_table
+
     q = _REGISTRY["agg_approx_ndv"]
-    for row in q.fn(spark, SF_DIR).collect():
+    approx = {r["l_returnflag"]: r for r in q.fn(spark, SF_DIR).collect()}
+    exact = {
+        r["l_returnflag"]: r
+        for r in read_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orderkey"),
+            F.countDistinct("l_partkey").alias("exact_partkey"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, row in approx.items():
         for col in ("orderkey", "partkey"):
-            exact, approx = row[f"exact_{col}"], row[f"ndv_{col}"]
-            assert abs(approx - exact) <= max(0.08 * exact, 2)
+            e, a = exact[flag][f"exact_{col}"], row[f"ndv_{col}"]
+            assert abs(a - e) <= max(0.08 * e, 2)
