@@ -231,13 +231,31 @@ def join_bucket_smb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders": ("o_orderkey", f"bkt_orders_{label}"),
         "lineitem": ("l_orderkey", f"bkt_lineitem_{label}"),
     }
+    import os
+
     for tbl, (key, name) in specs.items():
-        if not spark.catalog.tableExists(name):
+        if spark.catalog.tableExists(name):
+            continue
+        path = f"{TMP_ROOT}/bucketed/{label}/{tbl}"
+        if os.path.exists(f"{path}/_SUCCESS"):
+            # bucketed files survive across sessions (only the
+            # catalog entry is per-session): re-register instead of
+            # re-shuffling — the pay-the-shuffle-ONCE point of SMB
+            src = read_table(spark, sf_dir, tbl)
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        else:
             (
                 read_table(spark, sf_dir, tbl)
                 .write.bucketBy(8, key)
                 .sortBy(key)
-                .option("path", f"{TMP_ROOT}/bucketed/{label}/{tbl}")
+                .option("path", path)
                 .mode("overwrite")
                 .saveAsTable(name)
             )
