@@ -313,7 +313,9 @@ SELECT
   c_custkey,
   md5(c_name) AS name_md5,
   sha256(c_name) AS name_sha256,
-  length(md5(c_name)) AS md5_len
+  length(md5(c_name)) AS md5_len,
+  regexp_replace(regexp_replace(regexp_replace(c_name,
+    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS name_masked
 FROM customer
 WHERE c_custkey < 500
 """,
@@ -330,6 +332,9 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("c_name").alias("name_md5"),
         F.sha2("c_name", 256).alias("name_sha256"),
         F.length(F.md5("c_name")).alias("md5_len"),
+        # Hive 2.1 mask() (PII redaction): upper→X, lower→x, digit→n;
+        # the oracle replays it as regexp_replace chains
+        F.expr("mask(c_name)").alias("name_masked"),
     )
 
 

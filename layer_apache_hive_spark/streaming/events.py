@@ -363,3 +363,70 @@ def evt_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "evt_asof_join",
+    oracle=f"""
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.pts, '{_SQL_TS_FMT}.%f') AS purchase_ts,
+       strftime(c.cts, '{_SQL_TS_FMT}.%f') AS last_click_ts
+FROM purch p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.pts >= c.cts
+""",
+)
+def evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (not in Hive; the canonical time-series/attribution
+    operator): each purchase matched to the user's most recent
+    click at-or-before it.
+
+    Implemented the scalable way — union both sides tagged, one window
+    per user carrying the last non-null click timestamp — so the whole
+    join is ONE shuffle on user_id, no per-key loops and no range
+    explosion; at 100 TB this is the textbook beats-a-theta-join plan.
+    Ties (click and purchase at the same µs) order the click first,
+    matching ASOF's >= semantics. Oracle: DuckDB's native ASOF JOIN.
+    """
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_p"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_p"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fmt = _TS_FMT + ".SSSSSS"
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter((F.col("is_p") == 1) & F.col("last_click_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            F.date_format("last_click_ts", fmt).alias("last_click_ts"),
+        )
+    )
