@@ -250,3 +250,45 @@ def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d.select("doc_id", F.col("lang").alias("actual_lang")), "doc_id")
         .withColumn("correct", F.col("predicted_lang") == F.col("actual_lang"))
     )
+
+
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@register(
+    "ext_text_tokens_bpe",
+    oracle=f"""
+WITH pieces AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS piece
+  FROM documents
+)
+SELECT doc_id,
+       COUNT(*) AS n_pieces,
+       COUNT(DISTINCT piece) AS n_distinct_pieces,
+       MAX(length(piece)) AS max_piece_len
+FROM pieces
+GROUP BY doc_id
+""",
+)
+def ext_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization (letter runs | digit runs |
+    punctuation runs — the GPT-2 pretokenizer shape, simplified to a
+    dialect-portable character-class regex) + per-doc piece stats.
+    n_pieces is the standard cheap proxy for LLM token counts when
+    budgeting a 100 TB corpus. Whitespace tokenization is the
+    ext_text_tokens twin.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    # literal column, not a SQL string: SQL literals would eat the \s
+    pieces = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), F.lit(0))
+        ).alias("piece"),
+    )
+    return pieces.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pieces"),
+        F.countDistinct("piece").alias("n_distinct_pieces"),
+        F.max(F.length("piece")).alias("max_piece_len"),
+    )
