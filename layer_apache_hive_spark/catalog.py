@@ -57,6 +57,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     long (spark.sql.legacy.parquet.nanosAsLong) and we truncate to µs
     here — matching DuckDB's ns→µs cast behavior (FIXTURES.md).
     """
+    if name == "events":
+        # runtime-settable, so this also covers sessions we didn't
+        # build (e.g. a driver harness with default configs, where the
+        # ns footer otherwise throws PARQUET_TYPE_ILLEGAL)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -173,8 +173,10 @@ def _stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not glob.glob(f"{src_dir}/*.parquet"):
         os.makedirs(src_dir, exist_ok=True)
         shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    # Use the RAW parquet schema (ts arrives as nanos-long under the
-    # legacy conf), then normalize to µs TimestampType below.
+    # ns footer needs the legacy conf (runtime-settable; covers
+    # sessions we didn't build). Use the RAW parquet schema (ts
+    # arrives as nanos-long), then normalize to µs below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(src_dir)
     # parquet file carries ns→long ts under the legacy conf only for
@@ -241,6 +243,7 @@ def _stream_source_parts(spark: SparkSession, sf_dir: str, n_parts: int = 2) -> 
     advances between batches, not within one."""
     label = os.path.basename(sf_dir.rstrip("/")) or "sf"
     src_dir = f"/root/repo/.tmp/stream_src_parts/{label}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if not glob.glob(f"{src_dir}/*.parquet"):
         spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
             n_parts
