@@ -408,3 +408,42 @@ def fn_typeconv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getItem("pr")
         .alias("prio_from_map"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+SELECT doc_id,
+       'https://' || source || '.example.com/' || lang || '/doc?id='
+         || CAST(doc_id AS VARCHAR) AS url,
+       source || '.example.com' AS url_host,
+       '/' || lang || '/doc' AS url_path,
+       'id=' || CAST(doc_id AS VARCHAR) AS url_query,
+       CAST(doc_id AS VARCHAR) AS url_qid,
+       'https' AS url_proto
+FROM documents
+WHERE doc_id < 300
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url / parse_url_tuple surface (Hive UDFParseUrl /
+    GenericUDTFParseUrlTuple): HOST / PATH / QUERY / QUERY:key /
+    PROTOCOL extraction. URLs are constructed from columns, so the
+    oracle rebuilds each component directly — checking the parser
+    against ground truth rather than another parser.
+    """
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/"),
+        "lang", F.lit("/doc?id="), F.col("doc_id").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("url_host"),
+        F.parse_url("url", F.lit("PATH")).alias("url_path"),
+        F.parse_url("url", F.lit("QUERY")).alias("url_query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("url_qid"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("url_proto"),
+    )
