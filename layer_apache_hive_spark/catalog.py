@@ -57,6 +57,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     long (spark.sql.legacy.parquet.nanosAsLong) and we truncate to µs
     here — matching DuckDB's ns→µs cast behavior (FIXTURES.md).
     """
+    # Hive semantics are non-ANSI (CAST('x' AS INT) -> NULL, overflow
+    # wraps). session.py sets this for sessions we build, but queries
+    # must also hold under a vanilla session (e.g. a driver harness
+    # with default configs, where PySpark 4 defaults ANSI on). It is a
+    # runtime conf, so set it at read time like nanosAsLong below.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
         # runtime-settable, so this also covers sessions we didn't
         # build (e.g. a driver harness with default configs, where the

@@ -46,7 +46,7 @@ SELECT
   ascii(p_brand) AS brand_ascii,
   regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel,
   regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
-  string_split(p_name, ' ') AS name_tokens,
+  array_to_string(string_split(p_name, ' '), '|') AS name_tokens,
   translate(p_brand, 'Br', 'Xy') AS brand_translated,
   levenshtein(p_brand, p_type) AS brand_type_dist,
   printf('%s/%d', p_brand, p_partkey) AS formatted,
@@ -80,7 +80,9 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("p_brand").alias("brand_ascii"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devowel"),
         F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
-        F.split("p_name", " ").alias("name_tokens"),
+        # split's array is joined back to a string: the harness
+        # canonicalizer pandas-sorts raw cells and lists are unhashable
+        F.array_join(F.split("p_name", " "), "|").alias("name_tokens"),
         F.translate("p_brand", "Br", "Xy").alias("brand_translated"),
         F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
         F.format_string("%s/%d", "p_brand", "p_partkey").alias("formatted"),
@@ -251,17 +253,19 @@ SELECT
   doc_id,
   len(toks) AS n_tokens,
   list_contains(toks, 'join') AS has_join,
-  list_sort(toks)[1:3] AS first3_sorted,
+  array_to_string(list_sort(toks)[1:3], '|') AS first3_sorted,
   toks[1] AS first_tok,
   toks[len(toks)] AS last_tok,
-  range(1, CAST(n_chars % 5 AS INTEGER) + 2) AS seq_chars,
-  list_concat(toks[1:2], toks[1:2]) AS doubled_head
+  array_to_string(list_transform(range(1, CAST(n_chars % 5 AS INTEGER) + 2),
+                                 x -> CAST(x AS VARCHAR)), ',') AS seq_chars,
+  array_to_string(list_concat(toks[1:2], toks[1:2]), '|') AS doubled_head
 FROM t
 """,
 )
 def fn_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/collection function group (size/contains/sort/slice/
-    sequence/concat, element access)."""
+    sequence/concat, element access). Array results are joined to
+    strings — the harness canonicalizer can't sort list cells."""
     d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     toks = F.split("text", " ")
     t = d.select("doc_id", toks.alias("toks"), "n_chars")
@@ -269,13 +273,18 @@ def fn_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").alias("n_tokens"),
         F.array_contains("toks", "join").alias("has_join"),
-        F.slice(F.sort_array("toks"), 1, 3).alias("first3_sorted"),
+        F.array_join(F.slice(F.sort_array("toks"), 1, 3), "|").alias("first3_sorted"),
         F.element_at("toks", 1).alias("first_tok"),
         F.element_at("toks", -1).alias("last_tok"),
-        F.sequence(
-            F.lit(1), (F.col("n_chars") % 5).cast("int") + 1
+        F.array_join(
+            F.sequence(F.lit(1), (F.col("n_chars") % 5).cast("int") + 1).cast(
+                "array<string>"
+            ),
+            ",",
         ).alias("seq_chars"),
-        F.concat(F.slice("toks", 1, 2), F.slice("toks", 1, 2)).alias("doubled_head"),
+        F.array_join(
+            F.concat(F.slice("toks", 1, 2), F.slice("toks", 1, 2)), "|"
+        ).alias("doubled_head"),
     )
 
 

@@ -202,7 +202,14 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75], 1000).alias("approx_iqr"),
+        # emitted as a CSV string, not array<double>: the harness
+        # canonicalizer pandas-sorts raw cells and lists are unhashable
+        F.array_join(
+            F.percentile_approx("l_extendedprice", [0.25, 0.75], 1000).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("approx_iqr"),
     )
 
 
@@ -211,8 +218,8 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   l_linenumber,
-  list_sort(list(DISTINCT l_returnflag)) AS flags,
-  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
+  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
   COUNT(*) AS n
 FROM lineitem
 WHERE l_orderkey < 50
@@ -221,11 +228,12 @@ GROUP BY l_linenumber
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set/collect_list (GenericUDAFCollectSet/List) — arrays
-    sorted before emission per the §5.2 determinism rule."""
+    sorted before emission per the §5.2 determinism rule, then joined
+    to CSV strings (the harness canonicalizer can't sort list cells)."""
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
     return li.groupBy("l_linenumber").agg(
-        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias("flags"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
         F.count(F.lit(1)).alias("n"),
     )
 

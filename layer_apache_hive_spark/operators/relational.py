@@ -151,9 +151,12 @@ FROM orders
 def expr_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Casts across the type lattice, incl. Hive null-on-error behavior.
 
-    Spark's non-ANSI CAST('O' AS INT) → NULL is the Hive semantic; the
-    oracle spells it TRY_CAST. double→int truncation is spelled FLOOR
-    on both sides because DuckDB's plain cast rounds.
+    Hive's CAST('O' AS INT) → NULL is spelled ``try_cast`` on both
+    sides so the semantic survives ANY session config — PySpark 4
+    defaults ANSI on, where a plain cast would throw (read_table also
+    forces ansi.enabled=false at runtime as belt-and-suspenders).
+    double→int truncation is spelled FLOOR on both sides because
+    DuckDB's plain cast rounds.
     """
     o = read_table(spark, sf_dir, "orders")
     return o.select(
@@ -162,6 +165,6 @@ def expr_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
         F.floor("o_totalprice").cast("bigint").alias("price_int"),
         F.col("o_orderdate").cast("date").alias("order_date"),
-        F.col("o_orderstatus").cast("int").alias("bad_cast_null"),
-        F.col("o_orderkey").cast("string").cast("bigint").alias("roundtrip_key"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_cast_null"),
+        F.col("o_orderkey").cast("string").try_cast("bigint").alias("roundtrip_key"),
     )

@@ -1,0 +1,51 @@
+"""Guards against the two known driver-harness failure modes.
+
+The correctness harness (a) builds its OWN SparkSession, where
+PySpark 4 defaults ``spark.sql.ansi.enabled=true``, and (b)
+canonicalizes results with a pandas ``sort_values`` over raw cells —
+which raises ``TypeError: unhashable type: 'list'`` on any
+array/map-typed output column. Both broke round-1 rows
+(expr_cast; agg_collect / agg_percentile_approx). These tests make a
+regression impossible to miss locally.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import ArrayType, MapType
+
+from layer_apache_hive_spark.registry import _load_all_modules, _REGISTRY
+from tests.conftest import SF_DIR
+
+_load_all_modules()
+_ALL_IDS = sorted(_REGISTRY)
+
+
+@pytest.mark.parametrize("qid", _ALL_IDS)
+def test_no_list_valued_output_columns(spark, qid):
+    """Every registered query must emit only scalar-typed columns
+    (the driver's canonicalizer cannot sort list/map cells)."""
+    df = _REGISTRY[qid].fn(spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not bad, (
+        f"{qid} emits complex-typed columns {bad}; join/stringify them "
+        "(array_join/to_json) or the driver harness will crash on them"
+    )
+
+
+def test_expr_cast_survives_ansi_session(spark):
+    """expr_cast must yield Hive null-on-error semantics even when the
+    calling session has ANSI on (the driver's default)."""
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = _REGISTRY["expr_cast"].fn(spark, SF_DIR).limit(50).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert rows
+    # o_orderstatus is 'O'/'F'/'P' — never numeric
+    assert all(r["bad_cast_null"] is None for r in rows)
+    assert all(r["roundtrip_key"] == r["o_orderkey"] for r in rows)
