@@ -29,22 +29,43 @@ from layer_apache_hive_spark.registry import register
 
 _TAU = 0.3  # Jaccard threshold (probed: 25 true pairs at sf0.01)
 
-# (spark_id, sf_dir) -> persisted exploded shingle DataFrame. Shingling
-# via a SQL higher-order transform is pathologically slow: Catalyst's
+# (applicationId, sf_dir, kind) -> persisted DataFrame. Shingling via
+# a SQL higher-order transform is pathologically slow: Catalyst's
 # CollapseProject inlines split(text) into every element_at reference
 # inside the lambda, making it O(tokens^2) string splits per doc — and
 # the shingle relation is reused up to 5x per dedup query. An
 # Arrow-batched mapInPandas + persist makes it cheap and computed once.
+# Keyed by applicationId (stable session identity — id() of a GC'd
+# SparkSession can be recycled); stale sessions' frames are unpersisted
+# on eviction.
 _SH_CACHE: dict = {}
+
+
+def _cache_get(spark: SparkSession, sf_dir: str, kind: str):
+    app = spark.sparkContext.applicationId
+    # evict (and unpersist) frames from dead sessions so executor
+    # memory is bounded across sessions / scale factors
+    for k in [k for k in _SH_CACHE if k[0] != app]:
+        try:
+            _SH_CACHE.pop(k).unpersist()
+        except Exception:
+            pass
+    return (app, sf_dir, kind), _SH_CACHE.get((app, sf_dir, kind))
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh): exploded distinct word-3-gram shingles per doc
-    (docs with ≥3 tokens only), persisted per scale factor."""
+    (docs with ≥3 tokens only), persisted per scale factor.
+
+    ``sh`` is the xxhash64 of the shingle string, not the string: the
+    persist is two int64 columns (~4x smaller than strings) and every
+    downstream groupBy/join shuffles fixed-width longs. Set semantics
+    are preserved up to a ~2^-64-per-pair collision — negligible even
+    at 100 TB shingle volumes (same argument as MinHash itself).
+    """
     import pandas as pd
 
-    key = (id(spark), sf_dir)
-    cached = _SH_CACHE.get(key)
+    key, cached = _cache_get(spark, sf_dir, "sh")
     if cached is not None:
         return cached
 
@@ -64,73 +85,140 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
                     shs.append(s)
             yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "sh": shs})
 
-    sh = d.mapInPandas(gen, schema="doc_id long, sh string").persist()
+    sh = (
+        d.mapInPandas(gen, schema="doc_id long, sh string")
+        .select("doc_id", F.xxhash64("sh").alias("sh"))
+        .persist()
+    )
     _SH_CACHE[key] = sh
     return sh
 
 
-def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs.
+def _doc_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs): each doc's sorted int64 shingle-hash array — the
+    verify-side lookup relation, persisted once per scale factor."""
+    key, cached = _cache_get(spark, sf_dir, "docs")
+    if cached is not None:
+        return cached
+    docs = (
+        _shingled(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("sh")).alias("hs"))
+        .persist()
+    )
+    _SH_CACHE[key] = docs
+    return docs
 
-    Join each side's hashed-shingle array (one row per doc — broadcast,
-    no shuffle of the pair table), then intersect with numpy inside
-    mapInPandas. Shingles are compared as xxhash64 values: counts equal
-    string-set intersection counts up to a ~2^-64-per-pair collision
-    (negligible even at 100 TB pair volumes), while the per-pair work
-    drops to a sorted-int64 intersect. A JVM array_intersect on string
+
+# Hash-count ceiling for the python-broadcast verify fast path:
+# 32M int64s ~ 256 MB of payload per executor, comfortably inside a
+# worker; beyond it the distributed join path takes over. sf0.1 is
+# ~1M hashes; 100 TB corpora land far past the switch.
+_BROADCAST_MAX_HASHES = 32_000_000
+
+
+def _sh_count(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the persisted shingle relation (cached: counting a
+    persisted int64 frame is one cheap job, paid once per sf)."""
+    key, cached = _cache_get(spark, sf_dir, "nsh")
+    if cached is None:
+        cached = _shingled(spark, sf_dir).count()
+        _SH_CACHE[key] = cached
+    return cached
+
+
+def _verify_jaccard(cand: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard for candidate pairs, linear in candidates.
+
+    Two physical strategies behind one semantic, chosen by the
+    MEASURED size of the persisted shingle relation (not a guess):
+
+    - small corpus (fits _BROADCAST_MAX_HASHES): ship the
+      doc->sorted-hash-array map as a python broadcast; the Arrow
+      transfer into the verify stage is then just the skinny
+      (doc_a, doc_b) pairs. ~3x faster here — duplicating both full
+      arrays per pair through Arrow dominates otherwise.
+    - large corpus (any real cluster scale): two equi-joins attach
+      each side's hash array to the pair table — plain shuffle joins
+      on doc_id, no driver-side state at all — then the same numpy
+      intersect runs per joined row.
+
+    Hash-array intersection counts equal string-set intersection
+    counts up to a ~2^-64-per-pair collision, while the per-pair work
+    is a sorted-int64 intersect. A JVM array_intersect on string
     arrays was measured ~20x slower (per-pair hash-set builds).
-
-    At 100 TB the doc-array side no longer broadcasts; the same plan
-    shuffle-joins on doc_id — still linear in candidates.
     """
     import numpy as np
     import pandas as pd
 
-    docs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(F.xxhash64("sh"))).alias("hs")
-    )
-    # ship the doc→hash-array map as a python broadcast (a couple MB
-    # here): the pair table then stays skinny end-to-end. At corpus
-    # sizes where this no longer fits an executor, swap to the
-    # equivalent JVM form — join `docs` onto the pairs twice on
-    # doc_id — which is the same linear-in-candidates plan with a
-    # shuffle instead of a broadcast.
-    arrs = {
-        row["doc_id"]: np.asarray(row["hs"], dtype=np.int64)
-        for row in docs.collect()
-    }
-    bv = sh.sparkSession.sparkContext.broadcast(arrs)
+    # repartition the skinny pair table first: AQE coalesces the
+    # candidate shuffle to ~1 partition (a few MB), which would
+    # serialize the python-side verify.
+    ncores = cand.sparkSession.sparkContext.defaultParallelism
+    docs = _doc_arrays(spark, sf_dir)
+    out_schema = "doc_a long, doc_b long, shared_shingles long, jaccard double"
 
-    def intersect(batches):
-        d = bv.value
+    def _result(pairs, shared, sz_a, sz_b):
+        return pd.DataFrame(
+            {
+                "doc_a": pairs["doc_a"].to_numpy(),
+                "doc_b": pairs["doc_b"].to_numpy(),
+                "shared_shingles": shared,
+                "jaccard": shared / (sz_a + sz_b - shared),
+            }
+        )
+
+    if _sh_count(spark, sf_dir) <= _BROADCAST_MAX_HASHES:
+        arrs = {
+            row["doc_id"]: np.asarray(row["hs"], dtype=np.int64)
+            for row in docs.collect()
+        }
+        bv = spark.sparkContext.broadcast(arrs)
+
+        def intersect_bc(batches):
+            d = bv.value
+            for pdf in batches:
+                n = len(pdf)
+                shared = np.empty(n, dtype=np.int64)
+                sz_a = np.empty(n, dtype=np.int64)
+                sz_b = np.empty(n, dtype=np.int64)
+                for k, (da, db) in enumerate(zip(pdf["doc_a"], pdf["doc_b"])):
+                    ha, hb = d[da], d[db]
+                    sz_a[k] = ha.size
+                    sz_b[k] = hb.size
+                    # pre-sorted by sort_array, values distinct
+                    shared[k] = np.intersect1d(ha, hb, assume_unique=True).size
+                yield _result(pdf, shared, sz_a, sz_b)
+
+        return cand.repartition(ncores).mapInPandas(intersect_bc, schema=out_schema)
+
+    j = (
+        cand.repartition(ncores)
+        .join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+            "doc_b",
+        )
+    )
+
+    def intersect_join(batches):
         for pdf in batches:
             n = len(pdf)
             shared = np.empty(n, dtype=np.int64)
             sz_a = np.empty(n, dtype=np.int64)
             sz_b = np.empty(n, dtype=np.int64)
-            for k, (da, db) in enumerate(zip(pdf["doc_a"], pdf["doc_b"])):
-                ha, hb = d[da], d[db]
+            for k, (ha, hb) in enumerate(zip(pdf["hs_a"], pdf["hs_b"])):
+                ha = np.asarray(ha, dtype=np.int64)
+                hb = np.asarray(hb, dtype=np.int64)
                 sz_a[k] = ha.size
                 sz_b[k] = hb.size
-                # pre-sorted by sort_array, values distinct
                 shared[k] = np.intersect1d(ha, hb, assume_unique=True).size
-            yield pd.DataFrame(
-                {
-                    "doc_a": pdf["doc_a"].to_numpy(),
-                    "doc_b": pdf["doc_b"].to_numpy(),
-                    "shared_shingles": shared,
-                    "jaccard": shared / (sz_a + sz_b - shared),
-                }
-            )
+            yield _result(pdf, shared, sz_a, sz_b)
 
-    # repartition the skinny pair table: AQE coalesces the candidate
-    # shuffle to ~1 partition (a few MB), which would serialize the
-    # python-side verify.
-    ncores = cand.sparkSession.sparkContext.defaultParallelism
-    return cand.repartition(ncores).mapInPandas(
-        intersect,
-        schema="doc_a long, doc_b long, shared_shingles long, jaccard double",
-    )
+    return j.mapInPandas(intersect_join, schema=out_schema)
 
 
 @register(
@@ -241,7 +329,7 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    verified = _verify_jaccard(cand, sh)
+    verified = _verify_jaccard(cand, spark, sf_dir)
     return verified.filter(F.col("jaccard") >= _TAU).select(
         "doc_a", "doc_b", "shared_shingles", "jaccard"
     )
@@ -285,7 +373,7 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = _verify_jaccard(cand, sh)
+    verified = _verify_jaccard(cand, spark, sf_dir)
     return verified.filter(F.col("jaccard") >= _TAU).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -302,7 +390,9 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     radius_blocks = 4
     sh = _shingled(spark, sf_dir)
-    h = sh.select("doc_id", F.xxhash64("sh").alias("h"))
+    # sh is already the shingle's xxhash64 (see _shingled) — use it
+    # directly as the per-feature hash
+    h = sh.select("doc_id", F.col("sh").alias("h"))
     # per-bit vote: +1 if bit set else -1; signature bit = vote > 0
     bit_votes = h.groupBy("doc_id").agg(
         *[
@@ -354,6 +444,77 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_large_small_star(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds regardless of component diameter, which is what
+    survives a 100 TB graph (a path-shaped component would need
+    diameter rounds under plain label propagation).
+
+    Input: undirected edge list as (u, v) pairs (either orientation,
+    self-loops/dups tolerated). Output: (id, lbl) with lbl = the
+    component's minimum node id. Each round is two bounded-key
+    shuffles (a window min per star op); localCheckpoint truncates
+    lineage; convergence is detected by an order-insensitive edge-set
+    signature (count + sum of pair hashes), one tiny job per round.
+    """
+    from pyspark.sql import Window
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # neighborhoods over both orientations; attach every neighbor
+        # strictly larger than u to m = min(N(u) + {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+        return (
+            sym.withColumn("m", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # direct each edge large->small; attach u and all its smaller
+        # neighbors to m = min of those neighbors
+        d = (
+            e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        withm = d.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+        return (
+            withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(withm.select("u", "m"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def signature(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    cur = edges.select(F.col("u"), F.col("v")).localCheckpoint()
+    sig = None
+    for _ in range(max_rounds):
+        cur = small_star(large_star(cur)).localCheckpoint()
+        new_sig = signature(cur)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
+
+    # fixpoint is a forest of stars pointing at component minima:
+    # every child edge (u -> root), plus each root labeling itself
+    return (
+        cur.select(F.col("u").alias("id"), F.col("v").alias("lbl"))
+        .union(cur.select(F.col("v").alias("id"), F.col("v").alias("lbl")))
+        .groupBy("id")
+        .agg(F.min("lbl").alias("lbl"))
+    )
+
+
 @register(
     "ext_dedup_clusters",
     oracle=f"""
@@ -378,63 +539,29 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-CLUSTER step (keep one doc per component) that follows pair
     finding in a real pipeline. cluster_id = min doc_id reachable.
 
-    Iterative min-label propagation as a driver loop over DataFrame
-    joins (the canonical Spark shape for iterative graph algorithms):
-    each round every node takes the min of its own and its neighbors'
-    labels; converged when no label changes. localCheckpoint per round
-    truncates lineage. Rounds ≤ graph diameter — near-dup components
-    are tiny by construction; at 100 TB swap the per-round join for
-    the large-star/small-star variant (same loop skeleton, O(log n)
-    rounds).
+    Uses alternating large-star/small-star rounds
+    (_cc_large_small_star): O(log n) rounds independent of component
+    diameter, each round two bounded-key shuffles — the 100 TB shape
+    (plain min-label propagation needs diameter rounds, which a single
+    chain-shaped component makes unbounded).
 
     Oracle: DuckDB recursive CTE computing min reachable label.
     """
-    # checkpoint BEFORE mirroring: union(x, reversed(x)) would execute
-    # the whole near-dup DAG twice (pandas stages get no exchange reuse)
+    # checkpoint BEFORE use: the near-dup DAG contains pandas stages,
+    # which get no exchange reuse across the rounds below
     pairs = ext_dedup_near(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").localCheckpoint()
 
     # size the per-round shuffles to the graph, not the corpus: the
     # near-dup edge set is orders of magnitude smaller than the input
     # (observed 6x per-round win locally; the same ~128MB/partition
     # sizing rule applies at 100 TB edge volumes)
-    n_edges = edges.count()
+    n_edges = pairs.count()
     n_parts = max(4, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                          n_edges // 50_000 + 4))
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
-        labels = (
-            edges.select(F.col("src").alias("id")).distinct()
-            .withColumn("lbl", F.col("id"))
-            .localCheckpoint()
-        )
-        for _ in range(20):  # >= diameter of any near-dup component here
-            neigh = (
-                edges.join(labels, edges.src == labels.id)
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("lbl").alias("nlbl"))
-            )
-            new_labels = (
-                labels.join(neigh, "id", "left")
-                .select(
-                    "id",
-                    F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
-                )
-                .localCheckpoint()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
+        labels = _cc_large_small_star(pairs.toDF("u", "v"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -49,3 +49,20 @@ def test_expr_cast_survives_ansi_session(spark):
     # o_orderstatus is 'O'/'F'/'P' — never numeric
     assert all(r["bad_cast_null"] is None for r in rows)
     assert all(r["roundtrip_key"] == r["o_orderkey"] for r in rows)
+
+
+def test_verify_jaccard_join_path_matches_broadcast_path(spark, monkeypatch):
+    """The distributed join-form verify (the 100 TB path) must produce
+    exactly the pairs of the python-broadcast fast path."""
+    import layer_apache_hive_spark.extensions.dedup as dd
+
+    fast = {
+        (r["doc_a"], r["doc_b"]): (r["shared_shingles"], round(r["jaccard"], 9))
+        for r in dd.ext_dedup_near(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(dd, "_BROADCAST_MAX_HASHES", 0)
+    slow = {
+        (r["doc_a"], r["doc_b"]): (r["shared_shingles"], round(r["jaccard"], 9))
+        for r in dd.ext_dedup_near(spark, SF_DIR).collect()
+    }
+    assert fast == slow and fast
