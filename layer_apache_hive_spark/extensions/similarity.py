@@ -340,50 +340,149 @@ def ext_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _allpairs_cosine(emb, _SIM_JOIN_THETA)
 
 
+# Vector-count ceiling for the broadcast-matrix verify fast path:
+# 500k x 64 float64 = ~256 MB per executor. Past it, the verify joins
+# embedding arrays onto the pair table instead (shuffle form).
+_LSH_BROADCAST_MAX_VECS = 500_000
+
+
 @register("ext_sim_lsh", oracle=None)
 def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH similarity join: 8 fixed hyperplanes →
-    8-bit bucket signature → bucket-equi-join → exact cosine verify.
+    """Banded random-hyperplane LSH similarity join: 24 bands x 6 bits
+    -> per-band bucket keys -> band-key equi-join -> exact cosine
+    verify (same FLOOR-scaled math as ext_sim_join, so its output is a
+    strict subset of the exact join's).
 
-    Rows-only: bucketing recall < 1 by construction. The hyperplanes
-    are seed-fixed numpy vectors baked in as literals, so the Spark
-    side is fully deterministic run-to-run. This is the sim-join shape
-    that scales: candidates per bucket ≈ n/2^bits, never n².
+    Banding is the AND-OR construction that makes sign-LSH usable at
+    moderate similarity: a pair collides if ANY band's 6 bits all
+    agree. With p = 1 - acos(cos)/pi per bit, expected recall at
+    cos 0.3 is 1-(1-p^6)^24 ~ 0.67 and ~0.79 at cos 0.4 (the recall
+    property test pins >= 0.6), while random pairs collide in ~31% of
+    cases — enrichment comes from verify, which stays linear in
+    candidates. Tighter taus raise per-bit p, so recall climbs
+    steeply for the high-similarity pairs real semantic dedup targets.
+
+    Rows-only: recall < 1 by construction. Signatures are computed in
+    one vectorized mapInPandas (seed-fixed planes, a single
+    (batch x 64) @ (64 x 144) matmul per Arrow batch) — deterministic
+    run-to-run on a given platform. Candidate volume per band-bucket
+    scales with bucket occupancy, never n².
     """
     import numpy as np
+    import pandas as pd
 
-    planes = np.random.RandomState(42).standard_normal((8, 64))
-    emb = _with_norm(read_table(spark, sf_dir, "embeddings"))
+    bands, bits = 24, 6
+    planes = np.random.RandomState(42).standard_normal((bands * bits, 64))
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
 
-    sig_df = emb
-    sig_expr = F.lit(0)
-    for bi, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        sig_df = sig_df.withColumn(f"_plane_{bi}", arr)
-        dot = F.expr(
-            f"aggregate(zip_with(embedding, _plane_{bi}, (x, y) -> CAST(x AS DOUBLE) * y),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def signatures(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            B = (E @ planes.T) > 0
+            ids, bnos, keys = [], [], []
+            for b in range(bands):
+                ids.append(pdf["vec_id"].to_numpy())
+                bnos.append(np.full(len(pdf), b, dtype=np.int64))
+                keys.append(B[:, b * bits : (b + 1) * bits].astype(np.int64) @ weights)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(ids),
+                    "band_no": np.concatenate(bnos),
+                    "band_key": np.concatenate(keys),
+                }
+            )
+
+    sig = emb.mapInPandas(signatures, schema="vec_id long, band_no long, band_key long")
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"), "band_no", "band_key"
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"), "band_no", "band_key"
+    )
+    cand = (
+        a.join(b, ["band_no", "band_key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+    ncores = spark.sparkContext.defaultParallelism
+
+    def _cos_batch(M, nrm, ia, ib):
+        ea, eb = M[ia], M[ib]
+        dots = np.floor(ea * eb * 1e12).astype(np.int64).sum(1) / 1e12
+        return dots / (nrm[ia] * nrm[ib])
+
+    n_vecs = emb.count()
+    if n_vecs <= _LSH_BROADCAST_MAX_VECS:
+        # broadcast the (small) embedding matrix; Arrow then carries
+        # only skinny pairs into the verify stage
+        pdf_all = emb.toPandas()
+        M = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt(np.floor(M * M * 1e12).astype(np.int64).sum(1) / 1e12)
+        idx = {int(v): i for i, v in enumerate(pdf_all["vec_id"].to_numpy())}
+        bv = spark.sparkContext.broadcast((idx, M, nrm))
+
+        def verify_bc(batches):
+            idx, M, nrm = bv.value
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                ia = np.fromiter((idx[v] for v in pdf["vec_a"]), np.int64, count=n)
+                ib = np.fromiter((idx[v] for v in pdf["vec_b"]), np.int64, count=n)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy(),
+                        "vec_b": pdf["vec_b"].to_numpy(),
+                        "cosine": _cos_batch(M, nrm, ia, ib),
+                    }
+                )
+
+        scored = cand.repartition(ncores).mapInPandas(
+            verify_bc, schema="vec_a long, vec_b long, cosine double"
         )
-        sig_expr = sig_expr + F.when(dot > 0, F.lit(2**bi)).otherwise(0)
-    sig_df = sig_df.select(
-        "vec_id", "embedding", "nrm", sig_expr.alias("bucket")
-    )
+    else:
+        # scale form: attach both embeddings by equi-join, verify per
+        # joined row — two shuffles on vec_id, linear in candidates
+        j = (
+            cand.repartition(ncores)
+            .join(
+                emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")),
+                "vec_a",
+            )
+            .join(
+                emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")),
+                "vec_b",
+            )
+        )
 
-    a = sig_df.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-        "bucket",
-    )
-    b = sig_df.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-        "bucket",
-    )
-    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    scored = pairs.select("vec_a", "vec_b", _pair_cosine().alias("cosine"))
-    return scored.filter(F.col("cosine") >= 0.2)
+        def verify_join(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Ma = np.stack(pdf["ea"].to_numpy()).astype(np.float64)
+                Mb = np.stack(pdf["eb"].to_numpy()).astype(np.float64)
+                dots = np.floor(Ma * Mb * 1e12).astype(np.int64).sum(1) / 1e12
+                na = np.sqrt(np.floor(Ma * Ma * 1e12).astype(np.int64).sum(1) / 1e12)
+                nb = np.sqrt(np.floor(Mb * Mb * 1e12).astype(np.int64).sum(1) / 1e12)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy(),
+                        "vec_b": pdf["vec_b"].to_numpy(),
+                        "cosine": dots / (na * nb),
+                    }
+                )
+
+        scored = j.mapInPandas(
+            verify_join, schema="vec_a long, vec_b long, cosine double"
+        )
+
+    return scored.filter(F.col("cosine") >= _SIM_JOIN_THETA)
 
 
 @register(

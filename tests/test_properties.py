@@ -25,6 +25,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from layer_apache_hive_spark.functions.numeric import dsum
+from tests.conftest import SF_DIR
 
 _SETTINGS = dict(
     max_examples=8,
@@ -129,3 +130,83 @@ def test_prefix_filter_neardup_is_complete(spark, tmp_path_factory, texts):
         for r in ext_dedup_near(spark, str(d)).collect()
     }
     assert got == _brute_jaccard_pairs(texts, _TAU)
+
+
+def test_cc_large_small_star_path_graph(spark):
+    """A path graph is the worst case for label propagation (rounds =
+    diameter); large-star/small-star must collapse a 64-node path in
+    O(log n) rounds and label every node with the minimum id."""
+    from layer_apache_hive_spark.extensions.dedup import _cc_large_small_star
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    # 2*log2(64)=12 alternating rounds is the paper's bound with slack;
+    # diameter-bound propagation would need ~63
+    labels = _cc_large_small_star(edges, max_rounds=12)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["lbl"] == 0 for r in rows)
+
+
+def test_cc_large_small_star_multi_component(spark):
+    """Components must not merge: two separate triangles + one pair."""
+    from layer_apache_hive_spark.extensions.dedup import _cc_large_small_star
+
+    e = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (20, 21)]
+    labels = _cc_large_small_star(
+        spark.createDataFrame(e, "u long, v long"), max_rounds=12
+    )
+    got = {r["id"]: r["lbl"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_minhash_recall_vs_exact(spark):
+    """ext_dedup_minhash (banded LSH, probabilistic) must recover at
+    least 60% of the true Jaccard>=tau pairs found by the exact
+    prefix-filter pipeline, and every pair it reports must be true
+    (the verify step makes precision exact by construction)."""
+    from layer_apache_hive_spark.extensions.dedup import (
+        ext_dedup_minhash,
+        ext_dedup_near,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in ext_dedup_near(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]) for r in ext_dedup_minhash(spark, SF_DIR).collect()
+    }
+    assert approx <= exact  # exact verify => no false positives
+    assert exact  # fixture sanity: there are true pairs to find
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"minhash recall {recall:.2f} < 0.6"
+
+
+def test_sim_lsh_recall_vs_exact(spark):
+    """ext_sim_lsh (random-hyperplane buckets) must recover at least
+    60% of the true cosine>=threshold pairs from the exact all-pairs
+    kernel ext_sim_join, with no false positives (exact re-verify)."""
+    from layer_apache_hive_spark.extensions.similarity import (
+        ext_sim_join,
+        ext_sim_lsh,
+    )
+
+    from layer_apache_hive_spark.extensions.similarity import _SIM_JOIN_THETA
+
+    exact = {
+        (r["vec_a"], r["vec_b"]) for r in ext_sim_join(spark, SF_DIR).collect()
+    }
+    # lsh reports down to cosine 0.2; compare at the join's theta —
+    # both sides use the identical FLOOR-scaled dot, so equality at
+    # the threshold is exact, not approximate
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in ext_sim_lsh(spark, SF_DIR).collect()
+        if r["cosine"] >= _SIM_JOIN_THETA
+    }
+    assert approx <= exact
+    assert exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"lsh recall {recall:.2f} < 0.6"
