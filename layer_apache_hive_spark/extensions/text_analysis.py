@@ -87,12 +87,15 @@ def ext_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; at scale use a broadcast scalar subquery
+    # corpus size as a broadcast 1-row aggregate, NOT an eager
+    # .count(): that would run a full extra job at plan-build time
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tfidf = F.round(
-        F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 8
+        F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 8
     )
     return (
         tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "token", "tf", "df", tfidf.alias("tfidf"))
     )
 

@@ -62,6 +62,51 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fn_registered",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+  l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_orderkey < 500
+""",
+)
+def fn_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-function registration: Hive ``CREATE [TEMPORARY] FUNCTION
+    f AS 'com.example.UDF'`` ≙ ``spark.udf.register`` — the function
+    becomes callable BY NAME from SQL text, which is the part
+    udf_scalar's DataFrame path doesn't exercise.
+
+    (Spark's literal ``CREATE TEMPORARY FUNCTION ... AS 'class'``
+    statement loads JVM classes only; for Python the registration API
+    is the native equivalent, and the registered name is usable in any
+    ``spark.sql`` — including a second function reusing the first's
+    result, as Hive users chain UDFs.)
+    """
+    spark.udf.register("discounted_charge", _discounted_charge)
+    spark.udf.register("net_price", _net_price)
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("fnreg_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               l_linenumber,
+               discounted_charge(l_extendedprice, l_discount, l_tax) AS charge,
+               net_price(l_extendedprice, l_discount) AS net_price
+        FROM fnreg_lineitem
+        WHERE l_orderkey < 500
+        """
+    )
+
+
+@F.pandas_udf(DoubleType())
+def _net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+    """Second registered UDF so the SQL text exercises >1 name."""
+    return price * (1.0 - discount)
+
+
 # --- grouped-agg UDAF -------------------------------------------------------
 
 

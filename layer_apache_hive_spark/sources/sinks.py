@@ -80,6 +80,23 @@ def sink_dynamic_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select("o_orderkey", "o_totalprice", "o_orderpriority")
 
 
+def _scratch_db(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """(Re)create a scratch database under the warehouse dir, cleaning
+    stale files from prior sessions (same pattern as ddl_catalog)."""
+    import shutil
+
+    label = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    db = f"{prefix}_{label}"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        os.path.join(warehouse.removeprefix("file:"), f"{db}.db"),
+        ignore_errors=True,
+    )
+    spark.sql(f"CREATE DATABASE {db}")
+    return db
+
+
 @register(
     "sink_ctas",
     oracle="""
@@ -89,13 +106,86 @@ GROUP BY n_name
 """,
 )
 def sink_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CTAS: CREATE TABLE AS SELECT into the session catalog, read back."""
-    s = read_table(spark, sf_dir, "supplier")
-    n = read_table(spark, sf_dir, "nation")
-    result = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    """CTAS: a literal ``CREATE TABLE ... AS SELECT`` statement into a
+    scratch database (parquet files under the warehouse dir), then a
+    catalog read-back — the full Hive CTAS round trip, not a view."""
+    db = _scratch_db(spark, sf_dir, "ctas_demo")
+    read_table(spark, sf_dir, "supplier").createOrReplaceTempView("ctas_src_supplier")
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("ctas_src_nation")
+    spark.sql(
+        f"""
+        CREATE TABLE {db}.supplier_by_nation USING PARQUET AS
+        SELECT /*+ BROADCAST(n) */ n_name, COUNT(*) AS n_suppliers
+        FROM ctas_src_supplier s JOIN ctas_src_nation n
+          ON s.s_nationkey = n.n_nationkey
+        GROUP BY n_name
+        """
     )
-    result.createOrReplaceTempView("ctas_supplier_by_nation")
-    return spark.table("ctas_supplier_by_nation")
+    return spark.table(f"{db}.supplier_by_nation")
+
+
+@register(
+    "sink_merge",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+source AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+       COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+           AND s.o_totalprice > 500000)
+""",
+)
+def sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation over a plain parquet table (Hive ACID
+    MERGE without a transactional format): all three branches —
+    WHEN MATCHED UPDATE, WHEN MATCHED (price > 500k) DELETE,
+    WHEN NOT MATCHED INSERT — expressed as ONE full-outer join and a
+    rewrite, then read back from disk.
+
+    target = orders with key % 7 != 0 (written to parquet first);
+    source = orders with key % 3 == 0 at doubled price. The full-outer
+    join is the scale shape: one shuffle on the merge key, no driver
+    state. On a partitioned 100 TB table the rewrite narrows to
+    touched partitions via dynamic partition-overwrite
+    (``partitionOverwriteMode=dynamic``); a transactional table format
+    would narrow it further to row groups.
+    """
+    tgt_path = _sink_dir(sf_dir, "merge_target")
+    out_path = _sink_dir(sf_dir, "merge_result")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    o.filter(F.col("o_orderkey") % 7 != 0).write.mode("overwrite").parquet(tgt_path)
+
+    target = spark.read.parquet(tgt_path)
+    source = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    t, s = target.alias("t"), source.alias("s")
+    merged = (
+        t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer")
+        # WHEN MATCHED AND s.price > 500k THEN DELETE
+        .filter(
+            ~(
+                F.col("t.o_orderkey").isNotNull()
+                & F.col("s.o_orderkey").isNotNull()
+                & (F.col("s.o_totalprice") > 500000)
+            )
+        )
+        # WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT = coalesce(s, t)
+        .select(
+            F.coalesce("s.o_orderkey", "t.o_orderkey").alias("o_orderkey"),
+            F.coalesce("s.o_custkey", "t.o_custkey").alias("o_custkey"),
+            F.coalesce("s.o_totalprice", "t.o_totalprice").alias("o_totalprice"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

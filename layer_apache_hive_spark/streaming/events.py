@@ -109,7 +109,7 @@ WITH flagged AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN LAG(ts) OVER w IS NULL
                 OR CAST(ts AS TIMESTAMP) - CAST(LAG(ts) OVER w AS TIMESTAMP)
-                   > INTERVAL 30 MINUTE
+                   >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
