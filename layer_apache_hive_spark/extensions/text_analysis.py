@@ -9,7 +9,7 @@ libm ulp drift (same policy as fn_math).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from layer_apache_hive_spark.catalog import read_table
@@ -294,4 +294,171 @@ def ext_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pieces"),
         F.countDistinct("piece").alias("n_distinct_pieces"),
         F.max(F.length("piece")).alias("max_piece_len"),
+    )
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+# The synthetic corpus contains no PII, so each doc deterministically
+# gets one injected artifact by doc_id class before scrubbing — the
+# redaction path is then exercised on real matches, not vacuously.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "ext_text_pii_scrub",
+    oracle=f"""
+WITH tainted AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+           WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN ' from 10.0.' || doc_id % 256 || '.' || doc_id % 100
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(
+         text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS scrubbed
+FROM tainted
+""",
+)
+def ext_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before tokenization: count and replace emails / phone
+    fragments / IPv4 literals with typed placeholder tags.
+
+    Pure JVM regexp (codegen, scan-bound, zero shuffles — the ideal
+    100 TB shape: cost is one pass over the text bytes). Patterns are
+    passed as literal columns, not embedded in SQL strings, to dodge
+    the backslash-eating of SQL string literals; the character classes
+    used here mean the same thing to Java regex and RE2 (DuckDB).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tainted = d.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.lit(" call 555-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            )
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                         F.lit("."), (F.col("doc_id") % 100).cast("string")),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    email, phone, ip = F.lit(_PII_EMAIL), F.lit(_PII_PHONE), F.lit(_PII_IP)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, F.lit("<EMAIL>")),
+            phone, F.lit("<PHONE>"),
+        ),
+        ip, F.lit("<IP>"),
+    )
+    return tainted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", email, F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", phone, F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all("text", ip, F.lit(0))).alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+@register(
+    "ext_sample_stratified",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296
+      < CASE lang WHEN 'en' THEN 2147483648
+                  WHEN 'de' THEN 858993459
+                  ELSE 429496729 END
+""",
+)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling — per-language quotas (en 50%, de 20%,
+    rest 10%), the dataset-mixing primitive for training corpora.
+
+    The API analog is ``df.sampleBy('lang', fractions, seed)``, but
+    its Bernoulli draws are engine-private; this uses the same
+    selection semantics with a deterministic Knuth multiplicative
+    hash of the key ((id * 2654435761) mod 2^32 as a uniform draw), so
+    it is reproducible across engines AND across reruns — which is
+    what a pipeline actually wants: resampling stability under
+    re-execution. Map-only (no shuffle); the filter pushes to the
+    scan.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    draw = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    quota = (
+        F.when(F.col("lang") == "en", F.lit(2147483648))
+        .when(F.col("lang") == "de", F.lit(858993459))
+        .otherwise(F.lit(429496729))
+    )
+    return d.filter(draw < quota).select("doc_id", "lang", "source")
+
+
+@register(
+    "ext_text_pack",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+  FROM sized
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR(start_tok / 2048) AS BIGINT) AS context_id,
+       start_tok % 2048 AS context_offset
+FROM placed
+""",
+)
+def ext_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed-size training
+    context windows (2048 tokens) by concat-and-chunk: running token
+    offset per language stream, context = offset div window.
+
+    One window aggregation per stream key — a single shuffle on lang;
+    at 100 TB the stream key becomes (lang, shard) so each partition's
+    running sum stays bounded, and the same two columns drive the
+    actual example assembly (group by context_id). Integer-only, so
+    engine-exact.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = sized.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return placed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("start_tok") / 2048).cast("bigint").alias("context_id"),
+        (F.col("start_tok") % 2048).alias("context_offset"),
     )

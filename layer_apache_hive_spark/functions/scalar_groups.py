@@ -456,3 +456,79 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("url_qid"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("url_proto"),
     )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  coalesce(nullif(l_returnflag, 'N'), 'NONE') AS flag_or_none,
+  CASE WHEN l_linestatus = 'F' THEN 'final' ELSE 'open' END AS status_desc,
+  greatest(l_quantity, l_discount * 100, 10.0) AS biggest,
+  least(l_quantity, l_extendedprice / 1000, 49.0) AS smallest,
+  (nullif(l_returnflag, 'N') IS NULL) AS flag_was_n,
+  CASE WHEN l_quantity BETWEEN 10 AND 40 THEN l_quantity ELSE NULL END AS mid_qty
+FROM lineitem
+WHERE l_orderkey < 3000
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional function group: NVL / IF / GREATEST / LEAST /
+    ISNULL (Hive GenericUDFs nvl, if, greatest, least, isnull) —
+    spelled with Hive's own function names on the Spark side (all
+    row-level codegen; zero shuffles)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("nvl(nullif(l_returnflag, 'N'), 'NONE')").alias("flag_or_none"),
+        F.expr("if(l_linestatus = 'F', 'final', 'open')").alias("status_desc"),
+        F.greatest(
+            "l_quantity", F.col("l_discount") * 100, F.lit(10.0)
+        ).alias("biggest"),
+        F.least(
+            "l_quantity", F.col("l_extendedprice") / 1000, F.lit(49.0)
+        ).alias("smallest"),
+        F.isnull(F.nullif("l_returnflag", F.lit("N"))).alias("flag_was_n"),
+        F.when(
+            F.col("l_quantity").between(10, 40), F.col("l_quantity")
+        ).alias("mid_qty"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+SELECT
+  p_partkey,
+  p_brand AS brand_val,
+  CAST(p_size AS BIGINT) AS size_val,
+  2 AS n_entries,
+  'brand,size' AS keys_sorted,
+  p_type AS via_str_to_map
+FROM part
+WHERE p_partkey < 300
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function group (Hive map type + GenericUDFs): map()
+    construction, element access, size, sorted map_keys, and
+    str_to_map parsing — all emitted as scalars (the harness
+    canonicalizer can't hash map cells, and the oracle recomputes
+    each access from the base columns)."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("size"), F.col("p_size").cast("string"),
+    )
+    parsed = F.expr("str_to_map(concat('ptype=', p_type), ';', '=')")
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_val"),
+        F.element_at(m, "size").cast("bigint").alias("size_val"),
+        F.size(m).alias("n_entries"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(parsed, "ptype").alias("via_str_to_map"),
+    )

@@ -168,3 +168,93 @@ def expr_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").try_cast("int").alias("bad_cast_null"),
         F.col("o_orderkey").cast("string").try_cast("bigint").alias("roundtrip_key"),
     )
+
+
+@register(
+    "filter_subqueries",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'P')
+  AND c_acctbal > (SELECT MAX(c_acctbal) FROM customer) * 0.1
+""",
+)
+def filter_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery predicates — IN, correlated EXISTS / NOT EXISTS, and a
+    scalar subquery — the HiveQL surface beyond bare joins.
+
+    Catalyst rewrites these to left-semi / left-anti joins and a
+    broadcast scalar (visible in .explain), so at 100 TB each
+    predicate is one bounded-key join, not a per-row probe. The
+    scalar threshold uses MAX (exact in any engine); an AVG here
+    would be float-accumulation-order dependent across engines.
+    """
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("subq_customer")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("subq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM subq_customer c
+        WHERE c_custkey IN (SELECT o_custkey FROM subq_orders
+                            WHERE o_totalprice > 150000)
+          AND EXISTS (SELECT 1 FROM subq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM subq_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+          AND c_acctbal > (SELECT MAX(c_acctbal) FROM subq_customer) * 0.1
+        """
+    )
+
+
+@register(
+    "query_recursive_cte",
+    oracle="""
+WITH RECURSIVE powers(k) AS (
+  SELECT CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT k * 2 FROM powers WHERE k * 2 <= 1048576
+)
+SELECT p.k AS bucket_lo,
+       COUNT(o.o_orderkey) AS n_orders,
+       MIN(o.o_orderkey) AS min_key,
+       MAX(o.o_orderkey) AS max_key
+FROM powers p LEFT JOIN orders o
+  ON o.o_orderkey >= p.k AND o.o_orderkey < p.k * 2
+GROUP BY p.k
+""",
+)
+def query_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 / Hive-on-Tez surface): generate
+    power-of-two bucket bounds recursively, then histogram orders into
+    them with a range join.
+
+    The recursion is O(log maxkey) rows on the driver-side plan; the
+    range join broadcasts the tiny recursive side, so the scan side
+    never shuffles — the right shape for bucketing 100 TB by key
+    magnitude. Integer-only aggregates keep it engine-exact.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("rcte_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE powers(k) AS (
+          SELECT CAST(1 AS BIGINT)
+          UNION ALL
+          SELECT k * 2 FROM powers WHERE k * 2 <= 1048576
+        )
+        SELECT p.k AS bucket_lo,
+               COUNT(o.o_orderkey) AS n_orders,
+               MIN(o.o_orderkey) AS min_key,
+               MAX(o.o_orderkey) AS max_key
+        FROM powers p LEFT JOIN rcte_orders o
+          ON o.o_orderkey >= p.k AND o.o_orderkey < p.k * 2
+        GROUP BY p.k
+        """
+    )

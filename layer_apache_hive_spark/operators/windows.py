@@ -199,3 +199,38 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_spend"),
     )
+
+
+@register(
+    "win_distribution",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cum_dist
+FROM lineitem
+WHERE l_orderkey < 2000
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+""",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: NTILE / PERCENT_RANK / CUME_DIST
+    (Hive windowing spec §ranking). The ORDER BY is made total
+    (price, orderkey, linenumber) so peer groups are single rows —
+    engine-exact ranks, and (rank-1)/(n-1) divisions of small ints are
+    IEEE-identical. One shuffle on the partition key; at 100 TB
+    per-flag partitions are the skew risk (4 distinct flags), so real
+    use ranges over a finer key or pre-buckets."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )

@@ -113,3 +113,34 @@ def sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
     ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "scan_sequencefile",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation
+""",
+)
+def scan_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceFile round trip (Hive ``STORED AS SEQUENCEFILE``).
+
+    SequenceFile is a Hadoop K/V container with no DataFrame source,
+    so this is the one justified RDD touchpoint: write nation as
+    (key=n_nationkey, value=n_name) via saveAsSequenceFile (built-in
+    Hadoop writables, no extra jars), read back with
+    ``sc.sequenceFile``, and lift straight into a DataFrame. At 100 TB
+    the same pair-RDD path streams per-partition — no driver
+    materialization — though any new pipeline should prefer
+    parquet/ORC (columnar pruning, stats)."""
+    import shutil
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"{TMP_ROOT}/seq/{label}/nation_kv"
+    shutil.rmtree(path, ignore_errors=True)
+    n = read_table(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name").rdd.map(tuple).saveAsSequenceFile(path)
+    return (
+        spark.sparkContext.sequenceFile(path)
+        .toDF(["n_nationkey", "n_name"])
+        .select(F.col("n_nationkey").cast("bigint"), "n_name")
+    )

@@ -189,3 +189,46 @@ def sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+@register(
+    "sink_multi_insert",
+    oracle="""
+SELECT 'hi' AS tier, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
+UNION ALL
+SELECT 'lo', o_orderkey, o_totalprice FROM orders WHERE o_totalprice <= 50000
+""",
+)
+def sink_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive multi-insert: ``FROM src INSERT OVERWRITE t1 ... INSERT
+    OVERWRITE t2 ...`` — ONE scan fanned into multiple sinks, the
+    classic Hive ETL idiom (Spark SQL accepts the syntax verbatim).
+
+    At 100 TB this halves input IO vs two separate INSERT statements:
+    both branches share the scan stage and each branch's filter pushes
+    into its own sink. Read-back of both tables (tier-tagged) is the
+    checked result."""
+    db = _scratch_db(spark, sf_dir, "multi_ins")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("multi_src")
+    spark.sql(
+        f"CREATE TABLE {db}.tier_hi (o_orderkey BIGINT, o_totalprice DOUBLE) USING PARQUET"
+    )
+    spark.sql(
+        f"CREATE TABLE {db}.tier_lo (o_orderkey BIGINT, o_totalprice DOUBLE) USING PARQUET"
+    )
+    spark.sql(
+        f"""
+        FROM multi_src
+        INSERT OVERWRITE TABLE {db}.tier_hi
+          SELECT o_orderkey, o_totalprice WHERE o_totalprice > 200000
+        INSERT OVERWRITE TABLE {db}.tier_lo
+          SELECT o_orderkey, o_totalprice WHERE o_totalprice <= 50000
+        """
+    )
+    hi = spark.table(f"{db}.tier_hi").select(
+        F.lit("hi").alias("tier"), "o_orderkey", "o_totalprice"
+    )
+    lo = spark.table(f"{db}.tier_lo").select(
+        F.lit("lo").alias("tier"), "o_orderkey", "o_totalprice"
+    )
+    return hi.unionByName(lo)
