@@ -245,3 +245,65 @@ def ext_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_no", F.length("frame").alias("frame_bytes")
     )
+
+
+# Micro-batch size for the fake "model" — the GPU-memory knob in a
+# real deployment. Decoupled from Arrow batch size on purpose: Arrow
+# batches arrive at whatever size maxRecordsPerBatch gives, and the
+# inference loop re-chunks them so device memory is bounded.
+_INFER_BATCH = 64
+
+
+def _fake_embed(payloads) -> "np.ndarray":
+    """Deterministic stand-in for an embedding model: 256-bin byte
+    histogram folded to 8 dims, L2-normalized. Pure numpy — the same
+    bytes give the same vector on any host, any batch size."""
+    import numpy as np
+
+    out = np.zeros((len(payloads), 8), dtype=np.float64)
+    for i, p in enumerate(payloads):
+        b = np.frombuffer(bytes(p), dtype=np.uint8)
+        hist = np.bincount(b, minlength=256).astype(np.float64)
+        out[i] = hist.reshape(8, 32).sum(axis=1)
+    nrm = np.sqrt((out * out).sum(axis=1, keepdims=True))
+    nrm[nrm == 0] = 1.0
+    return out / nrm
+
+
+@register("ext_multimodal_embed", oracle=None)
+def ext_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model inference over media payloads — the
+    embed-everything pass of a multimodal training pipeline.
+
+    mapInPandas streams Arrow batches; an inner loop re-chunks them to
+    _INFER_BATCH rows per model call so accelerator memory stays
+    bounded regardless of Arrow batch sizing. The "model" is a
+    deterministic fake (byte-histogram projection, see _fake_embed) —
+    the real one is a drop-in at the same call site. Rows-only check;
+    tests/test_properties.py pins batch-size invariance (results must
+    not depend on the chunking) and determinism.
+
+    At 100 TB: payloads never leave executors, one Python worker per
+    core streams chunks, and `repartition` upstream balances variable
+    payload sizes; swap _fake_embed for the real model + a GPU
+    scheduling pool and nothing else changes.
+    """
+    import numpy as np  # noqa: F401 (worker-side import check)
+
+    d = read_table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), _INFER_BATCH):
+                chunk = pdf.iloc[lo : lo + _INFER_BATCH]
+                emb = _fake_embed(list(chunk["payload"]))
+                out = {"doc_id": chunk["doc_id"].to_numpy()}
+                for k in range(8):
+                    out[f"emb_{k}"] = emb[:, k]
+                yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(f"emb_{k} double" for k in range(8))
+    return payloads.mapInPandas(infer, schema=schema)

@@ -462,3 +462,152 @@ def ext_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start_tok") / 2048).cast("bigint").alias("context_id"),
         (F.col("start_tok") % 2048).alias("context_offset"),
     )
+
+
+@register(
+    "ext_text_repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS l
+  FROM documents
+), idx AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+  FROM toks
+), bigrams AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram
+  FROM idx
+), per_bigram AS (
+  SELECT doc_id, bigram, COUNT(*) AS c
+  FROM bigrams GROUP BY doc_id, bigram
+), bstats AS (
+  SELECT doc_id,
+         SUM(c) AS total_bigrams,
+         MAX(c) AS top_bigram_count,
+         COUNT(*) AS distinct_bigrams
+  FROM per_bigram GROUP BY doc_id
+), wstats AS (
+  SELECT doc_id,
+         len(l) AS n_tokens,
+         len(list_distinct(l)) AS n_distinct
+  FROM toks
+)
+SELECT w.doc_id,
+       ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 8) AS dup_word_frac,
+       ROUND(CAST(top_bigram_count AS DOUBLE) / total_bigrams, 8) AS top_bigram_frac,
+       ROUND(1.0 - CAST(distinct_bigrams AS DOUBLE) / total_bigrams, 8) AS dup_bigram_frac
+FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+""",
+)
+def ext_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per document (Gopher-style quality filters,
+    Rae et al. 2021: duplicate-word fraction, most-frequent-bigram
+    mass, duplicate-bigram fraction — high values flag boilerplate /
+    spam / generated text for removal from training data).
+
+    One posexplode + lead(window) pipeline feeds both the word stats
+    and the bigram stats (shared scan, shared doc_id shuffle); all
+    ratios are exact BIGINT/BIGINT divisions rounded once.
+
+    Scale: every shuffle is keyed by doc_id (uniform); nothing is
+    corpus-global, so the whole operator is embarrassingly parallel
+    over documents."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("token").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "nxt").alias("bigram"))
+    )
+    per_bigram = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bstats = per_bigram.groupBy("doc_id").agg(
+        F.sum("c").alias("total_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        F.count(F.lit(1)).alias("distinct_bigrams"),
+    )
+    wstats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+    return wstats.join(bstats, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 8
+        ).alias("dup_word_frac"),
+        F.round(
+            F.col("top_bigram_count").cast("double") / F.col("total_bigrams"), 8
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.lit(1.0) - F.col("distinct_bigrams").cast("double") / F.col("total_bigrams"), 8
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "ext_text_unigram_lm",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), corpus AS (
+  SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+), total AS (
+  SELECT COUNT(*) AS n FROM toks
+), scored AS (
+  SELECT t.doc_id,
+         ROUND(ln(CAST(c.c AS DOUBLE) / total.n), 6) AS logp
+  FROM toks t JOIN corpus c ON t.token = c.token, total
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_token_logprob
+FROM scored
+GROUP BY doc_id
+""",
+)
+def ext_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the classic CCNet/KenLM
+    filter shape, Wenzek et al. 2020): per-document mean token
+    log-probability under a corpus-wide unigram model — low scores
+    flag gibberish / non-language documents.
+
+    The "model" is learned in-query: token counts over the corpus,
+    broadcast-joined back onto the token stream (vocabulary is tiny
+    relative to the corpus — Heaps' law — so the model side always
+    broadcasts). Per-token ln() is rounded to 6 before decimal-exact
+    accumulation (the fn_math libm-ulp policy), keeping the final
+    mean bit-identical across engines and partitionings.
+
+    Scale: two shuffles (corpus count by token — zipf-skewed, AQE
+    splits the head; per-doc mean by doc_id — uniform). The corpus
+    total rides a broadcast 1-row aggregate, not an eager count."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        toks.join(F.broadcast(corpus), "token")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c").cast("double") / F.col("n")), 6).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("logp").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_token_logprob"),
+    )

@@ -532,3 +532,42 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(parsed, "ptype").alias("via_str_to_map"),
     )
+
+
+@register(
+    "fn_xpath",
+    oracle="""
+SELECT n_nationkey,
+       n_name AS x_name,
+       n_nationkey AS x_key,
+       TRUE AS has_key,
+       CAST(n_regionkey AS DOUBLE) AS x_region,
+       n_name || ',' || CAST(n_nationkey AS VARCHAR)
+              || ',' || CAST(n_regionkey AS VARCHAR) AS all_texts
+FROM nation
+""",
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath function family (Hive ql/udf/xml/UDFXPath*): xpath_string
+    / xpath_int / xpath_boolean / xpath_double / xpath (node-set →
+    array) evaluated over XML assembled from the row itself, so the
+    oracle can recompute every extraction from the base columns.
+    All JVM-side (javax.xml under codegen) — no Python in the path."""
+    n = read_table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<r><name>"), F.col("n_name"),
+        F.lit("</name><key>"), F.col("n_nationkey").cast("string"),
+        F.lit("</key><region>"), F.col("n_regionkey").cast("string"),
+        F.lit("</region></r>"),
+    )
+    x = n.withColumn("xml", xml)
+    return x.select(
+        "n_nationkey",
+        F.expr("xpath_string(xml, 'r/name/text()')").alias("x_name"),
+        F.expr("xpath_int(xml, 'r/key')").cast("bigint").alias("x_key"),
+        F.expr("xpath_boolean(xml, 'r/key')").alias("has_key"),
+        F.expr("xpath_double(xml, 'r/region')").alias("x_region"),
+        F.array_join(
+            F.expr("xpath(xml, '//text()')"), ","
+        ).alias("all_texts"),
+    )

@@ -343,3 +343,61 @@ def transform_script_using(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS (doc_id STRING, lang STRING, source STRING) "
         "FROM documents WHERE doc_id < 200"
     )
+
+
+@register(
+    "udtf_json_tuple",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_val,
+       json_extract_string(props, '$.missing') AS missing_val
+FROM events
+WHERE event_id < 1500
+""",
+)
+def udtf_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple — Hive's multi-key JSON UDTF via its literal
+    LATERAL VIEW syntax (one parse per row for N keys, vs N parses
+    with repeated get_json_object — the same reason it exists in
+    Hive)."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    e.createOrReplaceTempView("jt_events")
+    return spark.sql(
+        """
+        SELECT event_id, k_val, missing_val
+        FROM jt_events
+        LATERAL VIEW json_tuple(props, 'k', 'missing') jt AS k_val, missing_val
+        """
+    )
+
+
+@register(
+    "udtf_explode_outer",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) >= 9) AS longtoks
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       unnest(CASE WHEN len(longtoks) = 0 THEN [NULL] ELSE longtoks END) AS token
+FROM t
+""",
+)
+def udtf_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW OUTER explode — rows with empty arrays survive
+    with a NULL element (Hive's OUTER modifier). The filtered token
+    array is empty for many docs, so the OUTER semantic is load-
+    bearing, not vacuous; the oracle emulates it by substituting
+    [NULL] for empty lists."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d.createOrReplaceTempView("eo_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, token
+        FROM eo_docs
+        LATERAL VIEW OUTER explode(
+          filter(split(text, ' '), x -> length(x) >= 9)
+        ) t AS token
+        """
+    )

@@ -397,3 +397,122 @@ def agg_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.02).alias("ndv_orderkey"),
         F.approx_count_distinct("l_partkey", 0.02).alias("ndv_partkey"),
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+SELECT l_returnflag,
+       bit_and(l_linenumber) AS all_bits,
+       bit_or(l_linenumber) AS any_bits,
+       bit_xor(l_orderkey % 1024) AS xor_keys,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_discount > 0.09) AS any_deep_discount
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise / boolean aggregates (Hive 2.x GenericUDAFs bit_and /
+    bit_or / bit_xor, bool_and aka every, bool_or aka any|some).
+    Commutative+associative → perfect partial aggregation: map-side
+    combine collapses each partition to one value per group before
+    the shuffle, so bytes shuffled are O(groups), not O(rows)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("all_bits"),
+        F.bit_or("l_linenumber").alias("any_bits"),
+        F.bit_xor(F.col("l_orderkey") % 1024).alias("xor_keys"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+    )
+
+
+@register(
+    "agg_ngrams",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(lower(text), ' ') AS l
+  FROM documents
+), idx AS (
+  SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+  FROM toks
+)
+SELECT l[i] || ' ' || l[i + 1] AS bigram,
+       COUNT(*) AS freq
+FROM idx
+GROUP BY bigram
+ORDER BY freq DESC, bigram
+LIMIT 20
+""",
+)
+def agg_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k frequent n-grams over the corpus (Hive's ngrams() UDAF,
+    GenericUDAFnGrams — estimates the k most frequent n-grams; this
+    is the exact form, k=20, n=2).
+
+    Shape: posexplode (Generate evaluates split once per row — NOT an
+    aliased-split higher-order lambda, which Catalyst's
+    CollapseProject would re-inline per element, O(tokens²)), then
+    lead(token) over (doc, pos) forms bigrams after one partition-
+    local sort, then a two-phase count + TakeOrderedAndProject.
+
+    Scale: the window shuffle partitions by doc_id (uniform), the
+    count shuffle partitions by bigram (zipf-skewed — AQE skew split
+    handles the head), and top-20 never global-sorts."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("nxt", F.lead("token").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "token", "nxt").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT l_returnflag,
+       COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,4)) END), 0)::DOUBLE AS qty_F,
+       COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,4)) END), 0)::DOUBLE AS qty_O,
+       COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_F,
+       COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_O
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — rows→columns rotation (Hive expresses this as the
+    conditional-aggregate rewrite the oracle uses; Spark has it
+    first-class via groupBy().pivot(col, values)).
+
+    Passing the pivot values explicitly matters at scale: without
+    them Spark runs an eager distinct-values job at plan time —
+    an extra full scan. With them, the pivot is a single two-phase
+    conditional aggregate, exactly as cheap as the CASE WHEN form."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.coalesce(dsum("l_quantity"), F.lit(0.0)).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_n").alias("n_F"),
+        F.col("O_n").alias("n_O"),
+    )

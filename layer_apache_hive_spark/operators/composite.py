@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from layer_apache_hive_spark.catalog import read_table
-from layer_apache_hive_spark.functions.numeric import dsum, sql_dsum
+from layer_apache_hive_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from layer_apache_hive_spark.registry import register
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -117,4 +117,159 @@ def composite_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(dsum(F.expr(_REV)), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+@register(
+    "composite_order_priority",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+GROUP BY o_orderpriority
+""",
+)
+def composite_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — a correlated EXISTS
+    (at least one line item shipped >60 days after the order date)
+    counted per priority bucket.
+
+    (The fixture has no l_commitdate/l_receiptdate, so the lateness
+    predicate is shipdate vs orderdate + 60 days — same correlated
+    shape, different columns.)
+
+    Scale: the EXISTS lowers to a LEFT SEMI join on l_orderkey, so
+    lineitem is deduplicated by the join itself — no DISTINCT pass.
+    The correlated date predicate rides the join condition (evaluated
+    pre-shuffle on the build of the semi join); the selective quarter
+    filter on orders is pushed to the scan, and AQE will broadcast
+    the filtered orders side when the quarter is small enough."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "composite_returned_items",
+    oracle=f"""
+SELECT c_custkey,
+       c_name,
+       ROUND({sql_dsum(_REV)}, 4) AS revenue,
+       c_acctbal,
+       n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-04-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def composite_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue report — customers who returned
+    items in a quarter, ranked by revenue, top 20.
+
+    Scale: the orders date window is the selective predicate, pushed
+    to the scan; lineitem joins the filtered orders (broadcast at SF
+    where the quarter fits, SMJ otherwise — AQE decides from runtime
+    stats), nation always broadcasts. Top-20 is
+    TakeOrderedAndProject: no global sort ever materializes."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(dsum(F.expr(_REV)), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "composite_large_orders",
+    oracle=f"""
+SELECT c_name,
+       c_custkey,
+       o.o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       {sql_dsum('l_quantity')} AS total_qty
+FROM customer, orders o, lineitem
+WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+      )
+  AND c_custkey = o_custkey
+  AND o.o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o.o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o.o_orderkey
+LIMIT 100
+""",
+)
+def composite_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — IN-subquery over a
+    grouped HAVING, re-joined to customer/orders, top 100.
+
+    Scale: the subquery and the outer aggregate group lineitem on the
+    SAME key (l_orderkey), so Catalyst plans one exchange that both
+    consume (ReusedExchange); the semi-join against the qualifying
+    keys is an AQE-eligible shuffled join that collapses to broadcast
+    when few orders qualify — exactly the runtime re-plan this query
+    exists to exercise."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
+                F.col("l_orderkey") == F.col("big_key"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
     )

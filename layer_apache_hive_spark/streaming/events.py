@@ -433,3 +433,92 @@ def evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("last_click_ts", fmt).alias("last_click_ts"),
         )
     )
+
+
+@register(
+    "evt_stream_static_join",
+    oracle="""
+SELECT n.n_name,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def evt_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich a live event stream with a dimension
+    table (the classic streaming-ETL shape), then aggregate.
+
+    The static side is broadcast into every micro-batch — no state
+    store involvement for the join itself, which is why this is the
+    preferred pattern over stream-stream joins when one side is slowly
+    changing. Unlike windowed streaming aggs, the result is fully
+    deterministic (every event joins the same dim rows), so this
+    streaming query IS value-checked against the batch oracle.
+    """
+    src = _stream_source(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    joined = src.withColumn("nk", F.col("user_id") % 25).join(
+        F.broadcast(nation), "nk"
+    )
+    # streaming aggs don't allow DISTINCT aggregates: exact n_users
+    # comes from a streaming dropDuplicates -> count per key (the
+    # supported stateful form), run as a second pass over the stream
+    events_per_nk = joined.groupBy("nk").agg(F.count(F.lit(1)).alias("n_events"))
+    users_per_nk = (
+        src.select((F.col("user_id") % 25).alias("nk"), "user_id")
+        .dropDuplicates(["nk", "user_id"])
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    ev = _run_stream(events_per_nk, "stream_static_events", spark)
+    us = _run_stream(users_per_nk, "stream_static_users", spark)
+    return (
+        ev.join(us, "nk")
+        .join(F.broadcast(nation), "nk")
+        .select("n_name", "n_events", "n_users")
+    )
+
+
+@register("evt_stream_stream_join", oracle=None)
+def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: for each 'click' event, find
+    'view' events by the same user in the preceding 10 minutes —
+    both sides watermarked so the state store can evict rows older
+    than the join window (unbounded state otherwise).
+
+    Rows-only: the join itself is deterministic, but it exists to
+    exercise the watermarked dual-state-store machinery end to end.
+    At 100 TB state is partitioned by user_id across executors and
+    bounded by watermark horizon x event rate.
+    """
+    a = _stream_source(spark, sf_dir)
+    b = _stream_source(spark, sf_dir)
+    clicks = (
+        a.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    views = (
+        b.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id"))
+        .withWatermark("view_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+    ).select("user_id", "click_id", "view_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_stream_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("stream_stream_join")

@@ -210,3 +210,30 @@ def test_sim_lsh_recall_vs_exact(spark):
     assert exact
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.6, f"lsh recall {recall:.2f} < 0.6"
+
+
+def test_multimodal_embed_batch_size_invariance(spark, monkeypatch):
+    """Batched inference must give identical results for any micro-
+    batch size (chunking is a memory knob, not a semantic one), and
+    must match a single-row reference computation."""
+    import numpy as np
+    import layer_apache_hive_spark.extensions.multimodal as mm
+
+    def run():
+        rows = mm.ext_multimodal_embed(spark, SF_DIR).collect()
+        return {
+            r["doc_id"]: tuple(round(r[f"emb_{k}"], 12) for k in range(8))
+            for r in rows
+        }
+
+    base = run()
+    monkeypatch.setattr(mm, "_INFER_BATCH", 7)
+    assert run() == base
+    # spot-check one doc against a direct single-payload call
+    import duckdb
+    con = duckdb.connect()
+    text = con.execute(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet') WHERE doc_id = 0"
+    ).fetchone()[0]
+    ref = mm._fake_embed([text.encode()])[0]
+    assert base[0] == tuple(round(float(x), 12) for x in ref)
