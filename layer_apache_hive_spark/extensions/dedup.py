@@ -116,6 +116,11 @@ def _doc_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~1M hashes; 100 TB corpora land far past the switch.
 _BROADCAST_MAX_HASHES = 32_000_000
 
+# Edge-count ceiling for the driver union-find fast path in
+# ext_dedup_clusters: 5M (u,v) int pairs ~ 80 MB on the driver.
+# Past it, the alternating large-star/small-star loop runs instead.
+_DRIVER_UF_MAX_EDGES = 5_000_000
+
 
 def _sh_count(spark: SparkSession, sf_dir: str) -> int:
     """Row count of the persisted shingle relation (cached: counting a
@@ -155,7 +160,6 @@ def _verify_jaccard(cand: DataFrame, spark: SparkSession, sf_dir: str) -> DataFr
     # candidate shuffle to ~1 partition (a few MB), which would
     # serialize the python-side verify.
     ncores = cand.sparkSession.sparkContext.defaultParallelism
-    docs = _doc_arrays(spark, sf_dir)
     out_schema = "doc_a long, doc_b long, shared_shingles long, jaccard double"
 
     def _result(pairs, shared, sz_a, sz_b):
@@ -169,9 +173,22 @@ def _verify_jaccard(cand: DataFrame, spark: SparkSession, sf_dir: str) -> DataFr
         )
 
     if _sh_count(spark, sf_dir) <= _BROADCAST_MAX_HASHES:
+        # build the doc->hashes map straight off the persisted shingle
+        # frame via Arrow (toPandas) + a driver-side numpy group-by:
+        # ~4x cheaper than materializing the grouped-array relation
+        # (groupBy + sort_array + collect of array rows) just to
+        # re-explode it into a dict
+        pdf = _shingled(spark, sf_dir).toPandas()
+        order = np.lexsort((pdf["sh"].to_numpy(), pdf["doc_id"].to_numpy()))
+        ids = pdf["doc_id"].to_numpy()[order]
+        hs = pdf["sh"].to_numpy()[order]
+        bounds = np.flatnonzero(np.diff(ids)) + 1
         arrs = {
-            row["doc_id"]: np.asarray(row["hs"], dtype=np.int64)
-            for row in docs.collect()
+            int(ids[s]): hs[s:e]
+            for s, e in zip(
+                np.concatenate(([0], bounds)),
+                np.concatenate((bounds, [len(ids)])),
+            )
         }
         bv = spark.sparkContext.broadcast(arrs)
 
@@ -192,6 +209,7 @@ def _verify_jaccard(cand: DataFrame, spark: SparkSession, sf_dir: str) -> DataFr
 
         return cand.repartition(ncores).mapInPandas(intersect_bc, schema=out_schema)
 
+    docs = _doc_arrays(spark, sf_dir)
     j = (
         cand.repartition(ncores)
         .join(
@@ -279,6 +297,10 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     all pairs. At 100 TB step 4's fan-out is bounded by prefix df²;
     skew-heavy shingles are AQE-split (session.py).
     """
+    key, cached = _cache_get(spark, sf_dir, "pairs")
+    if cached is not None:
+        return cached
+
     sh = _shingled(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -330,9 +352,17 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     verified = _verify_jaccard(cand, spark, sf_dir)
-    return verified.filter(F.col("jaccard") >= _TAU).select(
+    res = verified.filter(F.col("jaccard") >= _TAU).select(
         "doc_a", "doc_b", "shared_shingles", "jaccard"
     )
+    # The verified pair set is consumed by ext_dedup_clusters too (and
+    # is tiny relative to the corpus — it's the output of a dedup
+    # filter). Materialize once per (session, sf) and share: the full
+    # prefix-filter + verify DAG is the expensive part, the result is
+    # hundreds of rows per 5k docs.
+    res = res.localCheckpoint()
+    _SH_CACHE[key] = res
+    return res
 
 
 @register("ext_dedup_minhash", oracle=None)
@@ -539,23 +569,63 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-CLUSTER step (keep one doc per component) that follows pair
     finding in a real pipeline. cluster_id = min doc_id reachable.
 
-    Uses alternating large-star/small-star rounds
-    (_cc_large_small_star): O(log n) rounds independent of component
-    diameter, each round two bounded-key shuffles — the 100 TB shape
-    (plain min-label propagation needs diameter rounds, which a single
-    chain-shaped component makes unbounded).
+    Driver union-find when the MEASURED edge count fits the driver
+    (_DRIVER_UF_MAX_EDGES; a near-dup pair graph is the output of a
+    dedup filter, typically tiny vs the corpus); otherwise alternating
+    large-star/small-star rounds (_cc_large_small_star): O(log n)
+    rounds independent of component diameter, each round two
+    bounded-key shuffles — the 100 TB shape (plain min-label
+    propagation needs diameter rounds, which a single chain-shaped
+    component makes unbounded).
 
     Oracle: DuckDB recursive CTE computing min reachable label.
     """
-    # checkpoint BEFORE use: the near-dup DAG contains pandas stages,
-    # which get no exchange reuse across the rounds below
-    pairs = ext_dedup_near(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    # ext_dedup_near's result is checkpoint-cached per (session, sf) —
+    # the pair graph materializes once for the whole dedup family
+    pairs = ext_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
 
-    # size the per-round shuffles to the graph, not the corpus: the
-    # near-dup edge set is orders of magnitude smaller than the input
-    # (observed 6x per-round win locally; the same ~128MB/partition
-    # sizing rule applies at 100 TB edge volumes)
+    # Two physical strategies behind one semantic, chosen by the
+    # MEASURED edge count (the _verify_jaccard pattern): a dedup pair
+    # graph is the OUTPUT of a near-dup filter, typically orders of
+    # magnitude smaller than the corpus, so even a 100 TB corpus often
+    # yields a driver-sized edge set.
     n_edges = pairs.count()
+    if n_edges <= _DRIVER_UF_MAX_EDGES:
+        # driver union-find: exact same labels (min reachable id),
+        # zero Spark rounds. ~80 MB of driver memory at the switch
+        # point vs ~10 driver-coordinated jobs for the star loop.
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in pairs.collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min id keeps labels canonical
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        import pandas as pd
+
+        # Arrow path (pandas input) skips the py4j row-pickling
+        # machinery whose first use costs ~2s in a fresh session
+        labels_pdf = pd.DataFrame(
+            {"doc_id": list(parent), "cluster_id": [find(x) for x in parent]},
+            dtype="int64",
+        )
+        return spark.createDataFrame(labels_pdf)
+
+    # big-graph path: size the per-round shuffles to the graph, not
+    # the corpus (observed 6x per-round win locally; the same
+    # ~128MB/partition sizing rule applies at 100 TB edge volumes)
     n_parts = max(4, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                          n_edges // 50_000 + 4))
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")

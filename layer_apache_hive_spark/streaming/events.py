@@ -21,6 +21,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -186,16 +187,37 @@ def _stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+@contextmanager
+def _stream_partitions(spark: SparkSession, n: int = 8):
+    """Scope spark.sql.shuffle.partitions for a streaming run.
+
+    Stateful streaming builds one state store PER shuffle partition
+    per stateful operator, and the partition count is frozen into the
+    checkpoint at first start — so it must be sized to the stream's
+    state volume, not inherited from the batch default. 8 is right for
+    these demo streams; a 100 TB deployment sizes it to state-bytes /
+    executor-memory once at provisioning (it cannot be changed without
+    a new checkpoint — the one Spark knob AQE can't fix at runtime).
+    """
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
 def _run_stream(df, query_name: str, spark: SparkSession) -> DataFrame:
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_partitions(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(query_name)
 
 
@@ -282,15 +304,16 @@ def evt_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("stream_wm_late")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_wm_late")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table("stream_wm_late")
 
 
@@ -348,15 +371,16 @@ def evt_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName("stream_sessionize")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("stream_sessionize")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table("stream_sessionize")
         .select(
@@ -512,13 +536,14 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
         & (F.col("view_ts") <= F.col("click_ts")),
     ).select("user_id", "click_id", "view_id")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("stream_stream_join")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with _stream_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("stream_stream_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table("stream_stream_join")

@@ -237,3 +237,54 @@ def test_multimodal_embed_batch_size_invariance(spark, monkeypatch):
     ).fetchone()[0]
     ref = mm._fake_embed([text.encode()])[0]
     assert base[0] == tuple(round(float(x), 12) for x in ref)
+
+
+def test_cluster_driver_uf_matches_star_loop(spark):
+    """ext_dedup_clusters' driver union-find fast path must produce
+    exactly the labels of the distributed star loop on a random
+    graph (same min-reachable-id semantic, different physical plan)."""
+    import random
+
+    from layer_apache_hive_spark.extensions.dedup import _cc_large_small_star
+
+    rng = random.Random(7)
+    # no self-loops: near-dup pairs are strictly doc_a < doc_b (the
+    # star loop drops pure-self-loop nodes; UF would keep them)
+    edges = [
+        (a, b)
+        for a, b in (
+            (rng.randrange(200), rng.randrange(200)) for _ in range(160)
+        )
+        if a != b
+    ][:150]
+    star = {
+        r["id"]: r["lbl"]
+        for r in _cc_large_small_star(
+            spark.createDataFrame(edges, "u long, v long"), max_rounds=20
+        ).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    uf = {x: find(x) for x in parent}
+    # star loop drops pure self-loop nodes the same way UF sees them;
+    # compare on the union of keys
+    assert {k: v for k, v in uf.items() if k in star} == star
+    assert set(uf) == set(star)
