@@ -35,6 +35,9 @@ _NL_OK = {
     "ext_sim_topk", "ext_text_tfidf", "ext_text_unigram_lm",
     "ext_text_langid", "ext_dedup_near", "ext_dedup_minhash",
     "ext_sim_lsh", "ext_sim_ivf",
+    # range join against a 21-row broadcast recursive CTE: the scan
+    # side never shuffles; NL against a handful of rows is the plan
+    "query_recursive_cte",
 }
 
 
