@@ -523,3 +523,63 @@ def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_near"),
         F.max("cosine").alias("max_cosine"),
     )
+
+
+@register(
+    "ext_emb_quantize",
+    oracle="""
+WITH scaled AS (
+  SELECT vec_id,
+         len(embedding) AS n_dims,
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0,
+                  1e-30) AS scale
+  FROM embeddings
+), q AS (
+  SELECT s.vec_id, s.n_dims, s.scale,
+         list_transform(e.embedding, x -> floor(x::DOUBLE / s.scale)::BIGINT) AS qv
+  FROM scaled s JOIN embeddings e ON s.vec_id = e.vec_id
+)
+SELECT vec_id,
+       n_dims,
+       FLOOR(scale * 1e9)::BIGINT AS scale_e9,
+       list_sum(qv)::BIGINT AS q_sum,
+       array_to_string(qv, ',') AS q_csv
+FROM q
+""",
+)
+def ext_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization — the storage/bandwidth pass of an
+    embedding pipeline (4x smaller vectors before ANN indexing or
+    training-shard export).
+
+    Symmetric per-vector scheme: scale = max|x|/127, q_i =
+    floor(x_i/scale) ∈ [-128, 127]. All math is float→double widening
+    (exact) then IEEE double division and floor — bit-identical across
+    engines, no rounding ties by construction (the fn_math policy).
+    The quantized vector is emitted as CSV because the harness
+    canonicalizer can't sort raw array cells.
+
+    Scale: map-only (zero shuffles) — every row is independent, so
+    the operator is scan-bound at any corpus size and pushes straight
+    down onto the parquet scan (only vec_id + embedding are read).
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    scale = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0),
+        F.lit(1e-30),
+    )
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") / F.col("scale")).cast("bigint")
+    )
+    return (
+        e.select("vec_id", F.size("embedding").alias("n_dims"), scale.alias("scale"),
+                 "embedding")
+        .select(
+            "vec_id",
+            "n_dims",
+            F.floor(F.col("scale") * 1e9).cast("bigint").alias("scale_e9"),
+            F.aggregate(qv, F.lit(0).cast("bigint"), lambda a, v: a + v).alias("q_sum"),
+            F.array_join(qv, ",").alias("q_csv"),
+        )
+    )

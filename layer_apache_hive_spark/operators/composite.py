@@ -273,3 +273,162 @@ def composite_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "composite_forecast_revenue",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+  AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def composite_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue-change forecast — a pure scan-filter-
+    aggregate with no join and no group key.
+
+    Scale: the canary for pushdown — every predicate must reach the
+    parquet scan (PushedFilters on l_shipdate/l_discount/l_quantity),
+    column pruning must cut the read to 4 columns, and the aggregate
+    is a map-side partial + single-row final. At 100 TB this query is
+    I/O-bound or the plan is wrong."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.expr("l_extendedprice * l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "composite_priority_lines",
+    oracle="""
+SELECT o_orderpriority,
+       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS returned_lines,
+       SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)::BIGINT AS kept_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1995-06-01'
+  AND l_shipdate < DATE '1995-09-01'
+GROUP BY o_orderpriority
+""",
+)
+def composite_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + two-way conditional aggregation
+    (Hive expresses the split metric as SUM(CASE WHEN ...)).
+    (l_shipmode isn't in the fixture schema; l_returnflag carries the
+    same conditional-aggregate plan shape.)
+
+    Scale: the date filter is pushed to the lineitem scan; the join
+    shuffles on orderkey; both CASE sums fold into ONE aggregate pass
+    (a single HashAggregate computes both columns — no double scan)."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-06-01")
+        & (F.col("l_shipdate") < "1995-09-01")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "returned_lines"
+            ),
+            F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias(
+                "kept_lines"
+            ),
+        )
+    )
+
+
+@register(
+    "composite_promo_revenue",
+    oracle=f"""
+SELECT FLOOR(100.0 * {sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {sql_dsum('l_extendedprice * (1 - l_discount)')} * 10000) / 10000
+         AS promo_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1995-09-01'
+  AND l_shipdate < DATE '1995-10-01'
+""",
+)
+def composite_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion-revenue share — fact⋈dim join where
+    the metric is a ratio of conditional revenue sums.
+
+    The percentage is FLOOR-scaled to 4 decimals (not ROUND: Spark
+    rounds HALF_UP, DuckDB half-even, and ratios can land on ties).
+
+    Scale: part broadcasts (it's the dimension); the month filter is
+    pushed to the lineitem scan; both sums ride one aggregate pass."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01")
+        & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = read_table(spark, sf_dir, "part")
+    rev = F.expr("l_extendedprice * (1 - l_discount)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.floor(F.lit(100.0) * dsum(promo) / dsum(rev) * 1e4) / 1e4).alias(
+                "promo_pct"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "composite_brand_quantity",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+)
+def composite_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted-revenue over an OR-of-ANDs
+    predicate spanning BOTH join sides — the classic CBO test of
+    disjunction handling. (p_container/l_shipmode aren't in the
+    fixture schema; p_size/l_quantity carry the same disjunctive
+    shape.)
+
+    Scale: Catalyst extracts the common single-side conjuncts from
+    the disjunction (p_brand IN (...), p_size >= 1, l_quantity
+    bounds) and pushes them below the join as scan filters; the
+    residual cross-side OR evaluates post-join. Part broadcasts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(
+        dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -275,3 +275,32 @@ def join_bucket_smb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "join_mapjoin_hint",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_customers,
+       SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS n_positive
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def join_mapjoin_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's /*+ MAPJOIN(t) */ hint, verbatim: Spark accepts MAPJOIN
+    as an alias of BROADCAST, so the exact HiveQL text a user carries
+    over keeps its semantics — dimension side replicated to every
+    task, no shuffle of the fact side (Hive MapJoinOperator ≙ Spark
+    BroadcastHashJoin)."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("mj_customer")
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("mj_nation")
+    return spark.sql(
+        """
+        SELECT /*+ MAPJOIN(n) */
+               n.n_name,
+               COUNT(*) AS n_customers,
+               SUM(CASE WHEN c.c_acctbal > 0 THEN 1 ELSE 0 END) AS n_positive
+        FROM mj_customer c JOIN mj_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

@@ -144,3 +144,49 @@ def scan_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF(["n_nationkey", "n_name"])
         .select(F.col("n_nationkey").cast("bigint"), "n_name")
     )
+
+
+@register(
+    "scan_partition_prune",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+""",
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning: a Hive partitioned table
+    (``PARTITION (o_orderpriority)``) read back with a partition-key
+    predicate — the scan must touch ONLY the matching directory.
+
+    This is the single biggest scan lever at 100 TB: a pruned read is
+    data-proportional to the partition, not the table. The physical
+    plan carries the predicate as ``PartitionFilters`` (asserted in
+    tests/test_plans.py), and the file listing never visits the other
+    four priority directories.
+    """
+    path = _fixture_dir(sf_dir, "orders_part")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        o = read_table(spark, sf_dir, "orders")
+        (
+            o.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+            .repartition("o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

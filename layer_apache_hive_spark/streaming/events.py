@@ -547,3 +547,56 @@ def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
     return spark.table("stream_stream_join")
+
+
+@register(
+    "evt_stream_foreachbatch",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def evt_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink — the escape hatch for sinks Structured
+    Streaming doesn't speak natively (JDBC upserts, multi-table
+    writes). Each micro-batch arrives as a plain DataFrame; here it
+    appends to a parquet directory, exactly the idempotent-by-path
+    pattern a real pipeline uses (batchId would key dedup/upserts).
+
+    The read-back aggregate over everything written equals the batch
+    aggregate over the source — so unlike most streaming demos this
+    one IS value-checked against the batch oracle.
+    """
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = f"/root/repo/.tmp/stream_fb/{label}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    src = _stream_source(spark, sf_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select("event_id", "event_type", "value")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            src.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )

@@ -38,3 +38,19 @@ def test_distribute_by_colocates_keys(spark):
         .collect()[0]["worst"]
     )
     assert spread == 1
+
+
+def test_partition_prune_scan_reads_one_directory(spark):
+    """The partition-key predicate must reach the scan as a
+    PartitionFilter (pruned file listing), not a post-scan Filter."""
+    df = _REGISTRY["scan_partition_prune"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "1-URGENT" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_mapjoin_hint_broadcasts(spark):
+    """Hive's MAPJOIN hint must lower to BroadcastHashJoin."""
+    df = _REGISTRY["join_mapjoin_hint"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
