@@ -571,3 +571,36 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("xpath(xml, '//text()')"), ","
         ).alias("all_texts"),
     )
+
+
+@register(
+    "fn_bitops",
+    oracle="""
+SELECT n_nationkey,
+       n_nationkey & 12 AS b_and,
+       n_nationkey | 5 AS b_or,
+       xor(n_nationkey, 21) AS b_xor,
+       ~n_nationkey AS b_not,
+       n_nationkey << 3 AS shl,
+       n_nationkey >> 1 AS shr,
+       bit_count(n_nationkey) AS popcnt
+FROM nation
+""",
+)
+def fn_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar operators (Hive UDFOPBitAnd/Or/Xor/Not,
+    UDFOPBitShiftLeft/Right, GenericUDFBitCount — the `&`, `|`, `^`,
+    `~`, `<<`, `>>`, `bit_count` surface). All JVM-side integer ops
+    inside whole-stage codegen; map-only, scan-bound at any scale."""
+    n = read_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        k.bitwiseAND(F.lit(12)).alias("b_and"),
+        k.bitwiseOR(F.lit(5)).alias("b_or"),
+        k.bitwiseXOR(F.lit(21)).alias("b_xor"),
+        F.bitwise_not(k).alias("b_not"),
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 1).alias("shr"),
+        F.bit_count(k).alias("popcnt"),
+    )

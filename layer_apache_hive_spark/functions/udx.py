@@ -401,3 +401,26 @@ def udtf_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t AS token
         """
     )
+
+
+@register(
+    "udtf_explode_map",
+    oracle="""
+SELECT o_orderkey, 'priority' AS k, o_orderpriority AS v
+FROM orders WHERE o_orderkey < 1000
+UNION ALL
+SELECT o_orderkey, 'status' AS k, o_orderstatus AS v
+FROM orders WHERE o_orderkey < 1000
+""",
+)
+def udtf_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode over a MAP column (GenericUDTFExplode's
+    map branch emits key+value per row — the Hive form for
+    attribute-bag tables). The map is built in-row with map();
+    explode yields one (k, v) row per entry, keys in map order."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    m = F.create_map(
+        F.lit("priority"), F.col("o_orderpriority"),
+        F.lit("status"), F.col("o_orderstatus"),
+    )
+    return o.select("o_orderkey", F.explode(m).alias("k", "v"))
