@@ -611,3 +611,42 @@ def ext_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_token_logprob"),
     )
+
+
+@register(
+    "ext_sample_holdout",
+    oracle="""
+SELECT doc_id,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 98
+              THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 99
+              THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def ext_sample_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test holdout split — the assignment
+    every training-data pipeline needs to be STABLE across reruns,
+    engines, and partitionings (no rand(): a re-shuffled rerun must
+    put every document in the same split, or eval sets leak).
+
+    Bucket = first 8 hex digits of md5(doc_id) mod 100 (md5 is
+    engine-portable, unlike xxhash64): 98/1/1 split. Map-only — zero
+    shuffles, scan-bound at any corpus size; downstream consumers
+    filter on `split`, which pushes to the scan when materialized
+    with partitionBy('split')."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 98, "train")
+        .when(bucket < 99, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -288,3 +288,48 @@ def test_cluster_driver_uf_matches_star_loop(spark):
     # compare on the union of keys
     assert {k: v for k, v in uf.items() if k in star} == star
     assert set(uf) == set(star)
+
+
+def test_holdout_split_is_partitioning_invariant(spark):
+    """The train/valid/test assignment must be a pure function of
+    doc_id — identical under any physical partitioning (rand()-based
+    splits fail this; hash-based must pass)."""
+    from layer_apache_hive_spark.extensions.text_analysis import (
+        ext_sample_holdout,
+    )
+
+    base = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in ext_sample_holdout(spark, SF_DIR).collect()
+    }
+    reparted = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in ext_sample_holdout(spark, SF_DIR).repartition(7).collect()
+    }
+    assert base == reparted
+    splits = {s for _, s in base.values()}
+    assert splits == {"train", "valid", "test"}
+
+
+def test_quantize_reconstruction_error_bound(spark):
+    """floor-based int8 quantization: |x - q*scale| < scale for every
+    element, and q stays in [-128, 127]."""
+    import numpy as np
+
+    from layer_apache_hive_spark.catalog import read_table
+    from layer_apache_hive_spark.extensions.similarity import ext_emb_quantize
+
+    q = {r["vec_id"]: r for r in ext_emb_quantize(spark, SF_DIR).collect()}
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in read_table(spark, SF_DIR, "embeddings").limit(50).collect()
+    }
+    for vid, x in emb.items():
+        row = q[vid]
+        scale = row["scale_e9"] / 1e9
+        qv = np.asarray([int(v) for v in row["q_csv"].split(",")], dtype=np.int64)
+        assert qv.min() >= -128 and qv.max() <= 127
+        # scale_e9 is floored to 1e-9, and the true scale used for
+        # quantization is up to 1e-9 larger: |q| <= 128 amplifies that
+        # to 1.28e-7 of extra reconstruction slack
+        assert np.all(np.abs(x - qv * scale) <= scale + 1.3e-7)
