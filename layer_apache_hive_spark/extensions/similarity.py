@@ -214,18 +214,41 @@ _SIM_JOIN_THETA = 0.3
 _N_BLOCKS = 8
 
 
-def _allpairs_cosine(emb: DataFrame, theta: float) -> DataFrame:
-    """All pairs (vec_a < vec_b, cosine >= theta) via block-matrix
-    applyInPandas: numpy does the pairwise dot products per block-pair
-    task instead of an interpreted zip_with per pair (~100x faster),
-    with the identical FLOOR-scaled-BIGINT math as the SQL oracle so
-    values stay bit-identical across engines.
+# Vector-count ceiling for the broadcast all-pairs fast path:
+# 500k x 64-dim float64 ~ 256 MB per python worker — inside executor
+# budget. Past it, the block-pair scheme bounds per-task memory.
+_BROADCAST_MAX_VECS = 500_000
 
-    Never materializes n^2 rows in the shuffle: only n*B replicated
-    vectors move; pairs above theta are born inside the kernel.
+
+def _allpairs_cosine(emb: DataFrame, theta: float, force: str | None = None) -> DataFrame:
+    """All pairs (vec_a < vec_b, cosine >= theta), exact — two
+    physical strategies behind one semantic, chosen by the MEASURED
+    vector count (the _verify_jaccard / ext_dedup_clusters pattern):
+
+    - corpus fits _BROADCAST_MAX_VECS: python-broadcast the whole
+      (ids, matrix) pair and stream the table once through
+      mapInPandas — each batch scores its rows against the broadcast
+      matrix, each pair is born exactly once on its lower-id row.
+      Zero shuffles (the block scheme needs an n*B replication
+      shuffle + a groupBy); parallelism = scan partitions, not
+      B(B+1)/2 tasks.
+    - larger: block-matrix applyInPandas — only n*B replicated rows
+      move, per-task memory is two blocks, pairs are born inside the
+      kernel. The 100 TB-safe shape (nothing is corpus-sized in one
+      place).
+
+    Both paths use the identical FLOOR-scaled-BIGINT math as the SQL
+    oracle (bit-identical values), and the property suite pins
+    broadcast == block == single-threaded brute force (`force=`).
     """
     import numpy as np
     import pandas as pd
+
+    strategy = force or (
+        "broadcast" if emb.count() <= _BROADCAST_MAX_VECS else "block"
+    )
+    if strategy == "broadcast":
+        return _allpairs_cosine_broadcast(emb, theta)
 
     B = _N_BLOCKS
 
@@ -301,6 +324,60 @@ def _allpairs_cosine(emb: DataFrame, theta: float) -> DataFrame:
         )
 
     return tagged.groupBy("task").applyInPandas(
+        score, schema="vec_a long, vec_b long, cosine double"
+    )
+
+
+def _allpairs_cosine_broadcast(emb: DataFrame, theta: float) -> DataFrame:
+    """Broadcast fast path of _allpairs_cosine (see its docstring)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    pdf_all = emb.select("vec_id", "embedding").toPandas()
+    ids_all = pdf_all["vec_id"].to_numpy()
+    m_all = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+    n_all = np.sqrt(np.floor(m_all * m_all * 1e12).astype(np.int64).sum(1) / 1e12)
+    bv = spark.sparkContext.broadcast((ids_all, m_all, n_all))
+
+    ncores = spark.sparkContext.defaultParallelism
+
+    def score(batches):
+        ids_b, mb, nb = bv.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_a = pdf["vec_id"].to_numpy()
+            ea = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            na = np.sqrt(np.floor(ea * ea * 1e12).astype(np.int64).sum(1) / 1e12)
+            out_a, out_b, out_c = [], [], []
+            # bound the floor-scaled outer-product tensor to ~32 MB
+            chunk = max(1, (1 << 22) // max(1, mb.shape[0] * mb.shape[1]))
+            for s in range(0, ea.shape[0], chunk):
+                e = min(s + chunk, ea.shape[0])
+                prod = ea[s:e, None, :] * mb[None, :, :]
+                dots = np.floor(prod * 1e12).astype(np.int64).sum(2) / 1e12
+                cos = dots / (na[s:e, None] * nb[None, :])
+                # '<' births each pair exactly once, on its lower-id row
+                mask = (ids_a[s:e, None] < ids_b[None, :]) & (cos >= theta)
+                ra, rb = np.nonzero(mask)
+                if len(ra) == 0:
+                    continue
+                out_a.append(ids_a[s + ra])
+                out_b.append(ids_b[rb])
+                out_c.append(cos[ra, rb])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    # explicit repartition: AQE/scan layout may hand mapInPandas one
+    # partition for a small table, serializing the kernel
+    return emb.select("vec_id", "embedding").repartition(ncores).mapInPandas(
         score, schema="vec_a long, vec_b long, cosine double"
     )
 

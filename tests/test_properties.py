@@ -73,8 +73,13 @@ def test_allpairs_cosine_matches_bruteforce(spark, data, n, dim):
     )
     got = {
         (r["vec_a"], r["vec_b"]): r["cosine"]
-        for r in _allpairs_cosine(df, theta).collect()
+        for r in _allpairs_cosine(df, theta, force="block").collect()
     }
+    got_bc = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in _allpairs_cosine(df, theta, force="broadcast").collect()
+    }
+    assert got_bc == got  # two physical plans, one semantic
 
     v64 = vecs.astype(np.float64)
     norms = np.sqrt(np.floor(v64 * v64 * 1e12).astype(np.int64).sum(1) / 1e12)
