@@ -19,9 +19,15 @@ from layer_apache_hive_spark.registry import all_oracles, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    TPC-H Q5 shape: the 6-way join (lineitem⋈orders spine + 4
+    broadcast dimensions with a nation co-location predicate) — the
+    single query that exercises scans, pushdown, broadcast selection,
+    join reordering, decimal-exact aggregation, and ordered output.
+    """
     qs = all_queries()
-    return qs["agg_hash_groupby"](spark, "/root/testdata/sf0.001")
+    return qs["composite_local_supplier_volume"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
