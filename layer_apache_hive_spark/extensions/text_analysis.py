@@ -650,3 +650,64 @@ def ext_sample_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "ext_shard_export",
+    oracle="""
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 16 AS shard,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY 1
+""",
+)
+def ext_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training-set export — the final pass of a data
+    pipeline: assign every document a stable shard (hash, NOT
+    round-robin: reruns and engine changes must produce identical
+    shards), write one directory per shard, and emit the manifest
+    (per-shard row/byte counts) that the training job's data loader
+    consumes.
+
+    Shard = md5(doc_id) hex digits 9-16 mod 16 — engine-portable and
+    independent of the holdout bucket (digits 1-8, ext_sample_holdout)
+    so split and shard don't correlate. The write goes through
+    partitionBy('shard') after repartition('shard'): one file per
+    shard per task wave, the anti-small-files layout. The returned
+    manifest is re-read FROM THE WRITTEN FILES, so the oracle check
+    covers the round trip, not just the assignment.
+
+    Scale: one shuffle on shard (uniform by construction); shard
+    count scales with corpus (16 here; 100 TB uses O(10k) so each
+    shard is a loader-friendly few GB)."""
+    import os
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = f"/root/repo/.tmp/shard_export/{label}"
+    d = read_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("bigint") % 16
+    )
+    (
+        d.select("doc_id", "n_chars", shard.alias("shard"))
+        .repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(F.col("shard").cast("bigint").alias("shard"),
+                "n_docs", "total_chars", "min_doc", "max_doc")
+    )
