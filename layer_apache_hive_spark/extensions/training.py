@@ -1,0 +1,272 @@
+"""Training-data pipeline operators: decontamination, clustering
+assignment, and temperature-based source remixing.
+
+These close the loop a 100 TB pretraining pipeline runs AFTER dedup
+and quality scoring (extensions/dedup.py, text_analysis.py):
+
+- benchmark decontamination (n-gram overlap against a held-out eval
+  set — the step that keeps test sets out of training data);
+- k-means assignment against per-label centroids (the E-step of IVF
+  training / cluster-balanced sampling);
+- temperature-resampled source mixing (upweight small sources by
+  n^(1/T), the standard multilingual/multi-source rebalance).
+
+Determinism rules follow the repo convention: no rand() anywhere —
+selection order comes from portable md5 (see ext_sample_holdout),
+float reductions go through decimal accumulation or FLOOR-scaled
+BIGINT sums (functions/numeric.py, extensions/similarity.py) so both
+engines hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from layer_apache_hive_spark.catalog import read_table
+from layer_apache_hive_spark.registry import register
+
+_GRAM_N = 5  # words per shingle for contamination checks
+
+
+@register(
+    "ext_text_contamination",
+    oracle=f"""
+WITH words AS MATERIALIZED (
+    SELECT doc_id, string_split(lower(text), ' ') AS w
+    FROM documents
+),
+grams AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - {_GRAM_N - 2}),
+                                 i -> array_to_string(w[i:i+{_GRAM_N - 1}], ' ')))
+             AS gram
+    FROM words
+    WHERE len(w) >= {_GRAM_N}
+),
+eval_grams AS MATERIALIZED (
+    SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0
+),
+hits AS (
+    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+    FROM grams g JOIN eval_grams e USING (gram)
+    WHERE g.doc_id % 50 <> 0
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       CASE WHEN COALESCE(h.n_shared, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+""",
+)
+def ext_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {5}-word n-gram with the eval set (docs with doc_id % 50 == 0
+    stand in for the benchmark; a real pipeline joins an external
+    eval corpus the same way).
+
+    Scale: the eval side of the join is benchmark-sized (thousands of
+    docs, millions of grams) while the train side is the corpus — so
+    the distinct eval grams BROADCAST and the corpus-side explode
+    never shuffles: flag assignment is map-side. COUNT(DISTINCT gram)
+    per doc is the only shuffle, keyed on doc_id (uniform). At 100 TB
+    the eval gram set stays ~constant, so this plan is scan-bound.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    grams = (
+        d.filter(F.size(w) >= _GRAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(lower(text), ' ')) - {_GRAM_N - 1}),"
+                    f" i -> concat_ws(' ', slice(split(lower(text), ' '), i, {_GRAM_N})))"
+                )
+            ).alias("gram"),
+        )
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .join(hits, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(F.coalesce("n_shared", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "ext_emb_centroid_assign",
+    oracle="""
+WITH pe AS MATERIALIZED (
+    SELECT vec_id, label, i AS pos, CAST(embedding[i+1] AS DOUBLE) AS val
+    FROM embeddings, (SELECT unnest(range(0, 64)) AS i) t
+),
+cent AS MATERIALIZED (
+    SELECT label AS c_label, pos,
+           CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(val) AS cent
+    FROM pe GROUP BY label, pos
+),
+dist AS (
+    SELECT pe.vec_id, pe.label, c.c_label,
+           CAST(SUM(CAST(FLOOR((val - cent) * (val - cent) * 1e12) AS BIGINT))
+                AS DOUBLE) / 1e12 AS dist2
+    FROM pe JOIN cent c ON pe.pos = c.pos
+    GROUP BY pe.vec_id, pe.label, c.c_label
+)
+SELECT vec_id, label, c_label AS assigned, dist2
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist2, c_label) AS rn
+    FROM dist
+)
+WHERE rn = 1
+""",
+)
+def ext_emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step (the E-step of IVF coarse-quantizer
+    training): centroid per label = per-dimension decimal-exact mean;
+    every vector is assigned to its nearest centroid by squared L2.
+
+    Distances use the FLOOR-scaled BIGINT sum (similarity.py:41-46)
+    so the argmin ordering is identical in both engines; centroid
+    means accumulate in DECIMAL(38,9) (values are ~±0.2 so scale 9
+    keeps ~1e-9 granularity) then divide once in double.
+
+    Scale: centroids are k×dim (tiny) and BROADCAST; the
+    explode-join-agg computes n×k distances with one shuffle on
+    (vec_id). At 100 TB you'd swap the exploded SQL form for a
+    mapInPandas with the broadcast centroid matrix (one numpy matmul
+    per batch — same shape as _allpairs_cosine_broadcast in
+    similarity.py) but keep THIS form as the oracle gate."""
+    e = read_table(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = pe.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,9)")).cast("double")
+            / F.count("val")
+        ).alias("cent")
+    )
+    diff = F.col("val") - F.col("cent")
+    dist = (
+        pe.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            (
+                F.sum(F.floor(diff * diff * 1e12).cast("bigint")).cast("double")
+                / 1e12
+            ).alias("dist2")
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    )
+    return (
+        dist.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("assigned"), "dist2")
+    )
+
+
+@register(
+    "ext_sample_temperature",
+    oracle="""
+WITH per_src AS MATERIALIZED (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+    SELECT SUM(n_docs) AS total,
+           CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(38,9)))
+                AS DOUBLE) AS z
+    FROM per_src
+),
+plan AS (
+    SELECT source, n_docs,
+           LEAST(n_docs,
+                 CAST(CEIL(0.5 * total * sqrt(CAST(n_docs AS DOUBLE)) / z)
+                      AS BIGINT)) AS k_take
+    FROM per_src, tot
+),
+ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT r.doc_id, r.source, r.rk
+FROM ranked r JOIN plan p ON r.source = p.source
+WHERE r.rk <= p.k_take
+""",
+)
+def ext_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled source mixing (T=2): each source's target
+    share is proportional to n^(1/T) of its document count — the
+    standard rebalance that upweights small sources without letting
+    any single source dominate. Budget = 50% of the corpus, capped at
+    each source's actual size.
+
+    Per-source selection is the top-k by md5('temp:'||doc_id) — a
+    stable, engine-portable pseudo-random order (salted so it doesn't
+    correlate with the holdout bucket, which hashes the bare doc_id).
+    The sqrt-share normalizer accumulates in decimal so the plan's
+    k_take is bit-identical across engines and partitionings.
+
+    Scale: the mixing plan is sources×1 (tiny, broadcast); the only
+    corpus-size work is one window per source — and a window by
+    source is a single shuffle, skew-bounded by the largest source.
+    At 100 TB, replace row_number with a bucketed rank (md5 mod B,
+    take whole buckets + one boundary bucket) to avoid single-task
+    tails on huge sources."""
+    d = read_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_src.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double")).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("z"),
+    )
+    plan = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.col("n_docs"),
+            F.ceil(
+                F.lit(0.5)
+                * F.col("total")
+                * F.sqrt(F.col("n_docs").cast("double"))
+                / F.col("z")
+            ).cast("bigint"),
+        ).alias("k_take"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", rk)
+        .join(F.broadcast(plan), "source")
+        .filter(F.col("rk") <= F.col("k_take"))
+        .select("doc_id", "source", "rk")
+    )

@@ -432,3 +432,420 @@ def composite_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "composite_nation_trade",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS yr,
+       ROUND({sql_dsum(_REV)}, 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey
+  AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= DATE '1995-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+GROUP BY supp_nation, cust_nation, yr
+""",
+)
+def composite_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipping between two nations — the
+    double-nation-role join (nation appears twice, once for the
+    supplier side and once for the customer side) with a disjunctive
+    pair predicate and per-year revenue.
+
+    Scale: both nation copies broadcast (25 rows); the pair
+    disjunction can't push below either scan alone, but the two
+    single-side nation filters it implies (n_name IN (N1, N2)) DO
+    prune supplier and customer before the fact join; the
+    lineitem⋈orders spine is the only shuffle."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = read_table(spark, sf_dir, "orders")
+    nat = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )),
+        F.col("s_nationkey") == F.col("sn_key"),
+    )
+    c = read_table(spark, sf_dir, "customer").join(
+        F.broadcast(nat.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )),
+        F.col("c_nationkey") == F.col("cn_key"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.round(dsum(F.expr(_REV)), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "composite_market_share",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       FLOOR({sql_dsum("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {sql_dsum(_REV)} * 10000) / 10000 AS mkt_share,
+       COUNT(*) AS n_lines
+FROM part, lineitem, orders, customer, supplier, nation n1, nation n2, region
+WHERE p_partkey = l_partkey
+  AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey
+  AND s_suppkey = l_suppkey
+  AND c_nationkey = n1.n_nationkey
+  AND n1.n_regionkey = r_regionkey
+  AND r_name = 'AMERICA'
+  AND s_nationkey = n2.n_nationkey
+  AND p_type = 'ECONOMY'
+  AND o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY yr
+""",
+)
+def composite_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the widest join tree in
+    the suite (8 relations, nation in both roles), with a
+    ratio-of-conditional-sums metric per year.
+
+    The share is FLOOR-scaled to 4 decimals (Spark rounds HALF_UP,
+    DuckDB half-even; ratios hit ties).
+
+    Scale: part (type-filtered), supplier, customer, both nations and
+    region all broadcast; lineitem⋈orders is the lone shuffle, and
+    both conditional sums ride one aggregate pass."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_rkey"),
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    rev = F.expr(_REV)
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            (F.floor(dsum(nation_rev) / dsum(rev) * 1e4) / 1e4).alias(
+                "mkt_share"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "composite_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def composite_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    join with an extra join-condition filter (the filter must ride
+    the join, NOT the orders scan, or zero-order customers vanish),
+    then a histogram of the per-customer counts.
+
+    Scale: the outer join shuffles both sides on custkey; COUNT(col)
+    (not COUNT(*)) makes unmatched customers count 0. The second
+    aggregate re-shuffles a customer-cardinality frame on a
+    low-cardinality key — cheap, and AQE coalesces it."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                                   "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "composite_top_supplier",
+    oracle=f"""
+WITH revenue AS MATERIALIZED (
+    SELECT l_suppkey AS supplier_no,
+           ROUND({sql_dsum(_REV)}, 4) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def composite_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier — a derived revenue view consumed
+    twice (once for the scalar MAX, once re-joined to supplier), the
+    classic view + scalar-aggregate-subquery pattern.
+
+    dsum makes total_revenue bit-identical across engines, so the
+    equality against MAX is exact — no epsilon needed.
+
+    Scale: revenue is one shuffle on suppkey; localCheckpoint-free
+    reuse works because Spark plans the MAX over the same exchange
+    (ReusedExchange); the 1-row MAX broadcasts; supplier broadcasts."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(dsum(F.expr(_REV)), 4).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "composite_small_qty_revenue",
+    oracle=f"""
+SELECT ROUND({sql_dsum('l_extendedprice')}, 4) AS total_price,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+        SELECT {sql_davg('l2.l_quantity')} / 5
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+""",
+)
+def composite_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — a correlated
+    scalar AVG subquery per part (lines below 1/5 of the part's mean
+    quantity), the decorrelation-into-aggregate-join pattern.
+
+    davg accumulates in decimal then divides by 5 (exact in decimal:
+    x/5 = 2x/10), so the threshold double is bit-identical across
+    engines and the strict < cannot straddle.
+
+    Scale: the brand filter prunes part first and semi-joins lineitem
+    BEFORE the per-part aggregate, so the avg is computed only for
+    surviving parts; the threshold frame is part-cardinality and
+    broadcasts back onto the same filtered lineitem."""
+    pb = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(pb), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thr = li.groupBy("p_partkey").agg(
+        (davg("l_quantity") / 5).alias("qty_thr")
+    )
+    return (
+        li.drop("p_partkey")
+        .join(F.broadcast(thr), F.col("l_partkey") == thr.p_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(dsum("l_extendedprice"), 4).alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "composite_waiting_suppliers",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_5'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def composite_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept orders waiting — the
+    EXISTS + NOT EXISTS double-correlation over the same fact table
+    (three lineitem roles in one query).
+
+    (The fixture has no l_commitdate/l_receiptdate; l_returnflag='R'
+    stands in for "late" — the sole blamed supplier on a finished
+    multi-supplier order. Same correlated shape, different column.)
+
+    Scale: both correlations are equi-joins on l_orderkey with a
+    suppkey-inequality residual — a LEFT SEMI then a LEFT ANTI over
+    the SAME shuffle key, so Catalyst reuses one exchange of lineitem
+    for l2 and l3; supplier and nation broadcast; top-k is
+    TakeOrderedAndProject."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    n = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l1.l_suppkey == F.col("s_suppkey"))
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "composite_idle_customers",
+    oracle=f"""
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS numcust,
+       ROUND({sql_dsum('c_acctbal')}, 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT {sql_davg('c2.c_acctbal')}
+        FROM customer c2 WHERE c2.c_acctbal > 0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT'
+      )
+GROUP BY c_mktsegment
+""",
+)
+def composite_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global sales opportunity — an uncorrelated
+    scalar AVG subquery (above-average balance) plus a NOT EXISTS
+    anti-join (customers with no urgent order), grouped per segment.
+
+    (No c_phone in the fixture; c_mktsegment carries the grouping and
+    'no urgent order' stands in for 'no order at all', which the
+    fixture's dense FK coverage makes near-empty.)
+
+    Scale: the scalar avg is a 1-row broadcast crossJoin (no eager
+    action at plan build); the anti-join shuffles on custkey with the
+    priority filter pushed to the orders scan."""
+    c = read_table(spark, sf_dir, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("bal_thr")
+    )
+    urgent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("bal_thr"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(dsum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
