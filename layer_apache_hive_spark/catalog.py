@@ -52,10 +52,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table without registering a view (operator-level use).
 
-    ``events.ts`` is nanosecond-precision in the parquet footer; Spark's
-    TimestampType is microsecond, so the session reads it as a nanos
-    long (spark.sql.legacy.parquet.nanosAsLong) and we truncate to µs
-    here — matching DuckDB's ns→µs cast behavior (FIXTURES.md).
+    ``events.ts`` has shipped as either nanosecond int64 (needs
+    spark.sql.legacy.parquet.nanosAsLong + µs truncation) or µs
+    timestamp with isAdjustedToUTC=false (which Spark ≥3.4 infers as
+    TIMESTAMP_NTZ by default — rejected by streaming watermarks). Both
+    are normalized here to plain TimestampType; under the UTC session
+    timezone the wall-clock values match DuckDB's naive read either way.
     """
     # Hive semantics are non-ANSI (CAST('x' AS INT) -> NULL, overflow
     # wraps). session.py sets this for sessions we build, but queries
@@ -68,9 +70,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # build (e.g. a driver harness with default configs, where the
         # ns footer otherwise throws PARQUET_TYPE_ILLEGAL)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # µs-NTZ footers must surface as TIMESTAMP (LTZ), not
+        # TIMESTAMP_NTZ: watermarks reject NTZ event time, and LTZ
+        # under a UTC session is value-identical.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

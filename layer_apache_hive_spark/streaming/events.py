@@ -176,14 +176,18 @@ def _stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
     # ns footer needs the legacy conf (runtime-settable; covers
     # sessions we didn't build). Use the RAW parquet schema (ts
-    # arrives as nanos-long), then normalize to µs below.
+    # arrives as nanos-long or µs-NTZ), then normalize below —
+    # watermarks require plain TIMESTAMP (LTZ), so force non-NTZ
+    # inference and cast any residue.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(src_dir)
-    # parquet file carries ns→long ts under the legacy conf only for
-    # batch reads; normalize defensively if it arrives as bigint.
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
@@ -266,18 +270,22 @@ def _stream_source_parts(spark: SparkSession, sf_dir: str, n_parts: int = 2) -> 
     label = os.path.basename(sf_dir.rstrip("/")) or "sf"
     src_dir = f"/root/repo/.tmp/stream_src_parts/{label}"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if not glob.glob(f"{src_dir}/*.parquet"):
         spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
             n_parts
         ).write.mode("overwrite").parquet(src_dir)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = spark.read.parquet(f"{src_dir}").schema
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
