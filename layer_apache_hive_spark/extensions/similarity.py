@@ -219,6 +219,36 @@ _N_BLOCKS = 8
 # budget. Past it, the block-pair scheme bounds per-task memory.
 _BROADCAST_MAX_VECS = 500_000
 
+# Prefilter slack under the exact threshold. The exact FLOOR-scaled
+# cosine can exceed the BLAS float cosine by at most ~1e-10 relative
+# (floor shrinks the dot but also the norm product); 1e-6 is 4 orders
+# of margin, far below any θ granularity we accept.
+_PREFILTER_EPS = 1e-6
+
+
+def _prefilter_rescore(ea, na, ids_a, mb, nb, ids_b, theta, same_block):
+    """Tile kernel shared by both all-pairs strategies.
+
+    BLAS matmul -> candidate pairs at theta - eps -> exact
+    FLOOR-scaled rescore of candidates only. Returns (pair_a, pair_b,
+    cosine) index-free arrays, pairs canonicalized (min, max)."""
+    import numpy as np
+
+    approx = (ea @ mb.T) / (na[:, None] * nb[None, :])
+    mask = approx >= theta - _PREFILTER_EPS
+    if same_block:
+        mask &= ids_a[:, None] < ids_b[None, :]
+    ra, rb = np.nonzero(mask)
+    if len(ra) == 0:
+        return None
+    dots = np.floor(ea[ra] * mb[rb] * 1e12).astype(np.int64).sum(1) / 1e12
+    cos = dots / (na[ra] * nb[rb])
+    keep = cos >= theta
+    if not keep.any():
+        return None
+    pa, pb = ids_a[ra[keep]], ids_b[rb[keep]]
+    return np.minimum(pa, pb), np.maximum(pa, pb), cos[keep]
+
 
 def _allpairs_cosine(emb: DataFrame, theta: float, force: str | None = None) -> DataFrame:
     """All pairs (vec_a < vec_b, cosine >= theta), exact — two
@@ -240,6 +270,15 @@ def _allpairs_cosine(emb: DataFrame, theta: float, force: str | None = None) -> 
     Both paths use the identical FLOOR-scaled-BIGINT math as the SQL
     oracle (bit-identical values), and the property suite pins
     broadcast == block == single-threaded brute force (`force=`).
+
+    Kernel shape: a BLAS matmul computes true-float cosines for the
+    whole tile, pairs at >= theta - 1e-6 become candidates, and only
+    those are rescored with the exact FLOOR-scaled math that decides
+    membership and supplies the output value. Sound because the
+    floor-scaled dot never exceeds the true dot while floor-scaled
+    norms deflate it by < 1e-10 relative — so every exact-qualifying
+    pair sits above the slack line. Cuts per-tile work from
+    O(rows*n*d) tensor ops to one matmul + O(candidates*d).
     """
     import numpy as np
     import pandas as pd
@@ -296,23 +335,18 @@ def _allpairs_cosine(emb: DataFrame, theta: float, force: str | None = None) -> 
         nb = np.sqrt(np.floor(eb * eb * 1e12).astype(np.int64).sum(1) / 1e12)
 
         out_a, out_b, out_c = [], [], []
-        chunk = max(1, (1 << 22) // max(1, eb.shape[0] * eb.shape[1]))
+        # tile rows so the BLAS result matrix stays ~64 MB
+        chunk = max(1, (1 << 23) // max(1, eb.shape[0]))
         for s in range(0, ea.shape[0], chunk):
             e = min(s + chunk, ea.shape[0])
-            prod = ea[s:e, None, :] * eb[None, :, :]
-            dots = np.floor(prod * 1e12).astype(np.int64).sum(2) / 1e12
-            cos = dots / (na[s:e, None] * nb[None, :])
-            if i == j:
-                mask = (ids_a[s:e, None] < ids_b[None, :]) & (cos >= theta)
-            else:
-                mask = cos >= theta
-            ra, rb = np.nonzero(mask)
-            if len(ra) == 0:
+            hit = _prefilter_rescore(
+                ea[s:e], na[s:e], ids_a[s:e], eb, nb, ids_b, theta, i == j
+            )
+            if hit is None:
                 continue
-            pa, pb = ids_a[s + ra], ids_b[rb]
-            out_a.append(np.minimum(pa, pb))
-            out_b.append(np.maximum(pa, pb))
-            out_c.append(cos[ra, rb])
+            out_a.append(hit[0])
+            out_b.append(hit[1])
+            out_c.append(hit[2])
         if not out_a:
             return empty
         return pd.DataFrame(
@@ -351,21 +385,20 @@ def _allpairs_cosine_broadcast(emb: DataFrame, theta: float) -> DataFrame:
             ea = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             na = np.sqrt(np.floor(ea * ea * 1e12).astype(np.int64).sum(1) / 1e12)
             out_a, out_b, out_c = [], [], []
-            # bound the floor-scaled outer-product tensor to ~32 MB
-            chunk = max(1, (1 << 22) // max(1, mb.shape[0] * mb.shape[1]))
+            # tile rows so the BLAS result matrix stays ~64 MB.
+            # '<' in the kernel births each pair exactly once, on its
+            # lower-id row.
+            chunk = max(1, (1 << 23) // max(1, mb.shape[0]))
             for s in range(0, ea.shape[0], chunk):
                 e = min(s + chunk, ea.shape[0])
-                prod = ea[s:e, None, :] * mb[None, :, :]
-                dots = np.floor(prod * 1e12).astype(np.int64).sum(2) / 1e12
-                cos = dots / (na[s:e, None] * nb[None, :])
-                # '<' births each pair exactly once, on its lower-id row
-                mask = (ids_a[s:e, None] < ids_b[None, :]) & (cos >= theta)
-                ra, rb = np.nonzero(mask)
-                if len(ra) == 0:
+                hit = _prefilter_rescore(
+                    ea[s:e], na[s:e], ids_a[s:e], mb, nb, ids_b, theta, True
+                )
+                if hit is None:
                     continue
-                out_a.append(ids_a[s + ra])
-                out_b.append(ids_b[rb])
-                out_c.append(cos[ra, rb])
+                out_a.append(hit[0])
+                out_b.append(hit[1])
+                out_c.append(hit[2])
             if out_a:
                 yield pd.DataFrame(
                     {
