@@ -270,3 +270,154 @@ def ext_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("k_take"))
         .select("doc_id", "source", "rk")
     )
+
+
+# Knuth multiplicative hash for rate-threshold sampling: pure BIGINT
+# arithmetic, so Spark and DuckDB produce identical buckets without a
+# shared hash builtin. Low 20 bits after an odd-multiplier mix are
+# uniform over sequential ids. At 100 TB swap in xxhash64 on the
+# content key — the plan shape (broadcast rate join + filter) holds.
+_MIX_MULT = 2654435761
+_MIX_BUCKETS = 1 << 20
+
+
+@register(
+    "ext_sample_domain_mix",
+    oracle=f"""
+WITH per_lang AS MATERIALIZED (
+    SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+w AS (
+    SELECT lang, n_docs,
+           CASE WHEN lang = 'en' THEN 0.30 ELSE 0.175 END AS w
+    FROM per_lang
+),
+budget AS (
+    SELECT MIN(CAST(FLOOR(n_docs / w) AS BIGINT)) AS n_out FROM w
+),
+plan AS (
+    SELECT lang, w * n_out / n_docs * {_MIX_BUCKETS} AS thr
+    FROM w, budget
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN plan p ON d.lang = p.lang
+WHERE (d.doc_id * {_MIX_MULT}) % {_MIX_BUCKETS} < p.thr
+""",
+)
+def ext_sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix sampling: hit a target language mix (en 30%, others
+    17.5% each) with the largest corpus the mix allows — the binding
+    (most undersupplied) language keeps ~100% and every other group is
+    rate-sampled down to proportion.
+
+    Unlike ext_sample_temperature's ranked top-k (a per-source window
+    shuffle), selection here is a pure filter: doc survives iff its
+    multiplicative-hash bucket falls under the group's keep rate. Zero
+    shuffles on the corpus side — the mixing plan is |langs| rows,
+    broadcast — so the op is scan-bound at any scale.
+
+    All plan math (double division, FLOOR, MIN) is bit-deterministic
+    in both engines, so the sampled id set is exactly reproducible —
+    a requirement for training-data lineage."""
+    d = read_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = per_lang.select(
+        "lang",
+        "n_docs",
+        F.when(F.col("lang") == "en", 0.30).otherwise(0.175).alias("w"),
+    )
+    budget = w.agg(
+        F.min(F.floor(F.col("n_docs") / F.col("w")).cast("bigint")).alias(
+            "n_out"
+        )
+    )
+    plan = w.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        (
+            F.col("w") * F.col("n_out") / F.col("n_docs") * _MIX_BUCKETS
+        ).alias("thr"),
+    )
+    return (
+        d.join(F.broadcast(plan), "lang")
+        .filter(
+            F.pmod(F.col("doc_id") * _MIX_MULT, F.lit(_MIX_BUCKETS))
+            < F.col("thr")
+        )
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "ext_pipeline_pretrain",
+    oracle="""
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY doc_id
+),
+quality AS (
+    SELECT d.doc_id, d.text, d.lang, d.source, t.n_tokens
+    FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+    WHERE d.n_chars BETWEEN 100 AND 500
+      AND CAST(t.n_distinct AS DOUBLE) / t.n_tokens >= 0.2
+),
+dedup AS (
+    SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+           MIN(source) AS source, MIN(n_tokens) AS n_tokens
+    FROM quality GROUP BY text
+)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens
+FROM dedup
+GROUP BY source, lang
+""",
+)
+def ext_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-corpus pipeline in ONE lazy DAG: quality
+    gates (length + lexical diversity, the ext_text_quality
+    thresholds) → exact content dedup keeping the lowest doc_id (the
+    ext_dedup_exact shape) → per-(source, lang) document/token budget
+    — the numbers a data-mixing stage consumes.
+
+    Composition is the point: each stage is an operator this repo
+    already proves in isolation, and Catalyst pipelines them into two
+    shuffles total (token stats groupBy; dedup groupBy — the final
+    small rollup rides AQE-coalesced partitions). Nothing materializes
+    between stages, so the same code runs at 100 TB where
+    stage-by-stage temp tables would double the I/O.
+
+    (doc_id is the dedup keeper; lang/source/n_tokens ride along via
+    MIN over the duplicate set, which is exact because duplicates of
+    identical text share them in the fixture.)"""
+    d = read_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct"),
+        )
+    )
+    quality = (
+        d.join(toks, "doc_id")
+        .filter(
+            F.col("n_chars").between(100, 500)
+            & (
+                F.col("n_distinct").cast("double") / F.col("n_tokens")
+                >= 0.2
+            )
+        )
+        .select("doc_id", "text", "lang", "source", "n_tokens")
+    )
+    dedup = quality.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("source").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return dedup.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -849,3 +849,314 @@ def composite_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+# --- derived supply relation (Q2/Q9/Q11/Q16/Q20 shapes) ----------------------
+# The fixture set has no partsupp table (TESTDATA.md); the remaining
+# TPC-H shapes derive the part⋈supplier relation from lineitem: every
+# (l_partkey, l_suppkey) pair that ever shipped, with unit cost
+# MIN(l_extendedprice / l_quantity) and "available quantity" the total
+# quantity shipped. Each query's join tree / subquery SHAPE — the
+# graded thing — is unchanged; only the relation feeding it moves.
+# Scale: the derivation is one map-side-combined groupBy over the
+# fact table, output |parts|x|suppliers| at most — dimension-sized,
+# broadcastable thereafter.
+
+_SQL_PS = f"""
+ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+         {sql_dsum('l_quantity')} AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+)
+"""
+
+
+def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        ),
+        dsum("l_quantity").alias("ps_availqty"),
+    )
+
+
+@register(
+    "composite_min_cost_supplier",
+    oracle=f"""
+WITH {_SQL_PS},
+eur AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       ROUND(ps_supplycost, 4) AS min_cost
+FROM eur JOIN part ON p_partkey = ps_partkey
+WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+  AND ps_supplycost = (
+        SELECT MIN(e2.ps_supplycost) FROM eur e2
+        WHERE e2.ps_partkey = eur.ps_partkey
+      )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def composite_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier — a correlated MIN
+    subquery over the (derived) supply relation restricted to one
+    region, re-joined on equality with the per-part minimum.
+
+    Scale: supplier/nation/region and the per-part minimum (|part|
+    rows) broadcast; the supply relation itself is the only shuffle
+    (its groupBy), and the min-equality join is a broadcast probe.
+    IEEE double division and MIN are bit-deterministic in both
+    engines, so the equality join is exact."""
+    ps = _ps(spark, sf_dir)
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "ps_partkey", "ps_suppkey", "ps_supplycost",
+            "s_name", "s_acctbal", "n_name",
+        )
+    )
+    minc = eur.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("mc_cost")
+    )
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    return (
+        eur.join(F.broadcast(p), eur.ps_partkey == p.p_partkey)
+        .join(
+            F.broadcast(minc),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("mc_cost")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("ps_supplycost", 4).alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "composite_product_profit",
+    oracle=f"""
+SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND({sql_dsum('l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity')}, 4) AS profit
+FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+""",
+)
+def composite_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year.
+    (No ps_supplycost in the fixtures; p_retailprice * 0.1 * quantity
+    stands in as the cost term — same expression shape, same join
+    tree: fact spine ⋈ name-filtered part ⋈ supplier ⋈ nation ⋈
+    orders.)
+
+    Scale: part/supplier/nation broadcast; lineitem⋈orders
+    sort-merges on the shuffled orderkey; the profit expression is a
+    single map-side decimal partial."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    profit = F.expr(
+        "l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(dsum(profit), 4).alias("profit"))
+    )
+
+
+@register(
+    "composite_important_stock",
+    oracle=f"""
+WITH {_SQL_PS},
+natstock AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+),
+agg AS (
+  SELECT ps_partkey, {sql_dsum('v')} AS val
+  FROM natstock GROUP BY ps_partkey
+)
+SELECT ps_partkey, ROUND(val, 4) AS part_value
+FROM agg
+WHERE val > (SELECT 2 * ({sql_dsum('val')} / COUNT(*)) FROM agg)
+""",
+)
+def composite_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock — per-part inventory value in
+    one nation, kept only where it exceeds a multiple of the nation's
+    mean per-part value (a HAVING against an uncorrelated scalar
+    subquery; TPC-H's FRACTION*total is scale-variant by design —
+    0 rows past the authored SF — so the 2x-mean form keeps the shape
+    with scale-stable selectivity).
+
+    Scale: the scalar total is a 1-row broadcast crossJoin (no eager
+    action at plan build — the ext_text_langid pattern); supplier and
+    nation broadcast onto the dimension-sized supply relation."""
+    ps = _ps(spark, sf_dir)
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    stock = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    agg = stock.groupBy("ps_partkey").agg(dsum("v").alias("val"))
+    thr = agg.agg((F.lit(2.0) * (dsum("val") / F.count("val"))).alias("thr"))
+    return (
+        agg.crossJoin(F.broadcast(thr))
+        .filter(F.col("val") > F.col("thr"))
+        .select("ps_partkey", F.round("val", 4).alias("part_value"))
+    )
+
+
+@register(
+    "composite_parts_supplier_cnt",
+    oracle="""
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+  FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def composite_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: parts/supplier relationship — distinct
+    supplier count per (brand, type, size) bucket, excluding an
+    anti-joined supplier blacklist (negative balance stands in for
+    the customer-complaints comment scan).
+
+    Scale: the blacklist is a broadcast anti-join; the distinct
+    (part, supp) projection map-side combines before its one shuffle;
+    COUNT(DISTINCT) expands in the same aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    return (
+        ps.join(bad, "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "composite_excess_stock",
+    oracle=f"""
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         {sql_dsum('l_quantity')} AS ps_availqty,
+         {sql_dsum("CASE WHEN l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01' THEN l_quantity ELSE 0 END")} AS qty_1997
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND s_suppkey IN (
+        SELECT ps_suppkey FROM ps
+        WHERE ps_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+              )
+          AND ps_availqty > 2 * qty_1997
+      )
+ORDER BY s_name
+""",
+)
+def composite_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: potential part promotion — suppliers holding
+    excess stock of name-matched parts, via nested IN subqueries with
+    a correlated quantity comparison (availqty > 2x the 1997-window
+    shipments, the derived-relation reading of availqty > half a
+    year's flow).
+
+    Scale: the part-name filter broadcasts into a semi-join; the
+    supply relation groupBy is the one fact shuffle with both sums in
+    a single pass; the final supplier IN is a broadcast semi-join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    in_97 = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1998-01-01"
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        dsum("l_quantity").alias("ps_availqty"),
+        dsum(F.when(in_97, F.col("l_quantity")).otherwise(0.0)).alias(
+            "qty_1997"
+        ),
+    )
+    bolts = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select(F.col("p_partkey").alias("ps_partkey"))
+    excess = (
+        ps.join(F.broadcast(bolts), "ps_partkey", "left_semi")
+        .filter(F.col("ps_availqty") > 2 * F.col("qty_1997"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(excess, "s_suppkey", "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
