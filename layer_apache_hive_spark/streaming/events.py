@@ -225,11 +225,26 @@ def _run_stream(df, query_name: str, spark: SparkSession) -> DataFrame:
     return spark.table(query_name)
 
 
-@register("evt_stream_tumbling", oracle=None)
+@register(
+    "evt_stream_tumbling",
+    oracle=f"""
+SELECT
+  strftime(make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300000000),
+           '{_SQL_TS_FMT}') AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
 def evt_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The evt_tumbling_window aggregation running as a real
     Structured Streaming query (file source → watermark → windowed
-    agg → memory sink). Rows-only; its batch twin is the value gate.
+    agg → memory sink). Value-checked against the batch twin's
+    oracle: the source is one file ⇒ one availableNow micro-batch ⇒
+    the watermark cannot drop anything, so complete-mode output is
+    exactly the batch aggregate.
     """
     src = _stream_source(spark, sf_dir)
     agg = (
@@ -249,10 +264,20 @@ def evt_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(agg, "stream_tumbling", spark)
 
 
-@register("evt_stream_dedup", oracle=None)
+@register(
+    "evt_stream_dedup",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
+FROM events
+GROUP BY event_type
+""",
+)
 def evt_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming stateful dedup with a watermark bounding state
-    (dropDuplicatesWithinWatermark pattern)."""
+    (dropDuplicatesWithinWatermark pattern). Value-checked: in the
+    single availableNow micro-batch every first occurrence of a
+    (user_id, event_type) key survives and every later one drops, so
+    the per-type row count equals COUNT(DISTINCT user_id)."""
     src = _stream_source(spark, sf_dir)
     deduped = (
         src.withWatermark("ts", "10 minutes")
@@ -514,17 +539,28 @@ def evt_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("evt_stream_stream_join", oracle=None)
+@register(
+    "evt_stream_stream_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+FROM events c JOIN events v
+  ON v.user_id = c.user_id
+ AND v.ts >= c.ts - INTERVAL 10 MINUTE
+ AND v.ts <= c.ts
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+""",
+)
 def evt_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval self-join: for each 'click' event, find
     'view' events by the same user in the preceding 10 minutes —
     both sides watermarked so the state store can evict rows older
     than the join window (unbounded state otherwise).
 
-    Rows-only: the join itself is deterministic, but it exists to
-    exercise the watermarked dual-state-store machinery end to end.
-    At 100 TB state is partitioned by user_id across executors and
-    bounded by watermark horizon x event rate.
+    Value-checked against the equivalent batch interval join: both
+    sides arrive in the one availableNow micro-batch, so the inner
+    join emits every match before any watermark eviction. At 100 TB
+    state is partitioned by user_id across executors and bounded by
+    watermark horizon x event rate.
     """
     a = _stream_source(spark, sf_dir)
     b = _stream_source(spark, sf_dir)

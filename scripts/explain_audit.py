@@ -38,6 +38,11 @@ _NL_OK = {
     # range join against a 21-row broadcast recursive CTE: the scan
     # side never shuffles; NL against a handful of rows is the plan
     "query_recursive_cte",
+    # uncorrelated-scalar-subquery shape: crossJoin against a
+    # broadcast 1-row aggregate (threshold / budget). BNLJ against
+    # one row is the wanted plan — it replaces an eager collect()
+    "composite_idle_customers", "composite_important_stock",
+    "ext_sample_domain_mix", "ext_sample_temperature",
 }
 
 
