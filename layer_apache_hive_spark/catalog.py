@@ -65,6 +65,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # with default configs, where PySpark 4 defaults ANSI on). It is a
     # runtime conf, so set it at read time like nanosAsLong below.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # Timestamp rendering (date_format, window boundaries, year())
+    # follows the session timezone; the DuckDB oracle reads the same
+    # parquet naively. Pin UTC at read time so a session we didn't
+    # build (driver harness inheriting a non-UTC machine tz) can't
+    # shift every rendered timestamp off the oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # runtime-settable, so this also covers sessions we didn't
         # build (e.g. a driver harness with default configs, where the

@@ -51,6 +51,24 @@ def test_expr_cast_survives_ansi_session(spark):
     assert all(r["roundtrip_key"] == r["o_orderkey"] for r in rows)
 
 
+def test_timestamps_survive_non_utc_session(spark):
+    """Timestamp rendering must pin to UTC even when the calling
+    session carries a machine-local timezone (a driver harness that
+    never set spark.sql.session.timeZone): read_table re-pins it, so
+    window boundaries and date_format stay on the DuckDB oracle."""
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = _REGISTRY["evt_tumbling_window"].fn(spark, SF_DIR)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        row = df.orderBy("window_start").first()
+        # UTC rendering: bucket strings end on a :00/:05 5-min boundary
+        assert row["window_start"][-2:] == "00"
+        assert int(row["window_start"][14:16]) % 5 == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+
+
 def test_verify_jaccard_join_path_matches_broadcast_path(spark, monkeypatch):
     """The distributed join-form verify (the 100 TB path) must produce
     exactly the pairs of the python-broadcast fast path."""
