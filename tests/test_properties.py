@@ -338,3 +338,36 @@ def test_quantize_reconstruction_error_bound(spark):
         # quantization is up to 1e-9 larger: |q| <= 128 amplifies that
         # to 1.28e-7 of extra reconstruction slack
         assert np.all(np.abs(x - qv * scale) <= scale + 1.3e-7)
+
+
+def test_domain_mix_hits_target_proportions(spark):
+    """ext_sample_domain_mix: the achieved language shares must sit
+    within hash-noise tolerance of the declared mix (en 30%, others
+    17.5%), and the binding language keeps ~its whole corpus."""
+    from collections import Counter
+
+    from layer_apache_hive_spark.catalog import read_table
+    from layer_apache_hive_spark.extensions.training import (
+        ext_sample_domain_mix,
+    )
+
+    rows = ext_sample_domain_mix(spark, SF_DIR).collect()
+    got = Counter(r["lang"] for r in rows)
+    n_out = sum(got.values())
+    assert n_out > 0
+    target = {lang: (0.30 if lang == "en" else 0.175) for lang in got}
+    for lang, cnt in got.items():
+        share = cnt / n_out
+        # multiplicative-hash thresholding is Bernoulli-ish per doc:
+        # allow 4 sigma + 2% absolute slack at test corpus sizes
+        import math
+
+        tol = 4 * math.sqrt(target[lang] / n_out) + 0.02
+        assert abs(share - target[lang]) <= tol, (lang, share, target[lang])
+    # nothing sampled beyond a group's corpus
+    have = Counter(
+        r["lang"]
+        for r in read_table(spark, SF_DIR, "documents").select("lang").collect()
+    )
+    for lang, cnt in got.items():
+        assert cnt <= have[lang]
