@@ -304,3 +304,82 @@ def join_mapjoin_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+# Salt fan-out for the manual skew-join demo. At 100 TB pick
+# S ≈ hot-key rows / target-partition rows; 16 splits the hot key
+# across 16 tasks at a 16x replication of the (tiny) dim side.
+_SALT = 16
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey % 50 END AS skew_key,
+         l_extendedprice, l_discount
+  FROM lineitem
+),
+dim AS (
+  SELECT range AS skew_key, 1.0 + range / 100.0 AS rate
+  FROM range(50)
+)
+SELECT f.skew_key,
+       COUNT(*) AS n_lines,
+       {{dsum}} AS adj_revenue
+FROM fact f JOIN dim d ON f.skew_key = d.skew_key
+GROUP BY f.skew_key
+""".format(dsum="CAST(SUM(CAST((f.l_extendedprice * (1 - f.l_discount) * d.rate) AS DECIMAL(38,6))) AS DOUBLE)"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual salt-based skew join — the technique for when AQE can't
+    help (e.g. the dim side must shuffle anyway, or a stateful op
+    pins partitioning). ~80% of fact rows share skew_key 0; a plain
+    shuffle join lands them in ONE task. Salting splits the hot key:
+    fact gets salt = pmod(l_orderkey, S), the dim side is exploded
+    xS, and the join key becomes (skew_key, salt) — the hot key's
+    rows spread across S tasks, at the cost of replicating the (tiny)
+    dim side S times.
+
+    The oracle is the UNSALTED join: salting must be a pure physical
+    rewrite, invisible in the result. (AQE skew-split stays on in
+    session.py for the plans Spark can fix alone; this query proves
+    the manual rewrite gives identical values.)
+    """
+    from layer_apache_hive_spark.functions.numeric import dsum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.pmod("l_orderkey", F.lit(10)) < 8, 0)
+        .otherwise(F.pmod("l_orderkey", F.lit(50)))
+        .cast("long")
+        .alias("skew_key"),
+        F.pmod("l_orderkey", F.lit(_SALT)).cast("int").alias("salt"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    dim = (
+        spark.range(50)
+        .select(
+            F.col("id").alias("skew_key"),
+            (F.lit(1.0) + F.col("id") / 100.0).alias("rate"),
+        )
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    adj = F.expr("l_extendedprice * (1 - l_discount)") * F.col("rate")
+    # pin a SHUFFLE join: broadcasting the dim would bypass the
+    # shuffle entirely (no skew to fix) — the demo models the case
+    # where the dim side is too big to broadcast
+    return (
+        fact.join(dim.hint("shuffle_hash"), ["skew_key", "salt"])
+        .groupBy("skew_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            # scale 6: price(2dp) x (1-discount)(2dp) x rate(2dp) is
+            # exactly 6 decimals, so the decimal cast never lands on a
+            # rounding tie (Spark HALF_UP vs DuckDB half-even diverge
+            # at scale 4, where .xxxx50 ties are common)
+            dsum(adj, scale=6).alias("adj_revenue"),
+        )
+    )

@@ -54,3 +54,50 @@ def test_mapjoin_hint_broadcasts(spark):
     df = _REGISTRY["join_mapjoin_hint"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_skew_salt_spreads_hot_key_across_tasks(spark):
+    """join_skew_salted: the pre-aggregation join must distribute the
+    hot key's rows over many tasks — the whole point of salting. We
+    rebuild the salted join (pre-groupBy) and count distinct
+    partition ids carrying skew_key 0."""
+    from pyspark.sql import functions as F
+
+    from layer_apache_hive_spark.catalog import read_table
+    from layer_apache_hive_spark.operators.joins import _SALT
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    fact = li.select(
+        F.when(F.pmod("l_orderkey", F.lit(10)) < 8, 0)
+        .otherwise(F.pmod("l_orderkey", F.lit(50)))
+        .cast("long")
+        .alias("skew_key"),
+        F.pmod("l_orderkey", F.lit(_SALT)).cast("int").alias("salt"),
+    )
+    dim = (
+        spark.range(50)
+        .select(F.col("id").alias("skew_key"))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    joined = fact.join(dim.hint("shuffle_hash"), ["skew_key", "salt"]).filter(
+        F.col("skew_key") == 0
+    )
+    # AQE's post-shuffle coalescing folds the tiny test shuffle into
+    # one partition and would mask the salt spread it exists to show
+    saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        n_parts = (
+            joined.withColumn("pid", F.spark_partition_id())
+            .select("pid")
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", saved
+        )
+    # all 16 salt values occur (l_orderkey is dense), so the hot key
+    # must span >1 task; typically ~_SALT modulo AQE coalescing
+    assert n_parts > 1, f"hot key rode in {n_parts} partition(s)"
