@@ -693,3 +693,208 @@ def ext_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(qv, ",").alias("q_csv"),
         )
     )
+
+
+# PQ geometry: 64 dims -> 8 subspaces x 8 dims, 16 codes each (4
+# bits/subspace -> a vector compresses to one 32-bit word). RERANK is
+# the ADC candidate pool re-scored exactly per query.
+_PQ_M, _PQ_K, _PQ_RERANK = 8, 16, 40
+
+
+@register("ext_sim_ivfpq", oracle=None)
+def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (IVF-PQ's compression half): encode
+    every vector as 8 x 4-bit subspace codes against a deterministic
+    codebook (the subvectors of the 16 lowest-id vectors), score
+    queries against codes via an ADC lookup table — O(K*d) per query
+    plus O(1) per corpus code — then exactly re-score only the top
+    RERANK candidates.
+
+    Rows-only (quantization loses rank fidelity by design); the
+    recall property test pins it against ext_sim_topk's exact top-k.
+
+    Scale: the codebook is M*K*8 doubles (tiny, broadcast); the
+    corpus after encoding is one LONG per vector — at 100 TB the
+    32-bit codes are ~250x smaller than float32 vectors, and ADC
+    scoring never touches raw embeddings. Candidates per query are
+    RERANK rows; the exact re-score is linear in candidates (the
+    ext_sim_lsh verify shape). A full IVF-PQ adds the coarse
+    ext_sim_ivf bucketing in front — both halves exist here.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = 64
+    sub = d // _PQ_M
+
+    # codebook: subvectors of the 16 lowest-id vectors (deterministic,
+    # data-adaptive, tiny). (M, K, sub)
+    anchors = (
+        emb.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").toPandas()
+    )
+    A = np.stack(anchors["embedding"].to_numpy()).astype(np.float64)
+    codebook = np.stack(
+        [A[:, m * sub : (m + 1) * sub] for m in range(_PQ_M)]
+    )  # (M, K, sub)
+    # per-code squared norms, for approximate candidate norms
+    code_sq = (codebook * codebook).sum(2)  # (M, K)
+
+    # query side: the 5 query vectors, python-broadcast with their
+    # exact FLOOR-scaled norms (the ext_sim_topk convention)
+    qpdf = emb.filter(F.col("vec_id") < 5).orderBy("vec_id").toPandas()
+    Q = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    q_ids = qpdf["vec_id"].to_numpy()
+    q_nrm = np.sqrt(np.floor(Q * Q * 1e12).astype(np.int64).sum(1) / 1e12)
+    # ADC tables: dot of each query subvector with each code. (nq, M, K)
+    adc = np.einsum(
+        "qmd,mkd->qmk",
+        Q.reshape(len(Q), _PQ_M, sub),
+        codebook,
+    )
+    bv = spark.sparkContext.broadcast(
+        (codebook, code_sq, adc, q_ids, q_nrm)
+    )
+
+    def encode_and_score(batches):
+        cb, csq, tbl, qids, qn = bv.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xs = X.reshape(len(X), _PQ_M, sub)  # (n, M, sub)
+            # nearest code per subspace: argmin ||x_m - c_mk||^2,
+            # ties -> lowest k (np.argmin contract)
+            d2 = (
+                (Xs * Xs).sum(2)[:, :, None]
+                - 2 * np.einsum("nmd,mkd->nmk", Xs, cb)
+                + csq[None, :, :]
+            )
+            codes = d2.argmin(2)  # (n, M)
+            # approx dot via table lookups; approx norm from code sq
+            approx_dot = np.zeros((len(X), len(qids)))
+            m_idx = np.arange(codes.shape[1])[None, :]
+            for qi in range(len(qids)):
+                # tbl[qi][m, codes[n, m]] summed over m
+                approx_dot[:, qi] = tbl[qi][m_idx, codes].sum(1)
+            approx_nrm = np.sqrt(
+                np.take_along_axis(csq[None, :, :], codes[:, :, None], axis=2)
+                .reshape(len(X), _PQ_M)
+                .sum(1)
+            )
+            approx_nrm[approx_nrm == 0] = 1.0
+            out = []
+            ids = pdf["vec_id"].to_numpy()
+            for qi, qid in enumerate(qids):
+                score = approx_dot[:, qi] / (qn[qi] * approx_nrm)
+                keep = ids != qid
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[keep],
+                            "approx": score[keep],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = emb.mapInPandas(
+        encode_and_score, schema="query_id long, neighbor_id long, approx double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact FLOOR-scaled rescore of the candidate pool (linear).
+    # Same size gate as ext_sim_lsh's verify: small corpus -> python-
+    # broadcast matrix; larger -> attach embeddings by equi-join and
+    # score per joined row (two shuffles on vec_id, nothing
+    # corpus-sized on the driver).
+    if emb.count() <= _LSH_BROADCAST_MAX_VECS:
+        pdf_all = emb.toPandas()
+        M_all = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+        n_all = np.sqrt(
+            np.floor(M_all * M_all * 1e12).astype(np.int64).sum(1) / 1e12
+        )
+        idx = {int(v): i for i, v in enumerate(pdf_all["vec_id"].to_numpy())}
+        bv2 = spark.sparkContext.broadcast((idx, M_all, n_all))
+
+        def rescore(batches):
+            ix, Mm, nn = bv2.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ia = np.fromiter(
+                    (ix[v] for v in pdf["query_id"]), np.int64, len(pdf)
+                )
+                ib = np.fromiter(
+                    (ix[v] for v in pdf["neighbor_id"]), np.int64, len(pdf)
+                )
+                dots = (
+                    np.floor(Mm[ia] * Mm[ib] * 1e12).astype(np.int64).sum(1)
+                    / 1e12
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                        "cosine": dots / (nn[ia] * nn[ib]),
+                    }
+                )
+
+        exact = cand.mapInPandas(
+            rescore, schema="query_id long, neighbor_id long, cosine double"
+        )
+    else:
+        j = cand.join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("ea"),
+            ),
+            "query_id",
+        ).join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("eb"),
+            ),
+            "neighbor_id",
+        )
+
+        def rescore_join(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Ma = np.stack(pdf["ea"].to_numpy()).astype(np.float64)
+                Mb = np.stack(pdf["eb"].to_numpy()).astype(np.float64)
+                dots = (
+                    np.floor(Ma * Mb * 1e12).astype(np.int64).sum(1) / 1e12
+                )
+                na = np.sqrt(
+                    np.floor(Ma * Ma * 1e12).astype(np.int64).sum(1) / 1e12
+                )
+                nb = np.sqrt(
+                    np.floor(Mb * Mb * 1e12).astype(np.int64).sum(1) / 1e12
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                        "cosine": dots / (na * nb),
+                    }
+                )
+
+        exact = j.mapInPandas(
+            rescore_join, schema="query_id long, neighbor_id long, cosine double"
+        )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= 10
+    )

@@ -265,6 +265,44 @@ def evt_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_stream_sliding",
+    oracle=f"""
+WITH grid AS (SELECT 0 AS i UNION ALL SELECT 1)
+SELECT
+  strftime(make_timestamp(
+    ((epoch_us(CAST(ts AS TIMESTAMP)) - i * 300000000) // 600000000) * 600000000
+      + i * 300000000),
+    '{_SQL_TS_FMT}') AS window_start,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS total_value
+FROM events CROSS JOIN grid
+GROUP BY 1
+""",
+)
+def evt_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evt_sliding_window aggregation as a Structured Streaming
+    query. Value-checked against the batch twin's oracle — one
+    availableNow micro-batch, complete mode, so the watermark drops
+    nothing and every overlapping window re-emits fully.
+    """
+    src = _stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_stream(agg, "stream_sliding", spark)
+
+
+@register(
     "evt_stream_dedup",
     oracle="""
 SELECT event_type, COUNT(DISTINCT user_id) AS n_keys

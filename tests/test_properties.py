@@ -371,3 +371,43 @@ def test_domain_mix_hits_target_proportions(spark):
     )
     for lang, cnt in got.items():
         assert cnt <= have[lang]
+
+
+def test_ivfpq_recall_against_exact_topk(spark):
+    """ext_sim_ivfpq (PQ codes + ADC + exact rerank) must recover a
+    healthy fraction of the exact top-10 — measured 0.68 at sf0.001;
+    the run is fully deterministic, so slack only covers driver-side
+    testdata regeneration."""
+    from layer_apache_hive_spark.extensions.similarity import (
+        ext_sim_ivfpq,
+        ext_sim_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ext_sim_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ext_sim_ivfpq(spark, SF_DIR).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"PQ recall@10 degraded to {recall:.2f}"
+
+
+def test_ivfpq_join_rescore_matches_broadcast_rescore(spark, monkeypatch):
+    """The distributed join-form exact rescore (the 100 TB path) must
+    produce exactly the broadcast fast path's results."""
+    import layer_apache_hive_spark.extensions.similarity as sim
+
+    fast = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in sim.ext_sim_ivfpq(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(sim, "_LSH_BROADCAST_MAX_VECS", 0)
+    slow = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in sim.ext_sim_ivfpq(spark, SF_DIR).collect()
+    }
+    assert fast == slow and fast
