@@ -531,6 +531,73 @@ def evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_asof_join_forward",
+    oracle=f"""
+WITH clicks AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id,
+       c.user_id,
+       strftime(c.cts, '{_SQL_TS_FMT}.%f') AS click_ts,
+       strftime(p.pts, '{_SQL_TS_FMT}.%f') AS next_purchase_ts
+FROM clicks c ASOF JOIN purch p
+  ON c.user_id = p.user_id AND c.cts <= p.pts
+""",
+)
+def evt_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click matched to the user's NEXT
+    purchase at-or-after it (conversion attribution looking ahead).
+
+    Same one-shuffle union+window plan as evt_asof_join, run in
+    reverse: order ts DESC per user, carry the last purchase
+    timestamp seen (i.e. the earliest at-or-after). Ties at the same
+    µs order the purchase first, matching ASOF's <= semantics.
+    Oracle: DuckDB's native ASOF JOIN with <=.
+    """
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_c"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_c"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("purchase_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "is_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fmt = _TS_FMT + ".SSSSSS"
+    return (
+        purchases.unionByName(clicks)
+        .withColumn(
+            "next_purchase_ts", F.last("purchase_ts", ignorenulls=True).over(w)
+        )
+        .filter((F.col("is_c") == 1) & F.col("next_purchase_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("click_ts"),
+            F.date_format("next_purchase_ts", fmt).alias("next_purchase_ts"),
+        )
+    )
+
+
+@register(
     "evt_stream_static_join",
     oracle="""
 SELECT n.n_name,
