@@ -455,6 +455,22 @@ def ext_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding arrays onto the pair table instead (shuffle form).
 _LSH_BROADCAST_MAX_VECS = 500_000
 
+# Corpus row count per sf_dir, for the broadcast-vs-distributed size
+# gates. Cached so plan builders (ext_sim_lsh, ext_sim_ivfpq) don't
+# each fire an extra count job over the corpus at DataFrame-build time
+# — the repo convention is "no eager action at plan build", and the
+# gate only needs an order-of-magnitude figure that cannot change
+# within a run.
+_CORPUS_SIZE_CACHE: dict[str, int] = {}
+
+
+def _corpus_size(spark: SparkSession, sf_dir: str) -> int:
+    n = _CORPUS_SIZE_CACHE.get(sf_dir)
+    if n is None:
+        n = read_table(spark, sf_dir, "embeddings").count()
+        _CORPUS_SIZE_CACHE[sf_dir] = n
+    return n
+
 
 @register("ext_sim_lsh", oracle=None)
 def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,7 +543,7 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots = np.floor(ea * eb * 1e12).astype(np.int64).sum(1) / 1e12
         return dots / (nrm[ia] * nrm[ib])
 
-    n_vecs = emb.count()
+    n_vecs = _corpus_size(spark, sf_dir)
     if n_vecs <= _LSH_BROADCAST_MAX_VECS:
         # broadcast the (small) embedding matrix; Arrow then carries
         # only skinny pairs into the verify stage
@@ -728,12 +744,14 @@ def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = 64
     sub = d // _PQ_M
 
+    # One plan-build scan covers both driver-side inputs: the codebook
+    # anchors (vec_id < _PQ_K) and the query vectors (vec_id < 5 ⊂
+    # anchors) — previously two separate toPandas() jobs.
+    head = emb.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").toPandas()
+
     # codebook: subvectors of the 16 lowest-id vectors (deterministic,
     # data-adaptive, tiny). (M, K, sub)
-    anchors = (
-        emb.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").toPandas()
-    )
-    A = np.stack(anchors["embedding"].to_numpy()).astype(np.float64)
+    A = np.stack(head["embedding"].to_numpy()).astype(np.float64)
     codebook = np.stack(
         [A[:, m * sub : (m + 1) * sub] for m in range(_PQ_M)]
     )  # (M, K, sub)
@@ -742,7 +760,7 @@ def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # query side: the 5 query vectors, python-broadcast with their
     # exact FLOOR-scaled norms (the ext_sim_topk convention)
-    qpdf = emb.filter(F.col("vec_id") < 5).orderBy("vec_id").toPandas()
+    qpdf = head[head["vec_id"] < 5]
     Q = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
     q_ids = qpdf["vec_id"].to_numpy()
     q_nrm = np.sqrt(np.floor(Q * Q * 1e12).astype(np.int64).sum(1) / 1e12)
@@ -816,7 +834,7 @@ def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast matrix; larger -> attach embeddings by equi-join and
     # score per joined row (two shuffles on vec_id, nothing
     # corpus-sized on the driver).
-    if emb.count() <= _LSH_BROADCAST_MAX_VECS:
+    if _corpus_size(spark, sf_dir) <= _LSH_BROADCAST_MAX_VECS:
         pdf_all = emb.toPandas()
         M_all = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
         n_all = np.sqrt(

@@ -1006,12 +1006,12 @@ natstock AS (
   WHERE n_name = 'NATION_1'
 ),
 agg AS (
-  SELECT ps_partkey, {sql_dsum('v')} AS val
+  SELECT ps_partkey, {sql_dsum('v', scale=7)} AS val
   FROM natstock GROUP BY ps_partkey
 )
 SELECT ps_partkey, ROUND(val, 4) AS part_value
 FROM agg
-WHERE val > (SELECT 2 * ({sql_dsum('val')} / COUNT(*)) FROM agg)
+WHERE val > (SELECT 2 * ({sql_dsum('val', scale=7)} / COUNT(*)) FROM agg)
 """,
 )
 def composite_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,8 +1038,15 @@ def composite_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
         )
     )
-    agg = stock.groupBy("ps_partkey").agg(dsum("v").alias("val"))
-    thr = agg.agg((F.lit(2.0) * (dsum("val") / F.count("val"))).alias("thr"))
+    # scale=7, not the default 4: ps_supplycost = MIN(price/qty) is an
+    # exact dyadic with up to 7 decimal digits (2 from price + 5 from
+    # qty≤50 ⇒ /32), and v = cost*availqty keeps them — at scale 4
+    # exact x.xxxx5 values land on the HALF_UP-vs-half-even cross-engine
+    # rounding tie (the join_skew_salted hazard).
+    agg = stock.groupBy("ps_partkey").agg(dsum("v", scale=7).alias("val"))
+    thr = agg.agg(
+        (F.lit(2.0) * (dsum("val", scale=7) / F.count("val"))).alias("thr")
+    )
     return (
         agg.crossJoin(F.broadcast(thr))
         .filter(F.col("val") > F.col("thr"))

@@ -166,6 +166,18 @@ def evt_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Structured Streaming mirrors (rows-only: SURVEY §2.10) -----------------
 
 
+def _pin_stream_confs(spark: SparkSession) -> None:
+    """The same driver-session pins read_table (catalog.py:73) applies
+    for batch, for streaming reads: ns-int64 footers need nanosAsLong;
+    µs-NTZ footers must infer as LTZ (watermarks reject NTZ event
+    time); and window_start rendering (date_format) follows the
+    session timezone, so a harness inheriting a non-UTC machine tz
+    would shift every rendered bucket off the naive-UTC DuckDB oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def _stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over a .tmp copy of events.parquet (file source needs
     a directory it can list; /root/testdata stays untouched)."""
@@ -174,13 +186,9 @@ def _stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not glob.glob(f"{src_dir}/*.parquet"):
         os.makedirs(src_dir, exist_ok=True)
         shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    # ns footer needs the legacy conf (runtime-settable; covers
-    # sessions we didn't build). Use the RAW parquet schema (ts
-    # arrives as nanos-long or µs-NTZ), then normalize below —
-    # watermarks require plain TIMESTAMP (LTZ), so force non-NTZ
-    # inference and cast any residue.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Use the RAW parquet schema (ts arrives as nanos-long or µs-NTZ),
+    # then normalize below.
+    _pin_stream_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(src_dir)
     ts_type = dict(raw.dtypes).get("ts")
@@ -332,8 +340,7 @@ def _stream_source_parts(spark: SparkSession, sf_dir: str, n_parts: int = 2) -> 
     advances between batches, not within one."""
     label = os.path.basename(sf_dir.rstrip("/")) or "sf"
     src_dir = f"/root/repo/.tmp/stream_src_parts/{label}"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _pin_stream_confs(spark)
     if not glob.glob(f"{src_dir}/*.parquet"):
         spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
             n_parts

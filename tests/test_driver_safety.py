@@ -69,6 +69,29 @@ def test_timestamps_survive_non_utc_session(spark):
         spark.conf.set("spark.sql.session.timeZone", saved)
 
 
+def test_streaming_timestamps_survive_non_utc_session(spark):
+    """Same exposure for the streaming path: _stream_source must re-pin
+    UTC itself (it bypasses read_table), or evt_stream_tumbling's
+    date_format-rendered window_start shifts off the naive-UTC oracle
+    under a driver harness inheriting a machine timezone."""
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        batch = {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in _REGISTRY["evt_tumbling_window"].fn(spark, SF_DIR).collect()
+        }
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        stream = {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in _REGISTRY["evt_stream_tumbling"].fn(spark, SF_DIR).collect()
+        }
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert stream == batch and stream
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+
+
 def test_verify_jaccard_join_path_matches_broadcast_path(spark, monkeypatch):
     """The distributed join-form verify (the 100 TB path) must produce
     exactly the pairs of the python-broadcast fast path."""
