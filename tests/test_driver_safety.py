@@ -92,6 +92,45 @@ def test_streaming_timestamps_survive_non_utc_session(spark):
         spark.conf.set("spark.sql.session.timeZone", saved)
 
 
+def test_vanilla_driver_session_subprocess():
+    """Run the historically at-risk ids under a truly driver-identical
+    session: vanilla default-conf builder, ANSI left at its PySpark 4
+    on-default, hostile non-UTC timezone. The in-process test session
+    carries the repo factory's pins, so real isolation needs a fresh
+    JVM — scripts/verify_driver_session.py in a subprocess. (Full-
+    registry runs of the same script produce the committed
+    CORRECTNESS_driver_session.json.)"""
+    import subprocess
+    import sys
+
+    ids = [
+        "expr_cast",
+        "evt_tumbling_window",
+        "evt_stream_tumbling",
+        "evt_watermark_late",
+        "ext_text_langid",
+        "ext_multimodal_cols",
+    ]
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "scripts/verify_driver_session.py",
+            "--sf-dir",
+            SF_DIR,
+            *ids,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, (
+        f"driver-identical session run failed:\n{proc.stdout[-3000:]}\n"
+        f"{proc.stderr[-1500:]}"
+    )
+    assert "ALL OK" in proc.stdout
+
+
 def test_verify_jaccard_join_path_matches_broadcast_path(spark, monkeypatch):
     """The distributed join-form verify (the 100 TB path) must produce
     exactly the pairs of the python-broadcast fast path."""
