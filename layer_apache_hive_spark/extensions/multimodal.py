@@ -76,6 +76,66 @@ def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_multimodal_cols",
+    oracle="""
+SELECT d.doc_id,
+       octet_length(encode(d.text)) AS payload_bytes,
+       d.lang AS meta_lang,
+       CAST(d.n_chars % 640 AS INTEGER) AS meta_width,
+       len(e.embedding) AS emb_dim,
+       CAST(list_sum(list_transform(
+           e.embedding,
+           x -> CAST(FLOOR(ABS(CAST(x AS DOUBLE)) * 1e12) AS BIGINT)
+       )) AS DOUBLE) / 1e12 AS emb_l1
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def ext_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema contract for a full multimodal relation (SURVEY §2.11
+    ``ext_multimodal_cols``): binary payload + typed StructType
+    metadata + embedding array<float> side by side in ONE relation —
+    the row layout a multimodal training shard actually carries.
+
+    The relation is built with all three column kinds, then projected
+    to scalar invariants of each (the driver canonicalizer cannot sort
+    complex cells): payload byte length, struct fields, embedding
+    dimension and its FLOOR-scaled L1 norm (the similarity.py
+    decimal-dot convention, so the value is bit-identical in DuckDB).
+
+    Scale: one equi-join documents⋈embeddings on the id — at 100 TB
+    both sides bucket/partition by doc_id so the join co-locates;
+    payload bytes never leave the scan (only lengths are projected).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    rel = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            F.col("text").cast("binary").alias("payload"),
+            F.struct(
+                F.col("lang").alias("lang"),
+                (F.col("n_chars") % 640).cast("int").alias("width"),
+            ).alias("meta"),
+            "embedding",
+        )
+    )
+    l1 = F.expr(
+        "CAST(aggregate(embedding, CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + CAST(FLOOR(ABS(CAST(x AS DOUBLE)) * 1e12) "
+        "AS BIGINT)) AS DOUBLE) / 1e12"
+    )
+    return rel.select(
+        "doc_id",
+        F.length("payload").alias("payload_bytes"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.width").alias("meta_width"),
+        F.size("embedding").alias("emb_dim"),
+        l1.alias("emb_l1"),
+    )
+
+
 def _decode_media(payload: bytes, width: int, height: int) -> list[float]:
     """Feature-extract a media payload.
 

@@ -178,6 +178,17 @@ def _pin_stream_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """events.ts physical-type normalization (ns-int64 or µs-NTZ →
+    plain TIMESTAMP), shared by both stream sources and tests."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over a .tmp copy of events.parquet (file source needs
     a directory it can list; /root/testdata stays untouched)."""
@@ -191,12 +202,7 @@ def _stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_stream_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(src_dir)
-    ts_type = dict(raw.dtypes).get("ts")
-    if ts_type == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return _normalize_ts(raw)
 
 
 @contextmanager
@@ -351,12 +357,7 @@ def _stream_source_parts(spark: SparkSession, sf_dir: str, n_parts: int = 2) -> 
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    ts_type = dict(raw.dtypes).get("ts")
-    if ts_type == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return _normalize_ts(raw)
 
 
 @register("evt_watermark_late", oracle=None)
@@ -395,45 +396,73 @@ def evt_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_wm_late")
 
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _gap_merge(intervals: list, gap_us: int = _SESSION_GAP_US) -> list:
+    """Merge a start-sorted ``[start, last, cnt]`` interval list,
+    joining neighbors whose inter-interval gap is <= gap_us."""
+    out: list = []
+    for s, last, c in intervals:
+        if out and s - out[-1][1] <= gap_us:
+            if last > out[-1][1]:
+                out[-1][1] = last
+            out[-1][2] += c
+        else:
+            out.append([s, last, c])
+    return out
+
+
+def _fold_chunk_us(ts_us, gap_us: int = _SESSION_GAP_US) -> list:
+    """Sessionize ONE chunk of epoch-µs stamps into ``[start, last,
+    cnt]`` intervals — vectorized (sort + diff), O(chunk) memory."""
+    import numpy as np
+
+    ts = np.sort(np.asarray(ts_us, dtype=np.int64))
+    if not len(ts):
+        return []
+    brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
+    idx = np.concatenate(([0], brk, [len(ts)]))
+    return [
+        [int(ts[a]), int(ts[b - 1]), int(b - a)]
+        for a, b in zip(idx[:-1], idx[1:])
+    ]
+
+
 @register("evt_sessionize_state", oracle=None)
 def evt_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful sessionization via applyInPandasWithState
     (SURVEY §2.10, N/A in Hive — Spark's replacement for custom
     stateful UDAF/Storm-style logic).
 
-    Per user_id: order events by time, close a session when the gap
-    exceeds 30 minutes. Completed sessions are emitted as they close;
-    the still-open session rides in GroupState between micro-batches
-    (state size bounded by one (start, last_ts, count) per live user —
-    the 100 TB posture is keys×constant, never events×anything).
+    Per user_id: close a session when the gap exceeds 30 minutes.
+    Completed sessions are emitted as they close; the still-open
+    session rides in GroupState between micro-batches (state size
+    bounded by one (start, last_ts, count) per live user — the 100 TB
+    posture is keys×constant, never events×anything).
+
+    Memory bound: each Arrow chunk is folded to session intervals
+    independently (_fold_chunk_us, O(chunk)), then gap-merged into a
+    running interval list (_gap_merge, O(sessions)) — a hot user with
+    millions of events in a batch peaks at one Arrow chunk + its
+    session list, never the user's full event history in one Python
+    list (pinned by test_sessionize_fold_bounded_million_event_user).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_us = 30 * 60 * 1_000_000
-
     def sessionize(key, pdfs, state: GroupState):
         (user_id,) = key
-        ts_all = []
+        intervals = [list(state.get)] if state.exists else []
         for pdf in pdfs:
-            ts_all.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
-        ts_all.sort()
-        if state.exists:
-            start, last, cnt = state.get
-        else:
-            start = last = cnt = None
-        out = []
-        for t in ts_all:
-            if start is None:
-                start, last, cnt = t, t, 1
-            elif t - last > gap_us:
-                out.append((user_id, start, last, cnt))
-                start, last, cnt = t, t, 1
-            else:
-                last, cnt = t, cnt + 1
-        state.update((start, last, cnt))
+            ts_us = pd.to_datetime(pdf["ts"]).astype("int64").to_numpy() // 1000
+            intervals = _gap_merge(sorted(intervals + _fold_chunk_us(ts_us)))
+        closed = intervals[:-1]
+        if intervals:
+            state.update(tuple(intervals[-1]))
         yield pd.DataFrame(
-            out, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
+            [(user_id, s, last, c) for s, last, c in closed],
+            columns=["user_id", "session_start_us", "session_end_us", "n_events"],
         )
 
     src = _stream_source_parts(spark, sf_dir)

@@ -411,3 +411,93 @@ def test_ivfpq_join_rescore_matches_broadcast_rescore(spark, monkeypatch):
         for r in sim.ext_sim_ivfpq(spark, SF_DIR).collect()
     }
     assert fast == slow and fast
+
+
+def test_sessionize_fold_bounded_million_event_user():
+    """The stateful sessionizer's fold must survive a million-event
+    hot user delivered as many unsorted Arrow-sized chunks: each chunk
+    folds to intervals independently and the running list stays
+    O(sessions), so the exact session set comes out regardless of
+    delivery order — without ever holding all events in one list."""
+    import numpy as np
+
+    from layer_apache_hive_spark.streaming.events import (
+        _SESSION_GAP_US,
+        _fold_chunk_us,
+        _gap_merge,
+    )
+
+    n_sessions, per_session = 10, 100_000
+    sec = 1_000_000
+    starts = np.arange(n_sessions, dtype=np.int64) * (
+        per_session * sec + 2 * _SESSION_GAP_US
+    )
+    ts = (starts[:, None] + np.arange(per_session, dtype=np.int64) * sec).ravel()
+    rng = np.random.RandomState(7)
+    rng.shuffle(ts)
+
+    intervals: list = []
+    for chunk in np.array_split(ts, 100):
+        intervals = _gap_merge(sorted(intervals + _fold_chunk_us(chunk)))
+
+    assert [tuple(iv) for iv in intervals] == [
+        (int(s), int(s + (per_session - 1) * sec), per_session) for s in starts
+    ]
+
+
+def test_sessionize_state_matches_per_batch_fold(spark):
+    """evt_sessionize_state value check: simulate its exact semantics
+    batch-by-batch (each source file = one micro-batch; per batch,
+    fold state + batch events into gap-merged intervals, emit all but
+    the open trailing one, carry it forward) and require the streaming
+    output to equal the simulation under one of the two possible
+    file-processing orders."""
+    import datetime
+    import glob as globmod
+    import os
+    from collections import defaultdict
+
+    import layer_apache_hive_spark.streaming.events as ev
+
+    def to_us(dt):
+        return int(
+            dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+        )
+
+    got = {
+        (
+            r["user_id"],
+            to_us(r["session_start"]),
+            to_us(r["session_end"]),
+            r["n_events"],
+        )
+        for r in ev.evt_sessionize_state(spark, SF_DIR).collect()
+    }
+
+    label = os.path.basename(SF_DIR.rstrip("/"))
+    files = sorted(
+        globmod.glob(f"/root/repo/.tmp/stream_src_parts/{label}/*.parquet")
+    )
+    assert len(files) == 2
+    per_file: list[dict] = []
+    for f in files:
+        by_user = defaultdict(list)
+        ev._pin_stream_confs(spark)
+        for r in ev._normalize_ts(spark.read.parquet(f)).select(
+            "user_id", "ts"
+        ).collect():
+            by_user[r["user_id"]].append(to_us(r["ts"]))
+        per_file.append(by_user)
+
+    def simulate(order):
+        emitted, state = set(), {}
+        for by_user in order:
+            for u, ts in by_user.items():
+                iv = [list(state[u])] if u in state else []
+                iv = ev._gap_merge(sorted(iv + ev._fold_chunk_us(ts)))
+                emitted |= {(u, s, last, c) for s, last, c in iv[:-1]}
+                state[u] = iv[-1]
+        return emitted
+
+    candidates = [simulate(per_file), simulate(per_file[::-1])]
+    assert got in candidates and got
