@@ -56,17 +56,22 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_label(SF_DIR),
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+    }
+    print(json.dumps(payload))
+    # The driver records only a bounded tail of stdout, which truncates
+    # the per-query map once the registry is large; full runs also
+    # write the complete payload in-repo (git history keeps one per
+    # round) so cross-round regression diffs cover every query.
+    if not only:
+        with open("/root/repo/BENCH_local.json", "w") as fh:
+            json.dump(payload, fh, indent=2, sort_keys=True)
+            fh.write("\n")
     spark.stop()
 
 

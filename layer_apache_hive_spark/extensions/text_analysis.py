@@ -205,15 +205,61 @@ def ext_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_text_langid", oracle=None)
+@register(
+    "ext_text_langid",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+lang_tok AS (SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+lang_tot AS (SELECT lang, SUM(cnt) AS tot FROM lang_tok GROUP BY 1),
+glob_tok AS (SELECT token, COUNT(*) AS gcnt FROM toks GROUP BY 1),
+glob_tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS gtot FROM toks),
+rel AS (
+  SELECT lt.lang, lt.token,
+         (CAST(lt.cnt AS DOUBLE) / CAST(ltot.tot AS DOUBLE))
+           / (CAST(gt.gcnt AS DOUBLE) / g.gtot) AS lift
+  FROM lang_tok lt
+  JOIN lang_tot ltot ON lt.lang = ltot.lang
+  JOIN glob_tok gt ON lt.token = gt.token
+  CROSS JOIN glob_tot g
+),
+profiles AS (
+  SELECT lang, token, lift
+  FROM rel
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY lift DESC, token) <= 10
+),
+scored AS (
+  SELECT t.doc_id, p.lang AS cand_lang,
+         SUM(CAST(FLOOR(p.lift * 1e9) AS BIGINT)) AS score
+  FROM toks t JOIN profiles p ON t.token = p.token
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT doc_id, cand_lang
+  FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, cand_lang) = 1
+)
+SELECT p.doc_id, p.cand_lang AS predicted_lang, d.lang AS actual_lang,
+       p.cand_lang = d.lang AS correct
+FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+""",
+)
 def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: score each doc against per-language token
     profiles learned from the corpus itself (top-10 most
     over-represented tokens per lang), predict the argmax.
 
-    Rows-only: the profile learning makes a SQL twin impractically
-    large, and the labels are synthetic anyway — tests assert the
-    mechanism (prediction coverage + determinism), not accuracy.
+    Engine-portable scoring: lift = (cnt/tot)/(gcnt/gtot) is two IEEE
+    divisions on integer-valued doubles — bit-identical in any engine —
+    and the doc score accumulates FLOOR(lift*1e9) as BIGINT (the
+    similarity.py convention: FLOOR has no rounding ties, integer sum
+    is order-independent), so the argmax and the full oracle SQL twin
+    match exactly. A log-sum score would hang the argmax on libm's
+    last-ulp behavior, which IS engine-specific.
+
     Scale: profiles are vocabulary-sized → broadcast; scoring is one
     explode + broadcast join + groupBy.
     """
@@ -244,7 +290,9 @@ def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
         )
         .groupBy("doc_id", "cand_lang")
-        .agg(F.sum(F.log("lift")).alias("score"))
+        .agg(
+            F.sum(F.floor(F.col("lift") * 1e9).cast("bigint")).alias("score")
+        )
     )
     w2 = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
     pred = scored.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") == 1)

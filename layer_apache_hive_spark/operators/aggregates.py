@@ -378,24 +378,57 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_ndv", oracle=None)
+@register(
+    "agg_approx_ndv",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orderkey,
+       COUNT(DISTINCT l_partkey) AS exact_partkey,
+       TRUE AS ndv_orderkey_in_bound,
+       TRUE AS ndv_partkey_in_bound
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counts via HyperLogLog++
-    (approx_count_distinct) next to the exact counts — Hive's ndv /
-    compute_stats sketch analog, and the cardinality-estimation
-    primitive a 100 TB pipeline uses where exact COUNT(DISTINCT)'s
-    shuffle is unaffordable.
+    (approx_count_distinct) — Hive's ndv / compute_stats sketch
+    analog, and the cardinality-estimation primitive a 100 TB pipeline
+    uses where exact COUNT(DISTINCT)'s shuffle is unaffordable.
 
-    Rows-only: sketch estimates are engine-specific.
-    tests/test_oracle_parity.py::test_approx_ndv_error bounds the
-    relative error against separately-computed exact counts. (Do NOT
-    mix countDistinct into this agg: exact+approx distinct in one
-    GROUP BY forces an Expand multi-phase plan, measured 30x slower.)
+    Derived oracle: raw HLL estimates are engine-specific, so the
+    query emits the exact counts plus in-error-bound booleans for the
+    estimates (documented 2% rsd, 4x headroom for small groups); the
+    oracle checks the counts and expects every bound flag TRUE. The
+    estimate magnitudes themselves are additionally bounded by
+    tests/test_oracle_parity.py::test_approx_ndv_error. The approx and
+    exact aggregations run as separate groupBys joined at the end —
+    mixing approx and exact distinct in ONE agg forces an Expand
+    multi-phase plan, measured 30x slower.
     """
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("ndv_orderkey"),
         F.approx_count_distinct("l_partkey", 0.02).alias("ndv_partkey"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orderkey"),
+        F.countDistinct("l_partkey").alias("exact_partkey"),
+    )
+
+    def in_bound(est, ex):
+        return F.abs(F.col(est) - F.col(ex)) <= F.greatest(
+            F.lit(0.08) * F.col(ex), F.lit(2.0)
+        )
+
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orderkey",
+        "exact_partkey",
+        in_bound("ndv_orderkey", "exact_orderkey").alias(
+            "ndv_orderkey_in_bound"
+        ),
+        in_bound("ndv_partkey", "exact_partkey").alias("ndv_partkey_in_bound"),
     )
 
 

@@ -1,0 +1,70 @@
+"""Physical-plan red-flag audit (the SURVEY §4 scale posture, made
+mechanical).
+
+Flags the three plan shapes that silently kill a 100 TB run:
+  - CartesianProduct / BroadcastNestedLoopJoin outside the whitelist
+    of queries where a nested-loop against a tiny broadcast side IS
+    the declared design;
+  - BatchEvalPython — a row-at-a-time Python UDF in the plan (all
+    Python kernels here must be Arrow-batched pandas_udf/mapInPandas);
+  - a global range-partitioned Sort that is not a top-k
+    (TakeOrderedAndProject) and not a declared ORDER BY query.
+
+Used by scripts/explain_audit.py (ad-hoc, verbose) and
+tests/test_explain_audit.py (regression gate over every registered
+query).
+"""
+
+from __future__ import annotations
+
+import re
+
+# Queries where a nested-loop/cartesian shape is the declared design
+# (exact-gate all-pairs kernels, literal cross join, theta join,
+# broadcast 1-row totals).
+NL_OK = {
+    "join_cross", "join_theta", "ext_dedup_embedding", "ext_sim_join",
+    "ext_sim_topk", "ext_text_tfidf", "ext_text_unigram_lm",
+    "ext_text_langid", "ext_dedup_near", "ext_dedup_minhash",
+    "ext_sim_lsh", "ext_sim_ivf",
+    # range join against a 21-row broadcast recursive CTE: the scan
+    # side never shuffles; NL against a handful of rows is the plan
+    "query_recursive_cte",
+    # uncorrelated-scalar-subquery shape: crossJoin against a
+    # broadcast 1-row aggregate (threshold / budget). BNLJ against
+    # one row is the wanted plan — it replaces an eager collect()
+    "composite_idle_customers", "composite_important_stock",
+    "ext_sample_domain_mix", "ext_sample_temperature",
+}
+
+# Queries whose contract IS a global ordered result.
+GLOBAL_SORT_OK = {"sort_order_by", "sort_cluster_by"}
+
+
+def explain_formatted(spark, df) -> str:
+    """The .explain("formatted") text, captured instead of printed."""
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def audit(qid: str, plan: str) -> list[str]:
+    """Return red-flag descriptions for one query's physical plan."""
+    flags = []
+    if qid not in NL_OK and re.search(
+        r"CartesianProduct|BroadcastNestedLoopJoin", plan
+    ):
+        flags.append("nested-loop join")
+    if "BatchEvalPython" in plan:
+        flags.append("row-at-a-time Python UDF")
+    # a Sort that is global (Exchange rangepartitioning right below)
+    # and not part of TakeOrderedAndProject
+    if (
+        re.search(r"Exchange rangepartitioning", plan)
+        and not re.search(r"TakeOrderedAndProject", plan)
+        and qid not in GLOBAL_SORT_OK
+    ):
+        flags.append("global sort (range exchange) without top-k")
+    return flags

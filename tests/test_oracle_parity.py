@@ -59,24 +59,31 @@ def test_bucket_smb_plan_is_exchange_free(spark):
 
 def test_approx_ndv_error(spark):
     """HLL++ estimates must stay within the configured 2% rsd (allow
-    4x headroom for small-cardinality groups)."""
+    4x headroom for small-cardinality groups). The registered query
+    emits this as in-bound booleans (its derived oracle expects TRUE);
+    this test re-derives the bound from raw estimates independently so
+    a broken bound expression can't vacuously pass."""
     from pyspark.sql import functions as F
     from layer_apache_hive_spark.catalog import read_table
 
     q = _REGISTRY["agg_approx_ndv"]
-    approx = {r["l_returnflag"]: r for r in q.fn(spark, SF_DIR).collect()}
-    exact = {
+    rows = {r["l_returnflag"]: r for r in q.fn(spark, SF_DIR).collect()}
+    assert rows
+    for row in rows.values():
+        assert row["ndv_orderkey_in_bound"] and row["ndv_partkey_in_bound"]
+
+    approx = {
         r["l_returnflag"]: r
         for r in read_table(spark, SF_DIR, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_orderkey").alias("exact_orderkey"),
-            F.countDistinct("l_partkey").alias("exact_partkey"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("ndv_orderkey"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("ndv_partkey"),
         )
         .collect()
     }
-    assert approx.keys() == exact.keys()
+    assert approx.keys() == rows.keys()
     for flag, row in approx.items():
         for col in ("orderkey", "partkey"):
-            e, a = exact[flag][f"exact_{col}"], row[f"ndv_{col}"]
+            e, a = rows[flag][f"exact_{col}"], row[f"ndv_{col}"]
             assert abs(a - e) <= max(0.08 * e, 2)
