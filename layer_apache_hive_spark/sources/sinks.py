@@ -232,3 +232,136 @@ def sink_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lo").alias("tier"), "o_orderkey", "o_totalprice"
     )
     return hi.unionByName(lo)
+
+
+def _acid_seed(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """(Re)seed a partitioned copy-on-write target table from orders.
+
+    Partitioned by o_orderpriority (5 values) so row-level UPDATE /
+    DELETE below can demonstrate the real COW shape: only the touched
+    partition directory is rewritten, the other four are untouched
+    bytes. Reseeded every call so the query is idempotent under
+    repeated runs in one session."""
+    path = _sink_dir(sf_dir, kind)
+    (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .repartition("o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    return path
+
+
+class _dynamic_overwrite:
+    """Scope spark.sql.sources.partitionOverwriteMode=dynamic: with it,
+    ``mode("overwrite").partitionBy(...)`` replaces ONLY the partition
+    directories present in the written data — Hive's
+    ``INSERT OVERWRITE ... PARTITION`` semantics, and the mechanism
+    that keeps a 100 TB COW update from rewriting the whole table."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.saved)
+
+
+@register(
+    "sink_update",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+            THEN o_totalprice + 100000.0 ELSE o_totalprice END AS o_totalprice,
+       o_orderpriority
+FROM orders
+""",
+)
+def sink_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE emulated copy-on-write (Hive ACID ``UPDATE``
+    without a transactional format — SURVEY §2.1's declared gap,
+    closed by emulation like sink_merge does for MERGE).
+
+    ``UPDATE t SET o_totalprice = o_totalprice + 100000
+      WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0``
+
+    COW mechanics, the way Hive-on-parquet / Iceberg COW actually do
+    it: (1) partition pruning narrows the read-modify-write to the one
+    touched partition ('1-URGENT'); (2) the rewritten rows are
+    materialized (localCheckpoint) BEFORE the overwrite so the job
+    never reads the directory it is replacing; (3) dynamic partition
+    overwrite swaps just that directory. The other 4 partitions are
+    not read, not rewritten. Returned result is the read-back of the
+    whole table, so the oracle checks the post-UPDATE table state.
+    The +100000.0 double add is order-free IEEE math — bit-identical
+    across engines (no rounding tie hazard)."""
+    path = _acid_seed(spark, sf_dir, "acid_update")
+    touched = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 100000.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .localCheckpoint()
+    )
+    with _dynamic_overwrite(spark):
+        (
+            touched.repartition("o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+    return spark.read.parquet(path).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "sink_delete",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE NOT (o_orderpriority = '5-LOW' AND o_totalprice < 50000)
+""",
+)
+def sink_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE emulated copy-on-write (Hive ACID ``DELETE``):
+
+    ``DELETE FROM t WHERE o_orderpriority = '5-LOW'
+      AND o_totalprice < 50000``
+
+    Same COW shape as sink_update: prune to the one touched partition,
+    materialize survivors, dynamic-overwrite that directory only.
+    Edge the emulation does NOT cover (a transactional format would):
+    deleting EVERY row of a partition — an empty dynamic overwrite
+    replaces nothing, so a full-partition delete needs an explicit
+    directory drop; the predicate here always leaves survivors, and a
+    100 TB deployment should pair this with ALTER TABLE DROP PARTITION
+    for the all-rows case. Result = post-DELETE table state."""
+    path = _acid_seed(spark, sf_dir, "acid_delete")
+    survivors = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderpriority") == "5-LOW")
+        .filter(~(F.col("o_totalprice") < 50000))
+        .localCheckpoint()
+    )
+    with _dynamic_overwrite(spark):
+        (
+            survivors.repartition("o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+    return spark.read.parquet(path).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
