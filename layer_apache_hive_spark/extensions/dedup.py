@@ -57,12 +57,19 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh): exploded distinct word-3-gram shingles per doc
     (docs with ≥3 tokens only), persisted per scale factor.
 
-    ``sh`` is the xxhash64 of the shingle string, not the string: the
-    persist is two int64 columns (~4x smaller than strings) and every
-    downstream groupBy/join shuffles fixed-width longs. Set semantics
-    are preserved up to a ~2^-64-per-pair collision — negligible even
-    at 100 TB shingle volumes (same argument as MinHash itself).
+    ``sh`` is a PORTABLE 60-bit hash of the shingle string — the top
+    15 hex chars of its md5, i.e. exactly
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`` in DuckDB —
+    not the string itself: the persist is two int64 columns (~4x
+    smaller than strings) and every downstream groupBy/join shuffles
+    fixed-width longs. Set semantics are preserved up to a
+    ~2^-60-per-pair collision — negligible even at 100 TB shingle
+    volumes (same argument as MinHash itself). Portability is what
+    lets ext_dedup_minhash/simhash derive their signatures from ``sh``
+    and still carry exact cross-engine value oracles.
     """
+    import hashlib
+
     import pandas as pd
 
     key, cached = _cache_get(spark, sf_dir, "sh")
@@ -72,6 +79,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def gen(batches):
+        md5 = hashlib.md5
         for pdf in batches:
             ids, shs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -82,14 +90,15 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
                 ):
                     ids.append(doc_id)
-                    shs.append(s)
-            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "sh": shs})
+                    shs.append(int(md5(s.encode()).hexdigest()[:15], 16))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "sh": pd.array(shs, dtype="int64"),
+                }
+            )
 
-    sh = (
-        d.mapInPandas(gen, schema="doc_id long, sh string")
-        .select("doc_id", F.xxhash64("sh").alias("sh"))
-        .persist()
-    )
+    sh = d.mapInPandas(gen, schema="doc_id long, sh long").persist()
     _SH_CACHE[key] = sh
     return sh
 
@@ -261,13 +270,9 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Exact ground truth via an inverted-index join (explode shingles,
-# count co-occurrences per pair, attach set sizes): equivalent to the
-# all-pairs list_intersect form — a pair with zero shared shingles
-# can't reach any τ > 0 — but ~15x faster in DuckDB, which keeps the
-# driver's per-entry correctness budget small.
-_NEAR_ORACLE = f"""
-WITH d AS MATERIALIZED (
+# Shared oracle prologue: per-doc distinct word-3-gram shingle lists
+# (d) and their exploded form (ex) — the DuckDB twin of _shingled.
+_SHINGLE_CTES = """d AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(sp) - 1),
            i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])) AS s
@@ -275,7 +280,15 @@ WITH d AS MATERIALIZED (
   WHERE len(sp) >= 3
 ), ex AS MATERIALIZED (
   SELECT doc_id, unnest(s) AS sh FROM d
-), co AS (
+)"""
+
+# Exact ground truth via an inverted-index join (explode shingles,
+# count co-occurrences per pair, attach set sizes): equivalent to the
+# all-pairs list_intersect form — a pair with zero shared shingles
+# can't reach any τ > 0 — but ~15x faster in DuckDB, which keeps the
+# driver's per-entry correctness budget small.
+_NEAR_ORACLE = f"""
+WITH {_SHINGLE_CTES}, co AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
   FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
@@ -377,33 +390,99 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-@register("ext_dedup_minhash", oracle=None)
+# Seeded universal-hash family for MinHash: h_i(x) = (a_i·x + c_i)
+# mod p over the 31-bit reduction of the portable shingle hash. The
+# constants are fixed at import from a pinned RNG seed, so signatures
+# are deterministic AND the oracle SQL below (built from the same
+# constants) computes bit-identical values in DuckDB.
+_MINHASH_N, _MINHASH_BANDS = 16, 4
+_MERSENNE_P = 2147483647  # 2^31 - 1
+_B31 = 2147483648  # 2^31
+
+def _minhash_seeds() -> list:
+    import random
+
+    rng = random.Random(20260814)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(_MINHASH_N)
+    ]
+
+
+_MINHASH_SEEDS = _minhash_seeds()
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLE_CTES}, base AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % {_B31} AS b31
+  FROM ex
+), seeds(i, a, c) AS (
+  VALUES {', '.join(f'({i}, {a}, {c})' for i, (a, c) in enumerate(_MINHASH_SEEDS))}
+), mins AS (
+  SELECT doc_id, i, MIN((a * b31 + c) % {_MERSENNE_P}) AS h
+  FROM base CROSS JOIN seeds GROUP BY doc_id, i
+), bandkeys AS (
+  SELECT doc_id,
+         (i // {_MINHASH_N // _MINHASH_BANDS})::VARCHAR || '-' ||
+           string_agg(h::VARCHAR, '-' ORDER BY i) AS band_key
+  FROM mins GROUP BY doc_id, i // {_MINHASH_N // _MINHASH_BANDS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkeys a JOIN bandkeys b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+), co AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.doc_a
+  JOIN ex eb ON eb.doc_id = c.doc_b AND ea.sh = eb.sh
+  GROUP BY 1, 2
+), sized AS (
+  SELECT co.doc_a, co.doc_b, co.i, len(da.s) AS la, len(db.s) AS lb
+  FROM co JOIN d da ON da.doc_id = co.doc_a JOIN d db ON db.doc_id = co.doc_b
+)
+SELECT doc_a, doc_b, i::DOUBLE / (la + lb - i) AS jaccard
+FROM sized
+WHERE i::DOUBLE / (la + lb - i) >= {_TAU}
+"""
+
+
+@register("ext_dedup_minhash", oracle=_MINHASH_ORACLE)
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup: shingle → 16 minhashes → 4 bands
     of 4 → band-key self-join → exact Jaccard verify.
 
-    Rows-only: banding is probabilistic (recall < 1 by design) and
-    xxhash64 is engine-specific. This is the 100 TB path — candidate
-    volume is driven by band collisions, independent of corpus² —
-    while ext_dedup_near is the exact gate at oracle scale.
+    This is the 100 TB path — candidate volume is driven by band
+    collisions, independent of corpus² — while ext_dedup_near is the
+    exact (full-recall) gate. Banding recall stays probabilistic in
+    design, but the hash family is seeded and portable (md5-derived
+    base, (a·x+c) mod 2^31-1 mixing), so the ENTIRE pipeline —
+    signatures, band keys, candidate set, verified Jaccard — is
+    deterministic and value-checked against the DuckDB twin above.
     """
-    n_hashes, bands = 16, 4
-    rows_per_band = n_hashes // bands
+    rows_per_band = _MINHASH_N // _MINHASH_BANDS
 
     sh = _shingled(spark, sf_dir)
 
-    # signature: min over shingles of xxhash64(shingle, seed_i)
-    minhashes = sh.groupBy("doc_id").agg(
+    minhashes = sh.withColumn("b31", F.col("sh") % F.lit(_B31)).groupBy(
+        "doc_id"
+    ).agg(
         *[
-            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-            for i in range(n_hashes)
+            F.min((F.lit(a) * F.col("b31") + F.lit(c)) % F.lit(_MERSENNE_P)).alias(
+                f"h{i}"
+            )
+            for i, (a, c) in enumerate(_MINHASH_SEEDS)
         ]
     )
     band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        F.concat_ws(
+            "-",
+            F.lit(str(b)),
+            *[
+                F.col(f"h{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
         ).alias(f"band{b}")
-        for b in range(bands)
+        for b in range(_MINHASH_BANDS)
     ]
     banded = minhashes.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
@@ -417,23 +496,55 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verified = _verify_jaccard(cand, spark, sf_dir)
     return verified.filter(F.col("jaccard") >= _TAU).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+        "doc_a", "doc_b", "jaccard"
     )
 
 
-@register("ext_dedup_simhash", oracle=None)
+_SIMHASH_BITS, _SIMHASH_BLOCKS = 60, 4
+_SIMHASH_BLOCK_BITS = _SIMHASH_BITS // _SIMHASH_BLOCKS  # 15
+_SIMHASH_BLOCK_MASK = (1 << _SIMHASH_BLOCK_BITS) - 1  # 32767
+
+_SIMHASH_ORACLE = f"""
+WITH {_SHINGLE_CTES}, base AS (
+  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+  FROM ex
+), votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM base CROSS JOIN (SELECT unnest(range({_SIMHASH_BITS})) AS b) bits
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+), blocks AS (
+  SELECT doc_id, simhash, bn,
+         (simhash >> ({_SIMHASH_BLOCK_BITS} * bn)) & {_SIMHASH_BLOCK_MASK} AS bv
+  FROM sig CROSS JOIN (SELECT unnest(range({_SIMHASH_BLOCKS})) AS bn) bs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM blocks a
+  JOIN blocks b ON a.bn = b.bn AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming_dist
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+@register("ext_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature; pairs at hamming ≤ 3 found
-    by pigeonhole banding (4×16-bit blocks: ≤3 differing bits ⇒ at
+    """SimHash near-dup: 60-bit signature; pairs at hamming ≤ 3 found
+    by pigeonhole banding (4×15-bit blocks: ≤3 differing bits ⇒ at
     least one block identical — complete for the hamming radius).
 
-    Rows-only (engine-specific hashing). Signature = sign-aggregate of
-    per-token hash bits, the classic Charikar construction.
+    Signature = sign-aggregate of per-feature hash bits, the classic
+    Charikar construction, over the PORTABLE 60-bit shingle hash from
+    _shingled — so signatures, candidate blocks and hamming distances
+    are engine-independent and value-checked against the DuckDB twin.
     """
-    radius_blocks = 4
     sh = _shingled(spark, sf_dir)
-    # sh is already the shingle's xxhash64 (see _shingled) — use it
-    # directly as the per-feature hash
     h = sh.select("doc_id", F.col("sh").alias("h"))
     # per-bit vote: +1 if bit set else -1; signature bit = vote > 0
     bit_votes = h.groupBy("doc_id").agg(
@@ -441,7 +552,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(_SIMHASH_BITS)
         ]
     )
     sig = bit_votes.select(
@@ -451,7 +562,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
                 ).otherwise(F.lit(0).cast("long"))
-                for i in range(64)
+                for i in range(_SIMHASH_BITS)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
@@ -462,8 +573,11 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.expr(f"(simhash >> {16 * b}) & 65535")
-                    for b in range(radius_blocks)
+                    F.expr(
+                        f"(simhash >> {_SIMHASH_BLOCK_BITS * b})"
+                        f" & {_SIMHASH_BLOCK_MASK}"
+                    )
+                    for b in range(_SIMHASH_BLOCKS)
                 ]
             )
         ).alias("block_no", "block_val"),
@@ -482,7 +596,7 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.filter(hamming <= 3).select(
-        "doc_a", "doc_b", hamming.alias("hamming_dist")
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming_dist")
     )
 
 

@@ -177,14 +177,35 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-@register("ext_multimodal_decode", oracle=None)
+@register(
+    "ext_multimodal_decode",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         len(text) AS n,
+         CAST(list_sum(list_transform(range(1, len(text) + 1),
+              i -> ord(text[i]))) AS BIGINT) AS bytesum
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE) AS feat_len,
+       CAST(bytesum % 256 AS DOUBLE) AS feat_bytemod,
+       bytesum::DOUBLE / (CASE WHEN n = 0 THEN 1 ELSE n END) AS feat_bytemean,
+       CAST(((n_chars % 640) * (n_chars % 480)) % 1000 AS DOUBLE) AS feat_dims
+FROM b
+""",
+)
 def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode / feature-extract over binary payloads via mapInPandas.
 
-    Rows-only: the fake decoder is Python-side by design (the real one
-    would be too — that is the point of the mapInPandas shape). The
-    repartition(8, doc_id) spreads variable-size payloads; at 100 TB
-    partition count comes from data size / 128MB, not a literal.
+    The decoder runs Python-side by design (a real codec would too —
+    that is the point of the mapInPandas shape); because the fake
+    decode is pure byte arithmetic and the fixture payloads are ASCII
+    (probed: octet_length == len at every sf), the whole pipeline is
+    value-checked against a DuckDB byte-arithmetic twin rather than
+    rows-only. The repartition(8, doc_id) spreads variable-size
+    payloads; at 100 TB partition count comes from data size / 128MB,
+    not a literal.
     """
     d = read_table(spark, sf_dir, "documents")
     src = d.select(
@@ -330,7 +351,37 @@ def _fake_embed(payloads) -> "np.ndarray":
     return out / nrm
 
 
-@register("ext_multimodal_embed", oracle=None)
+_EMBED_ORACLE = (
+    """
+WITH ex AS (
+  SELECT doc_id, ord(text[CAST(i AS INT)]) // 32 AS k
+  FROM documents, LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i)
+), hist AS (
+  SELECT doc_id, k, COUNT(*)::DOUBLE AS c FROM ex GROUP BY doc_id, k
+), vec AS (
+  SELECT d.doc_id, g.k, COALESCE(h.c, 0) AS v
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(8)) AS k) g
+  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.k = g.k
+), nrm AS (
+  SELECT doc_id,
+         CASE WHEN sqrt(SUM(v * v)) = 0 THEN 1 ELSE sqrt(SUM(v * v)) END AS nv
+  FROM vec GROUP BY doc_id
+)
+SELECT v.doc_id,
+"""
+    + ",\n".join(
+        f"       MAX(CASE WHEN v.k = {k} THEN v.v / n.nv END) AS emb_{k}"
+        for k in range(8)
+    )
+    + """
+FROM vec v JOIN nrm n ON n.doc_id = v.doc_id
+GROUP BY v.doc_id
+"""
+)
+
+
+@register("ext_multimodal_embed", oracle=_EMBED_ORACLE)
 def ext_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched model inference over media payloads — the
     embed-everything pass of a multimodal training pipeline.
@@ -339,9 +390,13 @@ def ext_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _INFER_BATCH rows per model call so accelerator memory stays
     bounded regardless of Arrow batch sizing. The "model" is a
     deterministic fake (byte-histogram projection, see _fake_embed) —
-    the real one is a drop-in at the same call site. Rows-only check;
-    tests/test_properties.py pins batch-size invariance (results must
-    not depend on the chunking) and determinism.
+    the real one is a drop-in at the same call site. Value-checked
+    against a DuckDB twin: histogram counts are exact integers, the
+    squared-norm is an exact integer < 2^53, and IEEE sqrt/division
+    are correctly rounded in both engines, so the normalized vectors
+    are bit-identical. tests/test_properties.py additionally pins
+    batch-size invariance (results must not depend on the chunking)
+    and determinism.
 
     At 100 TB: payloads never leave executors, one Python worker per
     core streams chunks, and `repartition` upstream balances variable

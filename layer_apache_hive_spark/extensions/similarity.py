@@ -472,7 +472,88 @@ def _corpus_size(spark: SparkSession, sf_dir: str) -> int:
     return n
 
 
-@register("ext_sim_lsh", oracle=None)
+_LSH_BANDS, _LSH_BITS = 24, 6
+_LSH_DIM = 64
+_LSH_PLANE_RANGE = 2001  # weights uniform in [-1000, 1000]
+
+
+def _lsh_plane_weight(j: int, d: int) -> int:
+    """Portable pseudo-random hyperplane component: derived from
+    md5(f"{j}-{d}") exactly as DuckDB's
+    ``CAST('0x' || substr(md5(j || '-' || d), 1, 15) AS BIGINT)`` —
+    the same construction as the dedup shingle hash, so the plane
+    matrix is bit-identical across engines with no literal tables."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{j}-{d}".encode()).hexdigest()[:15], 16)
+    return (h % _LSH_PLANE_RANGE) - 1000
+
+
+def _lsh_planes():
+    import numpy as np
+
+    return np.array(
+        [
+            [_lsh_plane_weight(j, d) for d in range(_LSH_DIM)]
+            for j in range(_LSH_BANDS * _LSH_BITS)
+        ],
+        dtype=np.int64,
+    )
+
+
+_LSH_ORACLE = f"""
+WITH {{norms}},
+se AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS sv
+  FROM embeddings
+), grid AS (
+  SELECT j.j, d.d,
+         (CAST('0x' || substr(md5(j.j::VARCHAR || '-' || d.d::VARCHAR), 1, 15)
+               AS BIGINT) % {_LSH_PLANE_RANGE}) - 1000 AS w
+  FROM (SELECT unnest(range({_LSH_BANDS * _LSH_BITS})) AS j) j
+  CROSS JOIN (SELECT unnest(range({_LSH_DIM})) AS d) d
+), planes AS (
+  SELECT j, list(w ORDER BY d) AS pw FROM grid GROUP BY j
+), dotsgn AS (
+  SELECT se.vec_id, p.j,
+         CASE WHEN list_sum(list_transform(range(1, {_LSH_DIM + 1}),
+              i -> pw[CAST(i AS INT)] * sv[CAST(i AS INT)])) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM se CROSS JOIN planes p
+), keys AS (
+  SELECT vec_id, j // {_LSH_BITS} AS band_no,
+         CAST(SUM(bit * (1::BIGINT << (j % {_LSH_BITS}))) AS BIGINT) AS band_key
+  FROM dotsgn GROUP BY vec_id, j // {_LSH_BITS}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b ON a.band_no = b.band_no AND a.band_key = b.band_key
+  WHERE a.vec_id < b.vec_id
+), pairs AS (
+  SELECT c.vec_a, c.vec_b, ea.embedding AS ae, eb.embedding AS be
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+), dots AS (
+  SELECT vec_a, vec_b,
+         CAST(SUM(CAST(FLOOR(x * y * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM (SELECT vec_a, vec_b, unnest(ae)::DOUBLE AS x, unnest(be)::DOUBLE AS y
+        FROM pairs)
+  GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
+FROM dots
+JOIN norms na ON dots.vec_a = na.vec_id
+JOIN norms nb ON dots.vec_b = nb.vec_id
+WHERE dot / (na.nrm * nb.nrm) >= {{theta}}
+"""
+
+
+@register(
+    "ext_sim_lsh",
+    oracle=_LSH_ORACLE.format(norms=_SQL_NORMS, theta=_SIM_JOIN_THETA),
+)
 def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded random-hyperplane LSH similarity join: 24 bands x 6 bits
     -> per-band bucket keys -> band-key equi-join -> exact cosine
@@ -488,17 +569,21 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. Tighter taus raise per-bit p, so recall climbs
     steeply for the high-similarity pairs real semantic dedup targets.
 
-    Rows-only: recall < 1 by construction. Signatures are computed in
-    one vectorized mapInPandas (seed-fixed planes, a single
-    (batch x 64) @ (64 x 144) matmul per Arrow batch) — deterministic
-    run-to-run on a given platform. Candidate volume per band-bucket
-    scales with bucket occupancy, never n².
+    Recall < 1 stays true by construction, but the pipeline itself is
+    now EXACTLY portable: hyperplane components are md5-derived
+    integers (_lsh_plane_weight), bucketing signs come from an
+    all-integer dot product over FLOOR(emb·1e6) — no float summation
+    order anywhere near a sign decision — and verify reuses the
+    FLOOR-scaled cosine. The DuckDB twin recomputes the identical
+    planes, signatures, candidates and cosines, so this is a full
+    value oracle, not a rows-only check. Candidate volume per
+    band-bucket scales with bucket occupancy, never n².
     """
     import numpy as np
     import pandas as pd
 
-    bands, bits = 24, 6
-    planes = np.random.RandomState(42).standard_normal((bands * bits, 64))
+    bands, bits = _LSH_BANDS, _LSH_BITS
+    planes = _lsh_planes()
     weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -508,7 +593,8 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            B = (E @ planes.T) > 0
+            S = np.floor(E * 1e6).astype(np.int64)
+            B = (S @ planes.T) > 0
             ids, bnos, keys = [], [], []
             for b in range(bands):
                 ids.append(pdf["vec_id"].to_numpy())
