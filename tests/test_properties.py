@@ -516,3 +516,89 @@ def test_sessionize_state_matches_per_batch_fold(spark):
         return emitted
 
     assert got == simulate(per_file) and got
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """The late-DROP facet of watermarking (evt_watermark_late's
+    docstring delegates it here): a row arriving in a later run whose
+    window is already finalized must be discarded by the persisted
+    watermark, not re-emitted. Two availableNow runs share one
+    checkpoint: run 1 sets the watermark; run 2 delivers one late row
+    (far below it) plus one fresh row and must emit ONLY the fresh
+    row's newly-finalized window."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    import layer_apache_hive_spark.streaming.events as ev
+
+    ev._pin_stream_confs(spark)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(*minutes):
+        return [(base + datetime.timedelta(minutes=m), 1.0) for m in minutes]
+
+    def write_file(name, minutes):
+        spark.createDataFrame(
+            rows(*minutes), "ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}.__stage")
+        import glob as g
+        import os
+        import shutil
+
+        os.makedirs(src, exist_ok=True)
+        shutil.move(
+            g.glob(f"{src}.__stage/part-*.parquet")[0], f"{src}/{name}.parquet"
+        )
+        shutil.rmtree(f"{src}.__stage", ignore_errors=True)
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        # file sink, not memory: only file sinks support resuming
+        # from a checkpoint, and resuming is the point of this test
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (r["ws"].isoformat(), r["n"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    def key(minute):
+        return (base + datetime.timedelta(minutes=minute)).isoformat()
+
+    # run 1: events at t=0 and t=60min; terminal watermark = 50min ⇒
+    # only the t=0 window finalizes
+    write_file("b1", [0, 60])
+    out1 = run()
+    assert out1 == {(key(0), 1)}
+
+    # run 2: late row at t=5min (window [5,10) ended long before the
+    # persisted 50min watermark ⇒ DROPPED) + fresh row at t=80min
+    # (advances watermark to 70min ⇒ finalizes the [60,65) window).
+    # Had the late row been accepted, its [5,10) window would emit
+    # here too (its end is far below the new watermark) — so the
+    # emitted delta observes the drop directly. The sink accumulates,
+    # so run 2's emissions are the delta.
+    write_file("b2", [5, 80])
+    out2 = run() - out1
+    assert out2 == {(key(60), 1)}
