@@ -75,17 +75,25 @@ def ext_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = read_table(spark, sf_dir, "documents")
     w = F.split(F.lower("text"), " ")
-    grams = (
+    # persist() is a deliberate optimization barrier: CollapseProject
+    # would otherwise inline split(lower(text)) into EVERY element of
+    # the transform lambda below (O(tokens²) string splits per doc —
+    # the same pathology documented at dedup._shingled), and the gram
+    # relation feeds both the eval and train sides of the join, so
+    # tokenizing once pays off twice.
+    toks = (
         d.filter(F.size(w) >= _GRAM_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(split(lower(text), ' ')) - {_GRAM_N - 1}),"
-                    f" i -> concat_ws(' ', slice(split(lower(text), ' '), i, {_GRAM_N})))"
-                )
-            ).alias("gram"),
-        )
+        .select("doc_id", w.alias("w"))
+        .persist()
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_GRAM_N - 1}),"
+                f" i -> concat_ws(' ', slice(w, i, {_GRAM_N})))"
+            )
+        ).alias("gram"),
     )
     eval_grams = (
         grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()

@@ -499,27 +499,27 @@ def agg_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     GenericUDAFnGrams — estimates the k most frequent n-grams; this
     is the exact form, k=20, n=2).
 
-    Shape: posexplode (Generate evaluates split once per row — NOT an
-    aliased-split higher-order lambda, which Catalyst's
-    CollapseProject would re-inline per element, O(tokens²)), then
-    lead(token) over (doc, pos) forms bigrams after one partition-
-    local sort, then a two-phase count + TakeOrderedAndProject.
+    Shape: bigrams come from zip_with over the token array and its
+    own 1-shifted slice — all map-side, ZERO shuffle before the count
+    (the previous form paid a full window shuffle+sort on (doc, pos)
+    just to pair adjacent tokens). The split() calls stay OUTSIDE the
+    lambda on purpose: referencing the split inside it would let
+    CollapseProject re-inline the tokenizer per element, O(tokens²)
+    (the pathology documented at dedup._shingled).
 
-    Scale: the window shuffle partitions by doc_id (uniform), the
-    count shuffle partitions by bigram (zipf-skewed — AQE skew split
-    handles the head), and top-20 never global-sorts."""
-    from pyspark.sql import Window
-
+    Scale: the only shuffle is the count, partitioned by bigram
+    (zipf-skewed — AQE skew split handles the head; partial
+    aggregation collapses the map side first), and top-20 is
+    TakeOrderedAndProject, never a global sort."""
     d = read_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+    sp = "split(lower(text), ' ')"
+    bigrams = F.expr(
+        f"zip_with(slice({sp}, 1, size({sp}) - 1),"
+        f" slice({sp}, 2, size({sp}) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        toks.withColumn("nxt", F.lead("token").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(F.concat_ws(" ", "token", "nxt").alias("bigram"))
+        d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), "bigram")

@@ -132,13 +132,14 @@ def scan_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same pair-RDD path streams per-partition — no driver
     materialization — though any new pipeline should prefer
     parquet/ORC (columnar pruning, stats)."""
-    import shutil
-
     label = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = f"{TMP_ROOT}/seq/{label}/nation_kv"
-    shutil.rmtree(path, ignore_errors=True)
-    n = read_table(spark, sf_dir, "nation")
-    n.select("n_nationkey", "n_name").rdd.map(tuple).saveAsSequenceFile(path)
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        # write-once fixture (same convention as the bucketed SMB
+        # tables): the RDD job that encodes the writables is ~10x the
+        # cost of the read this query is about
+        n = read_table(spark, sf_dir, "nation")
+        n.select("n_nationkey", "n_name").rdd.map(tuple).saveAsSequenceFile(path)
     return (
         spark.sparkContext.sequenceFile(path)
         .toDF(["n_nationkey", "n_name"])
