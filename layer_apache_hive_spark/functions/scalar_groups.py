@@ -347,6 +347,102 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fn_reflect",
+    oracle="""
+SELECT
+  c_custkey,
+  CAST(GREATEST(c_custkey, 100) AS VARCHAR) AS r_max,
+  CAST(c_custkey % 7 AS VARCHAR) AS r_floormod,
+  lower(hex(c_custkey)) AS r_hex,
+  bin(c_custkey) AS r_bin,
+  CAST(c_custkey AS VARCHAR) AS r_parse
+FROM customer
+WHERE c_custkey < 500
+""",
+)
+def fn_reflect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``reflect()`` / ``java_method()`` — ad-hoc JVM static
+    method calls from SQL (GenericUDFReflect). Spark ships BOTH names
+    natively (probed this environment), so the Hive escape hatch works
+    verbatim — this was previously declared out of scope and is not.
+
+    The oracle replays each reflected method with the equivalent
+    DuckDB expression (Math.max→GREATEST, Math.floorMod→% on
+    positives, Integer.toHexString→lower(hex), toBinaryString→bin,
+    Integer.parseInt round-trip→CAST). Results are strings because
+    reflect() returns the method result's toString.
+
+    Scale: reflect is row-at-a-time JVM reflection — fine for an
+    escape hatch, but it blocks codegen; anything hot should use the
+    built-in function it wraps (each oracle column shows the
+    replacement)."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "reflect('java.lang.Math', 'max', CAST(c_custkey AS INT), 100)"
+        ).alias("r_max"),
+        F.expr(
+            "reflect('java.lang.Math', 'floorMod', CAST(c_custkey AS INT), 7)"
+        ).alias("r_floormod"),
+        F.expr(
+            "reflect('java.lang.Integer', 'toHexString', CAST(c_custkey AS INT))"
+        ).alias("r_hex"),
+        F.expr(
+            "reflect('java.lang.Integer', 'toBinaryString', CAST(c_custkey AS INT))"
+        ).alias("r_bin"),
+        F.expr(
+            "java_method('java.lang.Integer', 'parseInt',"
+            " CAST(c_custkey AS STRING))"
+        ).alias("r_parse"),
+    )
+
+
+@register(
+    "fn_uniontype",
+    oracle="""
+SELECT
+  o_orderkey,
+  CAST(o_orderkey % 2 AS INTEGER) AS tag,
+  CASE WHEN o_orderkey % 2 = 0
+       THEN CAST(o_totalprice AS VARCHAR) ELSE NULL END AS f0_price,
+  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE NULL END AS f1_prio,
+  CASE WHEN o_orderkey % 2 = 0
+       THEN CAST(o_totalprice AS VARCHAR)
+       ELSE o_orderpriority END AS union_value
+FROM orders
+WHERE o_orderkey < 2000
+""",
+)
+def fn_uniontype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive UNIONTYPE<a,b> modeled as the tagged struct SURVEY §1.2
+    prescribes: ``STRUCT<tag INT, f0 a, f1 b>`` with exactly one
+    populated branch per row (create_union/extract_union semantics).
+    Spark has no union type either — this encoding IS the migration
+    path, and it round-trips through parquet unlike UNIONTYPE itself.
+
+    The query builds the tagged struct, then extracts each branch and
+    the tag-dispatched value (Hive's ``extract_union(u).tagN`` and
+    COALESCE-over-branches patterns). Scale: plain struct column —
+    columnar storage keeps the unused branch as nulls (RLE ≈ free),
+    no shuffle implications."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    tag = (F.col("o_orderkey") % 2).cast("int")
+    u = F.struct(
+        tag.alias("tag"),
+        F.when(tag == 0, F.col("o_totalprice").cast("string")).alias("f0"),
+        F.when(tag == 1, F.col("o_orderpriority")).alias("f1"),
+    )
+    return o.select("o_orderkey", u.alias("u")).select(
+        "o_orderkey",
+        F.col("u.tag").alias("tag"),
+        F.col("u.f0").alias("f0_price"),
+        F.col("u.f1").alias("f1_prio"),
+        F.coalesce("u.f0", "u.f1").alias("union_value"),
+    )
+
+
 @register("fn_misc_rows_only", oracle=None)
 def fn_misc_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-specific scalar functions with no portable oracle:

