@@ -169,10 +169,18 @@ def scan_rcfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     if the RCFile writer+reader preserved every row. Any new pipeline
     should store ORC/parquet instead (predicate pushdown, stats).
     """
+    return spark.read.parquet(
+        f"{_hive_serde_roundtrip(sf_dir, 'RCFILE')}/roundtrip"
+    )
+
+
+def _hive_serde_roundtrip(sf_dir: str, fmt: str) -> str:
+    """Write-once Hive-serde round trip (helper hive-catalog JVM);
+    returns the fixture dir containing roundtrip/ parquet + raw files."""
     import subprocess
     import sys
 
-    fixture = _fixture_dir(sf_dir, "rcfile_roundtrip")
+    fixture = _fixture_dir(sf_dir, f"{fmt.lower()}_roundtrip")
     if not os.path.exists(f"{fixture}/_SUCCESS"):
         subprocess.run(
             [
@@ -180,11 +188,34 @@ def scan_rcfile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "/root/repo/scripts/build_rcfile_fixture.py",
                 sf_dir,
                 fixture,
+                fmt,
             ],
             check=True,
             capture_output=True,
         )
-    return spark.read.parquet(f"{fixture}/roundtrip")
+    return fixture
+
+
+@register(
+    "scan_avro",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro round trip (Hive ``STORED AS AVRO``) — previously declared
+    env-blocked because `spark.read.format('avro')` needs the external
+    spark-avro module (PROBE_avro.json), but Hive's OWN AvroSerDe path
+    works: the avro/avro-mapred jars ship with PySpark, so a
+    hive-catalog helper JVM (same write-once machinery as scan_rcfile)
+    writes nation to STORED AS AVRO and reads it back through the
+    serde. The registered query reads the round-tripped relation; the
+    oracle pins it value-equal to the source, which holds only if the
+    Avro writer+reader preserved every row. Raw 'Obj\\x01' container
+    files are kept alongside as evidence."""
+    return spark.read.parquet(
+        f"{_hive_serde_roundtrip(sf_dir, 'AVRO')}/roundtrip"
+    )
 
 
 @register(

@@ -1,16 +1,16 @@
 #!/usr/bin/env python
-"""Write-once RCFile round-trip fixture builder.
+"""Write-once Hive-serde round-trip fixture builder (RCFile, Avro).
 
-RCFile (Hive ``STORED AS RCFILE``) lives behind Hive's serde stack,
-which Spark only exposes through a hive-catalog session — and
+These formats live behind Hive's serde stack, which Spark only
+exposes through a hive-catalog session — and
 ``spark.sql.catalogImplementation`` is a STATIC conf that cannot be
-flipped on the harness's live session. So the round trip runs here, in
-a dedicated helper JVM (the jars ship with PySpark — probed: 15
-hive jars in pyspark/jars): nation parquet → CREATE TABLE ... STORED
-AS RCFILE → INSERT → SELECT back → round-trip parquet + the raw
-RCFile data files as evidence.
+flipped on the harness's live session. So the round trip runs here,
+in a dedicated helper JVM (the jars ship with PySpark — probed: 15
+hive jars plus avro/avro-mapred in pyspark/jars): nation parquet →
+CREATE TABLE ... STORED AS <FORMAT> → INSERT → SELECT back →
+round-trip parquet + the raw serde data files as evidence.
 
-Usage: build_rcfile_fixture.py <sf_dir> <out_dir>
+Usage: build_rcfile_fixture.py <sf_dir> <out_dir> [RCFILE|AVRO]
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ import sys
 import tempfile
 
 
-def main(sf_dir: str, out_dir: str) -> None:
+def main(sf_dir: str, out_dir: str, fmt: str = "RCFILE") -> None:
     from pyspark.sql import SparkSession
 
     scratch = tempfile.mkdtemp(prefix="rcfile_fixture_")
@@ -46,7 +46,7 @@ def main(sf_dir: str, out_dir: str) -> None:
         spark.sql("DROP TABLE IF EXISTS nation_rc")
         spark.sql(
             "CREATE TABLE nation_rc (n_nationkey BIGINT, n_name STRING, "
-            "n_regionkey BIGINT) STORED AS RCFILE"
+            f"n_regionkey BIGINT) STORED AS {fmt}"
         )
         spark.sql(
             "INSERT OVERWRITE TABLE nation_rc "
@@ -57,8 +57,9 @@ def main(sf_dir: str, out_dir: str) -> None:
         )
         os.makedirs(out_dir, exist_ok=True)
         back.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/roundtrip")
-        # keep the actual RCFile bytes next to the parquet as evidence
-        rc_dir = f"{out_dir}/rcfile"
+        # keep the actual serde-written bytes next to the parquet as
+        # evidence (RCF\x01 for RCFILE, Obj\x01 Avro container for AVRO)
+        rc_dir = f"{out_dir}/raw"
         shutil.rmtree(rc_dir, ignore_errors=True)
         os.makedirs(rc_dir, exist_ok=True)
         for f in glob.glob(f"{scratch}/warehouse/nation_rc/*"):
@@ -71,4 +72,4 @@ def main(sf_dir: str, out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], *(sys.argv[3:4] or []))
