@@ -10,8 +10,13 @@ committed, re-runnable artifact instead of an assertion.
 
 If a future environment ships the jar (e.g. --packages
 org.apache.spark:spark-avro_2.13:<spark-version>), this probe flips to
-available=true and scan_avro/sink_avro become implementable with the
-existing scans.py/sinks.py patterns unchanged (format("avro")).
+available=true and format("avro") becomes usable directly.
+
+ROUND-3 RESOLUTION: Avro is nonetheless IN SCOPE — Hive's own
+AvroSerDe works in a hive-catalog session (avro/avro-mapred jars ship
+with PySpark), so `scan_avro` round-trips STORED AS AVRO through the
+helper JVM in scripts/build_rcfile_fixture.py. This probe documents
+only the datasource-module gap.
 
 Usage: python scripts/probe_avro.py
 """
