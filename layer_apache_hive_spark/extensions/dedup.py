@@ -9,10 +9,14 @@ Four tiers, all designed to never go O(n²) at 100 TB:
   prefix shingles, verify candidates exactly. Complete (100% recall),
   so it hash-matches a brute-force oracle while candidate volume
   scales with Σ df(prefix shingle)², not n².
-- MinHash LSH: banded signatures over the same shingles — probabilistic
-  candidates, exact verify (rows-only check: recall < 1 by design).
-- SimHash: 64-bit signature + pigeonhole banding for hamming ≤ k
-  (rows-only: xxhash64 is engine-specific).
+- MinHash LSH: banded signatures over the same shingles — recall < 1
+  by design, but the seeded md5-derived hash family makes the whole
+  pipeline deterministic and value-oracled (round 3).
+- SimHash: 60-bit signature + pigeonhole banding for hamming ≤ k,
+  same portable hashing, fully value-oracled (round 3).
+- segment-level exact dedup (ext_dedup_segments): corpus-wide
+  first-occurrence keep of fixed-width token spans — the
+  line/paragraph pass of a pretraining pipeline.
 
 Data note: documents.text is a ~31-word vocabulary soup (probed), so
 unigram token sets are near-identical across docs — shingling is what
@@ -800,3 +804,73 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+_SEG_TOKENS = 20  # fixed segmentation width (tokens per segment)
+
+_SEG_DEDUP_ORACLE = f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), segs AS (
+  SELECT doc_id, i AS seg_no,
+         array_to_string(w[i * {_SEG_TOKENS} + 1 : i * {_SEG_TOKENS} + {_SEG_TOKENS}], ' ') AS seg
+  FROM w, LATERAL (
+    SELECT unnest(range(0,
+      CAST(CEIL(len(w) / {_SEG_TOKENS}.0) AS BIGINT))) AS i
+  )
+), ranked AS (
+  SELECT doc_id, seg_no,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS keep_ratio
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+@register("ext_dedup_segments", oracle=_SEG_DEDUP_ORACLE)
+def ext_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup — the line/paragraph-dedup pass of a
+    pretraining pipeline (CCNet-style): repeated spans are dropped
+    CORPUS-WIDE, keeping only the first occurrence in (doc_id, seg_no)
+    order, and each document reports how much of it survived. The
+    fixture text has no natural paragraph marks, so segmentation is
+    deterministic fixed-width (20 tokens) — the pipeline shape is
+    identical with split('\\n\\n') segments.
+
+    Plan: token arrays → fixed-width segments via transform+slice
+    (split stays OUT of the lambda — the CollapseProject O(tokens²)
+    pathology), one window shuffle partitioned BY SEGMENT CONTENT
+    (first-occurrence rank), one groupBy on doc_id. At 100 TB the
+    segment-content shuffle is the dedup shuffle — key it on a
+    content hash, AQE splits the head of the zipf curve (boilerplate
+    segments are exactly the hot keys this pass exists to remove).
+    """
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    sp = "split(text, ' ')"
+    segs_col = F.expr(
+        f"transform(sequence(0, CAST(CEIL(size({sp}) / {_SEG_TOKENS}.0) AS INT) - 1),"
+        f" i -> concat_ws(' ', slice({sp}, i * {_SEG_TOKENS} + 1, {_SEG_TOKENS})))"
+    )
+    segs = d.select(
+        "doc_id", F.posexplode(segs_col).alias("seg_no", "seg")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("seg").orderBy("doc_id", "seg_no")
+    )
+    ranked = segs.select("doc_id", "seg_no", rn.alias("rn"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        (
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("keep_ratio"),
+    )
