@@ -176,12 +176,24 @@ def scan_rcfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hive_serde_roundtrip(sf_dir: str, fmt: str) -> str:
     """Write-once Hive-serde round trip (helper hive-catalog JVM);
-    returns the fixture dir containing roundtrip/ parquet + raw files."""
+    returns the fixture dir containing roundtrip/ parquet + raw files.
+
+    Keyed on the SOURCE file identity (mtime+size, like the shingle
+    index) so a regenerated testdata tree invalidates the round trip
+    instead of serving stale rows into an oracle comparison."""
     import subprocess
     import sys
 
     fixture = _fixture_dir(sf_dir, f"{fmt.lower()}_roundtrip")
-    if not os.path.exists(f"{fixture}/_SUCCESS"):
+    st = os.stat(f"{sf_dir}/nation.parquet")
+    tag = f"{fmt}:{st.st_mtime_ns}:{st.st_size}"
+    tag_file = f"{fixture}/_SOURCE_TAG"
+    fresh = (
+        os.path.exists(f"{fixture}/_SUCCESS")
+        and os.path.exists(tag_file)
+        and open(tag_file).read() == tag
+    )
+    if not fresh:
         subprocess.run(
             [
                 sys.executable,
@@ -193,6 +205,8 @@ def _hive_serde_roundtrip(sf_dir: str, fmt: str) -> str:
             check=True,
             capture_output=True,
         )
+        with open(tag_file, "w") as fh:
+            fh.write(tag)
     return fixture
 
 

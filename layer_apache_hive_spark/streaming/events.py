@@ -438,6 +438,13 @@ def _stream_source_tsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     label = os.path.basename(sf_dir.rstrip("/")) or "sf"
     src_dir = f"/root/repo/.tmp/stream_src_tsplit/{label}"
     _pin_stream_confs(spark)
+    # keyed on source identity: a regenerated events.parquet must
+    # invalidate the split, not feed a stale stream into the oracle
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = f"tsplit:{st.st_mtime_ns}:{st.st_size}"
+    tag_file = f"{src_dir}/_SOURCE_TAG"
+    if not (os.path.exists(tag_file) and open(tag_file).read() == tag):
+        shutil.rmtree(src_dir, ignore_errors=True)
     if not glob.glob(f"{src_dir}/*.parquet"):
         e = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
         med_us = int(
@@ -459,6 +466,8 @@ def _stream_source_tsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # distinct mtimes ⇒ FileStreamSource (sorted by file
             # timestamp, latestFirst=false) triggers half0 then half1
             os.utime(dst, (1_000_000_000 + 100 * i, 1_000_000_000 + 100 * i))
+        with open(tag_file, "w") as fh:
+            fh.write(tag)
     schema = spark.read.parquet(src_dir).schema
     raw = (
         spark.readStream.schema(schema)
