@@ -317,6 +317,84 @@ def evt_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "evt_stream_session",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+), f AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), n AS (
+  SELECT user_id, ts, value,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+), s AS (
+  SELECT user_id, sid,
+         MIN(ts) AS ss, MAX(ts) + INTERVAL 30 MINUTE AS se,
+         COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+  FROM n GROUP BY user_id, sid
+)
+SELECT user_id,
+       strftime(ss, '{_SQL_TS_FMT}.%f') AS session_start,
+       strftime(se, '{_SQL_TS_FMT}.%f') AS session_end,
+       n_events, total_value
+FROM s, (SELECT MAX(CAST(ts AS TIMESTAMP)) + INTERVAL (-10) MINUTE AS w
+         FROM events) wm
+WHERE s.se <= wm.w
+""",
+)
+def evt_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evt_session_window aggregation as a Structured Streaming
+    query: native session_window + watermark, APPEND mode — the state
+    machine merges overlapping per-user windows as events arrive and
+    only finalized sessions (session end below the watermark) reach
+    the sink.
+
+    Value oracle: with a single availableNow batch the terminal flush
+    emits exactly the batch gaps-and-islands sessions whose end
+    (last event + 30min gap) <= max(ts) - 10min — probed EXACT under
+    both watermark tie rules at sf0.01. Unfinalized trailing sessions
+    stay in the state store, same contract as evt_watermark_late.
+    """
+    src = _stream_source(spark, sf_dir)
+    fmt = _TS_FMT + ".SSSSSS"
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), fmt).alias(
+                "session_start"
+            ),
+            F.date_format(F.col("session_window.end"), fmt).alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_session")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.table("stream_session")
+
+
+@register(
     "evt_stream_dedup",
     oracle="""
 SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
