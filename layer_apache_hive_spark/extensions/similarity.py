@@ -16,8 +16,12 @@ Tiers:
   per query scale with bucket size, not corpus size. Oracle-able
   because the bucket restriction is replayed in SQL.
 - ext_sim_join:  threshold self-join (pairs with cosine ≥ θ).
-- ext_sim_lsh:   random-hyperplane LSH bucketing + exact verify
-  (rows-only: probabilistic recall), the scale path for sim_join.
+- ext_sim_lsh:   random-hyperplane LSH bucketing + exact verify,
+  the scale path for sim_join — recall < 1 by design, yet fully
+  value-oracled (round 3): md5-derived integer hyperplanes, integer
+  dot signs, FLOOR-scaled verify.
+- ext_sim_ivfpq: PQ codes + ADC + exact rerank — integer-exact code
+  assignment and tables, value-oracled end to end (round 3).
 """
 
 from __future__ import annotations
@@ -803,7 +807,95 @@ def ext_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_RERANK = 8, 16, 40
 
 
-@register("ext_sim_ivfpq", oracle=None)
+# Full value oracle for the PQ pipeline: integer-exact code
+# assignment (argmin ties -> lowest k == ORDER BY d2, k), integer ADC
+# tables, identical float divisions, and the same deterministic
+# (score DESC, neighbor_id) tiebreaks at both rank stages — so pool
+# membership and final top-10 are engine-independent.
+_IVFPQ_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id,
+         sqrt(CAST(list_sum(list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12)
+                        AS BIGINT))) AS DOUBLE) / 1e12) AS nrm
+  FROM embeddings
+), sv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS s
+  FROM embeddings
+), dims AS (
+  SELECT unnest(range({_PQ_M * 8})) AS dd
+), cbe AS (
+  SELECT CAST(dd // 8 AS BIGINT) AS m, v.vec_id AS k,
+         CAST(dd % 8 AS BIGINT) AS dl, v.s[CAST(dd + 1 AS INT)] AS w
+  FROM sv v, dims WHERE v.vec_id < {_PQ_K}
+), csq AS (
+  SELECT m, k, CAST(SUM(w * w) AS BIGINT) AS c2 FROM cbe GROUP BY m, k
+), xe AS (
+  SELECT v.vec_id, CAST(dd // 8 AS BIGINT) AS m,
+         CAST(dd % 8 AS BIGINT) AS dl, v.s[CAST(dd + 1 AS INT)] AS x
+  FROM sv v, dims
+), crossd AS (
+  SELECT xe.vec_id, xe.m, cbe.k,
+         CAST(SUM(xe.x * cbe.w) AS BIGINT) AS xc,
+         CAST(SUM(xe.x * xe.x) AS BIGINT) AS xx
+  FROM xe JOIN cbe ON cbe.m = xe.m AND cbe.dl = xe.dl
+  GROUP BY xe.vec_id, xe.m, cbe.k
+), codes AS (
+  SELECT vec_id, m, k AS code
+  FROM (SELECT c.vec_id, c.m, c.k, c.xx - 2 * c.xc + q.c2 AS d2
+        FROM crossd c JOIN csq q ON q.m = c.m AND q.k = c.k)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) = 1
+), adc AS (
+  SELECT qe.vec_id AS query_id, cbe.m, cbe.k,
+         CAST(SUM(qe.x * cbe.w) AS BIGINT) AS t
+  FROM xe qe JOIN cbe ON cbe.m = qe.m AND cbe.dl = qe.dl
+  WHERE qe.vec_id < 5
+  GROUP BY 1, 2, 3
+), approx AS (
+  SELECT a.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(a.t) AS DOUBLE) / 1e12 AS adot,
+         CASE WHEN sqrt(CAST(SUM(q.c2) AS DOUBLE) / 1e12) = 0 THEN 1.0
+              ELSE sqrt(CAST(SUM(q.c2) AS DOUBLE) / 1e12) END AS anrm
+  FROM codes c
+  JOIN adc a ON a.m = c.m AND a.k = c.code
+  JOIN csq q ON q.m = c.m AND q.k = c.code
+  WHERE c.vec_id != a.query_id
+  GROUP BY 1, 2
+), pool AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT ap.query_id, ap.neighbor_id,
+               ap.adot / (qn.nrm * ap.anrm) AS score
+        FROM approx ap JOIN norms qn ON qn.vec_id = ap.query_id)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id) <= {_PQ_RERANK}
+), pairs AS (
+  SELECT p.query_id, p.neighbor_id, ea.embedding AS ae, eb.embedding AS be
+  FROM pool p
+  JOIN embeddings ea ON ea.vec_id = p.query_id
+  JOIN embeddings eb ON eb.vec_id = p.neighbor_id
+), dots AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(CAST(FLOOR(x * y * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM (SELECT query_id, neighbor_id,
+               unnest(ae)::DOUBLE AS x, unnest(be)::DOUBLE AS y
+        FROM pairs)
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       dot / (na.nrm * nb.nrm) AS cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY dot / (na.nrm * nb.nrm) DESC, neighbor_id) AS INTEGER)
+         AS rank
+FROM dots
+JOIN norms na ON dots.query_id = na.vec_id
+JOIN norms nb ON dots.neighbor_id = nb.vec_id
+QUALIFY rank <= 10
+"""
+
+
+@register("ext_sim_ivfpq", oracle=_IVFPQ_ORACLE)
 def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (IVF-PQ's compression half): encode
     every vector as 8 x 4-bit subspace codes against a deterministic
@@ -812,8 +904,13 @@ def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus O(1) per corpus code — then exactly re-score only the top
     RERANK candidates.
 
-    Rows-only (quantization loses rank fidelity by design); the
-    recall property test pins it against ext_sim_topk's exact top-k.
+    Quantization loses rank fidelity by design (recall pinned >= 0.55
+    against ext_sim_topk's exact top-k by the property suite), but
+    the pipeline itself is now EXACTLY portable: FLOOR-scaled integer
+    code assignment and ADC tables (no float summation near an
+    argmin), identical IEEE divisions, deterministic tiebreaks at
+    both rank stages — so the DuckDB twin reproduces codes, candidate
+    pool and final top-10 value-for-value.
 
     Scale: the codebook is M*K*8 doubles (tiny, broadcast); the
     corpus after encoding is one LONG per vector — at 100 TB the
@@ -836,12 +933,20 @@ def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = emb.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").toPandas()
 
     # codebook: subvectors of the 16 lowest-id vectors (deterministic,
-    # data-adaptive, tiny). (M, K, sub)
+    # data-adaptive, tiny), FLOOR-scaled to integers at 1e6 so code
+    # assignment and ADC scoring are exact integer arithmetic — no
+    # float summation order anywhere near an argmin/rank decision,
+    # which is what lets the whole pipeline carry a DuckDB value
+    # oracle (the sign-LSH convention). (M, K, sub)
     A = np.stack(head["embedding"].to_numpy()).astype(np.float64)
     codebook = np.stack(
-        [A[:, m * sub : (m + 1) * sub] for m in range(_PQ_M)]
-    )  # (M, K, sub)
-    # per-code squared norms, for approximate candidate norms
+        [
+            np.floor(A[:, m * sub : (m + 1) * sub] * 1e6).astype(np.int64)
+            for m in range(_PQ_M)
+        ]
+    )  # (M, K, sub) int64, scale 1e6
+    # per-code squared norms (int, scale 1e12), for approximate
+    # candidate norms and the d2 expansion
     code_sq = (codebook * codebook).sum(2)  # (M, K)
 
     # query side: the 5 query vectors, python-broadcast with their
@@ -850,10 +955,12 @@ def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
     q_ids = qpdf["vec_id"].to_numpy()
     q_nrm = np.sqrt(np.floor(Q * Q * 1e12).astype(np.int64).sum(1) / 1e12)
-    # ADC tables: dot of each query subvector with each code. (nq, M, K)
+    # ADC tables: integer dot of each scaled query subvector with each
+    # code (scale 1e12). (nq, M, K)
+    SQ = np.floor(Q * 1e6).astype(np.int64)
     adc = np.einsum(
         "qmd,mkd->qmk",
-        Q.reshape(len(Q), _PQ_M, sub),
+        SQ.reshape(len(Q), _PQ_M, sub),
         codebook,
     )
     bv = spark.sparkContext.broadcast(
@@ -866,25 +973,29 @@ def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Xs = X.reshape(len(X), _PQ_M, sub)  # (n, M, sub)
-            # nearest code per subspace: argmin ||x_m - c_mk||^2,
-            # ties -> lowest k (np.argmin contract)
+            Xs = np.floor(X * 1e6).astype(np.int64).reshape(
+                len(X), _PQ_M, sub
+            )  # (n, M, sub) int64, scale 1e6
+            # nearest code per subspace: argmin ||x_m - c_mk||^2 in
+            # EXACT integer arithmetic; ties -> lowest k (np.argmin
+            # contract == SQL ORDER BY d2, k LIMIT 1)
             d2 = (
                 (Xs * Xs).sum(2)[:, :, None]
                 - 2 * np.einsum("nmd,mkd->nmk", Xs, cb)
                 + csq[None, :, :]
             )
             codes = d2.argmin(2)  # (n, M)
-            # approx dot via table lookups; approx norm from code sq
+            # approx dot via integer table lookups -> one float divide
             approx_dot = np.zeros((len(X), len(qids)))
             m_idx = np.arange(codes.shape[1])[None, :]
             for qi in range(len(qids)):
-                # tbl[qi][m, codes[n, m]] summed over m
-                approx_dot[:, qi] = tbl[qi][m_idx, codes].sum(1)
+                # tbl[qi][m, codes[n, m]] summed over m (int), /1e12
+                approx_dot[:, qi] = tbl[qi][m_idx, codes].sum(1) / 1e12
             approx_nrm = np.sqrt(
                 np.take_along_axis(csq[None, :, :], codes[:, :, None], axis=2)
                 .reshape(len(X), _PQ_M)
                 .sum(1)
+                / 1e12
             )
             approx_nrm[approx_nrm == 0] = 1.0
             out = []
