@@ -126,7 +126,8 @@ WITH pe AS MATERIALIZED (
 ),
 cent AS MATERIALIZED (
     SELECT label AS c_label, pos,
-           CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) / COUNT(val) AS cent
+           (CAST(SUM(CAST(FLOOR(val * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+             / COUNT(val) AS cent
     FROM pe GROUP BY label, pos
 ),
 dist AS (
@@ -152,8 +153,11 @@ def ext_emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Distances use the FLOOR-scaled BIGINT sum (similarity.py:41-46)
     so the argmin ordering is identical in both engines; centroid
-    means accumulate in DECIMAL(38,9) (values are ~±0.2 so scale 9
-    keeps ~1e-9 granularity) then divide once in double.
+    means accumulate as FLOOR(val·1e9) BIGINTs (values are ~±0.2 so
+    scale 9 keeps ~1e-9 granularity) then divide once in double.
+    FLOOR, not a DECIMAL cast: Spark casts double→decimal HALF_UP
+    while DuckDB rounds half-even, and exact dyadic ties DO occur
+    (observed at sf0.1) — FLOOR has no tie.
 
     Scale: centroids are k×dim (tiny) and BROADCAST; the
     explode-join-agg computes n×k distances with one shuffle on
@@ -169,7 +173,7 @@ def ext_emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("val", F.col("val").cast("double"))
     cent = pe.groupBy(F.col("label").alias("c_label"), "pos").agg(
         (
-            F.sum(F.col("val").cast("decimal(38,9)")).cast("double")
+            (F.sum(F.floor(F.col("val") * 1e9).cast("bigint")).cast("double") / 1e9)
             / F.count("val")
         ).alias("cent")
     )

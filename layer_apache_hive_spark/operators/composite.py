@@ -1009,7 +1009,7 @@ agg AS (
   SELECT ps_partkey, {sql_dsum('v', scale=7)} AS val
   FROM natstock GROUP BY ps_partkey
 )
-SELECT ps_partkey, ROUND(val, 4) AS part_value
+SELECT ps_partkey, val AS part_value
 FROM agg
 WHERE val > (SELECT 2 * ({sql_dsum('val', scale=7)} / COUNT(*)) FROM agg)
 """,
@@ -1050,7 +1050,12 @@ def composite_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.crossJoin(F.broadcast(thr))
         .filter(F.col("val") > F.col("thr"))
-        .select("ps_partkey", F.round("val", 4).alias("part_value"))
+        # no final ROUND: val is already a deterministic scale-7
+        # decimal sum, and a trailing round(...,4) re-introduces the
+        # exact-.xxxx5 HALF_UP-vs-half-even cross-engine tie this
+        # query's dsum scale was raised to avoid (observed at sf0.1:
+        # one part at x.61125 rounding to .6113 vs .6112)
+        .select("ps_partkey", F.col("val").alias("part_value"))
     )
 
 
