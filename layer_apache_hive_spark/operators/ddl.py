@@ -95,3 +95,63 @@ def ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.withColumn("nation_rows", F.lit(n_rows)).withColumn(
         "region_partitions", F.lit(n_parts)
     )
+
+
+@register(
+    "ddl_export_import",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+""",
+)
+def ddl_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``EXPORT TABLE t TO dir`` / ``IMPORT TABLE t2 FROM dir``
+    (table replication between warehouses; Hive writes data files plus
+    a ``_metadata`` descriptor). Spark has no EXPORT/IMPORT statement,
+    so the same contract is rebuilt from parts: export = data as
+    parquet + a JSON descriptor carrying the DECLARED schema and
+    format; import = parse the descriptor, read the data **with the
+    descriptor's schema, not inference**, and register the table.
+
+    The oracle pins the imported relation value-equal to the source —
+    true only if both the data and the schema survived the round trip
+    (a descriptor/data mismatch fails loudly at read). The export dir
+    is write-once, keyed on source identity (the repo's fixture-tag
+    convention). Scale: EXPORT is a copy job (map-only, no shuffle);
+    IMPORT is metadata + one scan.
+    """
+    import json
+
+    from pyspark.sql import types as T
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    exp_dir = f"/root/repo/.tmp/export/{label}/supplier"
+    st = os.stat(f"{sf_dir}/supplier.parquet")
+    tag = f"export:{st.st_mtime_ns}:{st.st_size}"
+    desc_path = f"{exp_dir}/_metadata.json"
+    src = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    fresh = False
+    if os.path.exists(desc_path):
+        with open(desc_path) as fh:
+            desc = json.load(fh)
+        fresh = desc.get("source_tag") == tag
+    if not fresh:
+        src.write.mode("overwrite").parquet(f"{exp_dir}/data")
+        with open(desc_path, "w") as fh:
+            json.dump(
+                {
+                    "table": "supplier_export",
+                    "format": "parquet",
+                    "schema": src.schema.jsonValue(),
+                    "source_tag": tag,
+                },
+                fh,
+            )
+    with open(desc_path) as fh:
+        desc = json.load(fh)
+    assert desc["format"] == "parquet", desc
+    schema = T.StructType.fromJson(desc["schema"])
+    imported = spark.read.schema(schema).parquet(f"{exp_dir}/data")
+    imported.createOrReplaceTempView("supplier_imported")
+    return spark.table("supplier_imported")

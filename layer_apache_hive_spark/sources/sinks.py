@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from layer_apache_hive_spark.catalog import read_table
+from layer_apache_hive_spark.functions.numeric import sql_dsum
 from layer_apache_hive_spark.registry import register
 
 TMP_ROOT = "/root/repo/.tmp"
@@ -364,4 +365,83 @@ def sink_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.read.parquet(path).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "sink_matview",
+    oracle=f"""
+SELECT n.n_name,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o.o_totalprice')} AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_regionkey < 2
+GROUP BY n.n_name
+""",
+)
+def sink_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view (Hive 3 ``CREATE MATERIALIZED VIEW`` +
+    automatic query rewrite). Spark has no MV statement, so the
+    pattern is rebuilt from parts: the view definition (per-nation
+    order count + revenue) is MATERIALIZED write-once to parquet,
+    keyed on the identity of every base table (orders, customer,
+    nation) — the staleness contract Hive tracks via transaction ids —
+    and the user query is SERVED FROM the materialization (here with a
+    further filter on top, the "rewrite" case: predicate narrower
+    than the MV grain).
+
+    The oracle computes the same aggregate from the BASE tables in
+    DuckDB, so it passes only if the materialization is both correct
+    and fresh — a stale MV after a base-table change fails the value
+    hash, which is exactly the regression an MV system must prevent.
+    Scale: the MV build is the only shuffle; every query served from
+    it is a scan of |groups| rows. Rebuilds are source-tag-driven; an
+    incremental-maintenance MV narrows the rebuild to changed
+    partitions.
+    """
+    import json
+
+    from layer_apache_hive_spark.functions.numeric import dsum
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    mv_dir = f"{TMP_ROOT}/matview/{label}/nation_revenue"
+    tag = json.dumps(
+        {
+            t: (lambda s: [s.st_mtime_ns, s.st_size])(
+                os.stat(f"{sf_dir}/{t}.parquet")
+            )
+            for t in ("orders", "customer", "nation")
+        },
+        sort_keys=True,
+    )
+    tag_path = f"{mv_dir}/_SOURCE_TAG"
+    fresh = (
+        os.path.exists(f"{mv_dir}/_SUCCESS")
+        and os.path.exists(tag_path)
+        and open(tag_path).read() == tag
+    )
+    if not fresh:
+        o = read_table(spark, sf_dir, "orders")
+        c = read_table(spark, sf_dir, "customer")
+        n = read_table(spark, sf_dir, "nation")
+        mv = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name", "n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("total_revenue"),
+            )
+        )
+        mv.write.mode("overwrite").parquet(mv_dir)
+        with open(tag_path, "w") as fh:
+            fh.write(tag)
+    # the user query: narrower predicate than the MV grain, served
+    # entirely from the materialization (no base-table scan)
+    return (
+        spark.read.parquet(mv_dir)
+        .filter(F.col("n_regionkey") < 2)
+        .select("n_name", "n_orders", "total_revenue")
     )
