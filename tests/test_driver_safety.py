@@ -146,3 +146,57 @@ def test_verify_jaccard_join_path_matches_broadcast_path(spark, monkeypatch):
         for r in dd.ext_dedup_near(spark, SF_DIR).collect()
     }
     assert fast == slow and fast
+
+
+def test_fn_misc_engine_specific_columns_match_independent_references(spark):
+    """fn_misc_rows_only is the lone rows-only query (its purpose is
+    engine-specific hashing) — so pin every pinnable column against an
+    INDEPENDENT reference implementation instead of trusting execution
+    alone: crc32 vs zlib, hex/base64/conv/format_number/soundex vs
+    pure-Python reimplementations of their documented contracts."""
+    import zlib
+
+    from layer_apache_hive_spark.functions.scalar_groups import (
+        fn_misc_rows_only,
+    )
+
+    rows = fn_misc_rows_only(spark, SF_DIR).collect()
+    assert rows
+
+    def soundex_ref(name: str) -> str:
+        codes = {
+            **dict.fromkeys("BFPV", "1"), **dict.fromkeys("CGJKQSXZ", "2"),
+            **dict.fromkeys("DT", "3"), "L": "4",
+            **dict.fromkeys("MN", "5"), "R": "6",
+        }
+        s = [ch for ch in name.upper() if ch.isalpha()]
+        if not s:
+            return name
+        out, prev = s[0], codes.get(s[0], "")
+        for ch in s[1:]:
+            code = codes.get(ch, "")
+            if code and code != prev:
+                out += code
+                if len(out) == 4:
+                    break
+            if ch not in "HW":
+                prev = code
+        return (out + "000")[:4]
+
+    # the source column values, re-read independently
+    src = {
+        r["c_custkey"]: (r["c_name"], float(r["c_acctbal"]))
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter("c_custkey < 500")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .collect()
+    }
+    for r in rows:
+        name, bal = src[r["c_custkey"]]
+        assert r["name_crc32"] == zlib.crc32(name.encode())
+        assert r["name_soundex"] == soundex_ref(name)
+        assert r["key_hex"] == format(r["c_custkey"], "X")
+        assert r["name_hexenc"] == name.encode().hex().upper()
+        assert r["bal_fmt"] == f"{bal:,.2f}"
+        assert r["b64_roundtrip"] == name
+        assert r["key_shl2"] == r["c_custkey"] << 2
