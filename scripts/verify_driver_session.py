@@ -42,13 +42,23 @@ from layer_apache_hive_spark.oracle_compare import compare_frames  # noqa: E402
 def vanilla_session() -> SparkSession:
     """The session a driver harness would build: master + app name and
     nothing else, then a hostile machine timezone. ANSI stays at the
-    PySpark 4 on-default; none of the repo factory's pins are set."""
+    PySpark 4 on-default; none of the repo factory's pins are set.
+
+    With SPARK_GRAFT_HOSTILE_PLANNER=1 the session additionally turns
+    AQE OFF and sets a prime shuffle-partition count — flushing out
+    any query whose CORRECTNESS silently depends on adaptive
+    re-planning or a particular partition count (results must be
+    partition-layout invariant; only plans may change)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    spark = (
+    builder = (
         SparkSession.builder.appName("driver-session-mimic")
         .master(f"local[{cpus}]")
-        .getOrCreate()
     )
+    if os.environ.get("SPARK_GRAFT_HOSTILE_PLANNER"):
+        builder = builder.config(
+            "spark.sql.adaptive.enabled", "false"
+        ).config("spark.sql.shuffle.partitions", "7")
+    spark = builder.getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     return spark
 
