@@ -200,3 +200,38 @@ def test_fn_misc_engine_specific_columns_match_independent_references(spark):
         assert r["bal_fmt"] == f"{bal:,.2f}"
         assert r["b64_roundtrip"] == name
         assert r["key_shl2"] == r["c_custkey"] << 2
+
+
+def test_matview_rebuilds_when_base_table_changes(spark, tmp_path):
+    """sink_matview's staleness contract: the materialization must
+    rebuild when any base table changes — a stale MV is the regression
+    an MV system exists to prevent. Copy the fixture tree, build the
+    MV, then swap one base table (drop half the orders) and require
+    the served result to reflect the change."""
+    import shutil
+
+    from layer_apache_hive_spark.sources.sinks import sink_matview
+
+    src = SF_DIR
+    work = str(tmp_path / "sfcopy")
+    shutil.copytree(src, work)
+
+    before = {
+        (r["n_name"], r["n_orders"]) for r in sink_matview(spark, work).collect()
+    }
+    assert before
+
+    # change a base table: keep only even order keys
+    orders = spark.read.parquet(f"{work}/orders.parquet")
+    reduced = orders.filter("o_orderkey % 2 = 0").toPandas()
+    import os
+    os.remove(f"{work}/orders.parquet")
+    reduced.to_parquet(f"{work}/orders.parquet")
+
+    after = {
+        (r["n_name"], r["n_orders"]) for r in sink_matview(spark, work).collect()
+    }
+    assert after != before
+    total_before = sum(n for _, n in before)
+    total_after = sum(n for _, n in after)
+    assert 0 < total_after < total_before
