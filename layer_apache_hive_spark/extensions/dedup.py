@@ -46,6 +46,8 @@ _SH_CACHE: dict = {}
 
 
 def _cache_get(spark: SparkSession, sf_dir: str, kind: str):
+    import os
+
     app = spark.sparkContext.applicationId
     # evict (and unpersist) frames from dead sessions so executor
     # memory is bounded across sessions / scale factors
@@ -54,7 +56,12 @@ def _cache_get(spark: SparkSession, sf_dir: str, kind: str):
             _SH_CACHE.pop(k).unpersist()
         except Exception:
             pass
-    return (app, sf_dir, kind), _SH_CACHE.get((app, sf_dir, kind))
+    # the key carries the corpus identity so a changed
+    # documents.parquet invalidates SESSION caches too, not just the
+    # disk index (same staleness contract as sink_matview)
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = (app, sf_dir, f"{st.st_mtime_ns}:{st.st_size}", kind)
+    return key, _SH_CACHE.get(key)
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -235,3 +235,39 @@ def test_matview_rebuilds_when_base_table_changes(spark, tmp_path):
     total_before = sum(n for _, n in before)
     total_after = sum(n for _, n in after)
     assert 0 < total_after < total_before
+
+
+def test_dedup_pipeline_tracks_corpus_changes_within_a_session(spark, tmp_path):
+    """The dedup family's session caches and disk index are keyed on
+    corpus identity: changing documents.parquet mid-session must
+    produce results for the NEW corpus, not stale cached pairs."""
+    import shutil
+
+    import pandas as pd
+
+    from layer_apache_hive_spark.extensions.dedup import ext_dedup_near
+
+    work = str(tmp_path / "sfcopy")
+    shutil.copytree(SF_DIR, work)
+
+    before = {
+        (r["doc_a"], r["doc_b"]) for r in ext_dedup_near(spark, work).collect()
+    }
+    assert before
+
+    # new corpus: two fresh near-identical docs and nothing else
+    text_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    pd.DataFrame(
+        {
+            "doc_id": [900001, 900002],
+            "text": [text_a, text_a + "iota"],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [len(text_a), len(text_a) + 4],
+        }
+    ).to_parquet(f"{work}/documents.parquet")
+
+    after = {
+        (r["doc_a"], r["doc_b"]) for r in ext_dedup_near(spark, work).collect()
+    }
+    assert after == {(900001, 900002)}
