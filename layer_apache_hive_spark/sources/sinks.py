@@ -445,3 +445,49 @@ def sink_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_regionkey") < 2)
         .select("n_name", "n_orders", "total_revenue")
     )
+
+
+@register(
+    "sink_compaction",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem WHERE l_orderkey < 1000
+""",
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (Hive ``ALTER TABLE ... CONCATENATE`` /
+    minor compaction): a fragmented table — 64 tiny files, the classic
+    outcome of streaming ingest or over-parallel writes — is rewritten
+    into size-targeted files, then served from the compacted layout.
+
+    The oracle pins the compacted relation value-equal to the source
+    selection, which holds only if compaction is lossless; the file
+    counts themselves are pinned by tests/test_driver_safety.py. At
+    100 TB this is THE operational fix for scan-planning blowup (one
+    task + one footer fetch per tiny file): target file count =
+    ceil(bytes / 128MB), rewrite is map-only (coalesce, no shuffle),
+    and per-partition compaction runs as this exact job filtered to
+    one partition.
+    """
+    frag_dir = _sink_dir(sf_dir, "fragmented_lineitem")
+    src = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+    if not os.path.exists(f"{frag_dir}/_SUCCESS"):
+        # the "ingest damage": 64 task-sized fragments
+        src.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    frag = spark.read.parquet(frag_dir)
+    frag_bytes = sum(
+        os.path.getsize(os.path.join(frag_dir, f))
+        for f in os.listdir(frag_dir)
+        if f.endswith(".parquet")
+    )
+    target_files = max(1, -(-frag_bytes // (128 * 1024 * 1024)))
+    comp_dir = _sink_dir(sf_dir, "compacted_lineitem")
+    # coalesce, not repartition: compaction needs no shuffle, it only
+    # narrows the file count (Hive's CONCATENATE is likewise move/merge)
+    frag.coalesce(int(target_files)).write.mode("overwrite").parquet(comp_dir)
+    return spark.read.parquet(comp_dir)

@@ -271,3 +271,28 @@ def test_dedup_pipeline_tracks_corpus_changes_within_a_session(spark, tmp_path):
         (r["doc_a"], r["doc_b"]) for r in ext_dedup_near(spark, work).collect()
     }
     assert after == {(900001, 900002)}
+
+
+def test_compaction_narrows_file_count_losslessly(spark):
+    """sink_compaction: the fragmented layout must carry many files,
+    the compacted one the size-targeted count (1 at this sf), and the
+    rewrite must be lossless (oracle covers values; this pins the
+    file-count contract the operator exists for)."""
+    import glob
+    import os
+
+    from layer_apache_hive_spark.sources.sinks import (
+        _sink_dir,
+        sink_compaction,
+    )
+
+    out = sink_compaction(spark, SF_DIR)
+    assert out.count() > 0
+    frag = glob.glob(
+        os.path.join(_sink_dir(SF_DIR, "fragmented_lineitem"), "*.parquet")
+    )
+    comp = glob.glob(
+        os.path.join(_sink_dir(SF_DIR, "compacted_lineitem"), "*.parquet")
+    )
+    assert len(frag) == 64
+    assert 1 <= len(comp) < len(frag) // 8
