@@ -908,3 +908,158 @@ def ext_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("keep_ratio"),
     )
+
+
+
+_INCR_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+sz AS (SELECT doc_id, len(s) AS n FROM d),
+inc AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 10 >= 8
+),
+snap_h AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8
+),
+co_snap AS (
+  SELECT b.doc_id AS inc_doc, a.doc_id AS snap_doc, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.sh = b.sh
+  WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+  GROUP BY 1, 2
+),
+near_snap AS (
+  SELECT DISTINCT c.inc_doc AS doc_id
+  FROM co_snap c
+  JOIN sz sa ON sa.doc_id = c.snap_doc
+  JOIN sz sb ON sb.doc_id = c.inc_doc
+  WHERE c.i::DOUBLE / (sa.n + sb.n - c.i) >= {_TAU}
+),
+co_batch AS (
+  SELECT b.doc_id AS inc_doc, a.doc_id AS prior_doc, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 >= 8
+  GROUP BY 1, 2
+),
+near_batch AS (
+  SELECT DISTINCT c.inc_doc AS doc_id
+  FROM co_batch c
+  JOIN sz sa ON sa.doc_id = c.prior_doc
+  JOIN sz sb ON sb.doc_id = c.inc_doc
+  WHERE c.i::DOUBLE / (sa.n + sb.n - c.i) >= {_TAU}
+),
+exact_batch AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM inc
+  ) WHERE rn > 1
+)
+SELECT i.doc_id, i.source,
+       CASE WHEN i.h IN (SELECT h FROM snap_h)
+              OR i.doc_id IN (SELECT doc_id FROM near_snap) THEN 'dup_snapshot'
+            WHEN i.doc_id IN (SELECT doc_id FROM exact_batch)
+              OR i.doc_id IN (SELECT doc_id FROM near_batch) THEN 'dup_batch'
+            ELSE 'new' END AS verdict
+FROM inc i
+"""
+
+
+@register("ext_dedup_incremental", oracle=_INCR_ORACLE)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a small incoming batch (the daily crawl)
+    deduplicated against the huge existing corpus SNAPSHOT and against
+    itself — the steady-state shape of a production dedup pipeline
+    (the one-shot corpus-wide pass runs once; this runs every ingest).
+    Fixture split: doc_id % 10 < 8 is the snapshot, the rest incoming.
+
+    Two tiers, combined: exact content hash (catches short docs with
+    no shingles) and shingle-Jaccard ≥ τ (the same τ as the dedup
+    family). Verdict per incoming doc: ``dup_snapshot`` (duplicates
+    corpus content), ``dup_batch`` (duplicates an earlier — lower
+    doc_id — incoming doc), else ``new``.
+
+    100 TB plan — the snapshot is the big side, so join DIRECTION is
+    everything; nothing here shuffles the snapshot:
+    - exact tier: the batch's distinct hashes BROADCAST into a
+      left-semi reduction of the snapshot hash relation (map-only
+      scan; in production that scan reads the ingest-time hash index,
+      cf. _build_dedup_index), and the ≤|batch|-row hit-set is
+      broadcast back for the verdict join.
+    - near tier: the batch's shingles (small) BROADCAST against the
+      snapshot shingle relation — candidates emerge map-side and the
+      only shuffle keys on (snap_doc, inc_doc) candidate pairs, whose
+      volume is bounded by shared-shingle df exactly as in
+      ext_dedup_near. Within-batch near-dup is a self-join of the
+      tiny batch alone.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    h = F.md5("text").alias("h")
+    is_snap = F.col("doc_id") % 10 < 8
+    inc = d.filter(~is_snap).select("doc_id", "source", h)
+
+    # exact tier, snapshot side: semi-join reduction, map-only scan
+    inc_hashes = inc.select("h").distinct()
+    snap_hits = (
+        d.filter(is_snap)
+        .select(h)
+        .join(F.broadcast(inc_hashes), "h", "left_semi")
+        .distinct()
+        .withColumn("exact_snap", F.lit(True))
+    )
+    # exact tier, within batch: first occurrence wins
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    ranked = inc.withColumn("rn", rn)
+
+    # near tier: shingle candidates, batch side broadcast
+    sh = _shingled(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    snap_sh = sh.filter(is_snap)
+    inc_sh = sh.filter(~is_snap)
+
+    def _near_hits(left_sh: DataFrame, pair_cond) -> DataFrame:
+        a = left_sh.select(F.col("doc_id").alias("prior_doc"), "sh")
+        b = inc_sh.select(F.col("doc_id").alias("inc_doc"), "sh")
+        co = (
+            a.join(F.broadcast(b), ["sh"])
+            .filter(pair_cond)
+            .groupBy("prior_doc", "inc_doc")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        sa = sz.select(F.col("doc_id").alias("prior_doc"), F.col("n").alias("na"))
+        sb = sz.select(F.col("doc_id").alias("inc_doc"), F.col("n").alias("nb"))
+        jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+        # broadcast the SMALL sides only: the candidate set (co) is
+        # bounded by shared-shingle df, the batch size relation (sb)
+        # by |batch| — the corpus-wide size relation (sa) is scanned
+        # map-only, never broadcast/shuffled
+        return (
+            sa.join(F.broadcast(co), "prior_doc")
+            .join(F.broadcast(sb), "inc_doc")
+            .filter(jac >= _TAU)
+            .select(F.col("inc_doc").alias("doc_id"))
+            .distinct()
+        )
+
+    near_snap = _near_hits(snap_sh, F.lit(True)).withColumn("near_snap", F.lit(True))
+    near_batch = _near_hits(
+        inc_sh, F.col("prior_doc") < F.col("inc_doc")
+    ).withColumn("near_batch", F.lit(True))
+
+    return (
+        ranked.join(F.broadcast(snap_hits), "h", "left")
+        .join(F.broadcast(near_snap), "doc_id", "left")
+        .join(F.broadcast(near_batch), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.coalesce("exact_snap", F.lit(False))
+                | F.coalesce("near_snap", F.lit(False)),
+                F.lit("dup_snapshot"),
+            )
+            .when(
+                (F.col("rn") > 1) | F.coalesce("near_batch", F.lit(False)),
+                F.lit("dup_batch"),
+            )
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )

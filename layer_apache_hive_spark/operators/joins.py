@@ -383,3 +383,74 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(adj, scale=6).alias("adj_revenue"),
         )
     )
+
+
+_BLOOM_APP = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+_BLOOM_CREATE = "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+_AUTO_BC = "spark.sql.autoBroadcastJoinThreshold"
+
+
+@register(
+    "join_bloom",
+    oracle="""
+SELECT p.p_brand,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(38,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand IN ('Brand#12', 'Brand#23')
+GROUP BY p.p_brand
+""",
+)
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join reduction (Hive's
+    ``hive.tez.dynamic.semijoin.reduction`` / bloom-filter runtime
+    filtering on Tez), Spark-first: ``InjectRuntimeFilter`` builds a
+    Bloom from the selective dim side (``bloom_filter_agg``) and
+    plants ``might_contain`` on the fact scan, so fact rows that can
+    never match are dropped BEFORE the join shuffle.
+
+    100 TB: this is the difference between shuffling the whole fact
+    table and shuffling ~selectivity of it. Spark injects the filter
+    automatically when the application side is big enough; the
+    default gate (10 GB scanned) is tuned for exactly that scale, so
+    at test SF the thresholds are pinned low around PLAN TIME only —
+    the plan is frozen via queryExecution before the confs are
+    restored (the physical plan, once materialized, is cached on the
+    DataFrame; AQE re-optimization does not re-run the injection
+    rule). Broadcast is disabled for this query because a broadcast
+    hash join performs the same reduction implicitly — the Bloom path
+    exists for dims too big to broadcast but still selective.
+
+    The oracle is the plain join: the runtime filter must be a pure
+    physical optimization, invisible in the result.
+    """
+    from layer_apache_hive_spark.functions.numeric import dsum
+
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in (_BLOOM_APP, _BLOOM_CREATE, _AUTO_BC)}
+    try:
+        conf.set(_BLOOM_APP, "0")
+        conf.set(_BLOOM_CREATE, "100MB")
+        conf.set(_AUTO_BC, "-1")
+        li = read_table(spark, sf_dir, "lineitem")
+        p = read_table(spark, sf_dir, "part")
+        dim = p.filter(F.col("p_brand").isin("Brand#12", "Brand#23")).select(
+            "p_partkey", "p_brand"
+        )
+        out = (
+            li.join(dim, li.l_partkey == dim.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                # price(2dp) x (1-discount)(2dp) is exactly 4 decimals:
+                # the decimal(38,4) cast is lossless, no rounding tie
+                dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"),
+            )
+        )
+        # freeze the bloom-injected plan before restoring the confs
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
