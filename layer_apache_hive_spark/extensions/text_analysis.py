@@ -759,3 +759,55 @@ def ext_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("shard").cast("bigint").alias("shard"),
                 "n_docs", "total_chars", "min_doc", "max_doc")
     )
+
+
+@register(
+    "ext_text_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+2], ' ') AS g
+  FROM toks CROSS JOIN UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+  WHERE len(t) >= 3
+),
+dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+SELECT g.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(*) FILTER (d.df = 1) AS n_novel,
+       ROUND(COUNT(*) FILTER (d.df = 1) / CAST(COUNT(*) AS DOUBLE), 8) AS novelty
+FROM grams g JOIN dfreq d ON g.g = d.g
+GROUP BY g.doc_id
+""",
+)
+def ext_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty scoring: the fraction of a doc's distinct
+    word-3-grams that occur in NO other document — high novelty marks
+    genuinely fresh content, low novelty marks boilerplate/template
+    text (the complement of the dedup signal, used for curation
+    weighting and memorization analysis).
+
+    Reuses the ingest-time shingle index (_shingled: fixed-width
+    portable 60-bit hashes, cf. extensions/dedup.py) — novelty is a
+    free by-product of the relation every dedup pass already builds.
+    Plan: one groupBy on the shingle hash (the df count), one join
+    back, one groupBy on doc_id — all keys are fixed-width longs, and
+    at 100 TB both shuffles are the same linear shingle-volume
+    shuffles the dedup family runs; nothing is ever all-pairs.
+    """
+    from layer_apache_hive_spark.extensions.dedup import _shingled
+
+    sh = _shingled(spark, sf_dir)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 8).alias("novelty"),
+        )
+    )

@@ -433,3 +433,120 @@ def ext_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+_MASK_PCT = 15  # % of token positions selected for corruption
+
+
+@register(
+    "ext_text_span_corruption",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[i] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  CROSS JOIN UNNEST(generate_series(1, len(t))) AS s(i)
+),
+flagged AS (
+  SELECT doc_id, pos, token,
+         (CAST('0x' || substr(md5(doc_id || ':' || pos), 1, 8) AS BIGINT)
+            % 100) < {_MASK_PCT} AS masked
+  FROM toks
+),
+starts AS (
+  SELECT doc_id, pos, token, masked,
+         masked AND NOT COALESCE(
+           LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE
+         ) AS is_start
+  FROM flagged
+),
+runs AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN is_start THEN 1 ELSE 0 END) OVER
+           (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS span_no
+  FROM starts
+)
+SELECT doc_id,
+       COALESCE(string_agg(
+         CASE WHEN NOT masked THEN token
+              WHEN is_start THEN '<extra_id_' || (span_no - 1) || '>' END,
+         ' ' ORDER BY pos), '') AS input_text,
+       COALESCE(string_agg(
+         CASE WHEN masked AND is_start
+                THEN '<extra_id_' || (span_no - 1) || '> ' || token
+              WHEN masked THEN token END,
+         ' ' ORDER BY pos), '') AS target_text,
+       CAST(COALESCE(MAX(span_no), 0) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (masked) AS BIGINT) AS n_masked
+FROM runs GROUP BY doc_id
+""",
+)
+def ext_text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption example generation (the T5/UL2 denoising
+    objective): ~15% of token positions are masked, adjacent masked
+    positions merge into spans, each span is replaced by a sentinel
+    in the input and emitted after its sentinel in the target —
+    (input_text, target_text) pairs ready for seq2seq pretraining.
+
+    Mask selection is the repo's portable-hash draw (md5 of
+    doc_id:pos — no rand(), both engines agree exactly, cf.
+    ext_sample_holdout), so the corruption is reproducible across
+    runs AND engines. Span merging is the gaps-and-islands pattern:
+    is_start = masked AND NOT lag(masked), span_no = running sum.
+
+    Plan: one shuffle — everything is windows over (doc_id, pos)
+    then a groupBy doc_id that reuses the same hash partitioning
+    (no second Exchange). Per-doc state is O(doc tokens) inside
+    ordered collect_list aggregates, the same bound as reading the
+    document; at 100 TB this is a pure map+single-keyed-shuffle
+    pipeline, linear in corpus size.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
+    masked = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", "doc_id", "pos")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+        < _MASK_PCT
+    )
+    flagged = toks.withColumn("masked", masked)
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    starts = flagged.withColumn(
+        "is_start",
+        F.col("masked") & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+    )
+    runs = starts.withColumn(
+        "span_no",
+        F.sum(F.when(F.col("is_start"), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("span_no") - 1).cast("string"), F.lit(">")
+    )
+    in_tok = F.when(~F.col("masked"), F.col("token")).when(
+        F.col("is_start"), sentinel
+    )
+    tg_tok = F.when(
+        F.col("masked") & F.col("is_start"),
+        F.concat(sentinel, F.lit(" "), F.col("token")),
+    ).when(F.col("masked"), F.col("token"))
+
+    def ordered_text(val):
+        arr = F.array_sort(
+            F.collect_list(F.when(val.isNotNull(), F.struct(F.col("pos"), val.alias("v"))))
+        )
+        return F.concat_ws(" ", F.transform(arr, lambda s: s["v"]))
+
+    return runs.groupBy("doc_id").agg(
+        ordered_text(in_tok).alias("input_text"),
+        ordered_text(tg_tok).alias("target_text"),
+        F.coalesce(F.max("span_no"), F.lit(0)).cast("long").alias("n_spans"),
+        F.count(F.when(F.col("masked"), 1)).alias("n_masked"),
+    )
