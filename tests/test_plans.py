@@ -101,3 +101,36 @@ def test_skew_salt_spreads_hot_key_across_tasks(spark):
     # all 16 salt values occur (l_orderkey is dense), so the hot key
     # must span >1 task; typically ~_SALT modulo AQE coalescing
     assert n_parts > 1, f"hot key rode in {n_parts} partition(s)"
+
+
+def test_join_bloom_injects_runtime_filter(spark):
+    """join_bloom's point is physical: the optimized plan must carry
+    the dim-built Bloom (bloom_filter_agg) applied to the fact scan
+    (might_contain), and the session confs it pins at plan time must
+    be restored afterwards."""
+    from layer_apache_hive_spark.registry import _REGISTRY
+    from layer_apache_hive_spark.operators.joins import (
+        _AUTO_BC,
+        _BLOOM_APP,
+        _BLOOM_CREATE,
+    )
+    from tests.conftest import SF_DIR
+
+    before = {k: spark.conf.get(k) for k in (_AUTO_BC, _BLOOM_APP, _BLOOM_CREATE)}
+    df = _REGISTRY["join_bloom"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    after = {k: spark.conf.get(k) for k in (_AUTO_BC, _BLOOM_APP, _BLOOM_CREATE)}
+    assert before == after
+
+
+def test_span_corruption_single_exchange(spark):
+    """The window → groupBy(doc_id) pipeline must reuse one hash
+    partitioning: exactly one Exchange in the whole plan."""
+    from layer_apache_hive_spark.registry import _REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = _REGISTRY["ext_text_span_corruption"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
