@@ -134,3 +134,15 @@ def test_span_corruption_single_exchange(spark):
     df = _REGISTRY["ext_text_span_corruption"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """evt_range_join's point is physical: bin bucketing must turn the
+    interval predicate into a hash-joinable equi-join — no
+    BroadcastNestedLoop / CartesianProduct anywhere in the plan."""
+    from layer_apache_hive_spark.registry import _REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = _REGISTRY["evt_range_join"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
