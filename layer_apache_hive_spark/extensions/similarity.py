@@ -1113,3 +1113,84 @@ def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= 10
     )
+
+
+_RP_K = 4  # output dimensions of the sparse random projection
+_RP_DIM = 64  # embedding dim (pinned by the fixture; see FIXTURES.md)
+_RP_SCALE = 1_000_000  # FLOOR scale: no tie, exact bigint accumulation
+
+
+def _rp_signs(j: int) -> list[int]:
+    """Achlioptas sparse-projection column j: each entry +1 / -1 / 0
+    with probability 1/6, 1/6, 2/3, drawn from the portable md5 hash
+    of 'j_dim' — both engines regenerate the identical matrix from
+    the seed strings, so the matrix is a compile-time literal, never
+    data."""
+    import hashlib
+
+    out = []
+    for d in range(_RP_DIM):
+        h = int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:8], 16) % 6
+        out.append(1 if h == 0 else (-1 if h == 1 else 0))
+    return out
+
+
+@register(
+    "ext_emb_random_projection",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, label, i - 1 AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)
+),
+p AS (
+  SELECT d.range AS dim, j.range AS j,
+         CASE (CAST('0x' || substr(md5(j.range || '_' || d.range), 1, 8) AS BIGINT) % 6)
+           WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS sgn
+  FROM range({_RP_DIM}) d, range({_RP_K}) j
+),
+s AS (
+  SELECT ex.vec_id, ex.label, p.j,
+         SUM(CAST(FLOOR(ex.x * {_RP_SCALE}) AS BIGINT) * p.sgn) AS acc
+  FROM ex JOIN p ON ex.dim = p.dim
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, label,
+       CAST(SUM(acc) FILTER (j = 0) AS DOUBLE) / {_RP_SCALE} AS proj_0,
+       CAST(SUM(acc) FILTER (j = 1) AS DOUBLE) / {_RP_SCALE} AS proj_1,
+       CAST(SUM(acc) FILTER (j = 2) AS DOUBLE) / {_RP_SCALE} AS proj_2,
+       CAST(SUM(acc) FILTER (j = 3) AS DOUBLE) / {_RP_SCALE} AS proj_3
+FROM s GROUP BY vec_id, label
+""",
+)
+def ext_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection (Achlioptas) — 64-dim embeddings down
+    to 4 dims for cheap clustering / visualization / pre-filtering.
+
+    Spark-first: the seeded ±1/0 projection matrix is a COMPILE-TIME
+    ARRAY LITERAL (regenerated identically from md5 seeds by any
+    engine), so each output dim is one zip_with + aggregate over the
+    embedding array — map-only, zero shuffle, zero Python, runs
+    inside whole-stage codegen. At 100 TB this is a pure scan-speed
+    transform; contrast with the oracle's explode+join formulation,
+    which shuffles |vectors|·dim rows (the point of the rewrite).
+
+    Per-element products are FLOOR-scaled to exact BIGINTs before the
+    sum (house convention, cf. the cosine kernel above): FLOOR has no
+    rounding tie and integer addition is order-independent, so both
+    engines hash identically.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id"), F.col("label")]
+    for j in range(_RP_K):
+        signs = ", ".join(str(s) for s in _rp_signs(j))
+        cols.append(
+            (
+                F.expr(
+                    f"aggregate(zip_with(embedding, array({signs}), "
+                    f"(x, s) -> CAST(FLOOR(CAST(x AS DOUBLE) * {_RP_SCALE}) AS BIGINT) * s), "
+                    f"0L, (acc, v) -> acc + v)"
+                ).cast("double")
+                / _RP_SCALE
+            ).alias(f"proj_{j}")
+        )
+    return emb.select(*cols)

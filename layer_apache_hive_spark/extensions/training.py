@@ -198,6 +198,97 @@ def ext_emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_K = 8  # seed count for the Lloyd-step demo (vec_id < _KM_K)
+_KM_SCALE = 1_000_000  # FLOOR scale → pure-BIGINT distances, no ties
+
+
+@register(
+    "ext_emb_kmeans_step",
+    oracle=f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(FLOOR(embedding[i]::DOUBLE * {_KM_SCALE}) AS BIGINT) AS xi
+  FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)
+),
+seeds AS (SELECT vec_id AS cluster_id, dim, xi AS ci FROM ex WHERE vec_id < {_KM_K}),
+d AS (
+  SELECT e.vec_id, s.cluster_id, SUM((e.xi - s.ci) * (e.xi - s.ci)) AS d2
+  FROM ex e JOIN seeds s USING (dim) GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, cluster_id, d2
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cluster_id) AS rn FROM d)
+  WHERE rn = 1
+),
+vs AS (SELECT vec_id, CAST(SUM(xi) AS BIGINT) AS vsum FROM ex GROUP BY 1)
+SELECT b.cluster_id, COUNT(*) AS n_members,
+       CAST(SUM(v.vsum) AS BIGINT) AS centroid_checksum,
+       CAST(SUM(b.d2) AS DOUBLE) / 1e12 AS wcss
+FROM best b JOIN vs v USING (vec_id)
+GROUP BY b.cluster_id
+""",
+)
+def ext_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of distributed k-means over the
+    embedding corpus: assignment to k seeded centroids (vec_id <
+    {k} as the deterministic seed set) plus the M-step reduction —
+    per-cluster membership count, component-sum checksum (the new
+    centroid, pre-division), and within-cluster sum of squares.
+    Iterative k-means = a driver loop over this step with the
+    previous step's centroids broadcast back in.
+
+    All distance math is PURE BIGINT: vectors are FLOOR-scaled to
+    ints once (map-only), and d² = Σ(xi−ci)² stays integer end to
+    end, so the argmin order and every output value are exact and
+    engine-identical — no float accumulation anywhere until the one
+    final wcss division.
+
+    Spark-first plan, one scan + two keyed shuffles:
+    - seeds are k rows → `F.broadcast` crossJoin, map-side k-way
+      fan-out (NOT the oracle's explode-join, which shuffles n·dim
+      rows);
+    - argmin via `min(struct(d2, cluster_id))` groupBy — partial
+      aggregation map-side, unlike a window row_number which sorts
+      every partition;
+    - M-step is a k-row groupBy on the winners.
+    At 100 TB: fan-out is k× map work (no extra I/O), both shuffles
+    carry one slim row per vector; k and dim only affect map CPU.
+    A production loop would swap the zip_with kernel for one numpy
+    matmul per Arrow batch (cf. _allpairs_cosine_broadcast,
+    similarity.py) — plan shape unchanged.
+    """
+    scale = f"CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)"
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> {scale})").alias("sv"),
+    )
+    vec = emb.withColumn(
+        "vsum", F.expr("aggregate(sv, 0L, (acc, v) -> acc + v)")
+    )
+    seeds = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("sv").alias("sc")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sv, sc, (x, c) -> x - c), 0L,"
+        " (acc, dx) -> acc + dx * dx)"
+    )
+    best = (
+        vec.crossJoin(F.broadcast(seeds))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cluster_id")).alias("b"),
+            F.max("vsum").alias("vsum"),
+        )
+    )
+    return best.groupBy(F.col("b.cluster_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vsum").alias("centroid_checksum"),
+        (F.sum("b.d2").cast("double") / 1e12).alias("wcss"),
+    )
+
+
 @register(
     "ext_sample_temperature",
     oracle="""

@@ -23,7 +23,7 @@ import os
 import shutil
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from layer_apache_hive_spark.catalog import read_table
@@ -1054,4 +1054,78 @@ def evt_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    )
+
+
+@register(
+    "evt_gap_fill",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         COUNT(*) AS n_events, {sql_dsum('value')} AS tv
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+days AS (
+  SELECT event_type, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+  FROM span
+)
+SELECT d.event_type, strftime(d.d, '%Y-%m-%d') AS day,
+       COALESCE(dd.n_events, 0) AS n_events,
+       LAST_VALUE(dd.tv IGNORE NULLS) OVER (
+         PARTITION BY d.event_type ORDER BY d.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_value_locf,
+       dd.n_events IS NULL AS gap
+FROM days d LEFT JOIN daily dd ON d.event_type = dd.event_type AND d.d = dd.d
+""",
+)
+def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + LOCF (the hypertable
+    ``time_bucket_gapfill``/``locf`` pair): daily rollup per
+    event_type, densified to EVERY calendar day in each series' own
+    [min, max] span — missing days appear with n_events = 0, a
+    ``gap`` flag, and the last observed daily total carried forward.
+
+    Spark-first: the calendar is generated distributed-side with
+    ``sequence(d0, d1, interval 1 day)`` + explode off the per-series
+    span row — never a driver-side date loop — then a left join back
+    to the real rollup and one ``last(ignorenulls)`` running window.
+
+    Scale: the rollup is the only full-data shuffle (keyed on
+    (event_type, day) with map-side partial agg). Everything after
+    runs on ~|series|·|days| rows — for a 100 TB events table that is
+    square meters, not hectares. The LOCF window partitions by
+    series id; with few huge series you'd range-partition on
+    (series, month) and carry the boundary value forward in a second
+    tiny pass — the standard two-phase prefix trick.
+    """
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("tv"),
+    )
+    days = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        days.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("tv", ignorenulls=True).over(w).alias("total_value_locf"),
+            F.col("n_events").isNull().alias("gap"),
+        )
     )
