@@ -1129,3 +1129,147 @@ def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").isNull().alias("gap"),
         )
     )
+
+
+@register(
+    "evt_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+  GROUP BY 1
+),
+staged AS (
+  SELECT v.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              ELSE 1 END AS stage
+  FROM v LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id
+)
+SELECT stage,
+       CASE stage WHEN 1 THEN 'view' WHEN 2 THEN 'view>click'
+                  ELSE 'view>click>purchase' END AS funnel,
+       COUNT(*) AS n_users
+FROM staged GROUP BY 1, 2
+""",
+)
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis — how many users progressed view → click →
+    purchase in strict timestamp order (first-touch semantics: the
+    clock for each stage starts at the FIRST completion of the
+    previous stage).
+
+    Spark-first: three conditional min-aggregations chained by
+    user-keyed joins. Every shuffle in the plan — the three groupBys
+    and both left joins — hashes on user_id, so AQE coalesces them
+    onto one exchange layout and the stage classification is a
+    map-side CASE. No collect_list of per-user event arrays, no
+    window sort over raw events: state per user is one timestamp per
+    stage regardless of how many events the user has — the property
+    that keeps a 100 TB clickstream funnel in bounded memory. Stage
+    filters (event_type = ...) sit directly on the scan and push
+    into parquet.
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), F.lit(3))
+        .when(F.col("t2").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    funnel = (
+        F.when(F.col("stage") == 1, F.lit("view"))
+        .when(F.col("stage") == 2, F.lit("view>click"))
+        .otherwise(F.lit("view>click>purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .withColumn("stage", stage)
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select("stage", funnel.alias("funnel"), "n_users")
+    )
+
+
+@register(
+    "evt_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         CAST(date_diff('week', f.cohort,
+              date_trunc('week', CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+           AS week_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+       COUNT(*) AS n_active_users
+FROM activity GROUP BY 1, 2
+""",
+)
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users grouped by the week they first
+    appeared, counted once per later week they came back
+    (n_active_users at cohort_week × week_offset).
+
+    Spark-first: first-seen is one user-keyed min-agg; the join back
+    to events is on the same user_id key (co-partitioned with the
+    agg's exchange under AQE); the DISTINCT collapses per-user
+    activity to ≤|weeks| slim rows BEFORE the final count shuffle,
+    so the matrix aggregation sees bounded input no matter how many
+    raw events a user generates. week_offset via integer epoch-week
+    arithmetic — both engines truncate to the same Monday and the
+    difference is exact integer math, no float, no tz dependency
+    (µs-truncated naive timestamps end to end).
+    """
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    wk = lambda col: F.date_trunc("WEEK", col)
+    first_seen = e.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort"))
+    offset = (
+        (F.unix_timestamp(wk(F.col("ts"))) - F.unix_timestamp(F.col("cohort")))
+        / (7 * 86400)
+    ).cast("bigint")
+    return (
+        e.join(first_seen, "user_id")
+        .select("user_id", "cohort", offset.alias("week_offset"))
+        .distinct()
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
