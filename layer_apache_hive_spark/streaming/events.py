@@ -1273,3 +1273,136 @@ def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "evt_ohlc",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', CAST(ts AS TIMESTAMP))
+                            ORDER BY ts, event_id) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', CAST(ts AS TIMESTAMP))
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM ranked GROUP BY 1, 2
+""",
+)
+def evt_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars — the canonical time-series downsample: per
+    (event_type, day), the first value (open), max (high), min (low)
+    and last value (close) of the bucket, ties broken by event_id so
+    both engines pick the identical row.
+
+    Spark-first: open/close are argmin/argmax via
+    ``min(struct(ts, event_id, value))`` — ONE hash aggregation with
+    map-side partial merge, no window sort over raw events (the
+    oracle's ROW_NUMBER form is the naive twin: it must range-sort
+    every bucket; the struct-min form is associative, so Spark
+    combines partials executor-side). One keyed shuffle total; raw
+    values pass through untouched — no float accumulation anywhere,
+    so no decimal-tie machinery is needed.
+    """
+    e = read_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.date_trunc("DAY", F.col("ts")).alias("d"),
+        F.struct("ts", "event_id", "value").alias("o"),
+        "value",
+    )
+    return (
+        b.groupBy("event_type", "d")
+        .agg(
+            F.min("o").alias("om"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max("o").alias("cm"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("om.value").alias("open"),
+            "high",
+            "low",
+            F.col("cm.value").alias("close"),
+            "n_events",
+        )
+    )
+
+
+_MAD_SCALE = 1_000_000  # FLOOR scale: median/MAD interpolate exact ints
+_MAD_K = 3.0  # flag threshold: |x - median| > K * MAD
+
+
+@register(
+    "evt_anomaly_mad",
+    oracle=f"""
+WITH v AS (
+  SELECT event_id, event_type, value,
+         CAST(FLOOR(value * {_MAD_SCALE}) AS BIGINT) AS vi
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(vi, 0.5) AS med FROM v GROUP BY 1
+),
+dev AS (
+  SELECT v.*, m.med, ABS(v.vi - m.med) AS adev
+  FROM v JOIN med m ON v.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.value,
+       d.adev / NULLIF(m.mad, 0) AS dev_ratio
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE m.mad > 0 AND d.adev > {_MAD_K} * m.mad
+""",
+)
+def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection — flag events whose value deviates
+    from the per-series median by more than {K}× the median absolute
+    deviation (MAD: the robust stdev that one glitch can't poison,
+    unlike mean/stddev z-scores).
+
+    Determinism: values FLOOR-scale to BIGINT first, so both engines
+    interpolate the median between exact integers — (a+b)/2 on ints
+    is an exact dyadic double, immune to the float-interpolation
+    drift raw doubles could hit. The deviation compare and the final
+    ratio are single ops on those dyadics.
+
+    Scale: two tiny per-series aggregations (percentile per
+    event_type → |series| rows, broadcast back onto the events scan),
+    all row work map-side. Exact percentile is a full-sort-per-key
+    aggregate internally — at 100 TB swap to approx_percentile with
+    a pinned accuracy and keep this exact form as the oracle gate;
+    the plan shape (agg → broadcast join → filter) is unchanged.
+    """
+    v = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * _MAD_SCALE).cast("bigint").alias("vi"),
+    )
+    med = v.groupBy("event_type").agg(F.percentile("vi", 0.5).alias("med"))
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("vi") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.col("adev") > _MAD_K * F.col("mad")))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("adev") / F.col("mad")).alias("dev_ratio"),
+        )
+    )
