@@ -564,3 +564,89 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F_n").alias("n_F"),
         F.col("O_n").alias("n_O"),
     )
+
+
+_CMS_D = 4  # sketch depth (hash rows)
+_CMS_W = 64  # sketch width (buckets per row)
+_CMS_KEYS = 20  # query keys: user_id < _CMS_KEYS
+
+
+@register(
+    "agg_count_min",
+    oracle=f"""
+WITH j AS (SELECT range AS j FROM range({_CMS_D})),
+sk AS (
+  SELECT j.j,
+         CAST('0x' || substr(md5(j.j || ':' || user_id), 1, 8) AS BIGINT)
+           % {_CMS_W} AS bucket,
+         COUNT(*) AS c
+  FROM events, j GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT user_id FROM events WHERE user_id < {_CMS_KEYS}),
+est AS (
+  SELECT k.user_id, MIN(s.c) AS cms_est
+  FROM keys k CROSS JOIN j
+  JOIN sk s ON s.j = j.j
+   AND s.bucket = CAST('0x' || substr(md5(j.j || ':' || k.user_id), 1, 8)
+                       AS BIGINT) % {_CMS_W}
+  GROUP BY 1
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_cnt FROM events
+  WHERE user_id < {_CMS_KEYS} GROUP BY 1
+)
+SELECT e.user_id, e.exact_cnt, s.cms_est,
+       s.cms_est >= e.exact_cnt AS overestimate_ok
+FROM exact e JOIN est s USING (user_id)
+""",
+)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as a PORTABLE dataframe composition — the
+    heavy-hitter frequency sketch (Hive ships one inside its stats
+    collectors; Spark exposes count_min_sketch as an opaque binary).
+    Building it from md5 bucket hashes instead makes every cell —
+    and therefore every estimate — bit-identical across engines, so
+    the oracle checks exact VALUES, not error-bound booleans: the
+    d×w cell counts, the min-over-rows estimates, and the CMS
+    guarantee est ≥ exact (emitted as overestimate_ok).
+
+    Scale: the sketch IS the point — the build is one groupBy whose
+    map-side partials collapse to ≤ d·w = 4·64 = 256 cells per task
+    before the shuffle, regardless of input size; estimates join
+    query keys against the ≤256-row sketch (broadcast). This is the
+    frequency-stats pass a 100 TB pipeline runs where exact per-key
+    counts would shuffle the world.
+    """
+    bucket = (
+        lambda key: F.expr(
+            f"CAST(conv(substring(md5(concat(j, ':', {key})), 1, 8), 16, 10)"
+            f" AS BIGINT) % {_CMS_W}"
+        )
+    )
+    e = read_table(spark, sf_dir, "events").select("user_id")
+    js = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
+    sketch = (
+        e.select("user_id", js)
+        .withColumn("bucket", bucket("user_id"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = e.filter(F.col("user_id") < _CMS_KEYS).distinct()
+    est = (
+        keys.select("user_id", js)
+        .withColumn("bucket", bucket("user_id"))
+        .join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    exact = (
+        e.filter(F.col("user_id") < _CMS_KEYS)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("overestimate_ok"),
+    )

@@ -334,3 +334,52 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@register(
+    "scan_parquet_evolution",
+    oracle="""
+SELECT
+  COUNT(*) AS n_rows,
+  SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n_with_priority,
+  COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+    AS n_priorities
+FROM orders
+""",
+)
+def scan_parquet_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet file generations (Hive ALTER
+    TABLE ADD COLUMNS over an append-only table): generation 1 wrote
+    (o_orderkey, o_totalprice); generation 2 added o_orderpriority.
+    ``mergeSchema=true`` reconciles the footers — old files surface
+    the new column as NULL, exactly Hive's read-time semantics.
+
+    The fixture splits orders by orderkey parity into the two
+    generations (write-once under .tmp); the oracle recomputes the
+    same counts from the base table with parity standing in for
+    file generation.
+
+    Scale: schema merge is a FOOTER operation — per-file, no data
+    read — so a decade of drifting schemas costs one listing pass.
+    The default (mergeSchema off, use the latest schema) is the right
+    production setting when footers are known-compatible; turning it
+    on only changes planning cost, not the scan itself. Column
+    pruning and filter pushdown still apply per-file after merge.
+    """
+    path = _fixture_dir(sf_dir, "evolution")
+    if not os.path.exists(f"{path}/gen2/_SUCCESS"):
+        o = read_table(spark, sf_dir, "orders")
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(f"{path}/gen1")
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").parquet(f"{path}/gen2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen1", f"{path}/gen2"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )

@@ -1406,3 +1406,58 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("adev") / F.col("mad")).alias("dev_ratio"),
         )
     )
+
+
+@register(
+    "evt_stream_ohlc",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', CAST(ts AS TIMESTAMP))
+                            ORDER BY ts, event_id) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', CAST(ts AS TIMESTAMP))
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM ranked GROUP BY 1, 2
+""",
+)
+def evt_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evt_ohlc as a live Structured Streaming query — the point of
+    the struct-argmin formulation: min/max(struct(ts, event_id,
+    value)) are ASSOCIATIVE aggregates, so the same expression that
+    batch-combines map-side partials is a legal incremental streaming
+    state (one struct per open bucket), where the ROW_NUMBER twin
+    could never stream. One availableNow micro-batch, complete mode,
+    value-checked against the batch oracle (same contract as
+    evt_stream_tumbling).
+    """
+    src = _stream_source(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 day")
+        .withColumn("o", F.struct("ts", "event_id", "value"))
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.min("o").alias("om"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max("o").alias("cm"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+            F.col("om.value").alias("open"),
+            "high",
+            "low",
+            F.col("cm.value").alias("close"),
+            "n_events",
+        )
+    )
+    return _run_stream(agg, "stream_ohlc", spark)
