@@ -650,3 +650,111 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") >= F.col("exact_cnt")).alias("overestimate_ok"),
     )
+
+
+_HLL_M = 64  # buckets (b = 6 bits)
+_HLL_RANK_CAP = 40  # rank cap keeps 2^(cap-rank) sums exact in BIGINT
+# alpha_64 * m^2 * 2^rank_cap, precomputed so both engines divide the
+# identical double constant by the identical exact integer
+_HLL_NUM = repr(0.709 * _HLL_M * _HLL_M * float(1 << _HLL_RANK_CAP))
+
+_HLL_RANK_CASE = """CASE substr(TRIM(LEADING '0' FROM {h2}), 1, 1)
+    WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+    WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+    ELSE 0 END"""
+
+
+@register(
+    "agg_hll_portable",
+    oracle=f"""
+WITH parts AS (
+  SELECT l_returnflag,
+         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) AS BIGINT)
+           % {_HLL_M} AS bucket,
+         substr(md5(CAST(l_orderkey AS VARCHAR)), 3, 15) AS h2
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_returnflag, bucket,
+         LEAST(4 * (15 - length(TRIM(LEADING '0' FROM h2)))
+               + {_HLL_RANK_CASE.format(h2='h2')} + 1, {_HLL_RANK_CAP}) AS rank
+  FROM parts
+),
+mx AS (SELECT l_returnflag, bucket, MAX(rank) AS m FROM ranked GROUP BY 1, 2),
+s AS (
+  SELECT l_returnflag,
+         SUM(1::BIGINT << ({_HLL_RANK_CAP} - m))
+           + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_RANK_CAP}) AS s_int
+  FROM mx GROUP BY 1
+),
+exact AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_ndv
+  FROM lineitem GROUP BY 1
+)
+SELECT e.l_returnflag, e.exact_ndv,
+       {_HLL_NUM} / CAST(s.s_int AS DOUBLE) AS hll_est,
+       ABS({_HLL_NUM} / CAST(s.s_int AS DOUBLE) - e.exact_ndv)
+         <= 0.3 * e.exact_ndv AS in_bound
+FROM exact e JOIN s ON e.l_returnflag = s.l_returnflag
+""",
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built as a PORTABLE dataframe composition (md5
+    bucket + leading-zero rank), companion to agg_count_min: unlike
+    approx_count_distinct's engine-private HLL++ registers
+    (agg_approx_ndv, where only error bounds can be checked), every
+    register value AND the final estimate here are bit-identical
+    across engines, so the oracle pins exact values.
+
+    Determinism of the harmonic mean — the delicate part: summing
+    2^-M floats is order-dependent once exponents spread past the
+    mantissa. Instead registers accumulate Σ 2^(cap−M) as EXACT
+    BIGINTs (rank capped at 40 keeps 64 terms under 2^46), empty
+    buckets contribute 2^cap, and the one double division
+    alpha·m²·2^cap / S happens once, on identical operands, in both
+    engines. Leading-zero rank is integer string math (nibble count +
+    a 16-way CASE), no log2 float anywhere.
+
+    Scale: map-side partials collapse to ≤ m = 64 registers per task
+    before the shuffle — the mergeable-sketch property that lets a
+    1000-executor NDV pass move kilobytes. The exact COUNT(DISTINCT)
+    alongside is the oracle anchor; a 100 TB run would drop it and
+    keep only the sketch side of the plan.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey")
+    hx = F.md5(F.col("l_orderkey").cast("string"))
+    h2 = F.substring(hx, 3, 15)
+    trimmed = F.expr("TRIM(LEADING '0' FROM h2)")
+    rank = F.least(
+        F.lit(4) * (F.lit(15) - F.length(trimmed))
+        + F.expr(_HLL_RANK_CASE.format(h2="h2"))
+        + F.lit(1),
+        F.lit(_HLL_RANK_CAP),
+    )
+    parts = li.select(
+        "l_returnflag",
+        (F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint") % _HLL_M).alias(
+            "bucket"
+        ),
+        h2.alias("h2"),
+    ).select("l_returnflag", "bucket", rank.alias("rank"))
+    mx = parts.groupBy("l_returnflag", "bucket").agg(F.max("rank").alias("m"))
+    s = mx.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RANK_CAP} - m)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_RANK_CAP).cast("bigint")
+        ).alias("s_int")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_ndv")
+    )
+    est = F.lit(float(_HLL_NUM)) / F.col("s_int").cast("double")
+    return exact.join(s, "l_returnflag").select(
+        "l_returnflag",
+        "exact_ndv",
+        est.alias("hll_est"),
+        (F.abs(est - F.col("exact_ndv")) <= 0.3 * F.col("exact_ndv")).alias(
+            "in_bound"
+        ),
+    )
