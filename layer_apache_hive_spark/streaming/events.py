@@ -1461,3 +1461,108 @@ def evt_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_stream(agg, "stream_ohlc", spark)
+
+
+_OVL_GAP_MIN = 30  # sessionization gap (minutes)
+_OVL_BIN = 86400  # overlap-join bin width (seconds)
+
+
+def _ovl_sessions_sql(typ: str) -> str:
+    """Gaps-and-islands sessionization of one event_type (DuckDB),
+    emitting [s, e] = [min ts, max ts] per session."""
+    return f"""
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS s, MAX(CAST(ts AS TIMESTAMP)) AS e
+  FROM (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - CAST(LAG(ts) OVER w AS TIMESTAMP)
+                       >= INTERVAL {_OVL_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE event_type = '{typ}'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+  )
+  GROUP BY user_id, session_no
+"""
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+WITH a AS ({_ovl_sessions_sql('click')}),
+b AS ({_ovl_sessions_sql('error')})
+SELECT a.user_id,
+       strftime(a.s, '{_SQL_TS_FMT}') AS a_start,
+       strftime(a.e, '{_SQL_TS_FMT}') AS a_end,
+       strftime(b.s, '{_SQL_TS_FMT}') AS b_start,
+       strftime(b.e, '{_SQL_TS_FMT}') AS b_end,
+       epoch(LEAST(a.e, b.e)) - epoch(GREATEST(a.s, b.s)) AS overlap_sec
+FROM a JOIN b ON a.user_id = b.user_id
+ AND a.s <= b.e AND b.s <= a.e
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — click sessions × error sessions of the
+    same user that overlap in time (closed intervals: a.s ≤ b.e AND
+    b.s ≤ a.e). The genuinely-interval sibling of evt_range_join's
+    point-in-window: BOTH sides are variable-length spans, so no
+    single-bin ownership exists on either side alone.
+
+    Spark-first: Spark can only run the raw overlap predicate as a
+    per-user nested loop. Rewrite: each interval explodes to every
+    day-bin it touches, the join becomes an EQUI-join on (user, bin),
+    and the pair is kept only in the bin that contains
+    max(a.s, b.s) — the overlap's left edge, which lies in EXACTLY
+    one bin, so every true pair survives once and no DISTINCT pass
+    is needed (the dedup-free bin-ownership trick). Candidates are
+    bounded by spans-per-bin², not sessions²; replication cost is
+    ceil(span/bin) rows per interval. The oracle is the literal
+    theta join — binning must be invisible in the result.
+
+    Sessionization itself reuses the session_window operator
+    (30-minute gap), with [min ts, max ts] as the span.
+    """
+    ev = read_table(spark, sf_dir, "events")
+
+    def sessions(typ: str, s_name: str, e_name: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == typ)
+            .groupBy("user_id", F.session_window("ts", f"{_OVL_GAP_MIN} minutes"))
+            .agg(F.min("ts").alias(s_name), F.max("ts").alias(e_name))
+            .drop("session_window")
+        )
+
+    a = sessions("click", "a_s", "a_e")
+    b = sessions("error", "b_s", "b_e").withColumnRenamed("user_id", "b_user")
+    bins = lambda s, e: F.expr(
+        f"sequence(floor(unix_timestamp({s}) / {_OVL_BIN}),"
+        f" floor(unix_timestamp({e}) / {_OVL_BIN}))"
+    )
+    a2 = a.withColumn("bin", F.explode(bins("a_s", "a_e")))
+    b2 = b.withColumn("b_bin", F.explode(bins("b_s", "b_e")))
+    own_bin = F.floor(
+        F.greatest(F.unix_timestamp("a_s"), F.unix_timestamp("b_s")) / _OVL_BIN
+    )
+    return (
+        a2.join(b2, (a2.user_id == b2.b_user) & (a2.bin == b2.b_bin))
+        .filter(
+            (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+            & (F.col("bin") == own_bin)
+        )
+        .select(
+            "user_id",
+            F.date_format("a_s", _TS_FMT).alias("a_start"),
+            F.date_format("a_e", _TS_FMT).alias("a_end"),
+            F.date_format("b_s", _TS_FMT).alias("b_start"),
+            F.date_format("b_e", _TS_FMT).alias("b_end"),
+            (
+                F.unix_timestamp(F.least("a_e", "b_e"))
+                - F.unix_timestamp(F.greatest("a_s", "b_s"))
+            ).alias("overlap_sec"),
+        )
+    )
