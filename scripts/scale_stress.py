@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Scale-stress harness: measure how operators scale with data size.
+
+Correctness is gated by the oracle sweeps; THIS script gates the
+scaling claim. It derives a k×-replicated corpus from the fixture
+tree (fact tables unioned k times with shifted keys and perturbed
+text so dedup/join semantics stay realistic; dimension tables copied
+verbatim), runs a representative slice of the registry at 1× and k×,
+and records the wall-clock ratio per query in STRESS.json.
+
+Reading the ratio on local[32] at sf0.1 (~600k-row facts):
+  - ratio ≈ k  → compute-bound and linear: the plan does O(n) work.
+  - ratio < k  → fixed overhead (JVM, planning, small shuffles)
+    still dominates at this size — fine.
+  - ratio >> k (superlinear; flagged at > 1.6·k) → the operator does
+    super-linear work and would NOT survive a 100 TB run. The gate:
+    STRESS.json must contain zero superlinear rows.
+
+Replication shifts every join/group key by a disjoint offset per
+replica, so key cardinality scales with data (group counts, join
+fan-outs stay realistic rather than multiplying densities), and
+document text gets a per-replica suffix so near-dup candidate sets
+stay linear.
+
+Usage:
+    python scripts/scale_stress.py [--k 8] [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from layer_apache_hive_spark.catalog import TABLES  # noqa: E402
+from layer_apache_hive_spark.registry import all_queries  # noqa: E402
+from layer_apache_hive_spark.session import get_spark  # noqa: E402
+
+# fact tables: replicated with shifted keys; everything else copied
+_KEY_SHIFTS = {
+    # table -> columns shifted by replica * offset (disjoint key space)
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_OFFSET = 10_000_000
+
+# representative slice: scans/aggs, joins, windows, events, text,
+# dedup, embeddings, sketches — the shapes whose scaling matters
+STRESS_QUERIES = [
+    "agg_hash_groupby",
+    "agg_count_distinct",
+    "agg_hll_portable",
+    "agg_count_min",
+    "join_inner_equi",
+    "join_broadcast",
+    "composite_market_share",
+    "win_running_total",
+    "topk",
+    "evt_funnel",
+    "evt_session_window",
+    "evt_ohlc",
+    "evt_gap_fill",
+    "join_interval_overlap",
+    "ext_text_tokens",
+    "ext_text_quality",
+    "ext_dedup_exact",
+    "ext_emb_random_projection",
+    "ext_emb_kmeans_step",
+]
+
+
+def build_corpus(spark, src_dir: str, dst_dir: str, k: int) -> None:
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in TABLES:
+        dst = f"{dst_dir}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        src = f"{src_dir}/{t}.parquet"
+        if t not in _KEY_SHIFTS:
+            shutil.copy(src, dst)
+            continue
+        base = spark.read.parquet(src)
+        reps = []
+        for i in range(k):
+            r = base
+            for c in _KEY_SHIFTS[t]:
+                r = r.withColumn(c, F.col(c) + F.lit(i * _OFFSET))
+            if t == "documents":
+                # perturb text so near-dup candidates stay linear
+                r = r.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" rep{i}"))
+                )
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        # one file per replica keeps scan parallelism comparable
+        out.repartition(k * 4).write.mode("overwrite").parquet(dst)
+
+
+def time_query(qs, qid: str, spark, sf_dir: str, reps: int = 3) -> float:
+    """Best-of-N wall clock. This VM's timings are bimodal (external
+    CPU steal produces 3-10x outlier runs on identical plans), and
+    the question STRESS answers is how much WORK the plan does —
+    min over repetitions is the estimator robust to that noise."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        df = qs[qid](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    spark = get_spark()
+    qs = all_queries()
+    label = os.path.basename(args.sf_dir.rstrip("/"))
+    big_dir = f"/root/repo/.tmp/stress/{label}x{args.k}"
+    print(f"building {args.k}x corpus at {big_dir} ...", flush=True)
+    build_corpus(spark, args.sf_dir, big_dir, args.k)
+
+    results = {}
+    superlinear_cut = 1.6 * args.k
+    for qid in STRESS_QUERIES:
+        # warm once (file listing, codegen, broadcast), then best-of-3
+        time_query(qs, qid, spark, args.sf_dir, reps=1)
+        t1 = time_query(qs, qid, spark, args.sf_dir)
+        tk = time_query(qs, qid, spark, big_dir)
+        ratio = tk / t1 if t1 > 0 else float("inf")
+        results[qid] = {
+            "t_1x_sec": round(t1, 3),
+            f"t_{args.k}x_sec": round(tk, 3),
+            "ratio": round(ratio, 2),
+            "superlinear": ratio > superlinear_cut,
+        }
+        print(
+            f"  {qid}: {t1:.2f}s -> {tk:.2f}s  ratio {ratio:.2f}"
+            f"{'  ** SUPERLINEAR **' if ratio > superlinear_cut else ''}",
+            flush=True,
+        )
+
+    out = {
+        "k": args.k,
+        "sf_dir": args.sf_dir,
+        "superlinear_flag_above": round(superlinear_cut, 1),
+        "n_superlinear": sum(r["superlinear"] for r in results.values()),
+        "queries": results,
+    }
+    with open("/root/repo/STRESS.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"\nwrote STRESS.json — {out['n_superlinear']} superlinear")
+    return 1 if out["n_superlinear"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
