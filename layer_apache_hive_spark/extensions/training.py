@@ -641,3 +641,80 @@ def ext_text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("span_no"), F.lit(0)).cast("long").alias("n_spans"),
         F.count(F.when(F.col("masked"), 1)).alias("n_masked"),
     )
+
+
+_SFT_PROMPT_PREFIX = "Continue the passage: "
+_SFT_VAL_PCT = 20  # % of examples held out for validation
+
+
+@register(
+    "ext_pipeline_sft",
+    oracle=f"""
+WITH quality AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t
+  FROM documents
+  WHERE n_chars BETWEEN 100 AND 500
+),
+cut AS (
+  SELECT doc_id, source, t,
+         GREATEST(1, (len(t) * 2) // 5) AS k
+  FROM quality
+  WHERE len(t) >= 2
+),
+ex AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST('0x' || substr(md5('sft:' || doc_id), 1, 8) AS BIGINT)
+                   % 100 < {_SFT_VAL_PCT}
+              THEN 'val' ELSE 'train' END AS split,
+         '{_SFT_PROMPT_PREFIX}' || array_to_string(t[1:k], ' ') AS prompt,
+         array_to_string(t[k+1:len(t)], ' ') AS completion,
+         k AS n_prompt_tokens,
+         len(t) - k AS n_completion_tokens
+  FROM cut
+)
+SELECT * FROM ex
+""",
+)
+def ext_pipeline_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (instruction-tuning) example construction — the sibling of
+    ext_pipeline_pretrain for the fine-tuning leg: quality-gated docs
+    become (prompt, completion) pairs by a deterministic 40/60 token
+    split under an instruction template, with a portable-hash
+    train/val split (md5, the ext_sample_holdout convention). The
+    split point uses pure integer math ((n·2) div 5) — no float
+    multiply whose rounding could move a token across the boundary.
+
+    Scale: entirely map-side — tokenize, slice, hash, template are
+    all per-row expressions inside whole-stage codegen; ZERO
+    shuffles. At 100 TB this runs at scan speed, which is exactly
+    what an example-construction pass must do; the downstream
+    pack-to-sequence step (ext_text_pack) adds the one keyed
+    shuffle.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    q = d.filter(F.col("n_chars").between(100, 500)).select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+    cut = q.filter(F.size("t") >= 2).withColumn(
+        "k", F.greatest(F.lit(1), F.expr("(size(t) * 2) div 5"))
+    )
+    split = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("sft:"), F.col("doc_id"))), 1, 8), 16, 10)
+        .cast("bigint") % 100
+        < _SFT_VAL_PCT,
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+    return cut.select(
+        "doc_id",
+        "source",
+        split.alias("split"),
+        F.concat(
+            F.lit(_SFT_PROMPT_PREFIX),
+            F.array_join(F.expr("slice(t, 1, k)"), " "),
+        ).alias("prompt"),
+        F.array_join(F.expr("slice(t, k + 1, size(t) - k)"), " ").alias(
+            "completion"
+        ),
+        F.col("k").alias("n_prompt_tokens"),
+        (F.size("t") - F.col("k")).alias("n_completion_tokens"),
+    )
