@@ -234,3 +234,55 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+@register(
+    "win_ignore_nulls",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 7 < 3 THEN o_totalprice END AS sparse_price
+  FROM orders WHERE o_custkey < 200
+)
+SELECT o_orderkey, o_orderpriority, sparse_price,
+       FIRST_VALUE(sparse_price IGNORE NULLS) OVER w AS first_price,
+       LAST_VALUE(sparse_price IGNORE NULLS) OVER w AS running_last_price,
+       NTH_VALUE(sparse_price, 2 IGNORE NULLS) OVER w AS second_price
+FROM t
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation (Hive's boolean skip-nulls arg
+    on first_value/last_value, SQL:2011 IGNORE NULLS): first / running
+    last / second non-null value over a sparse column. The running
+    last_value IS the LOCF primitive (cf. evt_gap_fill) expressed as
+    pure window surface.
+
+    Scale: one window shuffle keyed on the partition column; the
+    ignore-nulls variants cost the same as their plain forms — the
+    frame walk just skips null slots.
+    """
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    sparse = F.when(
+        F.col("o_orderkey") % 7 < 3, F.col("o_totalprice")
+    ).alias("sparse_price")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = o.select("o_orderkey", "o_orderpriority", sparse)
+    return t.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "sparse_price",
+        F.first("sparse_price", ignorenulls=True).over(w).alias("first_price"),
+        F.last("sparse_price", ignorenulls=True)
+        .over(w)
+        .alias("running_last_price"),
+        F.nth_value("sparse_price", 2, ignoreNulls=True)
+        .over(w)
+        .alias("second_price"),
+    )

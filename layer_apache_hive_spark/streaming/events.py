@@ -1566,3 +1566,112 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_sec"),
         )
     )
+
+
+@register(
+    "evt_asof_join_nearest",
+    oracle=f"""
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+back AS (
+  SELECT p.event_id, p.user_id, p.pts, c.cts AS bts
+  FROM purch p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.pts >= c.cts
+),
+fwd AS (
+  SELECT p.event_id, c.cts AS fts
+  FROM purch p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.pts <= c.cts
+)
+SELECT b.event_id, b.user_id,
+       strftime(b.pts, '{_SQL_TS_FMT}.%f') AS purchase_ts,
+       strftime(CASE
+         WHEN b.bts IS NULL THEN f.fts
+         WHEN f.fts IS NULL THEN b.bts
+         WHEN epoch_us(b.pts) - epoch_us(b.bts)
+              <= epoch_us(f.fts) - epoch_us(b.pts) THEN b.bts
+         ELSE f.fts END, '{_SQL_TS_FMT}.%f') AS nearest_click_ts,
+       CASE
+         WHEN b.bts IS NULL AND f.fts IS NULL THEN NULL
+         WHEN b.bts IS NULL THEN 'fwd'
+         WHEN f.fts IS NULL THEN 'back'
+         WHEN epoch_us(b.pts) - epoch_us(b.bts)
+              <= epoch_us(f.fts) - epoch_us(b.pts) THEN 'back'
+         ELSE 'fwd' END AS direction
+FROM back b JOIN fwd f ON b.event_id = f.event_id
+""",
+)
+def evt_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'), completing the backward/forward family:
+    each purchase matched to the click closest in time on EITHER
+    side, ties to the backward match.
+
+    Same one-exchange union+window plan as evt_asof_join, with two
+    sorted passes over the identical user_id partitioning — an
+    ascending pass carrying the last click at-or-before, a descending
+    pass carrying the first click at-or-after — then a map-side µs
+    diff picks the winner. The oracle composes DuckDB's two native
+    ASOF LEFT joins with the same tie rule.
+
+    Scale: ONE shuffle (both windows hash on user_id; AQE reuses the
+    exchange, the second pass only re-sorts), no range explosion —
+    still the textbook distributed as-of shape.
+    """
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_p"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_p"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "is_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = clicks.unionByName(purchases)
+    u = u.withColumn("bts", F.last("click_ts", ignorenulls=True).over(w_back))
+    u = u.withColumn("fts", F.last("click_ts", ignorenulls=True).over(w_fwd))
+    d_back = F.unix_micros("ts") - F.unix_micros("bts")
+    d_fwd = F.unix_micros("fts") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("bts").isNull(), F.col("fts"))
+        .when(F.col("fts").isNull(), F.col("bts"))
+        .when(d_back <= d_fwd, F.col("bts"))
+        .otherwise(F.col("fts"))
+    )
+    direction = (
+        F.when(F.col("bts").isNull() & F.col("fts").isNull(), F.lit(None).cast("string"))
+        .when(F.col("bts").isNull(), F.lit("fwd"))
+        .when(F.col("fts").isNull(), F.lit("back"))
+        .when(d_back <= d_fwd, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+    )
+    fmt = _TS_FMT + ".SSSSSS"
+    return u.filter(F.col("is_p") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.date_format(nearest, fmt).alias("nearest_click_ts"),
+        direction.alias("direction"),
+    )
