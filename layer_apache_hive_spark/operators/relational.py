@@ -258,3 +258,43 @@ def query_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.k
         """
     )
+
+
+@register(
+    "expr_try_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE o_totalprice / (o_orderkey % 5) END AS safe_div,
+       CASE WHEN o_orderkey = 0 THEN 0
+            WHEN o_orderkey = 1 THEN 9223372036854775807
+            WHEN o_orderkey > 1 THEN NULL END AS safe_mul,
+       NULL AS oob_elem,
+       o_totalprice AS elem_1
+FROM orders
+WHERE o_orderkey <= 100
+""",
+)
+def expr_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* arithmetic (the companion of expr_cast's
+    try_cast): try_divide → NULL on zero denominator, try_multiply →
+    NULL on bigint overflow, try_element_at → NULL out of bounds —
+    all instead of a runtime error under the driver's default
+    ANSI-ON session (the exact trap expr_cast hit in round 1).
+
+    The DuckDB twin spells each NULL case out as CASE expressions,
+    pinning the try_* semantics to explicit values rather than to
+    another engine's error policy. Map-only; pushdown-friendly.
+    """
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.expr("try_divide(o_totalprice, o_orderkey % 5)").alias("safe_div"),
+        F.expr("try_multiply(o_orderkey, 9223372036854775807L)").alias(
+            "safe_mul"
+        ),
+        F.expr(
+            "CAST(try_element_at(array(o_totalprice), 5) AS DOUBLE)"
+        ).alias("oob_elem"),
+        F.expr("try_element_at(array(o_totalprice), 1)").alias("elem_1"),
+    )
