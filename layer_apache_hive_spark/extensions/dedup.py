@@ -274,13 +274,18 @@ def _verify_jaccard(cand: DataFrame, spark: SparkSession, sf_dir: str) -> DataFr
         ids = pdf["doc_id"].to_numpy()[order]
         hs = pdf["sh"].to_numpy()[order]
         bounds = np.flatnonzero(np.diff(ids)) + 1
-        arrs = {
-            int(ids[s]): hs[s:e]
-            for s, e in zip(
-                np.concatenate(([0], bounds)),
-                np.concatenate((bounds, [len(ids)])),
-            )
-        }
+        # empty corpus → no docs (the zip below would index ids[0])
+        arrs = (
+            {}
+            if len(ids) == 0
+            else {
+                int(ids[s]): hs[s:e]
+                for s, e in zip(
+                    np.concatenate(([0], bounds)),
+                    np.concatenate((bounds, [len(ids)])),
+                )
+            }
+        )
         bv = spark.sparkContext.broadcast(arrs)
 
         def intersect_bc(batches):
@@ -824,7 +829,9 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"doc_id": list(parent), "cluster_id": [find(x) for x in parent]},
             dtype="int64",
         )
-        return spark.createDataFrame(labels_pdf)
+        # explicit schema: createDataFrame cannot infer from an empty
+        # pandas frame (no-duplicates corpus → empty pair graph)
+        return spark.createDataFrame(labels_pdf, "doc_id long, cluster_id long")
 
     # big-graph path: size the per-round shuffles to the graph, not
     # the corpus (observed 6x per-round win locally; the same

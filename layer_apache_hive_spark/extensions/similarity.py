@@ -32,6 +32,22 @@ from pyspark.sql import functions as F
 from layer_apache_hive_spark.catalog import read_table
 from layer_apache_hive_spark.registry import register
 
+_EMB_DIM = 64  # fixture embedding dim (FIXTURES.md)
+
+
+def _stack_f64(col, dim: int = _EMB_DIM):
+    """np.stack of a pandas embedding column as float64, totalized
+    for the empty case (np.stack raises on zero arrays; an empty
+    corpus must yield a (0, dim) matrix so the downstream BLAS /
+    einsum shapes stay consistent). Used on the driver-side
+    toPandas() fast paths — executor funcs guard len(pdf) instead."""
+    import numpy as np
+
+    arrs = col.to_numpy()
+    if len(arrs) == 0:
+        return np.zeros((0, dim), dtype=np.float64)
+    return np.stack(arrs).astype(np.float64)
+
 # exact decimal dot product of two float arrays (see module docstring)
 _DOT = """
 (CAST(aggregate(
@@ -374,7 +390,7 @@ def _allpairs_cosine_broadcast(emb: DataFrame, theta: float) -> DataFrame:
     spark = emb.sparkSession
     pdf_all = emb.select("vec_id", "embedding").toPandas()
     ids_all = pdf_all["vec_id"].to_numpy()
-    m_all = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+    m_all = _stack_f64(pdf_all["embedding"])
     n_all = np.sqrt(np.floor(m_all * m_all * 1e12).astype(np.int64).sum(1) / 1e12)
     bv = spark.sparkContext.broadcast((ids_all, m_all, n_all))
 
@@ -638,7 +654,7 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast the (small) embedding matrix; Arrow then carries
         # only skinny pairs into the verify stage
         pdf_all = emb.toPandas()
-        M = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+        M = _stack_f64(pdf_all["embedding"])
         nrm = np.sqrt(np.floor(M * M * 1e12).astype(np.int64).sum(1) / 1e12)
         idx = {int(v): i for i, v in enumerate(pdf_all["vec_id"].to_numpy())}
         bv = spark.sparkContext.broadcast((idx, M, nrm))
@@ -938,7 +954,7 @@ def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float summation order anywhere near an argmin/rank decision,
     # which is what lets the whole pipeline carry a DuckDB value
     # oracle (the sign-LSH convention). (M, K, sub)
-    A = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    A = _stack_f64(head["embedding"])
     codebook = np.stack(
         [
             np.floor(A[:, m * sub : (m + 1) * sub] * 1e6).astype(np.int64)
@@ -952,7 +968,7 @@ def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query side: the 5 query vectors, python-broadcast with their
     # exact FLOOR-scaled norms (the ext_sim_topk convention)
     qpdf = head[head["vec_id"] < 5]
-    Q = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    Q = _stack_f64(qpdf["embedding"])
     q_ids = qpdf["vec_id"].to_numpy()
     q_nrm = np.sqrt(np.floor(Q * Q * 1e12).astype(np.int64).sum(1) / 1e12)
     # ADC tables: integer dot of each scaled query subvector with each
@@ -1033,7 +1049,7 @@ def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-sized on the driver).
     if _corpus_size(spark, sf_dir) <= _LSH_BROADCAST_MAX_VECS:
         pdf_all = emb.toPandas()
-        M_all = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+        M_all = _stack_f64(pdf_all["embedding"])
         n_all = np.sqrt(
             np.floor(M_all * M_all * 1e12).astype(np.int64).sum(1) / 1e12
         )

@@ -748,7 +748,9 @@ def ext_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out_dir)
     )
     return (
-        spark.read.parquet(out_dir)
+        # explicit schema: an empty corpus exports zero shard dirs
+        spark.read.schema("doc_id long, n_chars long, shard bigint")
+        .parquet(out_dir)
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

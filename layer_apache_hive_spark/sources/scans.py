@@ -139,12 +139,21 @@ def scan_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tables): the RDD job that encodes the writables is ~10x the
         # cost of the read this query is about
         n = read_table(spark, sf_dir, "nation")
-        n.select("n_nationkey", "n_name").rdd.map(tuple).saveAsSequenceFile(path)
-    return (
-        spark.sparkContext.sequenceFile(path)
-        .toDF(["n_nationkey", "n_name"])
-        .select(F.col("n_nationkey").cast("bigint"), "n_name")
-    )
+        rows = n.select("n_nationkey", "n_name").rdd.map(tuple)
+        if rows.isEmpty():
+            # Hadoop's sequence writer derives the K/V writable
+            # classes from the first record — an empty table has
+            # none, and an empty relation is the correct round trip
+            return spark.createDataFrame(
+                [], "n_nationkey bigint, n_name string"
+            )
+        rows.saveAsSequenceFile(path)
+    kv = spark.sparkContext.sequenceFile(path)
+    # explicit schema: toDF() samples rows to infer and dies on an
+    # empty table; the K/V writable types are fixed by the writer
+    return spark.createDataFrame(
+        kv, "n_nationkey long, n_name string"
+    ).select(F.col("n_nationkey").cast("bigint"), "n_name")
 
 
 @register(
@@ -325,7 +334,13 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
     return (
-        spark.read.parquet(path)
+        # explicit schema: an empty source writes zero partition dirs
+        # and schema inference has nothing to read (partition-column
+        # pruning works the same either way)
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_orderpriority string"
+        )
+        .parquet(path)
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .groupBy("o_orderstatus")
         .agg(

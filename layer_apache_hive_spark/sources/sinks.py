@@ -78,7 +78,11 @@ def sink_dynamic_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderpriority")
         .parquet(path)
     )
-    return spark.read.parquet(path).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    # explicit schema: an empty source writes zero partition dirs,
+    # leaving nothing for read-back inference
+    return spark.read.schema(
+        "o_orderkey long, o_totalprice double, o_orderpriority string"
+    ).parquet(path).select("o_orderkey", "o_totalprice", "o_orderpriority")
 
 
 def _scratch_db(spark: SparkSession, sf_dir: str, prefix: str) -> str:
@@ -235,6 +239,12 @@ def sink_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hi.unionByName(lo)
 
 
+_ACID_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_totalprice double,"
+    " o_orderpriority string"
+)  # explicit: empty-source COW leaves no files for inference
+
+
 def _acid_seed(spark: SparkSession, sf_dir: str, kind: str) -> str:
     """(Re)seed a partitioned copy-on-write target table from orders.
 
@@ -305,7 +315,7 @@ def sink_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines (no rounding tie hazard)."""
     path = _acid_seed(spark, sf_dir, "acid_update")
     touched = (
-        spark.read.parquet(path)
+        spark.read.schema(_ACID_SCHEMA).parquet(path)
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .withColumn(
             "o_totalprice",
@@ -322,7 +332,7 @@ def sink_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("o_orderpriority")
             .parquet(path)
         )
-    return spark.read.parquet(path).select(
+    return spark.read.schema(_ACID_SCHEMA).parquet(path).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
 
@@ -351,7 +361,7 @@ def sink_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the all-rows case. Result = post-DELETE table state."""
     path = _acid_seed(spark, sf_dir, "acid_delete")
     survivors = (
-        spark.read.parquet(path)
+        spark.read.schema(_ACID_SCHEMA).parquet(path)
         .filter(F.col("o_orderpriority") == "5-LOW")
         .filter(~(F.col("o_totalprice") < 50000))
         .localCheckpoint()
@@ -363,7 +373,7 @@ def sink_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("o_orderpriority")
             .parquet(path)
         )
-    return spark.read.parquet(path).select(
+    return spark.read.schema(_ACID_SCHEMA).parquet(path).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
 

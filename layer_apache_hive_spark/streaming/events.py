@@ -525,11 +525,12 @@ def _stream_source_tsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src_dir, ignore_errors=True)
     if not glob.glob(f"{src_dir}/*.parquet"):
         e = _normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-        med_us = int(
-            e.select(
-                F.expr("CAST(percentile(unix_micros(ts), 0.5) AS LONG)").alias("m")
-            ).collect()[0]["m"]
-        )
+        med_row = e.select(
+            F.expr("CAST(percentile(unix_micros(ts), 0.5) AS LONG)").alias("m")
+        ).collect()[0]["m"]
+        # empty corpus → no median; any split point yields two empty
+        # halves, which is the correct degenerate stream
+        med_us = int(med_row) if med_row is not None else 0
         os.makedirs(src_dir, exist_ok=True)
         halves = [
             e.filter(F.unix_micros(F.col("ts")) <= med_us),
