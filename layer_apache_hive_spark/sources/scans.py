@@ -398,3 +398,76 @@ def scan_parquet_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
     )
+
+
+_BAD_CSV_LINES = "abc|BADROW|xyz\n7\n1|X|2|EXTRA|5\n12|HALF|zz\n"
+# → 4 corrupt rows: full type failure, short row, extra fields,
+#   partial type failure (k=12 parses, r fails). Parsed-k sum = 7+1+12.
+
+
+@register(
+    "scan_csv_permissive",
+    oracle="""
+SELECT COUNT(*) + 4 AS n_rows,
+       COUNT(*) AS n_good,
+       4 AS n_corrupt,
+       SUM(n_nationkey) AS good_key_sum,
+       20 AS corrupt_parsed_key_sum,
+       COUNT(n_name) AS n_good_names,
+       SUM(n_regionkey) AS good_region_sum
+FROM nation
+""",
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance (Hive LazySimpleSerDe's null-out
+    behavior, Spark CSV PERMISSIVE mode): the fixture is the nation
+    CSV plus a file of 4 broken lines — a full type failure, a short
+    row, an extra-field row, and a partial type failure. PERMISSIVE
+    keeps every row, retains the columns that did parse, and records
+    the raw line in _corrupt_record; this query audits exactly that
+    contract (row/ good/ corrupt counts, key sums over good and over
+    partially-parsed corrupt rows).
+
+    At 100 TB this is THE ingest posture decision: PERMISSIVE +
+    corrupt-record accounting quarantines bad lines for replay
+    without failing the job (FAILFAST) or silently dropping data
+    (DROPMALFORMED). Scan-bound, one global aggregate.
+    """
+    path = _fixture_dir(sf_dir, "nation_csv_bad")
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        n = read_table(spark, sf_dir, "nation")
+        (
+            n.select("n_nationkey", "n_name", "n_regionkey")
+            .write.mode("overwrite")
+            .option("sep", "|")
+            .csv(path)
+        )
+        with open(f"{path}/part-bad.csv", "w") as fh:
+            fh.write(_BAD_CSV_LINES)
+    schema = T.StructType(
+        list(_NATION_SCHEMA)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("sep", "|")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    good = F.col("_corrupt_record").isNull()
+    # the aggregate must touch EVERY data column: Spark's CSV reader
+    # only parses columns the plan asks for (column pruning), and a
+    # malformation in an unread column would go undetected — the
+    # region sum below is both a real check and the full-parse anchor
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(good, 1)).alias("n_good"),
+        F.count(F.when(~good, 1)).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("n_nationkey"))).alias("good_key_sum"),
+        F.sum(F.when(~good, F.col("n_nationkey"))).alias(
+            "corrupt_parsed_key_sum"
+        ),
+        F.count(F.when(good, F.col("n_name"))).alias("n_good_names"),
+        F.sum(F.when(good, F.col("n_regionkey"))).alias("good_region_sum"),
+    )
