@@ -70,6 +70,20 @@ def main() -> int:
         print("FAILURES:")
         for qid, err in failures.items():
             print(f"  {qid}: {err}")
+    if not sys.argv[1:]:  # full runs record the committed artifact
+        import json
+
+        with open("/root/repo/EMPTYCHECK.json", "w") as fh:
+            json.dump(
+                {
+                    "total": len(ids),
+                    "ok": len(ids) - len(failures),
+                    "failures": failures,
+                },
+                fh,
+                indent=1,
+            )
+        print("wrote /root/repo/EMPTYCHECK.json")
     return 1 if failures else 0
 
 
