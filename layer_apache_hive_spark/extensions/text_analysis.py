@@ -813,3 +813,207 @@ def ext_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel.cast("double") / F.count(F.lit(1)), 8).alias("novelty"),
         )
     )
+
+
+_BM25_TERMS = ("join", "scan", "filter")  # fixture-vocabulary query
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "ext_text_bm25",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+dlen AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avg_dl
+  FROM dlen
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+  WHERE token IN {str(_BM25_TERMS)} GROUP BY 1, 2
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1} + 1.0))
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * dlen.dl / stats.avg_dl)),
+           6) AS s
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN dlen ON tf.doc_id = dlen.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(SUM(CAST(ROUND(s * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000
+         AS bm25
+FROM scored GROUP BY doc_id
+""",
+)
+def ext_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75, Lucene's +1 idf form)
+    of every document against a fixed query term set — the ranking
+    function a corpus-curation pipeline uses for query-targeted
+    subset selection, one level up from ext_text_tfidf.
+
+    Determinism: per-(doc, term) scores are single chains of IEEE ops
+    on identical operands and the one ln() is ROUND(6)-absorbed (the
+    tfidf/unigram_lm convention); the per-doc SUM then accumulates
+    the rounded scores as exact 1e6-scaled BIGINTs so summation
+    order cannot move the hash.
+
+    Scale: term df and corpus stats are tiny (|terms| and 1 row) and
+    broadcast; tf is filtered to query terms BEFORE its groupBy, so
+    the only corpus-sized shuffles are the doc-length rollup and the
+    per-doc score sum, both keyed on doc_id.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avg_dl")
+    )
+    s = F.round(idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom, 6)
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+    )
+    return scored.groupBy("doc_id").agg(
+        # ROUND before the int cast in BOTH engines: s is 6-dp so
+        # s*1e6 is integral up to float ulps, but a bare CAST truncates
+        # in Spark and rounds in DuckDB — x.999... would split them.
+        # Nothing lands near .5, so round-to-nearest is tie-free.
+        (
+            F.sum(F.round(F.col("s") * 1_000_000, 0).cast("bigint"))
+            .cast("double")
+            / 1_000_000
+        ).alias("bm25")
+    )
+
+
+_CDC_WIN = 4  # rolling window (words) the boundary hash covers
+_CDC_DIV = 8  # boundary divisor → expected segment length ~8 words
+
+
+@register(
+    "ext_text_cdc_segments",
+    oracle=f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+pos AS MATERIALIZED (
+  SELECT doc_id, i, w[i] AS token,
+         CASE WHEN i >= {_CDC_WIN}
+               AND CAST('0x' || substr(
+                     md5(array_to_string(w[i-{_CDC_WIN - 1}:i], ' ')), 1, 8)
+                   AS BIGINT) % {_CDC_DIV} = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM t CROSS JOIN UNNEST(generate_series(1, len(w))) AS s(i)
+),
+seg AS (
+  SELECT doc_id, i, token,
+         SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM pos
+),
+segs AS (
+  SELECT doc_id, seg_id, COUNT(*) AS n_tokens,
+         md5(string_agg(token, ' ' ORDER BY i)) AS seg_hash
+  FROM seg GROUP BY doc_id, seg_id
+),
+occ AS (SELECT seg_hash, COUNT(*) AS n_occurrences FROM segs GROUP BY 1)
+SELECT s.doc_id, s.seg_id, s.n_tokens, s.seg_hash, o.n_occurrences
+FROM segs s JOIN occ o ON s.seg_hash = o.seg_hash
+""",
+)
+def ext_text_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync idea at word
+    level): a segment boundary falls wherever the rolling 4-word
+    window's hash ≡ 0 (mod 8), so boundaries move WITH the content —
+    insert a word and only the local segment's hash changes, where
+    fixed-width chunking (ext_dedup_segments) shifts every
+    downstream chunk. Output is each segment plus its corpus-wide
+    occurrence count: the dedup-friendly chunk table a pipeline
+    dedups/stores against.
+
+    Determinism: boundary decisions and segment identity are both
+    md5-derived integers — the portable-hash convention — and the
+    in-segment token order is pinned by an ordered aggregation in
+    both engines.
+
+    Scale: boundary flags are MAP-SIDE (each depends only on its own
+    4-word window — the reason CDC parallelizes where suffix-based
+    chunking doesn't); the cumulative segment id is one window keyed
+    on doc_id; segment stats and the occurrence count are two more
+    keyed shuffles ((doc, seg), seg_hash). No cross-doc data motion
+    until the final hash-keyed count.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p", "token"),
+        F.split(F.lower("text"), " ").alias("w"),
+    ).withColumn("i", F.col("p") + 1)
+    win = F.expr(f"concat_ws(' ', slice(w, i - {_CDC_WIN - 1}, {_CDC_WIN}))")
+    cut = F.when(
+        (F.col("i") >= _CDC_WIN)
+        & (
+            F.conv(F.substring(F.md5(win), 1, 8), 16, 10).cast("bigint")
+            % _CDC_DIV
+            == 0
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    from pyspark.sql import Window
+
+    seg_id = F.sum(cut).over(
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = toks.select(
+        "doc_id", "i", "token", seg_id.alias("seg_id")
+    )
+    segs = seg.groupBy("doc_id", "seg_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list("
+                "struct(i, token))), s -> s.token))"
+            )
+        ).alias("seg_hash"),
+    )
+    occ = segs.groupBy("seg_hash").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    return segs.join(occ, "seg_hash").select(
+        "doc_id", "seg_id", "n_tokens", "seg_hash", "n_occurrences"
+    )

@@ -38,6 +38,8 @@ NL_OK = {
     # k-seed fan-out: crossJoin against the k-row broadcast centroid
     # set (k=8) — the map-side assignment plan, not a data-data NL
     "ext_emb_kmeans_step",
+    # 1-row broadcast corpus stats (N, avg_dl) attached by crossJoin
+    "ext_text_bm25",
 }
 
 # Queries whose contract IS a global ordered result.
