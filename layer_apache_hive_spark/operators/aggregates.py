@@ -758,3 +758,37 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_bound"
         ),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() / GROUPING__ID over CUBE (Hive's virtual column
+    that disambiguates "NULL because rolled up" from "NULL in the
+    data" — the only reliable way to consume cube/rollup output).
+    Spark's grouping_id() packs the flags big-endian in GROUP BY
+    order, the same convention as standard SQL GROUPING(a, b); both
+    are emitted so the oracle pins the bit order, not just the
+    flags.
+
+    Scale: same two-phase Expand + hash-agg plan as agg_cube — the
+    virtual columns are free metadata on rows the cube already
+    produces.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
