@@ -298,3 +298,45 @@ def expr_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("oob_elem"),
         F.expr("try_element_at(array(o_totalprice), 1)").alias("elem_1"),
     )
+
+
+@register(
+    "query_lateral",
+    oracle="""
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+""",
+)
+def query_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in FROM (SQL:1999 LATERAL; Hive
+    users reach it via LATERAL VIEW + windows, Spark 3.2+ runs the
+    literal form): the canonical top-N-per-group join — each
+    nation's two richest customers — expressed as a per-row derived
+    table.
+
+    Scale: Catalyst decorrelates the LATERAL into a window-rank over
+    the inner relation joined back on the correlation key — one
+    customer-side shuffle on c_nationkey, never a per-outer-row
+    re-execution. The same query in the DataFrame API is
+    win_ranking's rank-filter shape; this entry pins the SQL surface.
+    """
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM lat_nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        """
+    )

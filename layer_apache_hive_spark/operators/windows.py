@@ -286,3 +286,50 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("second_price"),
     )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+         PARTITION BY o_orderpriority ORDER BY o_orderkey
+         RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_sum,
+       COUNT(*) OVER (
+         PARTITION BY o_orderpriority ORDER BY o_orderkey
+         RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS trailing_n
+FROM orders
+WHERE o_custkey < 300
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame (RANGE BETWEEN 1000 PRECEDING AND
+    CURRENT ROW on the order key) — the frame follows the ORDER BY
+    VALUE, not row positions: gaps in the key shrink the frame and
+    peer rows (equal keys) always share one frame. This is the
+    moving-window-over-a-measure surface ROWS frames cannot express
+    (win_agg_frame covers those).
+
+    Sums accumulate as decimal(38,4) inside the frame (dsum
+    convention — exact, order-independent) and cast to double once.
+    Scale: one window shuffle keyed on the partition column, same as
+    every frame variant; RANGE only changes the frame-boundary scan
+    within each sorted partition.
+    """
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rangeBetween(-1000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+    )
