@@ -1676,3 +1676,116 @@ def evt_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nearest, fmt).alias("nearest_click_ts"),
         direction.alias("direction"),
     )
+
+
+@register(
+    "evt_resample_interp",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         COUNT(*) AS n_events, {sql_dsum('value')} AS tv
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+days AS (
+  SELECT event_type, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+  FROM span
+),
+grid AS (
+  SELECT d.event_type, d.d, dd.n_events, dd.tv
+  FROM days d LEFT JOIN daily dd ON d.event_type = dd.event_type AND d.d = dd.d
+),
+nav AS (
+  SELECT event_type, d, n_events, tv,
+         LAST_VALUE(tv IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN tv IS NOT NULL THEN d END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         FIRST_VALUE(tv IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN tv IS NOT NULL THEN d END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM grid
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       COALESCE(n_events, 0) AS n_events,
+       CASE WHEN tv IS NOT NULL THEN tv
+            ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, d) AS DOUBLE)
+                                   / CAST(date_diff('day', pd, nd) AS DOUBLE))
+       END AS value_interp,
+       tv IS NULL AS interpolated
+FROM nav
+""",
+)
+def evt_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling — gap days get the value on
+    the straight line between the surrounding observations (the
+    ``interpolate`` half of the hypertable gapfill pair; evt_gap_fill
+    is the LOCF half). The densified span runs each series' own
+    [min, max] day, so every gap is interior and both neighbors
+    always exist.
+
+    Determinism: the interpolation weight is a ratio of exact
+    integer day-counts, and prev + (next−prev)·w is the identical
+    single-op IEEE chain in both engines — no accumulation, no
+    rounding needed.
+
+    Scale: same shape as evt_gap_fill (rollup = only full-data
+    shuffle), plus one extra window direction — the backward and
+    forward ignore-nulls passes share the series-keyed exchange and
+    differ only in sort order.
+    """
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("tv"),
+    )
+    days = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+        )
+    )
+    grid = days.join(daily, ["event_type", "d"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("tv").isNotNull(), F.col("d"))
+    nav = grid.select(
+        "event_type",
+        "d",
+        "n_events",
+        "tv",
+        F.last("tv", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_d, ignorenulls=True).over(back).alias("pd"),
+        F.first("tv", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_d, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    w = F.datediff("d", "pd").cast("double") / F.datediff("nd", "pd").cast(
+        "double"
+    )
+    interp = F.when(
+        F.col("tv").isNotNull(), F.col("tv")
+    ).otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * w)
+    return nav.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        interp.alias("value_interp"),
+        F.col("tv").isNull().alias("interpolated"),
+    )
