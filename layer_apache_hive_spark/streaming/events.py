@@ -1789,3 +1789,61 @@ def evt_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("value_interp"),
         F.col("tv").isNull().alias("interpolated"),
     )
+
+
+_GAP_MIN_HOURS = 6  # report silences longer than this per series
+
+
+@register(
+    "evt_downtime_gaps",
+    oracle=f"""
+WITH ordered AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+  FROM events
+)
+SELECT event_type,
+       strftime(prev_t, '{_SQL_TS_FMT}') AS gap_start,
+       strftime(t, '{_SQL_TS_FMT}') AS gap_end,
+       epoch_us(t) - epoch_us(prev_t) AS gap_us
+FROM ordered
+WHERE prev_t IS NOT NULL
+  AND epoch_us(t) - epoch_us(prev_t) > {_GAP_MIN_HOURS}::BIGINT * 3600 * 1000000
+""",
+)
+def evt_downtime_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime / heartbeat-gap detection — every silence longer than
+    {h} hours per event series, with its start, end, and duration:
+    the complement of session windows (sessions find activity
+    islands; this finds the holes between them). The monitoring
+    query behind "when did ingestion stall".
+
+    One LAG over the series-keyed window — a single shuffle on
+    event_type; the gap predicate and duration are map-side. At
+    100 TB with date-partitioned storage you'd bound the window by
+    also carrying each partition's first/last event into a slim
+    boundary pass, but the per-series sort shape is the same.
+    Second-resolution timestamps render identically in both engines
+    (µs-truncated naive UTC end to end).
+    """
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        F.col("ts").alias("t"),
+        F.lag("ts").over(w).alias("prev_t"),
+    )
+    # µs on BOTH sides: unix_timestamp truncates to seconds, and a
+    # gap fractionally past the threshold would pass the oracle's
+    # µs-precision compare while failing a second-truncated one
+    gap = F.unix_micros("t") - F.unix_micros("prev_t")
+    return g.filter(
+        F.col("prev_t").isNotNull()
+        & (gap > _GAP_MIN_HOURS * 3600 * 1_000_000)
+    ).select(
+        "event_type",
+        F.date_format("prev_t", _TS_FMT).alias("gap_start"),
+        F.date_format("t", _TS_FMT).alias("gap_end"),
+        gap.alias("gap_us"),
+    )
