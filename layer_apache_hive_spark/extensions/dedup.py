@@ -1070,3 +1070,82 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+_CONTAIN_T = 0.6  # containment threshold: |A∩B| / |A| ≥ t
+
+_CONTAIN_ORACLE = f"""
+WITH {_SHINGLE_CTES}, co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+), sized AS (
+  SELECT co.doc_a, co.doc_b, co.i, len(da.s) AS la
+  FROM co JOIN d da ON da.doc_id = co.doc_a
+)
+SELECT doc_a, doc_b, i AS shared_shingles, la AS sz_a,
+       i::DOUBLE / la AS containment
+FROM sized
+WHERE i::DOUBLE / la >= {_CONTAIN_T}
+"""
+
+
+@register("ext_dedup_containment", oracle=_CONTAIN_ORACLE)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join — DIRECTIONAL near-duplication: pairs where
+    ≥ {t} of doc_a's shingles appear in doc_b (|A∩B|/|A|). This is
+    what symmetric Jaccard (ext_dedup_near) structurally misses: a
+    short document quoted inside a long one has high containment but
+    low Jaccard, and quote/boilerplate-inclusion detection is a
+    containment question.
+
+    Prefix filter, containment form: if C(a→b) ≥ t then doc_a's
+    (|A| − ⌈t|A|⌉ + 1) rarest shingles cannot ALL miss B — so
+    candidates are a's containment-prefix joined against the FULL
+    shingle relation on the b side (no prefix cut on b: the
+    container may be arbitrarily large; the only b-side prune is
+    |B| ≥ ⌈t|A|⌉). The stored PPJoin prefix index is cut at the
+    Jaccard τ, which is always ≥ the containment prefix (⌈t·sz⌉
+    monotone in t), so the same ingest-time artifact serves both
+    joins — rn ≤ sz − ⌈t·sz⌉ + 1 re-cuts it. Verification reuses
+    the shared sorted-int64 intersect kernel; the directional ratio
+    is one exact division.
+
+    Scale: candidate fan-out is prefix-df × full-df per shingle —
+    larger than the symmetric join's prefix² by design (the b side
+    is unpruned), which is the real cost of containment at 100 TB;
+    rare-first prefix ordering keeps the hot shingles out of the
+    a side, and AQE splits what remains.
+    """
+    idx_dir = _build_dedup_index(spark, sf_dir)
+    prefix = spark.read.parquet(f"{idx_dir}/prefix")
+    shingles = spark.read.parquet(f"{idx_dir}/shingles")
+    sizes = prefix.select("doc_id", "sz").distinct()
+
+    c_prefix_len = F.col("sz") - F.ceil(F.lit(_CONTAIN_T) * F.col("sz")) + 1
+    pa = prefix.filter(F.col("rn") <= c_prefix_len).alias("a")
+    b = shingles.join(sizes, "doc_id").alias("b")
+    cand = (
+        pa.join(b.hint("shuffle_hash"), F.col("a.sh") == F.col("b.sh"))
+        .filter(
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.sz") >= F.ceil(F.lit(_CONTAIN_T) * F.col("a.sz")))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = _verify_jaccard(cand, spark, sf_dir)
+    sz_a = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+    )
+    return (
+        verified.join(sz_a, "doc_a")
+        .withColumn(
+            "containment",
+            F.col("shared_shingles").cast("double") / F.col("sz_a"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_T)
+        .select("doc_a", "doc_b", "shared_shingles", "sz_a", "containment")
+    )
