@@ -718,3 +718,74 @@ def ext_pipeline_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("n_prompt_tokens"),
         (F.size("t") - F.col("k")).alias("n_completion_tokens"),
     )
+
+
+# per-source epoch weights: how many times each source's docs repeat
+# in the output mixture (fractional part = probabilistic extra epoch)
+_EPOCH_W = {"web": 1.0, "books": 2.5, "code": 1.25, "wiki": 3.0}
+_EPOCH_DEFAULT = 1.0
+
+
+def _epoch_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(_EPOCH_W.items())
+    )
+    return f"CASE {col} {whens} ELSE {_EPOCH_DEFAULT} END"
+
+
+@register(
+    "ext_sample_epochs",
+    oracle=f"""
+WITH planned AS (
+  SELECT doc_id, source,
+         CAST(FLOOR({_epoch_case('source')}) AS BIGINT)
+           + CASE WHEN (CAST('0x' || substr(md5('epoch:' || doc_id), 1, 8)
+                             AS BIGINT) % 1000000) / 1000000.0
+                       < {_epoch_case('source')}
+                         - FLOOR({_epoch_case('source')})
+                  THEN 1 ELSE 0 END AS n_epochs
+  FROM documents
+)
+SELECT doc_id, source, UNNEST(generate_series(1, n_epochs)) AS epoch_no
+FROM planned WHERE n_epochs > 0
+""",
+)
+def ext_sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling — the standard mixture builder:
+    each source repeats ⌊w⌋ times plus one extra epoch with
+    probability frac(w) (books ×2.5 → every book doc twice, half of
+    them a third time), decided per document by a portable md5 draw
+    so reruns and both engines replicate the identical multiset.
+    Complement of the down-sampling ops (temperature / domain_mix):
+    this is how undersupplied high-quality sources get upweighted.
+
+    Scale: pure map-side — a CASE lookup, one hash draw, and an
+    explode(sequence(1, n)) fan-out; ZERO shuffles, output volume =
+    Σ n_epochs by construction. At 100 TB the epoch column also
+    becomes the natural shard key for writing the mixed corpus.
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = F.expr(_epoch_case("source"))
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("epoch:"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    ) / 1_000_000.0
+    n_epochs = (
+        F.floor(w).cast("bigint")
+        + F.when(draw < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        d.withColumn("n_epochs", n_epochs)
+        .filter(F.col("n_epochs") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1L, n_epochs)")).alias("epoch_no"),
+        )
+    )

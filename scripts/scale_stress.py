@@ -77,6 +77,13 @@ STRESS_QUERIES = [
     "ext_dedup_exact",
     "ext_emb_random_projection",
     "ext_emb_kmeans_step",
+    "ext_text_bm25",
+    "ext_text_cdc_segments",
+    "ext_dedup_containment",
+    "ext_sample_epochs",
+    "ext_pipeline_sft",
+    "evt_downtime_gaps",
+    "evt_resample_interp",
 ]
 
 
@@ -96,10 +103,22 @@ def build_corpus(spark, src_dir: str, dst_dir: str, k: int) -> None:
             r = base
             for c in _KEY_SHIFTS[t]:
                 r = r.withColumn(c, F.col(c) + F.lit(i * _OFFSET))
-            if t == "documents":
-                # perturb text so near-dup candidates stay linear
+            if t == "documents" and i > 0:
+                # Replicas must be DISTINCT documents, not near-dups:
+                # a suffix-only perturbation leaves ~all shingles
+                # shared, so every doc gains k-1 true near-dup /
+                # containment partners and pair-emitting dedup output
+                # grows k^2 BY SEMANTICS — measuring the corpus, not
+                # the plan (first stress run flagged exactly that).
+                # A per-replica letter substitution rewrites ~every
+                # word, so shingle document-frequencies stay ~flat.
+                sub = "".join(chr(ord("a") + (j + i) % 26) for j in range(5))
                 r = r.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" rep{i}"))
+                    "text",
+                    F.concat(
+                        F.lit(f"rep{i} "),
+                        F.translate(F.col("text"), "aeiou", sub),
+                    ),
                 )
             reps.append(r)
         out = reps[0]
