@@ -789,3 +789,115 @@ def ext_sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr("sequence(1L, n_epochs)")).alias("epoch_no"),
         )
     )
+
+
+@register(
+    "ext_pipeline_filter_audit",
+    oracle="""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, SUM(cnt) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         MAX(cnt) AS top_cnt
+  FROM (SELECT doc_id, token, COUNT(*) AS cnt
+        FROM toks GROUP BY doc_id, token)
+  GROUP BY doc_id
+),
+audit AS (
+  SELECT d.doc_id, d.n_chars, s.n_tokens,
+         CAST(FLOOR(CAST(s.n_distinct AS DOUBLE) / s.n_tokens * 1000000)
+              AS DOUBLE) / 1000000 AS diversity,
+         CAST(FLOOR(CAST(s.top_cnt AS DOUBLE) / s.n_tokens * 1000000)
+              AS DOUBLE) / 1000000 AS top_tok_share
+  FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, n_tokens, diversity, top_tok_share,
+       CASE WHEN n_chars < 100 THEN 'too_short'
+            WHEN n_chars > 500 THEN 'too_long'
+            WHEN diversity < 0.2 THEN 'low_diversity'
+            WHEN top_tok_share > 0.12 THEN 'repetitive'
+            ELSE 'kept' END AS reason,
+       CASE WHEN n_chars < 100 THEN false
+            WHEN n_chars > 500 THEN false
+            WHEN diversity < 0.2 THEN false
+            WHEN top_tok_share > 0.12 THEN false
+            ELSE true END AS keep
+FROM audit
+""",
+)
+def ext_pipeline_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade AUDIT (the CCNet-style quality gauntlet with
+    receipts): every document gets a keep/drop verdict plus the
+    FIRST gate that failed it — too_short → too_long →
+    low_diversity → repetitive → kept. The reason codes are what
+    make a 100 TB filtering run debuggable: "we dropped 31% of
+    source X as repetitive" is an aggregation over this output,
+    and re-admitting a gate's casualties is a filter, not a re-run.
+
+    Determinism: all gates are integer-ratio thresholds; the two
+    ratios are single divisions FLOOR-scaled to 1e-6 (not ROUNDed:
+    n/2^k ratios land exactly on 6-dp rounding ties where the
+    engines' half-up vs half-even disagree), and the thresholds
+    (0.2, 0.12) sit far from any 6-dp boundary.
+
+    Scale: one (doc, token) count and one doc rollup — two keyed
+    shuffles; the verdict CASE is map-side. Gates ORDER matters and
+    is part of the contract (first-fail attribution), mirrored
+    exactly in the oracle.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok_counts = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    audit = d.select("doc_id", "n_chars").join(stats, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        # FLOOR-scale, not ROUND: n/2^k token ratios land exactly on
+        # 6-dp rounding ties where Spark (half-up) and DuckDB
+        # (half-even) disagree — the documented house rule
+        (
+            F.floor(
+                F.col("n_distinct").cast("double")
+                / F.col("n_tokens")
+                * 1_000_000
+            ).cast("double")
+            / 1_000_000
+        ).alias("diversity"),
+        (
+            F.floor(
+                F.col("top_cnt").cast("double")
+                / F.col("n_tokens")
+                * 1_000_000
+            ).cast("double")
+            / 1_000_000
+        ).alias("top_tok_share"),
+    )
+    reason = (
+        F.when(F.col("n_chars") < 100, F.lit("too_short"))
+        .when(F.col("n_chars") > 500, F.lit("too_long"))
+        .when(F.col("diversity") < 0.2, F.lit("low_diversity"))
+        .when(F.col("top_tok_share") > 0.12, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    return audit.select(
+        "doc_id",
+        "n_tokens",
+        "diversity",
+        "top_tok_share",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    )

@@ -1847,3 +1847,86 @@ def evt_downtime_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("t", _TS_FMT).alias("gap_end"),
         gap.alias("gap_us"),
     )
+
+
+_ATTR_W = 86400  # attribution window: clicks within 1 day before
+
+
+@register(
+    "evt_attribution_linear",
+    oracle=f"""
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT event_id AS purchase_id, user_id, value,
+         CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT p.purchase_id, p.user_id, p.value, c.click_id,
+         COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+  FROM purch p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.cts <= p.pts
+   AND c.cts > p.pts - INTERVAL {_ATTR_W} SECOND
+)
+SELECT purchase_id, click_id, user_id,
+       CAST(FLOOR(value / n_touch * 1000000) AS BIGINT) AS credit_micros
+FROM touch
+""",
+)
+def evt_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the day before
+    a purchase shares the purchase value equally (1/n per touch) —
+    the ads-measurement workhorse one step past last-touch
+    (evt_asof_join IS last-touch). Credit is emitted FLOOR-scaled to
+    micros: value/n is one exact-operand division in both engines
+    and FLOOR has no tie.
+
+    Spark-first: the time-window join reuses the evt_range_join BIN
+    BUCKETING rewrite — purchases replicate into (bin, bin+1), the
+    join is an equi-join on (user, bin), and the exact window
+    predicate trims the ≤2× candidates; the touch count is one
+    window over purchase_id. A pair can never match twice (the
+    click owns one bin). Scale: linear shuffles on (user, bin) and
+    purchase_id — never a per-user cross product.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "value",
+        F.col("ts").alias("pts"),
+    )
+    bin_of = lambda c: F.floor(F.unix_timestamp(c) / _ATTR_W)
+    p2 = purch.withColumn(
+        "bin", F.explode(F.array(bin_of("pts") - 1, bin_of("pts")))
+    )
+    c2 = clicks.withColumn("c_bin", bin_of("cts"))
+    touch = (
+        p2.join(c2, (p2.user_id == c2.c_user) & (p2.bin == c2.c_bin))
+        .filter(
+            (F.col("cts") <= F.col("pts"))
+            & (
+                F.col("cts")
+                > F.col("pts") - F.expr(f"INTERVAL {_ATTR_W} SECOND")
+            )
+        )
+        .select("purchase_id", "click_id", "user_id", "value")
+    )
+    n_touch = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    return touch.withColumn("n_touch", n_touch).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.floor(F.col("value") / F.col("n_touch") * 1_000_000)
+        .cast("bigint")
+        .alias("credit_micros"),
+    )
