@@ -1,0 +1,147 @@
+"""Property tests for the round-3-late operators — the claims their
+docstrings make, checked as executable facts (the oracle suite checks
+VALUES; these check the PROPERTIES that justify the designs).
+
+- CDC edit-locality: content-defined chunk boundaries move WITH the
+  content, so replacing one word changes only the segments whose
+  boundary windows overlap the edit — the before/after segment hash
+  multisets agree outside a bounded neighborhood. (This is the whole
+  reason to prefer CDC over fixed-width chunking.)
+- HLL mergeability: registers built over disjoint corpus halves,
+  merged with MAX per bucket, equal the registers built over the
+  whole corpus — the property that lets a 1000-executor NDV pass
+  combine per-partition sketches.
+- Attribution conservation: linear multi-touch credit per purchase
+  sums back to the purchase value up to FLOOR-scaling loss
+  (< n_touch micros) — credit is neither invented nor lost.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from layer_apache_hive_spark.registry import all_queries  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def cdc_corpora(spark, tmp_path):
+    """Two one-doc corpora: original, and the same doc with ONE word
+    replaced in the middle."""
+    words = [f"w{i % 37}x{i % 11}" for i in range(400)]
+    original = " ".join(words)
+    edited_words = list(words)
+    edited_words[200] = "EDITED"
+    edited = " ".join(edited_words)
+    dirs = []
+    for name, text in (("orig", original), ("edit", edited)):
+        d = tmp_path / name
+        d.mkdir()
+        spark.createDataFrame(
+            [(0, text, "en", "web", len(text))],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(d / "documents.parquet")
+        )
+        dirs.append(str(d))
+    return dirs
+
+
+def test_cdc_edit_locality(spark, cdc_corpora):
+    from collections import Counter
+
+    q = all_queries()["ext_text_cdc_segments"]
+    orig_dir, edit_dir = cdc_corpora
+    # compare segment CONTENT (hash multisets): an inserted/removed
+    # boundary renumbers every later seg_id, but the downstream
+    # content — and therefore the hashes — must be untouched; that
+    # content-stability is CDC's advantage over fixed-width chunks
+    orig = Counter(r["seg_hash"] for r in q(spark, orig_dir).collect())
+    edit = Counter(r["seg_hash"] for r in q(spark, edit_dir).collect())
+    same = sum((orig & edit).values())
+    n = sum(orig.values())
+    assert n > 10  # the doc actually chunked
+    # the edit touches its own segment, and a flipped boundary can
+    # split/merge with each neighbor: ≤ 3 original segments perturbed
+    assert same >= n - 3, (n, sum(edit.values()), same)
+    assert same < n  # and the edit WAS visible somewhere
+
+
+def test_hll_registers_merge(spark):
+    """max-merge of per-half HLL registers == whole-corpus registers."""
+    from pyspark.sql import functions as F
+
+    from layer_apache_hive_spark.catalog import read_table
+
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_orderkey"
+    )
+    hx = F.md5(F.col("l_orderkey").cast("string"))
+    bucket = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint") % 64).alias(
+        "bucket"
+    )
+    trimmed = F.expr("TRIM(LEADING '0' FROM substring(md5(cast(l_orderkey as string)), 3, 15))")
+    rank = F.least(
+        F.lit(4) * (F.lit(15) - F.length(trimmed))
+        + F.expr(
+            "CASE substr(TRIM(LEADING '0' FROM substring(md5(cast(l_orderkey as string)), 3, 15)), 1, 1)"
+            " WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2"
+            " WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1"
+            " ELSE 0 END"
+        )
+        + F.lit(1),
+        F.lit(40),
+    ).alias("rank")
+
+    def registers(df):
+        return (
+            df.select("l_returnflag", bucket, rank)
+            .groupBy("l_returnflag", "bucket")
+            .agg(F.max("rank").alias("m"))
+        )
+
+    whole = {
+        (r["l_returnflag"], r["bucket"]): r["m"]
+        for r in registers(li).collect()
+    }
+    h1 = registers(li.filter(F.col("l_orderkey") % 2 == 0))
+    h2 = registers(li.filter(F.col("l_orderkey") % 2 == 1))
+    merged: dict = {}
+    for r in h1.collect() + h2.collect():
+        k = (r["l_returnflag"], r["bucket"])
+        merged[k] = max(merged.get(k, 0), r["m"])
+    assert merged == whole
+
+
+def test_attribution_conserves_value(spark):
+    from pyspark.sql import functions as F
+
+    from layer_apache_hive_spark.catalog import read_table
+
+    credits = all_queries()["evt_attribution_linear"](spark, SF_DIR)
+    per_purchase = (
+        credits.groupBy("purchase_id")
+        .agg(
+            F.sum("credit_micros").alias("total_micros"),
+            F.count(F.lit(1)).alias("n_touch"),
+        )
+        .collect()
+    )
+    assert per_purchase  # the fixture has attributable purchases
+    values = {
+        r["event_id"]: r["value"]
+        for r in read_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+        .collect()
+    }
+    for r in per_purchase:
+        v_micros = values[r["purchase_id"]] * 1_000_000
+        # each touch floors its share: loss < 1 micro per touch
+        assert 0 <= v_micros - r["total_micros"] < r["n_touch"] + 1e-6
