@@ -1017,3 +1017,93 @@ def ext_text_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segs.join(occ, "seg_hash").select(
         "doc_id", "seg_id", "n_tokens", "seg_hash", "n_occurrences"
     )
+
+
+@register(
+    "ext_text_bigram_lm",
+    oracle="""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+bg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM w WHERE len(t) >= 2
+),
+c2 AS MATERIALIZED (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+c1 AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, SUM(c) AS total
+  FROM c2 GROUP BY 1
+),
+scored AS (
+  SELECT b.doc_id,
+         ROUND(ln(CAST(c2.c AS DOUBLE) / c1.total), 6) AS logp
+  FROM bg b
+  JOIN c2 ON b.bigram = c2.bigram
+  JOIN c1 ON string_split(b.bigram, ' ')[1] = c1.w1
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(FLOOR(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(*) * 1000000) AS DOUBLE) / 1000000
+         AS avg_bigram_logprob
+FROM scored
+GROUP BY doc_id
+""",
+)
+def ext_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score — per-document mean
+    conditional log-probability ln P(w₂|w₁) under corpus MLE counts
+    (P = c(w₁w₂)/c(w₁·)). One step past ext_text_unigram_lm: bigram
+    surprisal catches scrambled-word and wrong-collocation text that
+    unigram frequency cannot (every word common, every PAIR rare).
+
+    Adjacency via the zip-shifted slice (the agg_ngrams trick) — no
+    (doc, pos) window shuffle; ln is ROUND(6)-absorbed per bigram
+    (the libm-ulp policy), sums accumulate as DECIMAL(38,6), and the
+    final mean is FLOOR-scaled (no rounding tie).
+
+    Scale: unlike the unigram model, the bigram table grows ~V² and
+    with corpus size — so the model joins are KEYED joins on the
+    bigram/first-word (zipf head AQE-split), not broadcasts; per-doc
+    scoring is the one doc_id shuffle. At 100 TB you'd count-cutoff
+    the model (c ≥ 5) and back off to unigram for misses — the plan
+    shape is unchanged.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    bg = w.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    first_word = F.split(F.col("bigram"), " ").getItem(0)
+    c1 = c2.groupBy(first_word.alias("w1")).agg(F.sum("c").alias("total"))
+    scored = (
+        bg.join(c2, "bigram")
+        .withColumn("w1", first_word)
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("total")), 6
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.floor(
+                F.sum(F.col("logp").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+                * 1_000_000
+            ).cast("double")
+            / 1_000_000
+        ).alias("avg_bigram_logprob"),
+    )
