@@ -1210,3 +1210,128 @@ def ext_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"proj_{j}")
         )
     return emb.select(*cols)
+
+
+@register(
+    "ext_sim_recall_eval",
+    oracle=f"""
+WITH {_SQL_NORMS},
+exact_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.embedding AS qe, c.embedding AS ce
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+),
+exact_dots AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(CAST(FLOOR(x * y * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM (SELECT query_id, neighbor_id,
+               unnest(qe)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+        FROM exact_pairs)
+  GROUP BY query_id, neighbor_id
+),
+exact_top AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+        FROM exact_dots
+        JOIN norms nq ON exact_dots.query_id = nq.vec_id
+        JOIN norms nc ON exact_dots.neighbor_id = nc.vec_id)
+  WHERE rank <= 5
+),
+ivf_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.embedding AS qe, c.embedding AS ce
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 20 AND c.vec_id <> q.vec_id AND c.label = q.label
+),
+ivf_dots AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(CAST(FLOOR(x * y * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM (SELECT query_id, neighbor_id,
+               unnest(qe)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+        FROM ivf_pairs)
+  GROUP BY query_id, neighbor_id
+),
+ivf_top AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+        FROM ivf_dots
+        JOIN norms nq ON ivf_dots.query_id = nq.vec_id
+        JOIN norms nc ON ivf_dots.neighbor_id = nc.vec_id)
+  WHERE rank <= 5
+),
+hits AS (
+  SELECT e.query_id, COUNT(i.neighbor_id) AS n_hits
+  FROM exact_top e LEFT JOIN ivf_top i
+    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT query_id, n_hits,
+       CAST(n_hits AS DOUBLE) / 5 AS recall_at_5
+FROM hits
+""",
+)
+def ext_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall evaluation as a first-class QUERY: recall@5 of the
+    IVF tier (ext_sim_ivf's nprobe=1 bucket restriction) against the
+    exact brute-force top-5, per query vector. A production vector
+    pipeline runs exactly this as its nightly quality gate — recall
+    is the dial that justifies the bucketed plan, so it has to be
+    measurable inside the engine, not in a notebook.
+
+    Composition: the IVF side IS the registered ext_sim_ivf plan
+    (called directly); the exact side reuses the broadcast-query
+    cross-score shape of ext_sim_topk with the same FLOOR-scaled
+    cosine, so both rankings are deterministic and the recall
+    fraction (n/5) is exact. Scale: the exact side is the oracle
+    anchor — a 100 TB run samples queries (here: the 20 eval
+    vectors) precisely so the exact baseline stays affordable while
+    the IVF side is production-shaped.
+    """
+    approx = ext_sim_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = _with_norm(read_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pair_cosine().alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        exact.join(
+            approx.withColumnRenamed("neighbor_id", "a_neighbor"),
+            (exact.query_id == approx.query_id)
+            & (exact.neighbor_id == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count("a_neighbor").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / 5).alias("recall_at_5"),
+    )

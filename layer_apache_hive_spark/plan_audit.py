@@ -40,6 +40,9 @@ NL_OK = {
     "ext_emb_kmeans_step",
     # 1-row broadcast corpus stats (N, avg_dl) attached by crossJoin
     "ext_text_bm25",
+    # exact-baseline tier: 20 broadcast query vectors cross-scored
+    # against the corpus (the ext_sim_topk shape) to ground recall
+    "ext_sim_recall_eval",
 }
 
 # Queries whose contract IS a global ordered result.
