@@ -501,3 +501,66 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrows the file count (Hive's CONCATENATE is likewise move/merge)
     frag.coalesce(int(target_files)).write.mode("overwrite").parquet(comp_dir)
     return spark.read.parquet(comp_dir)
+
+
+_Z_BITS = 16  # bits interleaved per dimension
+
+
+def _z_expr(a: str, b: str, shift_fmt: str) -> str:
+    """Bit-interleaved Z-order key of two int columns, as SQL text.
+
+    shift_fmt abstracts the one syntax difference: Spark spells
+    shifts as shiftleft()/shiftright() functions, DuckDB as <</>>
+    operators; the bit math is identical, so the key — and therefore
+    the clustering — is engine-portable.
+    """
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(shift_fmt.format(col=a, right=i, left=2 * i + 1))
+        terms.append(shift_fmt.format(col=b, right=i, left=2 * i))
+    return " + ".join(terms)
+
+
+_SPARK_SHIFT = "shiftleft(shiftright(CAST({col} AS BIGINT), {right}) & 1, {left})"
+_DUCK_SHIFT = "(((CAST({col} AS BIGINT) >> {right}) & 1) << {left})"
+
+
+@register(
+    "sink_zorder",
+    oracle=f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       {_z_expr('o_custkey', 'o_orderkey', _DUCK_SHIFT)} AS z
+FROM orders
+""",
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write (Delta/Iceberg OPTIMIZE ZORDER BY,
+    rebuilt from first principles): rows are range-partitioned and
+    sorted by the bit-interleaved key of (o_custkey, o_orderkey), so
+    every output file covers a small RECTANGLE in the 2-D key space —
+    parquet min/max stats then skip files for predicates on EITHER
+    column, where a single-column sort only helps its own column.
+    This is the multi-dimensional data-skipping lever at 100 TB; the
+    one-time write cost is a range exchange + in-partition sort.
+
+    The z key is pure integer bit math, identical in both engines
+    (and emitted as a result column so the oracle pins it); content
+    equality of the read-back proves the clustering is invisible to
+    query semantics — the compare is order-insensitive by contract.
+    """
+    path = _sink_dir(sf_dir, "zorder")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr(_z_expr("o_custkey", "o_orderkey", _SPARK_SHIFT)).alias("z"),
+    )
+    (
+        o.repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.schema(
+        "o_orderkey long, o_custkey long, o_totalprice double, z bigint"
+    ).parquet(path)
