@@ -503,21 +503,31 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(comp_dir)
 
 
-_Z_BITS = 16  # bits interleaved per dimension
+_Z_BITS = 8  # bits per dimension AFTER normalization
 
 
-def _z_expr(a: str, b: str, shift_fmt: str) -> str:
-    """Bit-interleaved Z-order key of two int columns, as SQL text.
+def _z_expr(a: str, b: str, shift_fmt: str, idiv: str) -> str:
+    """Bit-interleaved Z-order key over NORMALIZED dimensions.
 
-    shift_fmt abstracts the one syntax difference: Spark spells
-    shifts as shiftleft()/shiftright() functions, DuckDB as <</>>
-    operators; the bit math is identical, so the key — and therefore
-    the clustering — is engine-portable.
+    Each column is first scaled to [0, 2^bits) by its own min/max —
+    ((x − mn) · 2^bits) integer-div (mx − mn + 1) — because raw
+    interleaving lets the wider-ranged column's high bits dominate
+    the sort order and the narrow column degenerates into a plain
+    secondary sort (measured: un-normalized, every file spanned the
+    full custkey range — the skipping test caught it). Production
+    OPTIMIZE ZORDER normalizes per-column exactly like this
+    (rank-based under skew; linear is right for ~uniform keys).
+
+    shift_fmt / idiv abstract the two syntax differences: Spark
+    spells shifts as functions and integer division as DIV, DuckDB
+    as <</>> and //; the integer math is identical either way.
     """
+    na = f"((({a}) - mn_a) * {1 << _Z_BITS} {idiv} (mx_a - mn_a + 1))"
+    nb = f"((({b}) - mn_b) * {1 << _Z_BITS} {idiv} (mx_b - mn_b + 1))"
     terms = []
     for i in range(_Z_BITS):
-        terms.append(shift_fmt.format(col=a, right=i, left=2 * i + 1))
-        terms.append(shift_fmt.format(col=b, right=i, left=2 * i))
+        terms.append(shift_fmt.format(col=na, right=i, left=2 * i + 1))
+        terms.append(shift_fmt.format(col=nb, right=i, left=2 * i))
     return " + ".join(terms)
 
 
@@ -528,32 +538,48 @@ _DUCK_SHIFT = "(((CAST({col} AS BIGINT) >> {right}) & 1) << {left})"
 @register(
     "sink_zorder",
     oracle=f"""
+WITH ext AS (
+  SELECT MIN(o_custkey) AS mn_a, MAX(o_custkey) AS mx_a,
+         MIN(o_orderkey) AS mn_b, MAX(o_orderkey) AS mx_b
+  FROM orders
+)
 SELECT o_orderkey, o_custkey, o_totalprice,
-       {_z_expr('o_custkey', 'o_orderkey', _DUCK_SHIFT)} AS z
-FROM orders
+       {_z_expr('o_custkey', 'o_orderkey', _DUCK_SHIFT, '//')} AS z
+FROM orders, ext
 """,
 )
 def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered write (Delta/Iceberg OPTIMIZE ZORDER BY,
     rebuilt from first principles): rows are range-partitioned and
-    sorted by the bit-interleaved key of (o_custkey, o_orderkey), so
-    every output file covers a small RECTANGLE in the 2-D key space —
-    parquet min/max stats then skip files for predicates on EITHER
-    column, where a single-column sort only helps its own column.
-    This is the multi-dimensional data-skipping lever at 100 TB; the
-    one-time write cost is a range exchange + in-partition sort.
+    sorted by the bit-interleaved key of the min/max-NORMALIZED
+    (o_custkey, o_orderkey) pair, so every output file covers a
+    small RECTANGLE in the 2-D key space — parquet min/max stats
+    then skip files for predicates on EITHER column, where a
+    single-column sort only helps its own column (pinned by
+    tests/test_round3_properties.py's file-stats check). This is the
+    multi-dimensional data-skipping lever at 100 TB; the one-time
+    write cost is a range exchange + in-partition sort.
 
-    The z key is pure integer bit math, identical in both engines
-    (and emitted as a result column so the oracle pins it); content
+    The z key is pure integer math, identical in both engines (and
+    emitted as a result column so the oracle pins it); content
     equality of the read-back proves the clustering is invisible to
     query semantics — the compare is order-insensitive by contract.
     """
     path = _sink_dir(sf_dir, "zorder")
-    o = read_table(spark, sf_dir, "orders").select(
+    o = read_table(spark, sf_dir, "orders")
+    ext = o.agg(
+        F.min("o_custkey").alias("mn_a"),
+        F.max("o_custkey").alias("mx_a"),
+        F.min("o_orderkey").alias("mn_b"),
+        F.max("o_orderkey").alias("mx_b"),
+    )
+    o = o.crossJoin(F.broadcast(ext)).select(
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
-        F.expr(_z_expr("o_custkey", "o_orderkey", _SPARK_SHIFT)).alias("z"),
+        F.expr(
+            _z_expr("o_custkey", "o_orderkey", _SPARK_SHIFT, "DIV")
+        ).alias("z"),
     )
     (
         o.repartitionByRange(8, "z")

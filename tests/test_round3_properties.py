@@ -145,3 +145,45 @@ def test_attribution_conserves_value(spark):
         v_micros = values[r["purchase_id"]] * 1_000_000
         # each touch floors its share: loss < 1 micro per touch
         assert 0 <= v_micros - r["total_micros"] < r["n_touch"] + 1e-6
+
+
+def test_zorder_files_skip_on_both_dimensions(spark):
+    """The z-order claim, measured: after sink_zorder, parquet
+    file-level min/max column stats must allow skipping SOME files
+    for a narrow predicate on EITHER clustered column — the property
+    a single-column sort only gives its own column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    all_queries()["sink_zorder"](spark, SF_DIR).count()  # (re)write
+    files = sorted(
+        glob.glob("/root/repo/.tmp/sinks/sf0.001/zorder/part-*.parquet")
+    )
+    assert len(files) >= 4
+    spans = {}
+    for col in ("o_custkey", "o_orderkey"):
+        spans[col] = []
+        for f in files:
+            md = pq.read_metadata(f)
+            lo = min(
+                md.row_group(i).column(
+                    md.schema.names.index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    md.schema.names.index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans[col].append((lo, hi))
+    for col, ranges in spans.items():
+        lo_all = min(r[0] for r in ranges)
+        hi_all = max(r[1] for r in ranges)
+        # a narrow window at 10-20% of the key range
+        a = lo_all + (hi_all - lo_all) // 10
+        b = lo_all + 2 * (hi_all - lo_all) // 10
+        touched = sum(1 for lo, hi in ranges if not (hi < a or lo > b))
+        assert touched < len(ranges), (col, ranges)
