@@ -1149,3 +1149,50 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= _CONTAIN_T)
         .select("doc_a", "doc_b", "shared_shingles", "sz_a", "containment")
     )
+
+
+@register(
+    "ext_dedup_recall_eval",
+    oracle=f"""
+WITH true_pairs AS ({_NEAR_ORACLE}),
+found_pairs AS ({_MINHASH_ORACLE})
+SELECT (SELECT COUNT(*) FROM true_pairs) AS n_true,
+       (SELECT COUNT(*) FROM found_pairs) AS n_found,
+       CAST((SELECT COUNT(*) FROM found_pairs) AS DOUBLE)
+         / (SELECT COUNT(*) FROM true_pairs) AS recall
+""",
+)
+def ext_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tier recall evaluation — the ext_sim_recall_eval of the
+    text side: how many of the TRUE near-duplicate pairs (the
+    complete prefix-filtered join, ext_dedup_near) the banded
+    MinHash tier (ext_dedup_minhash) actually surfaced. Banding
+    recall is the knob that justifies running LSH instead of the
+    exact join at 100 TB, so it must be measurable in-engine; LSH
+    precision is 1 by construction here (candidates are
+    exact-verified before emission), so recall is the whole story.
+
+    Composition: both sides ARE the registered queries, called
+    directly — they share the cached shingle index and pair-verify
+    machinery, so the eval costs two skinny counts on top of work
+    the dedup family already did. recall = n_found / n_true is one
+    exact division of counts.
+    """
+    n_true = (
+        ext_dedup_near(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    n_found = (
+        ext_dedup_minhash(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    return (
+        n_true.crossJoin(n_found)
+        .select(
+            "n_true",
+            "n_found",
+            (
+                F.col("n_found").cast("double") / F.col("n_true")
+            ).alias("recall"),
+        )
+    )

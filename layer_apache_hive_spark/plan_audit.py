@@ -43,6 +43,8 @@ NL_OK = {
     # exact-baseline tier: 20 broadcast query vectors cross-scored
     # against the corpus (the ext_sim_topk shape) to ground recall
     "ext_sim_recall_eval",
+    # two 1-row count aggregates crossJoined into the summary row
+    "ext_dedup_recall_eval",
 }
 
 # Queries whose contract IS a global ordered result.
