@@ -45,6 +45,8 @@ NL_OK = {
     "ext_sim_recall_eval",
     # two 1-row count aggregates crossJoined into the summary row
     "ext_dedup_recall_eval",
+    # 1-row top-type relation attached to the 1-row wide aggregate
+    "composite_dashboard",
 }
 
 # Queries whose contract IS a global ordered result.

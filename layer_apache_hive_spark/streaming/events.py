@@ -1930,3 +1930,137 @@ def evt_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("credit_micros"),
     )
+
+
+@register(
+    "evt_rate_wow",
+    oracle=f"""
+WITH weekly AS (
+  SELECT event_type, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+         COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(wk, '%Y-%m-%d') AS week,
+       n_events,
+       LAG(n_events) OVER w AS prev_n,
+       n_events - LAG(n_events) OVER w AS delta_n,
+       CAST(FLOOR(CAST(n_events - LAG(n_events) OVER w AS DOUBLE)
+                  / LAG(n_events) OVER w * 1000000) AS DOUBLE) / 1000000
+         AS wow_change,
+       total_value
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+""",
+)
+def evt_rate_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change per event series — the reporting staple
+    (volume this week vs last, absolute and relative). First weeks
+    have NULL prev/delta/change, exactly as LAG defines them.
+
+    The relative change is FLOOR-scaled to 1e-6 (count ratios are
+    rationals that can land exactly on rounding ties — same hazard
+    class as the filter-audit ratios). Scale: one weekly rollup
+    shuffle (map-side partials over |series|×|weeks| groups), one
+    LAG window on the tiny rollup — the window input is
+    series×weeks rows, not events.
+    """
+    e = read_table(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type", F.date_trunc("WEEK", F.col("ts")).alias("wk")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        "n_events",
+        prev.alias("prev_n"),
+        (F.col("n_events") - prev).alias("delta_n"),
+        (
+            F.floor(
+                (F.col("n_events") - prev).cast("double") / prev * 1_000_000
+            ).cast("double")
+            / 1_000_000
+        ).alias("wow_change"),
+        "total_value",
+    )
+
+
+@register(
+    "composite_dashboard",
+    oracle=f"""
+WITH top_type AS (
+  SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1
+  ORDER BY c DESC, event_type LIMIT 1
+)
+SELECT COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dsum('value')} AS total_value,
+       quantile_cont(CAST(FLOOR(value * 1000000) AS BIGINT), 0.5)
+         AS p50_value_scaled,
+       quantile_cont(CAST(FLOOR(value * 1000000) AS BIGINT), 0.95)
+         AS p95_value_scaled,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       CAST(FLOOR(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  * 1000000.0 / COUNT(*)) AS DOUBLE) / 1000000 AS error_rate,
+       (SELECT event_type FROM top_type) AS top_event_type,
+       strftime(MIN(CAST(ts AS TIMESTAMP)), '{_SQL_TS_FMT}') AS first_event,
+       strftime(MAX(CAST(ts AS TIMESTAMP)), '{_SQL_TS_FMT}') AS last_event
+FROM events
+""",
+)
+def composite_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability dashboard header — every headline metric of an
+    event stream in ONE wide aggregation over ONE scan: volume,
+    distinct users, value total and p50/p95, error count and rate,
+    busiest event type, time bounds. The single-pass shape is the
+    point: nine dashboard tiles that naive tooling issues as nine
+    scans collapse into one job whose cost is the scan plus a
+    constant-width aggregate row.
+
+    Percentiles interpolate FLOOR-scaled BIGINTs (the
+    evt_anomaly_mad convention) and the error rate FLOOR-scales its
+    ratio; the busiest type is a deterministic count-then-tiebreak
+    top-1 attached as a broadcast 1-row join.
+    """
+    e = read_table(spark, sf_dir, "events")
+    vi = F.floor(F.col("value") * 1_000_000).cast("bigint")
+    top = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "event_type")
+        .limit(1)
+        .select(F.col("event_type").alias("top_event_type"))
+    )
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    agg = e.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+        F.percentile(vi, 0.5).alias("p50_value_scaled"),
+        F.percentile(vi, 0.95).alias("p95_value_scaled"),
+        F.sum(is_err).alias("n_errors"),
+        (
+            F.floor(
+                F.sum(is_err) * F.lit(1_000_000.0) / F.count(F.lit(1))
+            ).cast("double")
+            / 1_000_000
+        ).alias("error_rate"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("first_event"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("last_event"),
+    )
+    return agg.crossJoin(F.broadcast(top)).select(
+        "n_events",
+        "n_users",
+        "total_value",
+        "p50_value_scaled",
+        "p95_value_scaled",
+        "n_errors",
+        "error_rate",
+        "top_event_type",
+        "first_event",
+        "last_event",
+    )
