@@ -84,6 +84,13 @@ STRESS_QUERIES = [
     "ext_pipeline_sft",
     "evt_downtime_gaps",
     "evt_resample_interp",
+    "ext_text_bigram_lm",
+    "ext_pipeline_filter_audit",
+    "evt_attribution_linear",
+    "evt_rate_wow",
+    "composite_dashboard",
+    "sink_zorder",
+    "ext_sim_recall_eval",
 ]
 
 
