@@ -424,33 +424,31 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle is the plain join: the runtime filter must be a pure
     physical optimization, invisible in the result.
+
+    The low plan-time thresholds are set on a CLONED session
+    (``spark.newSession()`` — own SQLConf, shared SparkContext), so
+    a query planned concurrently on the caller's session can never
+    observe disabled broadcast joins; nothing is mutated on the
+    shared session, and nothing needs restoring.
     """
     from layer_apache_hive_spark.functions.numeric import dsum
 
-    conf = spark.conf
-    saved = {k: conf.get(k) for k in (_BLOOM_APP, _BLOOM_CREATE, _AUTO_BC)}
-    try:
-        conf.set(_BLOOM_APP, "0")
-        conf.set(_BLOOM_CREATE, "100MB")
-        conf.set(_AUTO_BC, "-1")
-        li = read_table(spark, sf_dir, "lineitem")
-        p = read_table(spark, sf_dir, "part")
-        dim = p.filter(F.col("p_brand").isin("Brand#12", "Brand#23")).select(
-            "p_partkey", "p_brand"
+    s2 = spark.newSession()
+    s2.conf.set(_BLOOM_APP, "0")
+    s2.conf.set(_BLOOM_CREATE, "100MB")
+    s2.conf.set(_AUTO_BC, "-1")
+    li = read_table(s2, sf_dir, "lineitem")
+    p = read_table(s2, sf_dir, "part")
+    dim = p.filter(F.col("p_brand").isin("Brand#12", "Brand#23")).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        li.join(dim, li.l_partkey == dim.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            # price(2dp) x (1-discount)(2dp) is exactly 4 decimals:
+            # the decimal(38,4) cast is lossless, no rounding tie
+            dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"),
         )
-        out = (
-            li.join(dim, li.l_partkey == dim.p_partkey)
-            .groupBy("p_brand")
-            .agg(
-                F.count(F.lit(1)).alias("n_lines"),
-                # price(2dp) x (1-discount)(2dp) is exactly 4 decimals:
-                # the decimal(38,4) cast is lossless, no rounding tie
-                dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"),
-            )
-        )
-        # freeze the bloom-injected plan before restoring the confs
-        out._jdf.queryExecution().executedPlan()
-        return out
-    finally:
-        for k, v in saved.items():
-            conf.set(k, v)
+    )

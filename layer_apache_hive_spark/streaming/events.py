@@ -1989,27 +1989,68 @@ def evt_rate_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dash_pct_sql(q: int) -> str:
+    """DuckDB-side rank-arithmetic percentile over the sorted BIGINT
+    list ``vs`` — quantile_cont semantics with the interpolation kept
+    in EXACT integer arithmetic (result is 100x the interpolated
+    value). ``q`` is the quantile in hundredths (50, 95)."""
+    pos = f"((n_events - 1) * {q})"
+    idx0 = f"({pos} // 100)"
+    rem = f"({pos} % 100)"
+    lo = f"vs[CAST({idx0} + 1 AS BIGINT)]"
+    hi = f"vs[CAST(LEAST({idx0} + 2, n_events) AS BIGINT)]"
+    return (
+        f"CASE WHEN n_events > 0 "
+        f"THEN {lo} * (100 - {rem}) + {hi} * {rem} ELSE NULL END"
+    )
+
+
+def _dash_pct_spark(q: int):
+    """Spark twin of :func:`_dash_pct_sql` over the sorted array
+    ``_vs`` produced in the dashboard aggregate: pure BIGINT
+    div/mod/multiply — no floating-point interpolation anywhere, so
+    the cell hashes identically across engines, versions, and TZs."""
+    pos = f"((n_events - 1) * {q})"
+    idx0 = f"({pos} div 100)"
+    rem = f"({pos} % 100)"
+    lo = f"element_at(_vs, CAST({idx0} + 1 AS INT))"
+    hi = f"element_at(_vs, CAST(LEAST({idx0} + 2, n_events) AS INT))"
+    return F.expr(
+        f"CASE WHEN n_events > 0 "
+        f"THEN {lo} * (100 - {rem}) + {hi} * {rem} ELSE NULL END"
+    )
+
+
 @register(
     "composite_dashboard",
     oracle=f"""
-WITH top_type AS (
-  SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1
-  ORDER BY c DESC, event_type LIMIT 1
+WITH base AS (
+  SELECT COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users,
+         {sql_dsum('value')} AS total_value,
+         list_sort(list(CAST(FLOOR(value * 1000000) AS BIGINT))) AS vs,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+         epoch_us(MIN(ts)) AS first_event_us,
+         epoch_us(MAX(ts)) AS last_event_us
+  FROM events
+),
+top_type AS (
+  SELECT event_type FROM events GROUP BY 1
+  ORDER BY COUNT(*) DESC, event_type LIMIT 1
 )
-SELECT COUNT(*) AS n_events,
-       COUNT(DISTINCT user_id) AS n_users,
-       {sql_dsum('value')} AS total_value,
-       quantile_cont(CAST(FLOOR(value * 1000000) AS BIGINT), 0.5)
-         AS p50_value_scaled,
-       quantile_cont(CAST(FLOOR(value * 1000000) AS BIGINT), 0.95)
-         AS p95_value_scaled,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
-       CAST(FLOOR(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                  * 1000000.0 / COUNT(*)) AS DOUBLE) / 1000000 AS error_rate,
+SELECT n_events,
+       n_users,
+       total_value,
+       {_dash_pct_sql(50)} AS p50_scaled100,
+       {_dash_pct_sql(95)} AS p95_scaled100,
+       n_errors,
+       CASE WHEN n_events > 0
+            THEN (n_errors * 1000000) // n_events ELSE NULL END
+         AS error_rate_ppm,
        (SELECT event_type FROM top_type) AS top_event_type,
-       strftime(MIN(CAST(ts AS TIMESTAMP)), '{_SQL_TS_FMT}') AS first_event,
-       strftime(MAX(CAST(ts AS TIMESTAMP)), '{_SQL_TS_FMT}') AS last_event
-FROM events
+       first_event_us,
+       last_event_us
+FROM base
 """,
 )
 def composite_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2021,46 +2062,58 @@ def composite_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans collapse into one job whose cost is the scan plus a
     constant-width aggregate row.
 
-    Percentiles interpolate FLOOR-scaled BIGINTs (the
-    evt_anomaly_mad convention) and the error rate FLOOR-scales its
-    ratio; the busiest type is a deterministic count-then-tiebreak
-    top-1 attached as a broadcast 1-row join.
+    Every emitted cell is EXACT: percentiles are computed by explicit
+    rank arithmetic over the sorted FLOOR-scaled BIGINTs (the
+    quantile_cont interpolation kept in integer math, emitted 100x
+    scaled), the error rate is integer ppm, and the time bounds are
+    unix microseconds — no interpolated double, no formatted string,
+    so the value hash cannot drift across engine versions, session
+    timezones, or float-interpolation ulps (the round-3 red row).
+
+    The busiest type is min_by(event_type, struct(-c, event_type))
+    over the per-type counts — an aggregate, so the dashboard row
+    survives an empty input with NULL top_event_type instead of
+    being dropped by a cross join against an empty top-1 relation.
+
+    Scale note: the exact-percentile tier materializes the value
+    column of ONE global aggregate group (collect_list + sort) on a
+    single reducer, the same memory profile as Spark's built-in
+    exact `percentile`; at 100 TB a dashboard would swap this one
+    cell for approx_percentile and keep the rest of the plan.
     """
     e = read_table(spark, sf_dir, "events")
     vi = F.floor(F.col("value") * 1_000_000).cast("bigint")
     top = (
         e.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), "event_type")
-        .limit(1)
-        .select(F.col("event_type").alias("top_event_type"))
+        .agg(
+            F.expr(
+                "min_by(event_type, struct(-c, event_type))"
+            ).alias("top_event_type")
+        )
     )
     is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
     agg = e.agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         dsum("value").alias("total_value"),
-        F.percentile(vi, 0.5).alias("p50_value_scaled"),
-        F.percentile(vi, 0.95).alias("p95_value_scaled"),
+        F.sort_array(F.collect_list(vi)).alias("_vs"),
         F.sum(is_err).alias("n_errors"),
-        (
-            F.floor(
-                F.sum(is_err) * F.lit(1_000_000.0) / F.count(F.lit(1))
-            ).cast("double")
-            / 1_000_000
-        ).alias("error_rate"),
-        F.date_format(F.min("ts"), _TS_FMT).alias("first_event"),
-        F.date_format(F.max("ts"), _TS_FMT).alias("last_event"),
+        F.unix_micros(F.min("ts")).alias("first_event_us"),
+        F.unix_micros(F.max("ts")).alias("last_event_us"),
     )
     return agg.crossJoin(F.broadcast(top)).select(
         "n_events",
         "n_users",
         "total_value",
-        "p50_value_scaled",
-        "p95_value_scaled",
+        _dash_pct_spark(50).alias("p50_scaled100"),
+        _dash_pct_spark(95).alias("p95_scaled100"),
         "n_errors",
-        "error_rate",
+        F.expr(
+            "CASE WHEN n_events > 0 "
+            "THEN (n_errors * 1000000) div n_events ELSE NULL END"
+        ).alias("error_rate_ppm"),
         "top_event_type",
-        "first_event",
-        "last_event",
+        "first_event_us",
+        "last_event_us",
     )

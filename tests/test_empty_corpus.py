@@ -6,9 +6,9 @@ found 14 queries that raised on 0-row tables (np.stack on empty
 driver frames, schema inference over file-less partitioned writes,
 Hadoop's sequence writer needing a first record, int(None) from an
 empty percentile). This suite pins those ids green against a
-schema-faithful 0-row twin of every fixture table; the full
-198-query sweep stays in scripts/edge_empty.py (run per-round, exit
-0 required).
+schema-faithful 0-row twin of every fixture table; the
+full-registry sweep stays in scripts/edge_empty.py (run per-round,
+exit 0 required).
 """
 
 from __future__ import annotations
