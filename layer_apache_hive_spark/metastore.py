@@ -1,0 +1,143 @@
+"""Durable Hive metastore catalog — the reference charm's actual job.
+
+The reference (`layer-apache-hive`) is a Juju charm whose entire
+purpose is standing up a PERSISTENT shared Hive metastore (Thrift
+service backed by MySQL) plus HiveServer2 in front of it
+[upstream lib/charms/layer/bigtop_hive.py configure_hive(),
+reactive/hive.py — public-knowledge reconstruction, SURVEY.md §0].
+A table registered today is visible to every client tomorrow; that
+durability IS the product.
+
+Spark-first mapping: ``enableHiveSupport()`` gives Spark a real Hive
+metastore client; an embedded Derby database under ``.tmp/metastore``
+stands in for the charm's MySQL (same metastore schema, same Thrift
+client codepath inside Spark — Derby is what ``schematool -dbType
+derby`` provisions on a dev Hive too). The fixture corpus is
+registered ONCE as EXTERNAL tables (``CREATE TABLE … USING PARQUET
+LOCATION`` — schema over an existing path, DROP keeps data, exactly
+Hive EXTERNAL semantics), and any later session — a *new JVM*, days
+later — sees them by name with ``SHOW TABLES`` / ``spark.table``.
+tests/test_metastore_durability.py proves that with two sequential
+fresh-JVM subprocesses.
+
+On a production cluster the only change is configuration, not code:
+point ``spark.hadoop.javax.jdo.option.ConnectionURL`` at the shared
+MySQL/Postgres (or ``hive.metastore.uris`` at a remote Thrift
+metastore — the charm's port 9083) and every executor/session shares
+one catalog. Embedded Derby's single-process lock is a dev-mode
+property, not a design property; the registration DDL below is
+identical either way.
+
+Scale: EXTERNAL-table registration stores only metadata (location,
+schema, partition list) — O(tables), independent of data volume.
+Partitioned corpora register with ``PARTITIONED BY`` + ``ALTER TABLE
+… RECOVER PARTITIONS`` (MSCK) so partition pruning works off the
+metastore, which is precisely why Hive deployments have a metastore
+at all.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from layer_apache_hive_spark.catalog import TABLES, table_path
+
+DEFAULT_METASTORE_DIR = "/root/repo/.tmp/metastore"
+DEFAULT_HIVE_WAREHOUSE = "/root/repo/.tmp/hive_warehouse"
+
+
+def corpus_db(sf_dir: str) -> str:
+    """Deterministic database name for one corpus scale factor."""
+    label = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    return f"corpus_{label}"
+
+
+def hive_session(
+    app_name: str = "layer-apache-hive-spark-metastore",
+    metastore_dir: str = DEFAULT_METASTORE_DIR,
+    warehouse_dir: str = DEFAULT_HIVE_WAREHOUSE,
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """A SparkSession whose catalog is the DURABLE Hive metastore.
+
+    Must be the first session built in the JVM: the catalog
+    implementation is frozen at SparkContext construction
+    (``getOrCreate`` on an existing plain session would silently keep
+    the in-memory catalog). Tests therefore run this in fresh
+    subprocesses — which is also the point being proven.
+
+    Embedded Derby admits ONE process at a time (dev mode); swap the
+    ConnectionURL for MySQL/Postgres — or set ``hive.metastore.uris``
+    to a remote metastore — for the charm's shared-service topology.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    os.makedirs(metastore_dir, exist_ok=True)
+    db_path = os.path.join(metastore_dir, "metastore_db")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .enableHiveSupport()
+        .config(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={db_path};create=true",
+        )
+        .config("spark.sql.warehouse.dir", warehouse_dir)
+        # keep Derby's noisy log out of the repo root
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.stream.error.file={metastore_dir}/derby.log",
+        )
+        # same determinism pins as session.get_spark
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def provision_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Register every fixture table as an EXTERNAL table, once.
+
+    Idempotent (IF NOT EXISTS); re-running against an already
+    provisioned metastore is a no-op, which is what lets a second
+    session skip straight to ``spark.table``. Returns the database
+    name. Metadata-only: nothing is copied or rewritten.
+
+    Hive table locations are DIRECTORIES of files (the layout every
+    writer produces); the fixtures are single parquet files, so each
+    table gets a stable directory of symlinks under ``.tmp`` as its
+    registered location — zero-copy, and the metastore's
+    mkdir-on-create contract is satisfied.
+    """
+    db = corpus_db(sf_dir)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name in TABLES:
+        loc = os.path.join(DEFAULT_METASTORE_DIR, "tables", db, name)
+        os.makedirs(loc, exist_ok=True)
+        link = os.path.join(loc, "part-00000.parquet")
+        if not os.path.lexists(link):
+            os.symlink(table_path(sf_dir, name), link)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {db}.{name} "
+            f"USING PARQUET LOCATION '{loc}'"
+        )
+    return db
+
+
+def is_provisioned(spark: SparkSession, sf_dir: str) -> bool:
+    """True iff every corpus table is visible in the metastore."""
+    db = corpus_db(sf_dir)
+    if not spark.catalog.databaseExists(db):
+        return False
+    have = {t.name for t in spark.catalog.listTables(db)}
+    return set(TABLES) <= have

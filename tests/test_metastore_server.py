@@ -1,0 +1,166 @@
+"""Durable metastore + served SQL — the reference charm's two system
+capabilities [upstream lib/charms/layer/bigtop_hive.py
+configure_hive() / open_ports; SURVEY.md §0 public-knowledge
+reconstruction].
+
+Both tests run fresh-JVM subprocesses on purpose: the Hive catalog
+implementation is frozen at SparkContext construction, so the shared
+pytest session cannot be Hive-enabled after the fact — and a *fresh
+process* reading tables it never registered is exactly the
+durability claim under test. Hive deployments call this "the
+metastore outlives the client"; here Derby stands in for the charm's
+MySQL (metastore.py docstring).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(script: str, timeout: int = 300) -> str:
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, (
+        f"subprocess failed rc={proc.returncode}\n"
+        f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    return proc.stdout
+
+
+_WRITER = """
+import sys
+sys.path.insert(0, "/root/repo")
+from layer_apache_hive_spark.metastore import hive_session, provision_corpus
+spark = hive_session(app_name="metastore-writer", master="local[4]",
+                     metastore_dir={ms!r}, warehouse_dir={wh!r})
+db = provision_corpus(spark, {sf!r})
+# a MANAGED table too: CTAS through the same durable catalog
+spark.sql("CREATE DATABASE IF NOT EXISTS analytics")
+spark.sql("DROP TABLE IF EXISTS analytics.nation_by_region")
+spark.sql(
+    "CREATE TABLE analytics.nation_by_region AS "
+    f"SELECT n_regionkey, COUNT(*) AS n FROM {{db}}.nation GROUP BY n_regionkey"
+)
+print("WRITER_OK", db, spark.table(f"{{db}}.nation").count())
+spark.stop()
+"""
+
+_READER = """
+import sys
+sys.path.insert(0, "/root/repo")
+from layer_apache_hive_spark.metastore import (
+    hive_session, is_provisioned, corpus_db, TABLES)
+spark = hive_session(app_name="metastore-fresh-reader", master="local[4]",
+                     metastore_dir={ms!r}, warehouse_dir={wh!r})
+# NO provisioning in this process: everything must come from the
+# durable metastore written by the previous JVM.
+assert is_provisioned(spark, {sf!r}), "corpus tables not visible in fresh JVM"
+db = corpus_db({sf!r})
+shown = {{r.tableName for r in spark.sql(f"SHOW TABLES IN {{db}}").collect()}}
+assert set(TABLES) <= shown, f"SHOW TABLES missing: {{set(TABLES) - shown}}"
+assert spark.table(f"{{db}}.nation").count() == 25
+assert spark.table(f"{{db}}.region").count() == 5
+# the managed CTAS table also survives, with its data
+rows = spark.sql(
+    "SELECT SUM(n) AS total FROM analytics.nation_by_region").collect()
+assert rows[0].total == 25, rows
+print("READER_OK", sorted(shown))
+spark.stop()
+"""
+
+
+def test_metastore_survives_jvm_restart():
+    """A table registered in JVM A is visible BY NAME in a brand-new
+    JVM B that never ran any registration — external corpus tables
+    and a managed CTAS table both. This is the capability the charm
+    exists to provide; without it every session starts from zero."""
+    with tempfile.TemporaryDirectory() as tmp:
+        ms, wh = f"{tmp}/metastore", f"{tmp}/warehouse"
+        out_a = _run(_WRITER.format(ms=ms, wh=wh, sf=SF_DIR))
+        assert "WRITER_OK" in out_a
+        out_b = _run(_READER.format(ms=ms, wh=wh, sf=SF_DIR))
+        assert "READER_OK" in out_b
+
+
+_SERVER = """
+import sys
+sys.path.insert(0, "/root/repo")
+from layer_apache_hive_spark.metastore import hive_session, provision_corpus
+from layer_apache_hive_spark.server import (
+    start_thrift_server, wait_for_port, beeline_query)
+from layer_apache_hive_spark.registry import _REGISTRY, _load_all_modules
+
+port = {port}
+spark = hive_session(
+    app_name="thrift-endpoint", master="local[4]",
+    metastore_dir={ms!r}, warehouse_dir={wh!r},
+    extra_conf={{"spark.hadoop.hive.server2.thrift.port": str(port)}})
+db = provision_corpus(spark, {sf!r})
+server = start_thrift_server(spark, port)
+_load_all_modules()
+wait_for_port(port)
+
+sql = f'''
+SELECT l_orderkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,4))) AS DOUBLE), 4) AS revenue,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+       o_orderpriority
+FROM {{db}}.customer, {{db}}.orders, {{db}}.lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+'''
+cols, wire_rows = beeline_query(sql, port)
+assert cols == ["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"], cols
+
+local = [
+    (r.l_orderkey, r.revenue, r.o_orderdate, r.o_orderpriority)
+    for r in _REGISTRY["composite_shipping_priority"].fn(spark, {sf!r}).collect()
+]
+wire = [(int(a), float(b), c, d) for a, b, c, d in wire_rows]
+assert len(wire) == len(local) > 0, (len(wire), len(local))
+assert wire == local, f"wire != local\\n{{wire}}\\n{{local}}"
+print("THRIFT_PARITY_OK", len(wire))
+server.stop()
+spark.stop()
+"""
+
+
+def test_thrift_server_serves_registered_query():
+    """HiveServer2 wire parity: composite_shipping_priority run (a)
+    as the registered DataFrame query in-process and (b) as SQL over
+    JDBC/Thrift via the shipped beeline client must return identical
+    rows. This is the beeline-on-port-10000 experience the charm's
+    users have, served by Spark."""
+    from layer_apache_hive_spark.server import free_port
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = _run(
+            _SERVER.format(
+                ms=f"{tmp}/metastore",
+                wh=f"{tmp}/warehouse",
+                sf=SF_DIR,
+                port=free_port(),
+            ),
+            timeout=420,
+        )
+        assert "THRIFT_PARITY_OK" in out
