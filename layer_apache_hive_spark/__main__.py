@@ -8,10 +8,22 @@ the same day-to-day loop here without writing Python:
     python -m layer_apache_hive_spark sql "SELECT ... FROM lineitem ..."
     python -m layer_apache_hive_spark explain <query_id>
     python -m layer_apache_hive_spark oracle <query_id>   # DuckDB twin
+    python -m layer_apache_hive_spark provision [--sf-dir DIR]
+    python -m layer_apache_hive_spark serve [--port 10000]
 
 ``sql`` registers every fixture table as a temp view first, so ad-hoc
 HiveQL-style statements run directly against the corpus — the
 "switch from Hive" path in one command.
+
+``provision`` + ``serve`` are the charm's deploy experience
+[upstream reactive/hive.py start handler; SURVEY.md §0]: register
+the corpus in the DURABLE Derby-backed metastore, then stand up a
+HiveServer2-compatible Thrift endpoint any JDBC/beeline client can
+connect to:
+
+    python -m layer_apache_hive_spark serve --port 10000 &
+    <pyspark>/bin/beeline -u jdbc:hive2://localhost:10000 \
+        -e 'SHOW TABLES IN corpus_sf0_01'
 """
 
 from __future__ import annotations
@@ -48,7 +60,67 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_sql.add_argument("-n", type=int, default=20)
 
+    p_prov = sub.add_parser(
+        "provision", help="register the corpus in the durable metastore"
+    )
+    p_prov.add_argument(
+        "--sf-dir", default=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
+    )
+
+    p_serve = sub.add_parser(
+        "serve", help="provision + serve SQL over HiveServer2 Thrift/JDBC"
+    )
+    p_serve.add_argument("--port", type=int, default=10000)
+    p_serve.add_argument(
+        "--sf-dir", default=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
+    )
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "provision":
+        from layer_apache_hive_spark.metastore import (
+            hive_session,
+            provision_corpus,
+        )
+
+        spark = hive_session(app_name="cli-provision")
+        db = provision_corpus(spark, args.sf_dir)
+        n = len(spark.catalog.listTables(db))
+        print(f"provisioned {db}: {n} tables in the durable metastore")
+        return 0
+
+    if args.cmd == "serve":
+        from layer_apache_hive_spark.metastore import (
+            hive_session,
+            provision_corpus,
+        )
+        from layer_apache_hive_spark.server import (
+            start_thrift_server,
+            wait_for_port,
+        )
+
+        spark = hive_session(
+            app_name="cli-serve",
+            extra_conf={"spark.hadoop.hive.server2.thrift.port": str(args.port)},
+        )
+        db = provision_corpus(spark, args.sf_dir)
+        start_thrift_server(spark, args.port)
+        wait_for_port(args.port)
+        print(
+            f"HiveServer2-compatible endpoint on jdbc:hive2://localhost:"
+            f"{args.port} (corpus db: {db}); Ctrl-C to stop"
+        )
+        try:
+            import time
+
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            return 0
 
     from layer_apache_hive_spark.registry import all_oracles, all_queries
 

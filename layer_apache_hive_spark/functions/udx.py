@@ -107,6 +107,63 @@ def _net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
     return price * (1.0 - discount)
 
 
+@register(
+    "fn_macro",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey % 10 AS bucket,
+       CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS prio_rank,
+       (CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        * (100 - ((o_orderkey % 10) % 7))) // 100 AS discounted_cents
+FROM orders
+WHERE o_orderkey < 2000
+""",
+)
+def fn_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ``CREATE TEMPORARY MACRO name(args) expr`` [upstream:
+    Hive ql macro support (CreateMacroDesc); public-knowledge
+    reconstruction, SURVEY.md §0] — a named SQL expression expanded
+    at plan time, the lightweight sibling of a JVM UDF.
+
+    Spark-first mapping: SQL UDFs (``CREATE TEMPORARY FUNCTION f(x T)
+    RETURNS T RETURN expr``, Spark 3.5+). Same contract as a Hive
+    macro: session-scoped, pure SQL body, callable by name from any
+    query — and because the body is a Catalyst expression it inlines
+    into whole-stage codegen (zero UDF call overhead; a plan-time
+    rewrite, exactly what Hive's macro expansion does).
+
+    Three macros, chained (the third calls arithmetic on another's
+    output domain); the oracle replays the expanded expressions
+    inline, proving expansion is semantically invisible. All outputs
+    integer-exact (FLOOR-scaled cents, integer div).
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_bucket(k BIGINT) "
+        "RETURNS BIGINT RETURN k % 10"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION prio_rank(p STRING) "
+        "RETURNS INT RETURN CAST(substring(p, 1, 1) AS INT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION discounted_cents"
+        "(price DOUBLE, pct BIGINT) RETURNS BIGINT "
+        "RETURN CAST(FLOOR(price * 100) AS BIGINT) * (100 - pct) div 100"
+    )
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("macro_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               order_bucket(o_orderkey) AS bucket,
+               prio_rank(o_orderpriority) AS prio_rank,
+               discounted_cents(o_totalprice, order_bucket(o_orderkey) % 7)
+                 AS discounted_cents
+        FROM macro_orders
+        WHERE o_orderkey < 2000
+        """
+    )
+
+
 # --- grouped-agg UDAF -------------------------------------------------------
 
 
@@ -234,12 +291,27 @@ def udtf_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-group z-score via exact integer accumulation (deterministic)."""
-    scaled = (pdf["value"] * 10_000).round().astype("int64")
-    n = len(pdf)
-    mean = int(scaled.sum()) / 10_000 / n
-    # population variance from exact sums of scaled ints
-    sum_sq = int((scaled.astype(object) ** 2).sum())  # python ints: no overflow
+    """Per-group z-score via exact integer accumulation (deterministic).
+
+    Hot path: this runs once PER GROUP (one Arrow batch each), so
+    per-call constant cost is the whole game. Sums run in int64 numpy
+    (exact, ~100x faster than python-object bignums) whenever the
+    worst-case accumulation provably fits; the object-dtype fallback
+    keeps correctness for adversarial value ranges.
+    """
+    import numpy as np
+
+    sv = (pdf["value"].to_numpy() * 10_000).round().astype("int64")
+    n = sv.size
+    mx = int(np.abs(sv).max()) if n else 0
+    if n and mx * mx <= (2**63 - 1) // max(n, 1):
+        tot = int(sv.sum())
+        sum_sq = int((sv * sv).sum())
+    else:  # exact fallback for huge magnitudes: python ints
+        scaled = pd.Series(sv, copy=False).astype(object)
+        tot = int(scaled.sum())
+        sum_sq = int((scaled**2).sum())
+    mean = tot / 10_000 / n
     var = sum_sq / 10_000**2 / n - mean * mean
     std = var**0.5
     out = pdf[["event_id", "user_id", "value"]].copy()
@@ -278,11 +350,25 @@ def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL twin). Scale note: one Arrow batch per group — groups are
     per-user event slices (bounded); never applyInPandas over an
     unbounded group.
+
+    Parallelism: the dominant cost is per-group Python invocation, so
+    wall time scales with groups-per-core. An EXPLICIT hash
+    repartition on the group key pins the fan-out (AQE otherwise
+    coalesces the small shuffle to ~3 partitions and serializes tens
+    of thousands of group calls onto 3 cores); it satisfies the
+    grouped-map's required distribution, so no second shuffle is
+    inserted. Same fix a 1000-executor cluster needs, where the
+    partition count comes from spark.sql.shuffle.partitions.
     """
     e = read_table(spark, sf_dir, "events")
-    return e.groupBy("user_id").applyInPandas(
-        _zscore_group,
-        schema="event_id long, user_id long, value double, zscore double",
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        e.repartition(nparts, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            _zscore_group,
+            schema="event_id long, user_id long, value double, zscore double",
+        )
     )
 
 

@@ -575,19 +575,23 @@ _CMS_KEYS = 20  # query keys: user_id < _CMS_KEYS
     "agg_count_min",
     oracle=f"""
 WITH j AS (SELECT range AS j FROM range({_CMS_D})),
+h AS (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
 sk AS (
   SELECT j.j,
-         CAST('0x' || substr(md5(j.j || ':' || user_id), 1, 8) AS BIGINT)
+         CAST('0x' || substr(h.h, CAST(1 + 8 * j.j AS INT), 8) AS BIGINT)
            % {_CMS_W} AS bucket,
          COUNT(*) AS c
-  FROM events, j GROUP BY 1, 2
+  FROM h, j GROUP BY 1, 2
 ),
-keys AS (SELECT DISTINCT user_id FROM events WHERE user_id < {_CMS_KEYS}),
+keys AS (
+  SELECT DISTINCT user_id, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id < {_CMS_KEYS}
+),
 est AS (
   SELECT k.user_id, MIN(s.c) AS cms_est
   FROM keys k CROSS JOIN j
   JOIN sk s ON s.j = j.j
-   AND s.bucket = CAST('0x' || substr(md5(j.j || ':' || k.user_id), 1, 8)
+   AND s.bucket = CAST('0x' || substr(k.h, CAST(1 + 8 * j.j AS INT), 8)
                        AS BIGINT) % {_CMS_W}
   GROUP BY 1
 ),
@@ -610,6 +614,12 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     d×w cell counts, the min-over-rows estimates, and the CMS
     guarantee est ≥ exact (emitted as overestimate_ok).
 
+    Hash cost is ONE md5 per input row (not one per row), sliced
+    into d=4 independent 32-bit bucket hashes from the 128-bit
+    digest — the round-3 shape hashed after the d-way explode, so
+    the dominant per-row cost grew 4x with d; slicing makes the
+    scan-side work d-independent (STRESS round-4 note).
+
     Scale: the sketch IS the point — the build is one groupBy whose
     map-side partials collapse to ≤ d·w = 4·64 = 256 cells per task
     before the shuffle, regardless of input size; estimates join
@@ -617,24 +627,26 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-stats pass a 100 TB pipeline runs where exact per-key
     counts would shuffle the world.
     """
-    bucket = (
-        lambda key: F.expr(
-            f"CAST(conv(substring(md5(concat(j, ':', {key})), 1, 8), 16, 10)"
-            f" AS BIGINT) % {_CMS_W}"
-        )
+    slice_bucket = F.expr(
+        f"CAST(conv(substring(h, CAST(1 + 8 * j AS INT), 8), 16, 10)"
+        f" AS BIGINT) % {_CMS_W}"
     )
-    e = read_table(spark, sf_dir, "events").select("user_id")
+    e = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id")
+        .withColumn("h", F.md5(F.col("user_id").cast("string")))
+    )
     js = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
     sketch = (
-        e.select("user_id", js)
-        .withColumn("bucket", bucket("user_id"))
+        e.select("h", js)
+        .withColumn("bucket", slice_bucket)
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     keys = e.filter(F.col("user_id") < _CMS_KEYS).distinct()
     est = (
-        keys.select("user_id", js)
-        .withColumn("bucket", bucket("user_id"))
+        keys.select("user_id", "h", js)
+        .withColumn("bucket", slice_bucket)
         .join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy("user_id")
         .agg(F.min("c").alias("cms_est"))

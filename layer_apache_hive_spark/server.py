@@ -114,12 +114,17 @@ def beeline_query(
             f"beeline rc={proc.returncode}\nstdout:{proc.stdout[-2000:]}"
             f"\nstderr:{proc.stderr[-2000:]}"
         )
-    # silent-mode beeline glues the connection prompt onto the first
-    # output line ("0: jdbc:hive2://…> n_nationkey,n_name"); strip any
-    # prompt prefixes, then keep the non-empty remainder
+    return parse_beeline_csv2(proc.stdout)
+
+
+def parse_beeline_csv2(stdout: str) -> tuple[list[str], list[list[str]]]:
+    """Parse beeline --silent --outputformat=csv2 stdout into
+    (header, rows). Silent-mode beeline glues the connection prompt
+    onto the first output line ("0: jdbc:hive2://…> col_a,col_b");
+    strip any prompt prefixes, then csv-parse the remainder."""
     prompt = re.compile(r"^\d+: jdbc:hive2://[^>]*>\s*")
     lines = []
-    for ln in proc.stdout.splitlines():
+    for ln in stdout.splitlines():
         ln = prompt.sub("", ln)
         if ln:
             lines.append(ln)

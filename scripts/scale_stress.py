@@ -55,9 +55,12 @@ _KEY_SHIFTS = {
 }
 _OFFSET = 10_000_000
 
-# representative slice: scans/aggs, joins, windows, events, text,
-# dedup, embeddings, sketches — the shapes whose scaling matters
-STRESS_QUERIES = [
+# Round 4 (VERDICT r3 item 4): the slice is now the ENTIRE ext_* and
+# evt_* tier — every dedup/similarity/text/training/multimodal/
+# event-analytics id — plus a curated core of scan/agg/join/window/
+# composite shapes. Computed from the registry at runtime so a new
+# extension operator is stress-covered by default (no silent cap).
+_CORE_SLICE = [
     "agg_hash_groupby",
     "agg_count_distinct",
     "agg_hll_portable",
@@ -67,31 +70,17 @@ STRESS_QUERIES = [
     "composite_market_share",
     "win_running_total",
     "topk",
-    "evt_funnel",
-    "evt_session_window",
-    "evt_ohlc",
-    "evt_gap_fill",
     "join_interval_overlap",
-    "ext_text_tokens",
-    "ext_text_quality",
-    "ext_dedup_exact",
-    "ext_emb_random_projection",
-    "ext_emb_kmeans_step",
-    "ext_text_bm25",
-    "ext_text_cdc_segments",
-    "ext_dedup_containment",
-    "ext_sample_epochs",
-    "ext_pipeline_sft",
-    "evt_downtime_gaps",
-    "evt_resample_interp",
-    "ext_text_bigram_lm",
-    "ext_pipeline_filter_audit",
-    "evt_attribution_linear",
-    "evt_rate_wow",
     "composite_dashboard",
     "sink_zorder",
-    "ext_sim_recall_eval",
 ]
+
+
+def stress_queries(qs: dict) -> list[str]:
+    tier = sorted(
+        q for q in qs if q.startswith("ext_") or q.startswith("evt_")
+    )
+    return tier + [q for q in _CORE_SLICE if q not in tier]
 
 
 def build_corpus(spark, src_dir: str, dst_dir: str, k: int) -> None:
@@ -164,7 +153,9 @@ def main() -> int:
 
     results = {}
     superlinear_cut = 1.6 * args.k
-    for qid in STRESS_QUERIES:
+    queries = stress_queries(qs)
+    print(f"stress slice: {len(queries)} queries", flush=True)
+    for qid in queries:
         # warm once (file listing, codegen, broadcast), then best-of-3
         time_query(qs, qid, spark, args.sf_dir, reps=1)
         t1 = time_query(qs, qid, spark, args.sf_dir)
