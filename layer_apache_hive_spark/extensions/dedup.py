@@ -268,25 +268,34 @@ def _verify_jaccard(cand: DataFrame, spark: SparkSession, sf_dir: str) -> DataFr
         # frame via Arrow (toPandas) + a driver-side numpy group-by:
         # ~4x cheaper than materializing the grouped-array relation
         # (groupBy + sort_array + collect of array rows) just to
-        # re-explode it into a dict
-        pdf = _shingled(spark, sf_dir).toPandas()
-        order = np.lexsort((pdf["sh"].to_numpy(), pdf["doc_id"].to_numpy()))
-        ids = pdf["doc_id"].to_numpy()[order]
-        hs = pdf["sh"].to_numpy()[order]
-        bounds = np.flatnonzero(np.diff(ids)) + 1
-        # empty corpus → no docs (the zip below would index ids[0])
-        arrs = (
-            {}
-            if len(ids) == 0
-            else {
-                int(ids[s]): hs[s:e]
-                for s, e in zip(
-                    np.concatenate(([0], bounds)),
-                    np.concatenate((bounds, [len(ids)])),
-                )
-            }
-        )
-        bv = spark.sparkContext.broadcast(arrs)
+        # re-explode it into a dict. Built ONCE per (session, corpus)
+        # and cached — it is an ingest artifact like the disk index,
+        # and rebuilding+rebroadcasting it per verify call was the
+        # round-4 stress finding (each caller paid the full Arrow
+        # transfer + dict build + broadcast ship again).
+        bkey, bv = _cache_get(spark, sf_dir, "bcast")
+        if bv is None:
+            pdf = _shingled(spark, sf_dir).toPandas()
+            order = np.lexsort(
+                (pdf["sh"].to_numpy(), pdf["doc_id"].to_numpy())
+            )
+            ids = pdf["doc_id"].to_numpy()[order]
+            hs = pdf["sh"].to_numpy()[order]
+            bounds = np.flatnonzero(np.diff(ids)) + 1
+            # empty corpus → no docs (the zip below would index ids[0])
+            arrs = (
+                {}
+                if len(ids) == 0
+                else {
+                    int(ids[s]): hs[s:e]
+                    for s, e in zip(
+                        np.concatenate(([0], bounds)),
+                        np.concatenate((bounds, [len(ids)])),
+                    )
+                }
+            )
+            bv = spark.sparkContext.broadcast(arrs)
+            _SH_CACHE[bkey] = bv
 
         def intersect_bc(batches):
             d = bv.value
@@ -527,7 +536,16 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, (a·x+c) mod 2^31-1 mixing), so the ENTIRE pipeline —
     signatures, band keys, candidate set, verified Jaccard — is
     deterministic and value-checked against the DuckDB twin above.
+
+    The verified pair set is cached per (session, corpus) like
+    ext_dedup_near's — ext_dedup_recall_eval consumes both, and the
+    result is dedup-filter-sized (tiny) while the DAG is the
+    expensive part (round-4 stress finding: the eval query paid the
+    full banded pipeline again on every call).
     """
+    key, cached = _cache_get(spark, sf_dir, "mh_pairs")
+    if cached is not None:
+        return cached
     rows_per_band = _MINHASH_N // _MINHASH_BANDS
 
     sh = _shingled(spark, sf_dir)
@@ -564,9 +582,13 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     verified = _verify_jaccard(cand, spark, sf_dir)
-    return verified.filter(F.col("jaccard") >= _TAU).select(
-        "doc_a", "doc_b", "jaccard"
+    res = (
+        verified.filter(F.col("jaccard") >= _TAU)
+        .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint()
     )
+    _SH_CACHE[key] = res
+    return res
 
 
 _SIMHASH_BITS, _SIMHASH_BLOCKS = 60, 4

@@ -196,7 +196,14 @@ def _stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = f"/root/repo/.tmp/stream_src/{label}"
     if not glob.glob(f"{src_dir}/*.parquet"):
         os.makedirs(src_dir, exist_ok=True)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+        src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):
+            # directory-of-files table layout (e.g. the scale-stress
+            # corpus, or any Spark-written table): link each part file
+            for i, part in enumerate(sorted(glob.glob(f"{src}/*.parquet"))):
+                shutil.copy(part, f"{src_dir}/part-{i:05d}.parquet")
+        else:
+            shutil.copy(src, f"{src_dir}/events.parquet")
     # Use the RAW parquet schema (ts arrives as nanos-long or µs-NTZ),
     # then normalize below.
     _pin_stream_confs(spark)

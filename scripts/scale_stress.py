@@ -99,6 +99,22 @@ def build_corpus(spark, src_dir: str, dst_dir: str, k: int) -> None:
             r = base
             for c in _KEY_SHIFTS[t]:
                 r = r.withColumn(c, F.col(c) + F.lit(i * _OFFSET))
+            if t == "embeddings" and i > 0:
+                # Same corpus rule as documents (below): replicas must
+                # be DISTINCT vectors, not exact clones — identical
+                # vectors land in identical LSH buckets, so bucket
+                # pair counts grow k^2 BY SEMANTICS (flagged
+                # ext_sim_lsh 14.9x on the first full-tier pass).
+                # A per-replica circular roll keeps the norm and the
+                # realistic geometry while changing direction.
+                r = r.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {i} + 1, "
+                        f"size(embedding) - {i}), "
+                        f"slice(embedding, 1, {i}))"
+                    ),
+                )
             if t == "documents" and i > 0:
                 # Replicas must be DISTINCT documents, not near-dups:
                 # a suffix-only perturbation leaves ~all shingles
