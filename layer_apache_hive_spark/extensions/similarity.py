@@ -492,6 +492,48 @@ def _corpus_size(spark: SparkSession, sf_dir: str) -> int:
     return n
 
 
+_EMB_BV_CACHE: dict = {}
+
+
+def _emb_matrix_bv(spark: SparkSession, sf_dir: str):
+    """Broadcast of the corpus embedding matrix — (idx dict, M,
+    FLOOR-scaled norms) — cached per (session, corpus identity).
+
+    The verify-side matrix is an ingest artifact of the corpus, not
+    of any one query: rebuilding it (Arrow toPandas + stack + norm
+    pass + broadcast ship) on EVERY verify call was the same
+    per-call-rebuild pathology the round-4 stress sweep caught in
+    the dedup family. Keyed on the parquet stat so a changed corpus
+    invalidates; dead-session entries are evicted and unpersisted so
+    executor memory stays bounded.
+    """
+    import os
+
+    import numpy as np
+
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _EMB_BV_CACHE if k[0] != app]:
+        try:
+            _EMB_BV_CACHE.pop(k).unpersist()
+        except Exception:
+            pass
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = (app, sf_dir, f"{st.st_mtime_ns}:{st.st_size}")
+    bv = _EMB_BV_CACHE.get(key)
+    if bv is None:
+        pdf_all = (
+            read_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .toPandas()
+        )
+        M = _stack_f64(pdf_all["embedding"])
+        nrm = np.sqrt(np.floor(M * M * 1e12).astype(np.int64).sum(1) / 1e12)
+        idx = {int(v): i for i, v in enumerate(pdf_all["vec_id"].to_numpy())}
+        bv = spark.sparkContext.broadcast((idx, M, nrm))
+        _EMB_BV_CACHE[key] = bv
+    return bv
+
+
 _LSH_BANDS, _LSH_BITS = 24, 6
 _LSH_DIM = 64
 _LSH_PLANE_RANGE = 2001  # weights uniform in [-1000, 1000]
@@ -651,13 +693,10 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_vecs = _corpus_size(spark, sf_dir)
     if n_vecs <= _LSH_BROADCAST_MAX_VECS:
-        # broadcast the (small) embedding matrix; Arrow then carries
-        # only skinny pairs into the verify stage
-        pdf_all = emb.toPandas()
-        M = _stack_f64(pdf_all["embedding"])
-        nrm = np.sqrt(np.floor(M * M * 1e12).astype(np.int64).sum(1) / 1e12)
-        idx = {int(v): i for i, v in enumerate(pdf_all["vec_id"].to_numpy())}
-        bv = spark.sparkContext.broadcast((idx, M, nrm))
+        # broadcast the (small) embedding matrix — cached per
+        # (session, corpus); Arrow then carries only skinny pairs
+        # into the verify stage
+        bv = _emb_matrix_bv(spark, sf_dir)
 
         def verify_bc(batches):
             idx, M, nrm = bv.value
@@ -1048,13 +1087,7 @@ def ext_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score per joined row (two shuffles on vec_id, nothing
     # corpus-sized on the driver).
     if _corpus_size(spark, sf_dir) <= _LSH_BROADCAST_MAX_VECS:
-        pdf_all = emb.toPandas()
-        M_all = _stack_f64(pdf_all["embedding"])
-        n_all = np.sqrt(
-            np.floor(M_all * M_all * 1e12).astype(np.int64).sum(1) / 1e12
-        )
-        idx = {int(v): i for i, v in enumerate(pdf_all["vec_id"].to_numpy())}
-        bv2 = spark.sparkContext.broadcast((idx, M_all, n_all))
+        bv2 = _emb_matrix_bv(spark, sf_dir)  # cached per (session, corpus)
 
         def rescore(batches):
             ix, Mm, nn = bv2.value

@@ -149,19 +149,24 @@ def test_verify_jaccard_join_path_matches_broadcast_path(spark, monkeypatch):
 
 
 def test_fn_misc_engine_specific_columns_match_independent_references(spark):
-    """fn_misc_rows_only is the lone rows-only query (its purpose is
-    engine-specific hashing) — so pin every pinnable column against an
-    INDEPENDENT reference implementation instead of trusting execution
-    alone: crc32 vs zlib, hex/base64/conv/format_number/soundex vs
-    pure-Python reimplementations of their documented contracts."""
+    """Round 4 split the misc surface: fn_misc carries the portable
+    columns (value-oracled vs DuckDB), fn_misc_rows_only keeps only
+    the engine-seeded hashes. This test pins BOTH against INDEPENDENT
+    reference implementations — crc32 vs zlib, hex/base64/conv/
+    format_number/soundex vs pure-Python reimplementations of their
+    documented contracts — so even the oracle-checked columns have a
+    second, non-DuckDB witness, and the rows-only hashes have their
+    only cross-implementation check."""
     import zlib
 
     from layer_apache_hive_spark.functions.scalar_groups import (
+        fn_misc,
         fn_misc_rows_only,
     )
 
-    rows = fn_misc_rows_only(spark, SF_DIR).collect()
-    assert rows
+    hash_rows = {r["c_custkey"]: r for r in fn_misc_rows_only(spark, SF_DIR).collect()}
+    rows = fn_misc(spark, SF_DIR).collect()
+    assert rows and hash_rows
 
     def soundex_ref(name: str) -> str:
         codes = {
@@ -193,7 +198,9 @@ def test_fn_misc_engine_specific_columns_match_independent_references(spark):
     }
     for r in rows:
         name, bal = src[r["c_custkey"]]
-        assert r["name_crc32"] == zlib.crc32(name.encode())
+        h = hash_rows[r["c_custkey"]]
+        assert h["name_crc32"] == zlib.crc32(name.encode())
+        assert h["hash_deterministic"] is True
         assert r["name_soundex"] == soundex_ref(name)
         assert r["key_hex"] == format(r["c_custkey"], "X")
         assert r["name_hexenc"] == name.encode().hex().upper()
