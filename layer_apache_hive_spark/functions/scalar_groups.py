@@ -500,6 +500,41 @@ def fn_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fn_context",
+    oracle="""
+SELECT r_regionkey,
+       'spark_catalog' AS catalog_name,
+       'default' AS database_name,
+       TRUE AS version_is_spark4,
+       TRUE AS user_nonempty
+FROM region
+""",
+)
+def fn_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-context functions (the current_database/version half
+    of SURVEY §2.8's fn_hash_misc row): current_catalog,
+    current_database, version, current_user — Hive's SessionState
+    introspection surface mapped to Spark's identical builtins.
+
+    Raw outputs are engine/session-specific by nature, so each cell
+    is reduced to its INVARIANT: the default catalog/database names
+    are part of Spark's public contract (spark_catalog/default,
+    asserted verbatim), version is pinned to its major line, and the
+    user to non-emptiness. Joined onto region so the functions are
+    evaluated per-row through the real execution path rather than as
+    a constant-folded literal probe.
+    """
+    r = read_table(spark, sf_dir, "region")
+    return r.select(
+        "r_regionkey",
+        F.expr("current_catalog()").alias("catalog_name"),
+        F.expr("current_database()").alias("database_name"),
+        F.expr("version()").startswith("4.").alias("version_is_spark4"),
+        (F.length(F.expr("current_user()")) > 0).alias("user_nonempty"),
+    )
+
+
 @register("fn_misc_rows_only", oracle=None)
 def fn_misc_rows_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY the engine-seeded hashes, nothing else: hash()
