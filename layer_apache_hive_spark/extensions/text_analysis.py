@@ -975,26 +975,33 @@ def ext_text_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id; segment stats and the occurrence count are two more
     keyed shuffles ((doc, seg), seg_hash). No cross-doc data motion
     until the final hash-keyed count.
+
+    The boundary hash is computed INSIDE one array ``transform``
+    before the explode, so each exploded row carries only (i, token,
+    cut) — the round-3 shape posexploded alongside the full token
+    array, duplicating O(doc_len) per token row (O(L²) bytes per
+    document through the exchange: a real long-document hazard, and
+    the reason this query led the text family's bench cost).
     """
     d = read_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower("text"), " ")).alias("p", "token"),
-        F.split(F.lower("text"), " ").alias("w"),
-    ).withColumn("i", F.col("p") + 1)
-    win = F.expr(f"concat_ws(' ', slice(w, i - {_CDC_WIN - 1}, {_CDC_WIN}))")
-    cut = F.when(
-        (F.col("i") >= _CDC_WIN)
-        & (
-            F.conv(F.substring(F.md5(win), 1, 8), 16, 10).cast("bigint")
-            % _CDC_DIV
-            == 0
-        ),
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    per_pos = (
+        f"transform(sequence(1, size(w)), i -> struct("
+        f"  i AS i,"
+        f"  element_at(w, i) AS token,"
+        f"  CASE WHEN i >= {_CDC_WIN} AND"
+        f"    CAST(conv(substring(md5(concat_ws(' ',"
+        f"      slice(w, i - {_CDC_WIN - 1}, {_CDC_WIN}))), 1, 8),"
+        f"      16, 10) AS BIGINT) % {_CDC_DIV} = 0"
+        f"  THEN 1 ELSE 0 END AS cut))"
+    )
+    toks = (
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(per_pos)).alias("s"))
+        .select("doc_id", "s.i", "s.token", "s.cut")
+    )
     from pyspark.sql import Window
 
-    seg_id = F.sum(cut).over(
+    seg_id = F.sum("cut").over(
         Window.partitionBy("doc_id")
         .orderBy("i")
         .rowsBetween(Window.unboundedPreceding, 0)

@@ -915,10 +915,30 @@ def composite_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: supplier/nation/region and the per-part minimum (|part|
     rows) broadcast; the supply relation itself is the only shuffle
-    (its groupBy), and the min-equality join is a broadcast probe.
-    IEEE double division and MIN are bit-deterministic in both
-    engines, so the equality join is exact."""
-    ps = _ps(spark, sf_dir)
+    (its groupBy) — and the part filter's key set is semi-joined
+    below that groupBy (legal: l_partkey is a group key and only
+    filtered parts survive either consumer — both the min and the
+    probe side restrict to them), so the fact shuffle carries ~4% of
+    lineitem instead of all of it. The min-equality join is a
+    broadcast probe. IEEE double division and MIN are
+    bit-deterministic in both engines, so the equality join is
+    exact."""
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    li = read_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "left_semi",
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        ),
+    )
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -933,9 +953,6 @@ def composite_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     minc = eur.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
         F.min("ps_supplycost").alias("mc_cost")
-    )
-    p = read_table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
     )
     return (
         eur.join(F.broadcast(p), eur.ps_partkey == p.p_partkey)
@@ -1137,28 +1154,34 @@ def composite_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipments, the derived-relation reading of availqty > half a
     year's flow).
 
-    Scale: the part-name filter broadcasts into a semi-join; the
-    supply relation groupBy is the one fact shuffle with both sums in
-    a single pass; the final supplier IN is a broadcast semi-join."""
+    Scale: the part-name semi-join is pushed BELOW the aggregation
+    (legal because ps_partkey is a group key and only bolt-part
+    groups survive downstream — a rewrite Catalyst does not do
+    through aggregates itself), so the one fact shuffle carries only
+    the ~12% of lineitem rows that can matter; both sums ride that
+    single pass; the final supplier IN is a broadcast semi-join."""
     li = read_table(spark, sf_dir, "lineitem")
     in_97 = (F.col("l_shipdate") >= "1997-01-01") & (
         F.col("l_shipdate") < "1998-01-01"
     )
-    ps = li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(
-        dsum("l_quantity").alias("ps_availqty"),
-        dsum(F.when(in_97, F.col("l_quantity")).otherwise(0.0)).alias(
-            "qty_1997"
-        ),
-    )
     bolts = read_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("%bolt%")
-    ).select(F.col("p_partkey").alias("ps_partkey"))
+    ).select(F.col("p_partkey").alias("l_partkey"))
+    ps = (
+        li.join(F.broadcast(bolts), "l_partkey", "left_semi")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            dsum("l_quantity").alias("ps_availqty"),
+            dsum(F.when(in_97, F.col("l_quantity")).otherwise(0.0)).alias(
+                "qty_1997"
+            ),
+        )
+    )
     excess = (
-        ps.join(F.broadcast(bolts), "ps_partkey", "left_semi")
-        .filter(F.col("ps_availqty") > 2 * F.col("qty_1997"))
+        ps.filter(F.col("ps_availqty") > 2 * F.col("qty_1997"))
         .select(F.col("ps_suppkey").alias("s_suppkey"))
         .distinct()
     )
