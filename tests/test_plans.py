@@ -146,3 +146,52 @@ def test_range_join_is_equi_not_nested_loop(spark):
     df = _REGISTRY["evt_range_join"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def _optimized_plan_lines(df) -> list[str]:
+    return df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+
+
+def test_excess_stock_semi_join_pushed_below_aggregate(spark):
+    """Q20 shape (round 4): the part-name semi-join must sit BELOW
+    the supply aggregation — the fact shuffle then carries only
+    matchable rows. In the printed plan tree, children are deeper
+    than parents, so a LeftSemi line must appear AFTER the first
+    Aggregate line (i.e., inside its subtree); the pre-rewrite plan
+    had every LeftSemi above the aggregate."""
+    lines = _optimized_plan_lines(
+        _REGISTRY["composite_excess_stock"].fn(spark, SF_DIR)
+    )
+    agg_idx = [i for i, ln in enumerate(lines) if "Aggregate" in ln]
+    semi_idx = [i for i, ln in enumerate(lines) if "LeftSemi" in ln]
+    assert agg_idx and semi_idx
+    assert any(s > agg_idx[0] for s in semi_idx), "\n".join(lines)
+
+
+def test_min_cost_supplier_semi_join_pushed_below_aggregate(spark):
+    """Q2 shape (round 4): same pushdown contract as Q20 — the part
+    key-set semi-join restricts lineitem before the supply groupBy."""
+    lines = _optimized_plan_lines(
+        _REGISTRY["composite_min_cost_supplier"].fn(spark, SF_DIR)
+    )
+    agg_idx = [i for i, ln in enumerate(lines) if "Aggregate" in ln]
+    semi_idx = [i for i, ln in enumerate(lines) if "LeftSemi" in ln]
+    assert agg_idx and semi_idx
+    assert any(s > agg_idx[0] for s in semi_idx), "\n".join(lines)
+
+
+def test_cdc_segments_explode_rows_are_narrow(spark):
+    """ext_text_cdc_segments (round 4): the exploded relation must
+    carry only (i, token, cut) per row — never the full token array
+    (the O(L^2)-bytes-per-document shape this rewrite removed). Pin
+    it structurally: no post-explode attribute of array type."""
+    df = _REGISTRY["ext_text_cdc_segments"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    gen_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen_lines, plan
+    # the explode's output list must not retain the source array col
+    for ln in gen_lines:
+        out = ln.split("[")[-1]
+        assert re.search(r"\bw#", out) is None, ln
