@@ -1040,20 +1040,35 @@ def composite_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scale-stable selectivity).
 
     Scale: the scalar total is a 1-row broadcast crossJoin (no eager
-    action at plan build — the ext_text_langid pattern); supplier and
-    nation broadcast onto the dimension-sized supply relation."""
-    ps = _ps(spark, sf_dir)
+    action at plan build — the ext_text_langid pattern); the one
+    nation's supplier key set (1/|nation| of suppliers) is
+    semi-joined below the supply groupBy (l_suppkey is a group key;
+    only that nation's groups survive), so the fact shuffle carries
+    ~4% of lineitem; supplier and nation broadcast onto the
+    dimension-sized supply relation."""
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_1"
     )
-    stock = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select(
-            "ps_partkey",
-            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
-        )
+    nat_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(nat_supp), "l_suppkey", "left_semi"
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        ),
+        dsum("l_quantity").alias("ps_availqty"),
+    )
+    stock = ps.select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
     )
     # scale=7, not the default 4: ps_supplycost = MIN(price/qty) is an
     # exact dyadic with up to 7 decimal digits (2 from price + 5 from
@@ -1100,14 +1115,12 @@ def composite_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joined supplier blacklist (negative balance stands in for
     the customer-complaints comment scan).
 
-    Scale: the blacklist is a broadcast anti-join; the distinct
-    (part, supp) projection map-side combines before its one shuffle;
-    COUNT(DISTINCT) expands in the same aggregate."""
-    li = read_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).distinct()
+    Scale: the blacklist broadcast anti-join and the part-attribute
+    filter's key set BOTH push below the pair distinct (its keys are
+    exactly the distinct's grouping columns, so pre-filtering rows
+    equals post-filtering pairs), leaving the one shuffle carrying
+    only countable pairs (~16% of lineitem); COUNT(DISTINCT) expands
+    in the same aggregate."""
     p = read_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#3")
         & (F.col("p_type") != "PROMO")
@@ -1115,10 +1128,22 @@ def composite_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = read_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
-    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
     return (
-        ps.join(bad, "ps_suppkey", "left_anti")
-        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        ps.join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )

@@ -195,3 +195,30 @@ def test_cdc_segments_explode_rows_are_narrow(spark):
     for ln in gen_lines:
         out = ln.split("[")[-1]
         assert re.search(r"\bw#", out) is None, ln
+
+
+def test_important_stock_semi_join_pushed_below_aggregate(spark):
+    """Q11 shape (round 4): the nation's supplier key set restricts
+    lineitem BELOW the supply groupBy (suppkey is a group key)."""
+    lines = _optimized_plan_lines(
+        _REGISTRY["composite_important_stock"].fn(spark, SF_DIR)
+    )
+    agg_idx = [i for i, ln in enumerate(lines) if "Aggregate" in ln]
+    semi_idx = [i for i, ln in enumerate(lines) if "LeftSemi" in ln]
+    assert agg_idx and semi_idx
+    assert any(s > agg_idx[0] for s in semi_idx), "\n".join(lines)
+
+
+def test_parts_supplier_cnt_filters_below_distinct(spark):
+    """Q16 shape (round 4): both the part-attribute key set
+    (LeftSemi) and the complaint blacklist (LeftAnti) must restrict
+    lineitem BELOW the pair-distinct aggregate."""
+    lines = _optimized_plan_lines(
+        _REGISTRY["composite_parts_supplier_cnt"].fn(spark, SF_DIR)
+    )
+    agg_idx = [i for i, ln in enumerate(lines) if "Aggregate" in ln]
+    semi_idx = [i for i, ln in enumerate(lines) if "LeftSemi" in ln]
+    anti_idx = [i for i, ln in enumerate(lines) if "LeftAnti" in ln]
+    assert agg_idx and semi_idx and anti_idx
+    assert any(s > agg_idx[0] for s in semi_idx), "\n".join(lines)
+    assert any(a > agg_idx[0] for a in anti_idx), "\n".join(lines)
