@@ -134,6 +134,50 @@ def provision_corpus(spark: SparkSession, sf_dir: str) -> str:
     return db
 
 
+def provision_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Register a DATE-PARTITIONED external events table — the layout
+    every production Hive warehouse actually uses, and the reason the
+    metastore exists: partition metadata lives in the catalog, so a
+    date-filtered query PRUNES to the matching directories at
+    planning time without listing the corpus.
+
+    Idempotent: the partitioned parquet layout is written once under
+    the metastore tables dir (dt=YYYY-MM-DD directories), then
+    registered with ``PARTITIONED BY`` + ``ALTER TABLE … RECOVER
+    PARTITIONS`` (Hive's MSCK REPAIR). A FRESH JVM sees the partition
+    list via SHOW PARTITIONS and prunes from the metastore alone —
+    proven in tests/test_metastore_server.py.
+
+    Scale: the write is one shuffle keyed by the partition column;
+    registration + recovery are metadata-only (O(partitions)).
+    """
+    from pyspark.sql import functions as F
+
+    from layer_apache_hive_spark.catalog import read_table
+
+    db = corpus_db(sf_dir)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    loc = os.path.join(DEFAULT_METASTORE_DIR, "tables", db, "events_by_day")
+    ev = read_table(spark, sf_dir, "events")  # ts normalized to µs
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        (
+            ev.withColumn("dt", F.to_date("ts"))
+            .repartition("dt")
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(loc)
+        )
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ev.schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {db}.events_by_day ({cols}, dt DATE) "
+        f"USING PARQUET PARTITIONED BY (dt) LOCATION '{loc}'"
+    )
+    spark.sql(f"ALTER TABLE {db}.events_by_day RECOVER PARTITIONS")
+    return db
+
+
 def is_provisioned(spark: SparkSession, sf_dir: str) -> bool:
     """True iff every corpus table is visible in the metastore."""
     db = corpus_db(sf_dir)

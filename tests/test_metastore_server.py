@@ -145,6 +145,74 @@ spark.stop()
 """
 
 
+_PART_WRITER = """
+import sys
+sys.path.insert(0, "/root/repo")
+from layer_apache_hive_spark.metastore import (
+    hive_session, provision_partitioned_events)
+spark = hive_session(app_name="part-writer", master="local[4]",
+                     metastore_dir={ms!r}, warehouse_dir={wh!r})
+db = provision_partitioned_events(spark, {sf!r})
+n = spark.sql(f"SHOW PARTITIONS {{db}}.events_by_day").count()
+assert n > 1, f"expected multiple dt partitions, got {{n}}"
+print("PART_WRITER_OK", n)
+spark.stop()
+"""
+
+_PART_READER = """
+import sys
+sys.path.insert(0, "/root/repo")
+from layer_apache_hive_spark.metastore import hive_session, corpus_db
+spark = hive_session(app_name="part-fresh-reader", master="local[4]",
+                     metastore_dir={ms!r}, warehouse_dir={wh!r})
+db = corpus_db({sf!r})
+parts = [r[0] for r in
+         spark.sql(f"SHOW PARTITIONS {{db}}.events_by_day").collect()]
+assert len(parts) > 1, parts
+one_day = parts[0].split("=", 1)[1]
+q = spark.sql(
+    f"SELECT COUNT(*) AS n FROM {{db}}.events_by_day WHERE dt = DATE'{{one_day}}'"
+)
+# metastore-driven pruning: the scan must read ONLY that partition's
+# files (partition count in the executed plan's scan == 1)
+plan = q._jdf.queryExecution().executedPlan().toString()
+n = q.collect()[0].n
+total = spark.table(f"{{db}}.events_by_day").count()
+assert 0 < n < total, (n, total)
+assert "PartitionFilters: [" in plan and "isnotnull(dt" in plan, plan[:2000]
+print("PART_READER_OK", n, total)
+spark.stop()
+"""
+
+
+def test_partitioned_metastore_table_prunes_cross_jvm():
+    """The metastore's raison d'etre: a date-partitioned EXTERNAL
+    table registered (+ RECOVER PARTITIONS) in JVM A must, in a
+    fresh JVM B, list its partitions from the catalog and serve a
+    one-day query by PRUNING to that partition's files — partition
+    metadata surviving the process is exactly what MySQL gives the
+    charm's deployment."""
+    with tempfile.TemporaryDirectory() as tmp:
+        ms, wh = f"{tmp}/metastore", f"{tmp}/warehouse"
+        import layer_apache_hive_spark.metastore as M
+
+        orig = M.DEFAULT_METASTORE_DIR
+        # the partitioned layout writes under DEFAULT_METASTORE_DIR;
+        # point it at the hermetic tmp for both subprocesses via env-
+        # free string substitution (module constant patched in-script)
+        writer = _PART_WRITER.replace(
+            "provision_partitioned_events)",
+            "provision_partitioned_events)\n"
+            "import layer_apache_hive_spark.metastore as M\n"
+            f"M.DEFAULT_METASTORE_DIR = {ms!r}",
+        )
+        out_a = _run(writer.format(ms=ms, wh=wh, sf=SF_DIR))
+        assert "PART_WRITER_OK" in out_a
+        out_b = _run(_PART_READER.format(ms=ms, wh=wh, sf=SF_DIR))
+        assert "PART_READER_OK" in out_b
+        assert orig == M.DEFAULT_METASTORE_DIR  # parent untouched
+
+
 def test_thrift_server_serves_registered_query():
     """HiveServer2 wire parity: composite_shipping_priority run (a)
     as the registered DataFrame query in-process and (b) as SQL over
