@@ -80,7 +80,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP_NTZ: watermarks reject NTZ event time, and LTZ
         # under a UTC session is value-identical.
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    if os.environ.get("SPARK_GRAFT_USE_METASTORE") == "1":
+        # Opt-in: resolve the table BY NAME through the session's
+        # (durable Hive) catalog instead of a direct path read — the
+        # mode scripts/verify_metastore.py uses to prove the operator
+        # inventory is semantics-identical when tables come from the
+        # metastore. Requires a hive_session() + provision_corpus().
+        from layer_apache_hive_spark.metastore import corpus_db
+
+        df = spark.table(f"{corpus_db(sf_dir)}.{name}")
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -888,7 +888,7 @@ WITH w AS MATERIALIZED (
 )
 SELECT doc_id,
        COUNT(*) AS n_segments,
-       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
          AS keep_ratio
 FROM ranked

@@ -534,9 +534,42 @@ def _emb_matrix_bv(spark: SparkSession, sf_dir: str):
     return bv
 
 
-_LSH_BANDS, _LSH_BITS = 24, 6
 _LSH_DIM = 64
 _LSH_PLANE_RANGE = 2001  # weights uniform in [-1000, 1000]
+
+# --- n-adaptive banding (SCALE.md: bits ~ log n) -------------------
+# Random near-orthogonal pairs agree on a sign bit with q ~= 0.5, so
+# a 6-bit band collides them with ~0.5^6-ish probability and the
+# candidate set carries an O(n^2 * p_rand) term; at a fixed 6 bits
+# that term grows quadratically with the corpus. The knob below
+# targets constant bucket occupancy instead: bits grows with
+# ceil(log2 n) (one extra bit per corpus doubling beyond the demo
+# size), and bands grows by 1/p per extra bit (p = 1 - acos(theta)/pi
+# = 0.5967 at theta 0.3) so the collision probability of a
+# pair AT the threshold — hence recall — is held constant while
+# random-pair collisions shrink ~2x per added bit. Both engines
+# derive (bits, bands) from COUNT(*) with the same integer law, so
+# the oracle stays a full value twin at every scale factor.
+_LSH_BITS_MIN, _LSH_BITS_MAX = 6, 14
+_LSH_BANDS_BY_BITS = {
+    6: 24, 7: 41, 8: 68, 9: 113, 10: 189,
+    11: 317, 12: 531, 13: 890, 14: 1491,
+}
+_LSH_BANDS_SQL_CASE = "CASE bits " + " ".join(
+    f"WHEN {b} THEN {n}" for b, n in _LSH_BANDS_BY_BITS.items()
+) + f" ELSE {_LSH_BANDS_BY_BITS[_LSH_BITS_MAX]} END"
+
+
+def _lsh_params(n_vecs: int) -> tuple[int, int]:
+    """(bands, bits) for a corpus of n vectors; bits = clamp(
+    ceil(log2 n) - 3, 6, 14) — identical to the oracle's SQL law."""
+    import math
+
+    bits = min(
+        max(math.ceil(math.log2(max(n_vecs, 2))) - 3, _LSH_BITS_MIN),
+        _LSH_BITS_MAX,
+    )
+    return _LSH_BANDS_BY_BITS[bits], bits
 
 
 def _lsh_plane_weight(j: int, d: int) -> int:
@@ -551,30 +584,45 @@ def _lsh_plane_weight(j: int, d: int) -> int:
     return (h % _LSH_PLANE_RANGE) - 1000
 
 
-def _lsh_planes():
+_LSH_PLANES_CACHE: dict = {}
+
+
+def _lsh_planes(bands: int, bits: int):
     import numpy as np
 
-    return np.array(
-        [
-            [_lsh_plane_weight(j, d) for d in range(_LSH_DIM)]
-            for j in range(_LSH_BANDS * _LSH_BITS)
-        ],
-        dtype=np.int64,
-    )
+    key = (bands, bits)
+    planes = _LSH_PLANES_CACHE.get(key)
+    if planes is None:
+        planes = np.array(
+            [
+                [_lsh_plane_weight(j, d) for d in range(_LSH_DIM)]
+                for j in range(bands * bits)
+            ],
+            dtype=np.int64,
+        )
+        _LSH_PLANES_CACHE[key] = planes
+    return planes
 
 
 _LSH_ORACLE = f"""
 WITH {{norms}},
-se AS (
+p0 AS (
+  SELECT LEAST(GREATEST(CAST(CEIL(LOG2(GREATEST(COUNT(*), 2)))
+                             AS INT) - 3, {_LSH_BITS_MIN}),
+               {_LSH_BITS_MAX}) AS bits
+  FROM embeddings
+), params AS (
+  SELECT bits, {_LSH_BANDS_SQL_CASE} AS bands FROM p0
+), se AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS sv
   FROM embeddings
 ), grid AS (
-  SELECT j.j, d.d,
-         (CAST('0x' || substr(md5(j.j::VARCHAR || '-' || d.d::VARCHAR), 1, 15)
+  SELECT jj.j, d.d,
+         (CAST('0x' || substr(md5(jj.j::VARCHAR || '-' || d.d::VARCHAR), 1, 15)
                AS BIGINT) % {_LSH_PLANE_RANGE}) - 1000 AS w
-  FROM (SELECT unnest(range({_LSH_BANDS * _LSH_BITS})) AS j) j
+  FROM (SELECT unnest(range(bands * bits)) AS j FROM params) jj
   CROSS JOIN (SELECT unnest(range({_LSH_DIM})) AS d) d
 ), planes AS (
   SELECT j, list(w ORDER BY d) AS pw FROM grid GROUP BY j
@@ -584,10 +632,13 @@ se AS (
               i -> pw[CAST(i AS INT)] * sv[CAST(i AS INT)])) > 0
               THEN 1 ELSE 0 END AS bit
   FROM se CROSS JOIN planes p
+), keyed AS (
+  SELECT vec_id, j // pp.bits AS band_no, j % pp.bits AS band_pos, bit
+  FROM dotsgn CROSS JOIN params pp
 ), keys AS (
-  SELECT vec_id, j // {_LSH_BITS} AS band_no,
-         CAST(SUM(bit * (1::BIGINT << (j % {_LSH_BITS}))) AS BIGINT) AS band_key
-  FROM dotsgn GROUP BY vec_id, j // {_LSH_BITS}
+  SELECT vec_id, band_no,
+         CAST(SUM(bit * (1::BIGINT << band_pos)) AS BIGINT) AS band_key
+  FROM keyed GROUP BY vec_id, band_no
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM keys a JOIN keys b ON a.band_no = b.band_no AND a.band_key = b.band_key
@@ -617,19 +668,29 @@ WHERE dot / (na.nrm * nb.nrm) >= {{theta}}
     oracle=_LSH_ORACLE.format(norms=_SQL_NORMS, theta=_SIM_JOIN_THETA),
 )
 def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded random-hyperplane LSH similarity join: 24 bands x 6 bits
-    -> per-band bucket keys -> band-key equi-join -> exact cosine
-    verify (same FLOOR-scaled math as ext_sim_join, so its output is a
-    strict subset of the exact join's).
+    """Banded random-hyperplane LSH similarity join with an
+    n-ADAPTIVE banding knob: bits = clamp(ceil(log2 n) - 3, 6, 14)
+    bands = 24 * (1/p)^(bits-6) (p = 0.5967, the per-bit agreement
+    at theta 0.3) -> per-band bucket keys -> band-key equi-join ->
+    exact cosine verify (same FLOOR-scaled math as ext_sim_join, so
+    its output is a strict subset of the exact join's).
 
     Banding is the AND-OR construction that makes sign-LSH usable at
-    moderate similarity: a pair collides if ANY band's 6 bits all
-    agree. With p = 1 - acos(cos)/pi per bit, expected recall at
-    cos 0.3 is 1-(1-p^6)^24 ~ 0.67 and ~0.79 at cos 0.4 (the recall
-    property test pins >= 0.6), while random pairs collide in ~31% of
-    cases — enrichment comes from verify, which stays linear in
-    candidates. Tighter taus raise per-bit p, so recall climbs
-    steeply for the high-similarity pairs real semantic dedup targets.
+    moderate similarity: a pair collides if ANY band's bits all
+    agree. At the demo size (n<=512: 24 bands x 6 bits) expected
+    recall at cos 0.3 is 1-(1-p^6)^24 ~ 0.67 and ~0.79 at cos 0.4
+    (the recall property test pins >= 0.6), while random
+    near-orthogonal pairs collide in ~31% of cases. THAT term is the
+    scale hazard: at fixed bits it contributes O(n^2 * p_rand)
+    candidates. The adaptive law adds one bit per corpus doubling
+    (halving p_rand per band) and scales bands by 1/p per bit so the
+    collision probability of a pair AT the threshold is invariant —
+    recall holds by construction while the quadratic term is damped
+    ~2x per doubling. Signature cost grows as n * bands * bits =
+    O(n log n)-ish, the textbook LSH trade. Verify stays linear in
+    candidates. Both engines derive (bits, bands) from COUNT(*) with
+    the same integer law, so the DuckDB twin value-matches at every
+    scale factor, not just the demo one.
 
     Recall < 1 stays true by construction, but the pipeline itself is
     now EXACTLY portable: hyperplane components are md5-derived
@@ -644,8 +705,9 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    bands, bits = _LSH_BANDS, _LSH_BITS
-    planes = _lsh_planes()
+    n_vecs = _corpus_size(spark, sf_dir)
+    bands, bits = _lsh_params(n_vecs)
+    planes = _lsh_planes(bands, bits)
     weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
 
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -691,7 +753,6 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots = np.floor(ea * eb * 1e12).astype(np.int64).sum(1) / 1e12
         return dots / (nrm[ia] * nrm[ib])
 
-    n_vecs = _corpus_size(spark, sf_dir)
     if n_vecs <= _LSH_BROADCAST_MAX_VECS:
         # broadcast the (small) embedding matrix — cached per
         # (session, corpus); Arrow then carries only skinny pairs

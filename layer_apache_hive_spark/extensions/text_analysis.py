@@ -478,7 +478,7 @@ placed AS (
 )
 SELECT doc_id, lang, n_tokens,
        CAST(FLOOR(start_tok / 2048) AS BIGINT) AS context_id,
-       start_tok % 2048 AS context_offset
+       CAST(start_tok % 2048 AS BIGINT) AS context_offset
 FROM placed
 """,
 )
@@ -705,7 +705,7 @@ def ext_sample_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 16 AS shard,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc
 FROM documents
@@ -940,8 +940,8 @@ pos AS MATERIALIZED (
 ),
 seg AS (
   SELECT doc_id, i, token,
-         SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
-                        ROWS UNBOUNDED PRECEDING) AS seg_id
+         CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id
   FROM pos
 ),
 segs AS (

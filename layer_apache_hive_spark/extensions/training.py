@@ -472,7 +472,7 @@ dedup AS (
 )
 SELECT source, lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM dedup
 GROUP BY source, lang
 """,
@@ -799,7 +799,7 @@ WITH toks AS MATERIALIZED (
   FROM documents
 ),
 stats AS (
-  SELECT doc_id, SUM(cnt) AS n_tokens,
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
          COUNT(*) AS n_distinct,
          MAX(cnt) AS top_cnt
   FROM (SELECT doc_id, token, COUNT(*) AS cnt

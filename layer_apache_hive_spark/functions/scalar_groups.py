@@ -177,8 +177,8 @@ SELECT
   l_orderkey,
   l_linenumber,
   abs(l_quantity - 25.0) AS abs_dev,
-  ceil(l_discount * 100) AS disc_pct_ceil,
-  floor(l_tax * 100) AS tax_pct_floor,
+  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+  CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
   round(l_extendedprice, 1) AS price_r1,
   ROUND(exp(l_discount), 8) AS exp_disc,
   ROUND(ln(l_extendedprice), 8) AS ln_price,
@@ -192,7 +192,7 @@ SELECT
   ROUND(atan(l_tax), 8) AS atan_tax,
   ROUND(degrees(l_discount), 8) AS disc_deg,
   ROUND(radians(l_quantity), 8) AS qty_rad,
-  sign(l_quantity - 25.0) AS qty_sign,
+  CAST(sign(l_quantity - 25.0) AS BIGINT) AS qty_sign,
   greatest(l_quantity, 25.0) AS qty_hi,
   least(l_quantity, 25.0) AS qty_lo,
   ((CAST(l_quantity AS BIGINT) % 7) + 7) % 7 AS qty_mod7,
@@ -200,7 +200,7 @@ SELECT
   ROUND(asin(l_discount), 8) AS asin_disc,
   ROUND(acos(l_discount), 8) AS acos_disc,
   ROUND(tan(l_tax), 8) AS tan_tax,
-  factorial(l_linenumber) AS line_fact,
+  CAST(factorial(l_linenumber) AS BIGINT) AS line_fact,
   ROUND(exp(1), 8) AS e_val
 FROM lineitem
 WHERE l_orderkey < 300
@@ -229,7 +229,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.atan("l_tax"), 8).alias("atan_tax"),
         F.round(F.degrees("l_discount"), 8).alias("disc_deg"),
         F.round(F.radians("l_quantity"), 8).alias("qty_rad"),
-        F.signum(q - 25.0).alias("qty_sign"),
+        F.signum(q - 25.0).cast("bigint").alias("qty_sign"),
         F.greatest(q, F.lit(25.0)).alias("qty_hi"),
         F.least(q, F.lit(25.0)).alias("qty_lo"),
         F.pmod(q.cast("bigint"), F.lit(7)).alias("qty_mod7"),
@@ -505,8 +505,8 @@ def fn_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r_regionkey,
        'spark_catalog' AS catalog_name,
-       'default' AS database_name,
-       TRUE AS version_is_spark4,
+       TRUE AS database_matches_session,
+       TRUE AS version_major_ok,
        TRUE AS user_nonempty
 FROM region
 """,
@@ -518,19 +518,32 @@ def fn_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     introspection surface mapped to Spark's identical builtins.
 
     Raw outputs are engine/session-specific by nature, so each cell
-    is reduced to its INVARIANT: the default catalog/database names
-    are part of Spark's public contract (spark_catalog/default,
-    asserted verbatim), version is pinned to its major line, and the
-    user to non-emptiness. Joined onto region so the functions are
-    evaluated per-row through the real execution path rather than as
-    a constant-folded literal probe.
+    is reduced to its INVARIANT: the default catalog name is part of
+    Spark's public contract (spark_catalog, asserted verbatim);
+    current_database() is compared against the SESSION's own catalog
+    view (``spark.catalog.currentDatabase()``) rather than the
+    literal 'default', so a client that ran ``USE <db>`` (e.g. over
+    the Thrift endpoint) stays green; the runtime major version is
+    compared against the installed pyspark major (>=3 supported) so
+    the query asserts engine/client agreement, not a hardcoded line.
+    Joined onto region so the functions are evaluated per-row through
+    the real execution path rather than as a constant-folded probe.
     """
+    import pyspark
+
     r = read_table(spark, sf_dir, "region")
+    session_db = spark.catalog.currentDatabase()
+    major = pyspark.__version__.split(".")[0]
     return r.select(
         "r_regionkey",
         F.expr("current_catalog()").alias("catalog_name"),
-        F.expr("current_database()").alias("database_name"),
-        F.expr("version()").startswith("4.").alias("version_is_spark4"),
+        (F.expr("current_database()") == F.lit(session_db)).alias(
+            "database_matches_session"
+        ),
+        (
+            F.expr("version()").startswith(f"{major}.")
+            & (F.lit(int(major)) >= F.lit(3))
+        ).alias("version_major_ok"),
         (F.length(F.expr("current_user()")) > 0).alias("user_nonempty"),
     )
 

@@ -17,7 +17,7 @@ registered ONCE as EXTERNAL tables (``CREATE TABLE … USING PARQUET
 LOCATION`` — schema over an existing path, DROP keeps data, exactly
 Hive EXTERNAL semantics), and any later session — a *new JVM*, days
 later — sees them by name with ``SHOW TABLES`` / ``spark.table``.
-tests/test_metastore_durability.py proves that with two sequential
+tests/test_metastore_server.py proves that with two sequential
 fresh-JVM subprocesses.
 
 On a production cluster the only change is configuration, not code:
@@ -38,6 +38,7 @@ at all.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import SparkSession
@@ -49,9 +50,17 @@ DEFAULT_HIVE_WAREHOUSE = "/root/repo/.tmp/hive_warehouse"
 
 
 def corpus_db(sf_dir: str) -> str:
-    """Deterministic database name for one corpus scale factor."""
-    label = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
-    return f"corpus_{label}"
+    """Deterministic database name for one corpus directory.
+
+    Keyed on the ABSOLUTE path (basename for readability + an 8-hex
+    md5 of the resolved path for identity), so two corpora that share
+    a basename — or a regenerated fixture at a new path — can never
+    silently alias each other's registration.
+    """
+    resolved = os.path.realpath(os.path.abspath(sf_dir))
+    label = resolved.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    digest = hashlib.md5(resolved.encode()).hexdigest()[:8]
+    return f"corpus_{label}_{digest}"
 
 
 def hive_session(
@@ -105,7 +114,11 @@ def hive_session(
     return builder.getOrCreate()
 
 
-def provision_corpus(spark: SparkSession, sf_dir: str) -> str:
+def provision_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    metastore_dir: str = DEFAULT_METASTORE_DIR,
+) -> str:
     """Register every fixture table as an EXTERNAL table, once.
 
     Idempotent (IF NOT EXISTS); re-running against an already
@@ -122,11 +135,16 @@ def provision_corpus(spark: SparkSession, sf_dir: str) -> str:
     db = corpus_db(sf_dir)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     for name in TABLES:
-        loc = os.path.join(DEFAULT_METASTORE_DIR, "tables", db, name)
+        loc = os.path.join(metastore_dir, "tables", db, name)
         os.makedirs(loc, exist_ok=True)
         link = os.path.join(loc, "part-00000.parquet")
+        target = table_path(sf_dir, name)
+        # Re-point a stale/broken link (moved or regenerated fixture)
+        # instead of silently serving whatever it pointed at first.
+        if os.path.lexists(link) and os.readlink(link) != target:
+            os.unlink(link)
         if not os.path.lexists(link):
-            os.symlink(table_path(sf_dir, name), link)
+            os.symlink(target, link)
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {db}.{name} "
             f"USING PARQUET LOCATION '{loc}'"
@@ -134,7 +152,11 @@ def provision_corpus(spark: SparkSession, sf_dir: str) -> str:
     return db
 
 
-def provision_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+def provision_partitioned_events(
+    spark: SparkSession,
+    sf_dir: str,
+    metastore_dir: str = DEFAULT_METASTORE_DIR,
+) -> str:
     """Register a DATE-PARTITIONED external events table — the layout
     every production Hive warehouse actually uses, and the reason the
     metastore exists: partition metadata lives in the catalog, so a
@@ -157,7 +179,7 @@ def provision_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
 
     db = corpus_db(sf_dir)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-    loc = os.path.join(DEFAULT_METASTORE_DIR, "tables", db, "events_by_day")
+    loc = os.path.join(metastore_dir, "tables", db, "events_by_day")
     ev = read_table(spark, sf_dir, "events")  # ts normalized to µs
     if not os.path.exists(os.path.join(loc, "_SUCCESS")):
         (

@@ -386,6 +386,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BLOOM_APP = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+# join_bloom's tuned session clone, one per live SparkContext
+_BLOOM_SESSION_CACHE: dict[str, "SparkSession"] = {}
 _BLOOM_CREATE = "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
 _AUTO_BC = "spark.sql.autoBroadcastJoinThreshold"
 
@@ -429,14 +431,23 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``spark.newSession()`` — own SQLConf, shared SparkContext), so
     a query planned concurrently on the caller's session can never
     observe disabled broadcast joins; nothing is mutated on the
-    shared session, and nothing needs restoring.
+    shared session, and nothing needs restoring. The clone is cached
+    per SparkContext (keyed on applicationId) so repeated bench /
+    verify sweeps reuse ONE session state instead of accumulating
+    listeners and temp catalogs on the shared context for the life
+    of the JVM.
     """
     from layer_apache_hive_spark.functions.numeric import dsum
 
-    s2 = spark.newSession()
-    s2.conf.set(_BLOOM_APP, "0")
-    s2.conf.set(_BLOOM_CREATE, "100MB")
-    s2.conf.set(_AUTO_BC, "-1")
+    app_id = spark.sparkContext.applicationId
+    s2 = _BLOOM_SESSION_CACHE.get(app_id)
+    if s2 is None:
+        s2 = spark.newSession()
+        s2.conf.set(_BLOOM_APP, "0")
+        s2.conf.set(_BLOOM_CREATE, "100MB")
+        s2.conf.set(_AUTO_BC, "-1")
+        _BLOOM_SESSION_CACHE.clear()  # one live context at a time
+        _BLOOM_SESSION_CACHE[app_id] = s2
     li = read_table(s2, sf_dir, "lineitem")
     p = read_table(s2, sf_dir, "part")
     dim = p.filter(F.col("p_brand").isin("Brand#12", "Brand#23")).select(

@@ -53,6 +53,27 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _numeric_kind(col: pd.Series) -> str | None:
+    """'int' / 'float' for plainly-numeric dtypes, None otherwise.
+
+    Object columns are excluded on purpose: Spark keeps Decimal cells
+    in object dtype while DuckDB lowers DECIMAL to float64 — a
+    representation gap the cell normalizer already reconciles. The
+    check below exists for the one class the value comparison cannot
+    see: an INTEGER column on one engine that the other engine emits
+    as float64 (e.g. DuckDB HUGEINT -> pandas float64, `2014.0` vs
+    Spark int64 `2014`), which hashes differently in the driver while
+    passing a check_dtype=False local compare (rounds 3-4 red row).
+    """
+    if pd.api.types.is_bool_dtype(col):
+        return None
+    if pd.api.types.is_integer_dtype(col):
+        return "int"
+    if pd.api.types.is_float_dtype(col):
+        return "float"
+    return None
+
+
 def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     got, want = normalize(got), normalize(want)
@@ -63,6 +84,15 @@ def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
         )
     if len(got) != len(want):
         problems.append(f"rows spark={len(got)} oracle={len(want)}")
+    if not problems:
+        for c in got.columns:
+            gk, wk = _numeric_kind(got[c]), _numeric_kind(want[c])
+            if gk and wk and gk != wk:
+                problems.append(
+                    f"dtype-kind[{c}]: spark={got[c].dtype} ({gk}) "
+                    f"oracle={want[c].dtype} ({wk}) — representation "
+                    f"drift the driver hash would reject"
+                )
     if not problems:
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)

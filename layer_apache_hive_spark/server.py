@@ -123,13 +123,23 @@ def parse_beeline_csv2(stdout: str) -> tuple[list[str], list[list[str]]]:
     onto the first output line ("0: jdbc:hive2://…> col_a,col_b");
     strip any prompt prefixes, then csv-parse the remainder."""
     prompt = re.compile(r"^\d+: jdbc:hive2://[^>]*>\s*")
-    lines = []
-    for ln in stdout.splitlines():
-        ln = prompt.sub("", ln)
-        if ln:
-            lines.append(ln)
+    lines = [prompt.sub("", ln) for ln in stdout.splitlines()]
+    # Drop only the leading chrome BEFORE the header line; keep every
+    # later line (including empty ones) so a NULL/empty single-column
+    # cell is not silently dropped and an empty line inside a quoted
+    # multi-line cell does not corrupt the reconstructed CSV.
+    while lines and not lines[0]:
+        lines.pop(0)
+    while lines and not lines[-1]:
+        lines.pop()
     if not lines:
         return [], []
-    reader = csv.reader(io.StringIO("\n".join(lines)))
-    parsed = list(reader)
-    return parsed[0], parsed[1:]
+    header = next(csv.reader(io.StringIO(lines[0])), [])
+    body = lines[1:]
+    if len(header) == 1 and not any('"' in ln for ln in body):
+        # csv.reader drops blank physical lines, but in a one-column
+        # unquoted result a blank line IS a NULL/empty cell row —
+        # take the lines verbatim.
+        return header, [[ln] for ln in body]
+    reader = csv.reader(io.StringIO("\n".join(body)))
+    return header, [row for row in reader]

@@ -356,7 +356,8 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   COUNT(*) AS n_rows,
-  SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n_with_priority,
+  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_with_priority,
   COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
     AS n_priorities
 FROM orders
@@ -411,10 +412,10 @@ _BAD_CSV_LINES = "abc|BADROW|xyz\n7\n1|X|2|EXTRA|5\n12|HALF|zz\n"
 SELECT COUNT(*) + 4 AS n_rows,
        COUNT(*) AS n_good,
        4 AS n_corrupt,
-       SUM(n_nationkey) AS good_key_sum,
+       CAST(SUM(n_nationkey) AS BIGINT) AS good_key_sum,
        20 AS corrupt_parsed_key_sum,
        COUNT(n_name) AS n_good_names,
-       SUM(n_regionkey) AS good_region_sum
+       CAST(SUM(n_regionkey) AS BIGINT) AS good_region_sum
 FROM nation
 """,
 )

@@ -1508,7 +1508,8 @@ SELECT a.user_id,
        strftime(a.e, '{_SQL_TS_FMT}') AS a_end,
        strftime(b.s, '{_SQL_TS_FMT}') AS b_start,
        strftime(b.e, '{_SQL_TS_FMT}') AS b_end,
-       epoch(LEAST(a.e, b.e)) - epoch(GREATEST(a.s, b.s)) AS overlap_sec
+       CAST(epoch(LEAST(a.e, b.e)) - epoch(GREATEST(a.s, b.s))
+            AS BIGINT) AS overlap_sec
 FROM a JOIN b ON a.user_id = b.user_id
  AND a.s <= b.e AND b.s <= a.e
 """,
@@ -2036,7 +2037,8 @@ WITH base AS (
          COUNT(DISTINCT user_id) AS n_users,
          {sql_dsum('value')} AS total_value,
          list_sort(list(CAST(FLOOR(value * 1000000) AS BIGINT))) AS vs,
-         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors,
          epoch_us(MIN(ts)) AS first_event_us,
          epoch_us(MAX(ts)) AS last_event_us
   FROM events
@@ -2051,9 +2053,9 @@ SELECT n_events,
        {_dash_pct_sql(50)} AS p50_scaled100,
        {_dash_pct_sql(95)} AS p95_scaled100,
        n_errors,
-       CASE WHEN n_events > 0
+       CAST(CASE WHEN n_events > 0
             THEN (n_errors * 1000000) // n_events ELSE NULL END
-         AS error_rate_ppm,
+         AS BIGINT) AS error_rate_ppm,
        (SELECT event_type FROM top_type) AS top_event_type,
        first_event_us,
        last_event_us

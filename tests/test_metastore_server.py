@@ -46,7 +46,7 @@ sys.path.insert(0, "/root/repo")
 from layer_apache_hive_spark.metastore import hive_session, provision_corpus
 spark = hive_session(app_name="metastore-writer", master="local[4]",
                      metastore_dir={ms!r}, warehouse_dir={wh!r})
-db = provision_corpus(spark, {sf!r})
+db = provision_corpus(spark, {sf!r}, metastore_dir={ms!r})
 # a MANAGED table too: CTAS through the same durable catalog
 spark.sql("CREATE DATABASE IF NOT EXISTS analytics")
 spark.sql("DROP TABLE IF EXISTS analytics.nation_by_region")
@@ -108,7 +108,7 @@ spark = hive_session(
     app_name="thrift-endpoint", master="local[4]",
     metastore_dir={ms!r}, warehouse_dir={wh!r},
     extra_conf={{"spark.hadoop.hive.server2.thrift.port": str(port)}})
-db = provision_corpus(spark, {sf!r})
+db = provision_corpus(spark, {sf!r}, metastore_dir={ms!r})
 server = start_thrift_server(spark, port)
 _load_all_modules()
 wait_for_port(port)
@@ -152,7 +152,7 @@ from layer_apache_hive_spark.metastore import (
     hive_session, provision_partitioned_events)
 spark = hive_session(app_name="part-writer", master="local[4]",
                      metastore_dir={ms!r}, warehouse_dir={wh!r})
-db = provision_partitioned_events(spark, {sf!r})
+db = provision_partitioned_events(spark, {sf!r}, metastore_dir={ms!r})
 n = spark.sql(f"SHOW PARTITIONS {{db}}.events_by_day").count()
 assert n > 1, f"expected multiple dt partitions, got {{n}}"
 print("PART_WRITER_OK", n)
@@ -194,23 +194,10 @@ def test_partitioned_metastore_table_prunes_cross_jvm():
     charm's deployment."""
     with tempfile.TemporaryDirectory() as tmp:
         ms, wh = f"{tmp}/metastore", f"{tmp}/warehouse"
-        import layer_apache_hive_spark.metastore as M
-
-        orig = M.DEFAULT_METASTORE_DIR
-        # the partitioned layout writes under DEFAULT_METASTORE_DIR;
-        # point it at the hermetic tmp for both subprocesses via env-
-        # free string substitution (module constant patched in-script)
-        writer = _PART_WRITER.replace(
-            "provision_partitioned_events)",
-            "provision_partitioned_events)\n"
-            "import layer_apache_hive_spark.metastore as M\n"
-            f"M.DEFAULT_METASTORE_DIR = {ms!r}",
-        )
-        out_a = _run(writer.format(ms=ms, wh=wh, sf=SF_DIR))
+        out_a = _run(_PART_WRITER.format(ms=ms, wh=wh, sf=SF_DIR))
         assert "PART_WRITER_OK" in out_a
         out_b = _run(_PART_READER.format(ms=ms, wh=wh, sf=SF_DIR))
         assert "PART_READER_OK" in out_b
-        assert orig == M.DEFAULT_METASTORE_DIR  # parent untouched
 
 
 def test_thrift_server_serves_registered_query():
