@@ -1,23 +1,31 @@
-# Per-round CI surface. `make replicates` regenerates all four
-# full-registry correctness artifacts at HEAD (VERDICT r3 item 10:
-# one target so no round can skip a replicate); `make all` is the
-# complete pre-commit gate.
+# Per-round CI surface. `make replicates` regenerates all five
+# full-registry correctness artifacts at HEAD (VERDICT r3 item 10 +
+# r4 items 6/10: one target so no round can skip a replicate); `make
+# all` is the complete pre-commit gate. `make typegate` is the fast
+# oracle type-representation sweep (DESCRIBE over every oracle, no
+# HUGEINT/unsigned outputs) — also part of the pytest suite.
 #
 # Each replicate is a separate JVM on purpose — the hostile runs
-# prove queries hold under session configs the repo didn't build.
+# prove queries hold under session configs the repo didn't build,
+# and the metastore run proves the inventory is semantics-identical
+# when tables resolve through the durable Hive catalog.
 
 PY := python
 
-.PHONY: all test replicates verify verify-sf01 verify-driver \
-        verify-hostile bench stress audit empty probes
+.PHONY: all test typegate replicates verify verify-sf01 verify-driver \
+        verify-hostile verify-metastore bench stress audit empty probes
 
 all: replicates test audit empty bench
 
 test:
 	$(PY) -m pytest tests/ -x -q
 
-# --- the four full-registry correctness replicates -------------------
-replicates: verify verify-sf01 verify-driver verify-hostile
+typegate:
+	$(PY) -m pytest tests/test_oracle_types.py -q
+
+# --- the five full-registry / catalog correctness replicates ---------
+replicates: verify verify-sf01 verify-driver verify-hostile \
+        verify-metastore
 
 verify:
 	$(PY) scripts/verify_contract.py
@@ -32,6 +40,9 @@ verify-driver:
 verify-hostile:
 	SPARK_GRAFT_HOSTILE_PLANNER=1 $(PY) scripts/verify_driver_session.py \
 	    --json-out /root/repo/CORRECTNESS_hostile_planner.json
+
+verify-metastore:
+	$(PY) scripts/verify_metastore.py
 
 # --- performance and plan gates --------------------------------------
 bench:

@@ -544,16 +544,21 @@ _LSH_PLANE_RANGE = 2001  # weights uniform in [-1000, 1000]
 # that term grows quadratically with the corpus. The knob below
 # targets constant bucket occupancy instead: bits grows with
 # ceil(log2 n) (one extra bit per corpus doubling beyond the demo
-# size), and bands grows by 1/p per extra bit (p = 1 - acos(theta)/pi
-# = 0.5967 at theta 0.3) so the collision probability of a
-# pair AT the threshold — hence recall — is held constant while
-# random-pair collisions shrink ~2x per added bit. Both engines
+# size), cutting the random collision rate ~2x per doubling, and
+# bands grows by 1/p_hi per extra bit with p_hi = 1 - acos(0.5)/pi
+# = 2/3 — i.e. the collision probability (recall) of the cos >= 0.5
+# pairs real semantic dedup targets is held CONSTANT. Holding recall
+# at the theta = 0.3 boundary instead would need bands ~ 1.676^bits
+# and reproduce the n^1.745 LSH-exponent candidate growth exactly —
+# no scaling win; anchoring at the high-similarity tier lets the
+# boundary recall decay slowly (~n^-0.16, 0.67 -> ~0.5 at 64x) while
+# expected candidates fall from ~n^2*0.31 to ~3n*bands. Both engines
 # derive (bits, bands) from COUNT(*) with the same integer law, so
 # the oracle stays a full value twin at every scale factor.
 _LSH_BITS_MIN, _LSH_BITS_MAX = 6, 14
 _LSH_BANDS_BY_BITS = {
-    6: 24, 7: 41, 8: 68, 9: 113, 10: 189,
-    11: 317, 12: 531, 13: 890, 14: 1491,
+    6: 24, 7: 36, 8: 54, 9: 81, 10: 122,
+    11: 182, 12: 273, 13: 410, 14: 615,
 }
 _LSH_BANDS_SQL_CASE = "CASE bits " + " ".join(
     f"WHEN {b} THEN {n}" for b, n in _LSH_BANDS_BY_BITS.items()
@@ -669,11 +674,12 @@ WHERE dot / (na.nrm * nb.nrm) >= {{theta}}
 )
 def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded random-hyperplane LSH similarity join with an
-    n-ADAPTIVE banding knob: bits = clamp(ceil(log2 n) - 3, 6, 14)
-    bands = 24 * (1/p)^(bits-6) (p = 0.5967, the per-bit agreement
-    at theta 0.3) -> per-band bucket keys -> band-key equi-join ->
-    exact cosine verify (same FLOOR-scaled math as ext_sim_join, so
-    its output is a strict subset of the exact join's).
+    n-ADAPTIVE banding knob: bits = clamp(ceil(log2 n) - 3, 6, 14),
+    bands = 24 * 1.5^(bits-6) (1.5 = 1/p at cos 0.5, the similarity
+    tier whose recall the law holds constant) -> per-band bucket keys
+    -> band-key equi-join -> exact cosine verify (same FLOOR-scaled
+    math as ext_sim_join, so its output is a strict subset of the
+    exact join's).
 
     Banding is the AND-OR construction that makes sign-LSH usable at
     moderate similarity: a pair collides if ANY band's bits all
@@ -683,14 +689,18 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-orthogonal pairs collide in ~31% of cases. THAT term is the
     scale hazard: at fixed bits it contributes O(n^2 * p_rand)
     candidates. The adaptive law adds one bit per corpus doubling
-    (halving p_rand per band) and scales bands by 1/p per bit so the
-    collision probability of a pair AT the threshold is invariant —
-    recall holds by construction while the quadratic term is damped
-    ~2x per doubling. Signature cost grows as n * bands * bits =
-    O(n log n)-ish, the textbook LSH trade. Verify stays linear in
-    candidates. Both engines derive (bits, bands) from COUNT(*) with
-    the same integer law, so the DuckDB twin value-matches at every
-    scale factor, not just the demo one.
+    (halving p_rand per band) and scales bands by 1/p_hi per bit so
+    the collision probability of the cos >= 0.5 pairs is invariant —
+    high-tier recall holds by construction, boundary (theta = 0.3)
+    recall decays only ~n^-0.16, and expected random candidates fall
+    from n^2 * 0.31 (static knob) to ~3n * bands. Holding boundary
+    recall exactly would force bands ~ (1/0.5967)^bits and reproduce
+    the n^1.745 LSH-exponent growth — the documented no-win; the
+    anchor choice is the production trade. Signature cost grows as
+    n * bands * bits (vectorized matmul, no shuffle). Verify stays
+    linear in candidates. Both engines derive (bits, bands) from
+    COUNT(*) with the same integer law, so the DuckDB twin
+    value-matches at every scale factor, not just the demo one.
 
     Recall < 1 stays true by construction, but the pipeline itself is
     now EXACTLY portable: hyperplane components are md5-derived

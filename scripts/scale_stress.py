@@ -158,6 +158,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "ids",
+        nargs="*",
+        help="optional subset of query ids; subset runs UPDATE the "
+        "matching rows of STRESS.json in place instead of rewriting "
+        "the whole file (iteration on one operator keeps the full "
+        "record intact)",
+    )
     args = ap.parse_args()
 
     spark = get_spark()
@@ -170,6 +178,11 @@ def main() -> int:
     results = {}
     superlinear_cut = 1.6 * args.k
     queries = stress_queries(qs)
+    if args.ids:
+        unknown = set(args.ids) - set(qs)
+        if unknown:
+            sys.exit(f"unknown query id(s): {sorted(unknown)}")
+        queries = [q for q in queries if q in set(args.ids)]
     print(f"stress slice: {len(queries)} queries", flush=True)
     for qid in queries:
         # warm once (file listing, codegen, broadcast), then best-of-3
@@ -196,6 +209,13 @@ def main() -> int:
         "n_superlinear": sum(r["superlinear"] for r in results.values()),
         "queries": results,
     }
+    if args.ids and os.path.exists("/root/repo/STRESS.json"):
+        with open("/root/repo/STRESS.json") as fh:
+            out = json.load(fh)
+        out["queries"].update(results)
+        out["n_superlinear"] = sum(
+            r["superlinear"] for r in out["queries"].values()
+        )
     with open("/root/repo/STRESS.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"\nwrote STRESS.json — {out['n_superlinear']} superlinear")
