@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
         )
     )
+    p_serve.add_argument(
+        "--auth",
+        action="store_true",
+        help="require SASL PLAIN credentials (CUSTOM provider; pairs "
+        "read from $SPARK_GRAFT_HS2_CREDENTIALS as user:pass,...)",
+    )
 
     args = ap.parse_args(argv)
 
@@ -103,16 +109,25 @@ def main(argv: list[str] | None = None) -> int:
             wait_for_port,
         )
 
-        spark = hive_session(
-            app_name="cli-serve",
-            extra_conf={"spark.hadoop.hive.server2.thrift.port": str(args.port)},
-        )
+        conf = {"spark.hadoop.hive.server2.thrift.port": str(args.port)}
+        if args.auth:
+            from layer_apache_hive_spark.auth import (
+                CREDENTIALS_ENV,
+                auth_session_conf,
+            )
+
+            if not os.environ.get(CREDENTIALS_ENV):
+                print(f"--auth requires {CREDENTIALS_ENV}=user:pass[,...]")
+                return 2
+            conf.update(auth_session_conf())
+        spark = hive_session(app_name="cli-serve", extra_conf=conf)
         db = provision_corpus(spark, args.sf_dir)
         start_thrift_server(spark, args.port)
         wait_for_port(args.port)
         print(
             f"HiveServer2-compatible endpoint on jdbc:hive2://localhost:"
-            f"{args.port} (corpus db: {db}); Ctrl-C to stop"
+            f"{args.port} (corpus db: {db}"
+            f"{', CUSTOM auth' if args.auth else ''}); Ctrl-C to stop"
         )
         try:
             import time

@@ -140,7 +140,7 @@ def expr_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   o_orderkey,
   CAST(o_orderkey AS VARCHAR) AS key_str,
-  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
   CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
   CAST(o_orderdate AS DATE) AS order_date,
   TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast_null,
@@ -162,7 +162,12 @@ def expr_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        # the decimal cast is the thing under test; the emitted cell is
+        # re-lowered to DOUBLE because engines' client bridges disagree
+        # on DECIMAL representation (Spark: Decimal objects; DuckDB
+        # pandas: float64) — same portability rule as the BIGINT casts
+        # in the HUGEINT-hazard oracles (tests/test_oracle_types.py)
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
         F.floor("o_totalprice").cast("bigint").alias("price_int"),
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.col("o_orderstatus").try_cast("int").alias("bad_cast_null"),

@@ -84,7 +84,11 @@ def wait_for_port(port: int, timeout: float = 60.0) -> None:
 
 
 def beeline_query(
-    sql: str, port: int = 10000, timeout: float = 180.0
+    sql: str,
+    port: int = 10000,
+    timeout: float = 180.0,
+    user: str = "spark",
+    password: str | None = None,
 ) -> tuple[list[str], list[list[str]]]:
     """Run one SQL statement over JDBC via beeline; return
     (column_names, rows) with every cell as its csv2 string.
@@ -92,14 +96,19 @@ def beeline_query(
     This is the genuine client path: beeline → hive-jdbc → Thrift →
     HiveThriftServer2 → Spark SQL. NULL arrives as the empty string
     (csv2); callers compare against stringified expected cells.
+    ``user``/``password`` feed SASL PLAIN — required when the server
+    runs hive.server2.authentication=CUSTOM (auth.py); a wrong pair
+    is refused at negotiation and raises before any SQL executes.
     """
+    cred_args = ["-n", user]
+    if password is not None:
+        cred_args += ["-p", password]
     proc = subprocess.run(
         [
             _BEELINE,
             "-u",
             f"jdbc:hive2://localhost:{port}",
-            "-n",
-            "spark",
+            *cred_args,
             "--silent=true",
             "--outputformat=csv2",
             "-e",

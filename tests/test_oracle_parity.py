@@ -47,6 +47,15 @@ def test_contract_shape():
     assert all(callable(f) for f in qs.values())
 
 
+def test_bench_prepass_ids_are_registered():
+    """bench.py's untimed fixture prepass must reference only live
+    registry ids — a renamed operator would otherwise silently turn
+    the prepass into a KeyError at driver bench time."""
+    import bench
+
+    assert set(bench.FIXTURE_PREPASS) <= set(_REGISTRY)
+
+
 def test_bucket_smb_plan_is_exchange_free(spark):
     """join_bucket_smb's point is physical: bucketed+sorted inputs ⇒
     sort-merge join AND downstream agg with zero Exchange nodes."""

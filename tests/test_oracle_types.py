@@ -27,10 +27,20 @@ from layer_apache_hive_spark.registry import _REGISTRY, _load_all_modules
 _load_all_modules()
 _ORACLE_IDS = sorted(qid for qid, q in _REGISTRY.items() if q.oracle)
 
-# Types whose pandas lowering silently changes the value representation
-# (HUGEINT -> float64; unsigned ints -> widened/float).  No oracle may
-# emit them in its output schema.
-_BANNED = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+# Types whose client-bridge lowering silently changes the value
+# representation (HUGEINT -> float64; unsigned ints -> widened/float;
+# DECIMAL -> float64 in DuckDB pandas vs Decimal objects in Spark).
+# No oracle may emit them in its OUTPUT schema — use them freely in
+# intermediate math, then CAST the final column to BIGINT/DOUBLE.
+_BANNED = (
+    "HUGEINT",
+    "UHUGEINT",
+    "UBIGINT",
+    "UINTEGER",
+    "USMALLINT",
+    "UTINYINT",
+    "DECIMAL",
+)
 
 
 @pytest.mark.parametrize("qid", _ORACLE_IDS)
