@@ -124,6 +124,27 @@ def main(argv: list[str] | None = None) -> int:
         db = provision_corpus(spark, args.sf_dir)
         start_thrift_server(spark, args.port)
         wait_for_port(args.port)
+        if args.auth:
+            # Never announce "CUSTOM auth" without proving it's live:
+            # probe the port with garbage credentials and require the
+            # negotiation to refuse (hive_session already fails loudly
+            # on session reuse, but the wire check is the ground truth).
+            from layer_apache_hive_spark.server import beeline_query
+
+            try:
+                _, rows = beeline_query(
+                    "SELECT 1 AS x", args.port,
+                    user="__probe__", password="__invalid__",
+                )
+                refused = not rows
+            except RuntimeError:
+                refused = True
+            if not refused:
+                print(
+                    "FATAL: endpoint accepted invalid credentials — "
+                    "CUSTOM auth is NOT live; refusing to serve"
+                )
+                return 3
         print(
             f"HiveServer2-compatible endpoint on jdbc:hive2://localhost:"
             f"{args.port} (corpus db: {db}"

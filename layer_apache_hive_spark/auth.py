@@ -42,13 +42,19 @@ DEFAULT_CLASSES_DIR = "/root/repo/.tmp/hs2_auth_classes"
 _JAVA_SOURCE = """
 package sparkgraft;
 
+import java.nio.charset.StandardCharsets;
+import java.security.MessageDigest;
 import javax.security.sasl.AuthenticationException;
 import org.apache.hive.service.auth.PasswdAuthenticationProvider;
 
 /**
  * Env-backed credential check for HiveServer2 CUSTOM authentication.
  * Credentials come from SPARK_GRAFT_HS2_CREDENTIALS in the SERVER
- * process environment as comma-separated user:password pairs.
+ * process environment as comma-separated user:password pairs
+ * (usernames and passwords therefore must not contain ',' or ':' —
+ * rejected Python-side at ensure_auth_classes time). The password
+ * comparison is constant-time (MessageDigest.isEqual) so timing does
+ * not leak the match prefix length.
  */
 public class SparkGraftPasswdAuth implements PasswdAuthenticationProvider {
   @Override
@@ -62,15 +68,19 @@ public class SparkGraftPasswdAuth implements PasswdAuthenticationProvider {
     if (user == null || password == null) {
       throw new AuthenticationException("missing user or password");
     }
+    byte[] given = password.getBytes(StandardCharsets.UTF_8);
+    boolean ok = false;
     for (String pair : creds.split(",")) {
       int i = pair.indexOf(':');
-      if (i > 0
-          && pair.substring(0, i).equals(user)
-          && pair.substring(i + 1).equals(password)) {
-        return;
+      if (i > 0 && pair.substring(0, i).equals(user)) {
+        byte[] want = pair.substring(i + 1).getBytes(StandardCharsets.UTF_8);
+        // no early return: check every pair so per-user timing is flat
+        ok |= MessageDigest.isEqual(want, given);
       }
     }
-    throw new AuthenticationException("invalid credentials for " + user);
+    if (!ok) {
+      throw new AuthenticationException("invalid credentials for " + user);
+    }
   }
 }
 """
@@ -115,13 +125,50 @@ def ensure_auth_classes(classes_dir: str = DEFAULT_CLASSES_DIR) -> str:
     return classes_dir
 
 
+def validate_credentials(creds: str) -> None:
+    """Reject credential strings the comma/colon pair format cannot
+    represent — a password containing ',' or ':' would silently parse
+    as a different (wrong) pair inside the Java provider."""
+    for pair in creds.split(","):
+        if ":" not in pair:
+            raise ValueError(
+                f"credential pair {pair!r} is not user:password"
+            )
+        user, password = pair.split(":", 1)
+        if not user or not password:
+            raise ValueError(f"empty user or password in pair {pair!r}")
+        if ":" in password:
+            raise ValueError(
+                "password may not contain ':' (ambiguous in the "
+                "user:password,... format)"
+            )
+
+
 def auth_session_conf(classes_dir: str | None = None) -> dict[str, str]:
     """The extra_conf dict that turns a ``hive_session`` into a
     CUSTOM-authenticated HiveServer2 host (combine with the thrift
-    port conf; must be set at session build — HiveConf freezes)."""
+    port conf; must be set at session build — HiveConf freezes).
+
+    The authentication class is passed BOTH as a spark.hadoop conf
+    and as a JVM system property (``spark.driver.extraJavaOptions``):
+    Hive's ``CustomAuthenticationProviderImpl`` constructs a *fresh*
+    ``HiveConf()`` at SASL time, which reads only classpath
+    hive-site.xml and ``hive.*`` system properties — never the Spark
+    hadoop conf — so without the -D the provider class is invisible
+    and every negotiation (valid credentials included) dies with
+    ``NoSuchMethodException: PasswdAuthenticationProvider.<init>()``.
+    ``metastore.hive_session`` MERGES extraJavaOptions with its own
+    derby.log flag rather than overwriting.
+    """
+    creds = os.environ.get(CREDENTIALS_ENV)
+    if creds:
+        validate_credentials(creds)
     d = ensure_auth_classes(classes_dir or DEFAULT_CLASSES_DIR)
     return {
         "spark.driver.extraClassPath": d,
+        "spark.driver.extraJavaOptions": (
+            f"-Dhive.server2.custom.authentication.class={AUTH_CLASS}"
+        ),
         "spark.hadoop.hive.server2.authentication": "CUSTOM",
         "spark.hadoop.hive.server2.custom.authentication.class": AUTH_CLASS,
     }

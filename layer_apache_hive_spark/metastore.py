@@ -87,31 +87,53 @@ def hive_session(
         master = f"local[{cpus}]"
     os.makedirs(metastore_dir, exist_ok=True)
     db_path = os.path.join(metastore_dir, "metastore_db")
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .enableHiveSupport()
-        .config(
-            "spark.hadoop.javax.jdo.option.ConnectionURL",
-            f"jdbc:derby:;databaseName={db_path};create=true",
-        )
-        .config("spark.sql.warehouse.dir", warehouse_dir)
-        # keep Derby's noisy log out of the repo root
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-Dderby.stream.error.file={metastore_dir}/derby.log",
-        )
+    # extraJavaOptions is a single string conf: MERGE the caller's
+    # flags (e.g. auth.py's -Dhive.server2.custom.authentication.class)
+    # with the derby.log flag instead of letting one overwrite the
+    # other silently.
+    extra_conf = dict(extra_conf or {})
+    java_opts = f"-Dderby.stream.error.file={metastore_dir}/derby.log"
+    caller_opts = extra_conf.pop("spark.driver.extraJavaOptions", "")
+    if caller_opts:
+        java_opts = f"{java_opts} {caller_opts}"
+    merged = {
+        "spark.hadoop.javax.jdo.option.ConnectionURL": (
+            f"jdbc:derby:;databaseName={db_path};create=true"
+        ),
+        "spark.sql.warehouse.dir": warehouse_dir,
+        "spark.driver.extraJavaOptions": java_opts,
         # same determinism pins as session.get_spark
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.ansi.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.ansi.enabled": "false",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.ui.enabled": "false",
+    }
+    merged.update(extra_conf)
+    builder = (
+        SparkSession.builder.appName(app_name).master(master).enableHiveSupport()
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in merged.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate silently reuses any pre-existing session, dropping
+    # every static conf above (catalog impl, classpath, CUSTOM auth…).
+    # Fail loudly instead of coming up with the wrong catalog — or a
+    # served endpoint that announces auth it doesn't have.
+    for k in (
+        "spark.hadoop.javax.jdo.option.ConnectionURL",
+        "spark.driver.extraJavaOptions",
+        *extra_conf,
+    ):
+        got = spark.conf.get(k, None)
+        if got != merged[k]:
+            raise RuntimeError(
+                f"hive_session reused an existing SparkSession: conf "
+                f"{k!r} is {got!r}, wanted {merged[k]!r}. Build the "
+                "hive session FIRST in the process (fresh JVM)."
+            )
+    return spark
 
 
 def provision_corpus(
@@ -141,10 +163,22 @@ def provision_corpus(
         target = table_path(sf_dir, name)
         # Re-point a stale/broken link (moved or regenerated fixture)
         # instead of silently serving whatever it pointed at first.
-        if os.path.lexists(link) and os.readlink(link) != target:
+        # A regular file at the link path (not a symlink) is also
+        # stale; os.readlink would raise on it, so check islink first.
+        repointed = False
+        if os.path.lexists(link) and (
+            not os.path.islink(link) or os.readlink(link) != target
+        ):
             os.unlink(link)
+            repointed = True
         if not os.path.lexists(link):
             os.symlink(target, link)
+        if repointed:
+            # CREATE IF NOT EXISTS would keep the previously inferred
+            # schema; a regenerated fixture may have changed it (e.g.
+            # events ts int64-ns vs timestamp-µs). Drop so the schema
+            # re-infers from the new files.
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {db}.{name} "
             f"USING PARQUET LOCATION '{loc}'"

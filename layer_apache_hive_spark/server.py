@@ -139,8 +139,6 @@ def parse_beeline_csv2(stdout: str) -> tuple[list[str], list[list[str]]]:
     # multi-line cell does not corrupt the reconstructed CSV.
     while lines and not lines[0]:
         lines.pop(0)
-    while lines and not lines[-1]:
-        lines.pop()
     if not lines:
         return [], []
     header = next(csv.reader(io.StringIO(lines[0])), [])
@@ -148,7 +146,16 @@ def parse_beeline_csv2(stdout: str) -> tuple[list[str], list[list[str]]]:
     if len(header) == 1 and not any('"' in ln for ln in body):
         # csv.reader drops blank physical lines, but in a one-column
         # unquoted result a blank line IS a NULL/empty cell row —
-        # take the lines verbatim.
+        # take the lines verbatim. Strip at most ONE trailing blank
+        # (beeline's closing-newline artifact); any further trailing
+        # blanks are genuine NULL rows and stay.
+        if body and not body[-1]:
+            body = body[:-1]
         return header, [[ln] for ln in body]
+    # Multi-column (or quoted): a blank physical line can never be a
+    # whole row, so trailing blanks are chrome — csv.reader drops
+    # interior ones anyway.
+    while body and not body[-1]:
+        body.pop()
     reader = csv.reader(io.StringIO("\n".join(body)))
     return header, [row for row in reader]

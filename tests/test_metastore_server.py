@@ -245,7 +245,39 @@ try:
 except RuntimeError:
     refused2 = True
 assert refused2
-print("AUTH_OK")
+
+# an LLM-pipeline extension query (SURVEY §2.11) served through the
+# SAME authenticated endpoint: the registered DataFrame plan exposed
+# as a temp view, fetched over JDBC by the second credential pair,
+# must match the in-process collect row for row.
+from layer_apache_hive_spark.registry import _REGISTRY, _load_all_modules
+_load_all_modules()
+qdf = _REGISTRY["ext_text_quality"].fn(spark, {sf!r})
+# GLOBAL temp view: the thrift server isolates each JDBC connection
+# in its own session state, so a plain temp view would be invisible
+# over the wire; global_temp is the cross-session namespace.
+qdf.createOrReplaceGlobalTempView("ext_text_quality_result")
+cols_q, wire_q = beeline_query(
+    "SELECT * FROM global_temp.ext_text_quality_result ORDER BY doc_id", port,
+    user="etl", password="pipeline")
+assert cols_q == ["doc_id", "n_chars", "n_tokens", "distinct_ratio",
+                  "stopword_ratio", "chars_per_token", "length_ok",
+                  "diversity_ok"], cols_q
+local_q = [
+    (r.doc_id, r.n_chars, r.n_tokens, r.distinct_ratio,
+     r.stopword_ratio, r.chars_per_token, r.length_ok, r.diversity_ok)
+    for r in qdf.orderBy("doc_id").collect()
+]
+# Java Double.toString is round-trippable: float(wire) == the exact
+# double the server computed, so exact equality is the right check.
+parsed_q = [
+    (int(a), int(b), int(c), float(d), float(e), float(f),
+     g == "true", h == "true")
+    for a, b, c, d, e, f, g, h in wire_q
+]
+assert len(parsed_q) == len(local_q) > 0, (len(parsed_q), len(local_q))
+assert parsed_q == local_q
+print("AUTH_OK", len(parsed_q))
 server.stop()
 spark.stop()
 """
