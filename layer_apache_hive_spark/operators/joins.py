@@ -124,14 +124,29 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI JOIN — NOT EXISTS (customers with no orders)."""
+    """LEFT ANTI JOIN — NOT EXISTS (customers with no URGENT order).
+
+    The right side carries a pushed-down filter on purpose: in this
+    corpus every customer has at least one order, so the unfiltered
+    anti join returned 0 rows at the sf0.01 gate — a vacuous oracle
+    match (round-5 verdict #2). "No urgent order" is non-empty at
+    every scale (203 rows at sf0.01, 1986 at sf0.1) and keeps the
+    anti-join shape honest: the filter prunes BEFORE the join, the
+    null-rejecting key match after.
+    """
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
 
 
 @register(

@@ -106,12 +106,21 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
 EXCEPT ALL
-SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'O'
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
 """,
 )
 def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT ALL — bag difference (multiplicities subtract)."""
+    """EXCEPT ALL — bag difference (multiplicities subtract).
+
+    Operands are the R vs A returnflag bags: both are ~25% samples of
+    the same suppkey population, so per-key multiplicities genuinely
+    differ in both directions and the difference is non-empty at
+    every tested scale (764 rows at sf0.01, 7810 at sf0.1). The
+    previous operand pair (R vs linestatus O) was a strict per-key
+    subset — 0 rows everywhere, a vacuous oracle match (round-5
+    verdict #2).
+    """
     li = read_table(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
-    b = li.filter(F.col("l_linestatus") == "O").select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
     return a.exceptAll(b)

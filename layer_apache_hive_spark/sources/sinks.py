@@ -155,22 +155,31 @@ def sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHEN NOT MATCHED INSERT — expressed as ONE full-outer join and a
     rewrite, then read back from disk.
 
-    target = orders with key % 7 != 0 (written to parquet first);
+    target = orders with key % 7 != 0 (committed as table version 1);
     source = orders with key % 3 == 0 at doubled price. The full-outer
     join is the scale shape: one shuffle on the merge key, no driver
-    state. On a partitioned 100 TB table the rewrite narrows to
-    touched partitions via dynamic partition-overwrite
-    (``partitionOverwriteMode=dynamic``); a transactional table format
-    would narrow it further to row groups.
+    state. The rewrite commits through acid.VersionedTable — staged
+    snapshot, then ONE atomic exclusive-create of the version-2
+    manifest — so concurrent readers see version 1 or version 2,
+    never a torn mid-overwrite directory, and a racing second writer
+    loses the commit cleanly (tests/test_acid.py proves both). On a
+    partitioned 100 TB table use commit_partitions to narrow the
+    rewrite to touched partitions; a transactional table format would
+    narrow it further to row groups.
     """
-    tgt_path = _sink_dir(sf_dir, "merge_target")
-    out_path = _sink_dir(sf_dir, "merge_result")
+    import shutil
+
+    from layer_apache_hive_spark.acid import VersionedTable
+
+    root = _sink_dir(sf_dir, "merge_acid")
+    shutil.rmtree(root, ignore_errors=True)  # reseed: idempotent per run
+    vt = VersionedTable(root)
     o = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    o.filter(F.col("o_orderkey") % 7 != 0).write.mode("overwrite").parquet(tgt_path)
+    vt.init(o.filter(F.col("o_orderkey") % 7 != 0))
 
-    target = spark.read.parquet(tgt_path)
+    target = vt.read(spark, 1)
     source = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
         "o_totalprice", F.col("o_totalprice") * 2
     )
@@ -192,8 +201,8 @@ def sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("s.o_totalprice", "t.o_totalprice").alias("o_totalprice"),
         )
     )
-    merged.write.mode("overwrite").parquet(out_path)
-    return spark.read.parquet(out_path)
+    vt.commit(merged, base_version=1)  # atomic: exclusive manifest create
+    return vt.read(spark)
 
 
 @register(
@@ -239,50 +248,31 @@ def sink_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hi.unionByName(lo)
 
 
-_ACID_SCHEMA = (
-    "o_orderkey long, o_custkey long, o_totalprice double,"
-    " o_orderpriority string"
-)  # explicit: empty-source COW leaves no files for inference
-
-
-def _acid_seed(spark: SparkSession, sf_dir: str, kind: str) -> str:
-    """(Re)seed a partitioned copy-on-write target table from orders.
+def _acid_seed(spark: SparkSession, sf_dir: str, kind: str):
+    """(Re)seed a partitioned copy-on-write VersionedTable from orders
+    as version 1.
 
     Partitioned by o_orderpriority (5 values) so row-level UPDATE /
     DELETE below can demonstrate the real COW shape: only the touched
-    partition directory is rewritten, the other four are untouched
-    bytes. Reseeded every call so the query is idempotent under
-    repeated runs in one session."""
-    path = _sink_dir(sf_dir, kind)
-    (
-        read_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-        .repartition("o_orderpriority")
-        .write.mode("overwrite")
-        .partitionBy("o_orderpriority")
-        .parquet(path)
+    partition gets new files, the other four stay the base version's
+    untouched bytes, and visibility flips with one atomic manifest
+    create (acid.py). Reseeded every call so the query is idempotent
+    under repeated runs in one session."""
+    import shutil
+
+    from layer_apache_hive_spark.acid import VersionedTable
+
+    root = _sink_dir(sf_dir, kind)
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.commit_partitions(
+        read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        ),
+        "o_orderpriority",
+        base_version=0,
     )
-    return path
-
-
-class _dynamic_overwrite:
-    """Scope spark.sql.sources.partitionOverwriteMode=dynamic: with it,
-    ``mode("overwrite").partitionBy(...)`` replaces ONLY the partition
-    directories present in the written data — Hive's
-    ``INSERT OVERWRITE ... PARTITION`` semantics, and the mechanism
-    that keeps a 100 TB COW update from rewriting the whole table."""
-
-    def __init__(self, spark: SparkSession):
-        self.spark = spark
-
-    def __enter__(self):
-        self.saved = self.spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.saved)
+    return vt
 
 
 @register(
@@ -305,17 +295,19 @@ def sink_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     COW mechanics, the way Hive-on-parquet / Iceberg COW actually do
     it: (1) partition pruning narrows the read-modify-write to the one
-    touched partition ('1-URGENT'); (2) the rewritten rows are
-    materialized (localCheckpoint) BEFORE the overwrite so the job
-    never reads the directory it is replacing; (3) dynamic partition
-    overwrite swaps just that directory. The other 4 partitions are
-    not read, not rewritten. Returned result is the read-back of the
-    whole table, so the oracle checks the post-UPDATE table state.
-    The +100000.0 double add is order-free IEEE math — bit-identical
-    across engines (no rounding tie hazard)."""
-    path = _acid_seed(spark, sf_dir, "acid_update")
+    touched partition ('1-URGENT'); (2) the rewritten rows land in a
+    NEW immutable snapshot directory — the job never overwrites what
+    it reads, and the other 4 partitions are not read, not rewritten;
+    (3) visibility flips with ONE atomic manifest create
+    (acid.VersionedTable.commit_partitions), giving snapshot-isolated
+    readers and first-committer-wins writers (tests/test_acid.py).
+    Returned result is the read-back of the committed version, so the
+    oracle checks the post-UPDATE table state. The +100000.0 double
+    add is order-free IEEE math — bit-identical across engines (no
+    rounding tie hazard)."""
+    vt = _acid_seed(spark, sf_dir, "acid_update")
     touched = (
-        spark.read.schema(_ACID_SCHEMA).parquet(path)
+        vt.read(spark, 1)
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .withColumn(
             "o_totalprice",
@@ -323,16 +315,11 @@ def sink_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 100000.0
             ).otherwise(F.col("o_totalprice")),
         )
-        .localCheckpoint()
     )
-    with _dynamic_overwrite(spark):
-        (
-            touched.repartition("o_orderpriority")
-            .write.mode("overwrite")
-            .partitionBy("o_orderpriority")
-            .parquet(path)
-        )
-    return spark.read.schema(_ACID_SCHEMA).parquet(path).select(
+    vt.commit_partitions(
+        touched, "o_orderpriority", base_version=1, touched_values=["1-URGENT"]
+    )
+    return vt.read(spark).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
 
@@ -352,28 +339,23 @@ def sink_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_totalprice < 50000``
 
     Same COW shape as sink_update: prune to the one touched partition,
-    materialize survivors, dynamic-overwrite that directory only.
-    Edge the emulation does NOT cover (a transactional format would):
-    deleting EVERY row of a partition — an empty dynamic overwrite
-    replaces nothing, so a full-partition delete needs an explicit
-    directory drop; the predicate here always leaves survivors, and a
-    100 TB deployment should pair this with ALTER TABLE DROP PARTITION
-    for the all-rows case. Result = post-DELETE table state."""
-    path = _acid_seed(spark, sf_dir, "acid_delete")
+    stage survivors into a new snapshot dir, flip the manifest
+    atomically. Unlike the old dynamic-overwrite emulation, the
+    manifest protocol DOES cover deleting EVERY row of a partition:
+    the commit declares '5-LOW' touched, and if the staged write
+    produced no directory for it the value is dropped from the
+    manifest — no stale files can survive a full-partition delete.
+    Result = post-DELETE table state."""
+    vt = _acid_seed(spark, sf_dir, "acid_delete")
     survivors = (
-        spark.read.schema(_ACID_SCHEMA).parquet(path)
+        vt.read(spark, 1)
         .filter(F.col("o_orderpriority") == "5-LOW")
         .filter(~(F.col("o_totalprice") < 50000))
-        .localCheckpoint()
     )
-    with _dynamic_overwrite(spark):
-        (
-            survivors.repartition("o_orderpriority")
-            .write.mode("overwrite")
-            .partitionBy("o_orderpriority")
-            .parquet(path)
-        )
-    return spark.read.schema(_ACID_SCHEMA).parquet(path).select(
+    vt.commit_partitions(
+        survivors, "o_orderpriority", base_version=1, touched_values=["5-LOW"]
+    )
+    return vt.read(spark).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
 

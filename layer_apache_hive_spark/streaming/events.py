@@ -1471,7 +1471,12 @@ def evt_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(agg, "stream_ohlc", spark)
 
 
-_OVL_GAP_MIN = 30  # sessionization gap (minutes)
+# Sessionization gap: 120 min (vs the 30 min the session-window
+# operators use) so click and error sessions are long enough to
+# actually overlap at the driver's sf0.01 correctness gate — a
+# 30-min gap yields ZERO overlapping pairs there, making the oracle
+# comparison vacuous (round-5 verdict #2).
+_OVL_GAP_MIN = 120
 _OVL_BIN = 86400  # overlap-join bin width (seconds)
 
 
@@ -1799,19 +1804,27 @@ def evt_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GAP_MIN_HOURS = 6  # report silences longer than this per series
+# Report silences longer than this per series. The series key is
+# (event_type, user_id): a PER-USER heartbeat is density-INVARIANT
+# (users arrive with the corpus, per-user cadence stays put), so the
+# threshold bites at every scale — the previous per-event_type series
+# got denser with sf and returned ZERO rows at both tested scales,
+# a vacuous 0x0 oracle match (round-5 verdict #2). 14 days yields
+# 8 gaps at sf0.01 and 87 at sf0.1.
+_GAP_MIN_HOURS = 336
 
 
 @register(
     "evt_downtime_gaps",
     oracle=f"""
 WITH ordered AS (
-  SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+  SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS t,
          LAG(CAST(ts AS TIMESTAMP)) OVER (
-           PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+           PARTITION BY event_type, user_id ORDER BY ts, event_id) AS prev_t
   FROM events
 )
 SELECT event_type,
+       user_id,
        strftime(prev_t, '{_SQL_TS_FMT}') AS gap_start,
        strftime(t, '{_SQL_TS_FMT}') AS gap_end,
        epoch_us(t) - epoch_us(prev_t) AS gap_us
@@ -1822,23 +1835,24 @@ WHERE prev_t IS NOT NULL
 )
 def evt_downtime_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downtime / heartbeat-gap detection — every silence longer than
-    {h} hours per event series, with its start, end, and duration:
-    the complement of session windows (sessions find activity
-    islands; this finds the holes between them). The monitoring
-    query behind "when did ingestion stall".
+    14 days per (event_type, user) series, with its start, end, and
+    duration: the complement of session windows (sessions find
+    activity islands; this finds the holes between them). The
+    monitoring query behind "when did this user's ingestion stall".
 
     One LAG over the series-keyed window — a single shuffle on
-    event_type; the gap predicate and duration are map-side. At
-    100 TB with date-partitioned storage you'd bound the window by
-    also carrying each partition's first/last event into a slim
-    boundary pass, but the per-series sort shape is the same.
-    Second-resolution timestamps render identically in both engines
-    (µs-truncated naive UTC end to end).
+    (event_type, user_id); the gap predicate and duration are
+    map-side. At 100 TB with date-partitioned storage you'd bound
+    the window by also carrying each partition's first/last event
+    into a slim boundary pass, but the per-series sort shape is the
+    same. Second-resolution timestamps render identically in both
+    engines (µs-truncated naive UTC end to end).
     """
     e = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
     g = e.select(
         "event_type",
+        "user_id",
         F.col("ts").alias("t"),
         F.lag("ts").over(w).alias("prev_t"),
     )
@@ -1851,6 +1865,7 @@ def evt_downtime_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (gap > _GAP_MIN_HOURS * 3600 * 1_000_000)
     ).select(
         "event_type",
+        "user_id",
         F.date_format("prev_t", _TS_FMT).alias("gap_start"),
         F.date_format("t", _TS_FMT).alias("gap_end"),
         gap.alias("gap_us"),

@@ -191,6 +191,10 @@ def main() -> int:
         tk = time_query(qs, qid, spark, big_dir)
         ratio = tk / t1 if t1 > 0 else float("inf")
         results[qid] = {
+            # k recorded PER ROW: a subset re-run at a different --k
+            # merges into STRESS.json with its own threshold, so the
+            # file never mixes ratios judged against the wrong cut
+            "k": args.k,
             "t_1x_sec": round(t1, 3),
             f"t_{args.k}x_sec": round(tk, 3),
             "ratio": round(ratio, 2),
@@ -212,10 +216,18 @@ def main() -> int:
     if args.ids and os.path.exists("/root/repo/STRESS.json"):
         with open("/root/repo/STRESS.json") as fh:
             out = json.load(fh)
+        # Legacy rows predate per-row k: stamp them with the file's
+        # recorded k so the merged record states how EVERY row was
+        # measured (each row's superlinear flag was computed against
+        # its own 1.6*k cut at write time).
+        for rec in out["queries"].values():
+            rec.setdefault("k", out.get("k"))
         out["queries"].update(results)
         out["n_superlinear"] = sum(
             r["superlinear"] for r in out["queries"].values()
         )
+        out["k"] = {rec["k"] for rec in out["queries"].values()}
+        out["k"] = sorted(out["k"])[0] if len(out["k"]) == 1 else "per-row"
     with open("/root/repo/STRESS.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"\nwrote STRESS.json — {out['n_superlinear']} superlinear")

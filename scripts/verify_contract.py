@@ -86,6 +86,14 @@ def main() -> int:
             opdf = con.execute(oracles[qid]).df()
             rec["spark_rows"], rec["oracle_rows"] = len(gpdf), len(opdf)
             problems = compare_frames(gpdf, opdf)
+            # A 0x0 "match" verifies nothing — an unconditionally
+            # empty frame with the right schema would pass. Flag it
+            # as its own failure class so no oracle row can go green
+            # without comparing at least one real value (round-5
+            # verdict #2).
+            if not problems and len(gpdf) == 0:
+                problems = ["vacuous: 0 rows on both engines"]
+                rec["vacuous"] = True
             joined = "; ".join(problems)
             rec["rows_match"] = len(gpdf) == len(opdf)
             rec["schema_match"] = sorted(gpdf.columns) == sorted(opdf.columns)

@@ -1,0 +1,73 @@
+"""Committed-artifact gates: the five correctness replicates the repo
+ships must tell the truth at HEAD.
+
+Round-5 verdict #3: a mid-commit CORRECTNESS_local.json carried a red
+row (join_interval_overlap) that was already fixed — a future reader
+saw a failure that wasn't real. Round-5 verdict #2: four oracle rows
+were green on 0x0 row matches — verifying nothing. These tests make
+both states un-committable: regenerate with `make replicates` after
+any query change or the suite is red.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REPO = "/root/repo"
+
+# The full-registry replicate artifacts (Makefile `replicates`).
+_ARTIFACTS = [
+    "CORRECTNESS_local.json",
+    "CORRECTNESS_local_sf01.json",
+    "CORRECTNESS_driver_session.json",
+    "CORRECTNESS_hostile_planner.json",
+    "CORRECTNESS_metastore.json",
+]
+
+
+def _rows(name):
+    path = os.path.join(REPO, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not generated yet")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+@pytest.mark.parametrize("name", _ARTIFACTS)
+def test_committed_artifact_has_no_red_rows(name):
+    """Every committed replicate row is green: either a full value
+    match or an explicitly declared rows-only query. A stale red row
+    (or a regression committed without regenerating) fails here."""
+    rows = _rows(name)
+    assert rows, f"{name} is empty"
+    red = {
+        qid: rec
+        for qid, rec in rows.items()
+        if not (
+            rec.get("hash_match") is True
+            or rec.get("err") == "no_oracle"
+        )
+    }
+    assert not red, f"{name} carries non-green rows: {sorted(red)}"
+
+
+@pytest.mark.parametrize(
+    "name", ["CORRECTNESS_local.json", "CORRECTNESS_local_sf01.json"]
+)
+def test_committed_artifact_has_no_vacuous_rows(name):
+    """No oracle row may be green on a 0x0 row match — a 0-row hash
+    'pass' would also pass for an unconditionally empty frame
+    (round-5 verdict #2). verify_contract.py marks these `vacuous`;
+    this asserts none were committed AND none slipped through with
+    spark_rows == 0 before the flag existed."""
+    rows = _rows(name)
+    vacuous = {
+        qid
+        for qid, rec in rows.items()
+        if rec.get("vacuous")
+        or (rec.get("hash_match") is True and rec.get("spark_rows") == 0)
+    }
+    assert not vacuous, f"{name} carries vacuous 0-row passes: {sorted(vacuous)}"
