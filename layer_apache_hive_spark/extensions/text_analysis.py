@@ -1053,23 +1053,24 @@ uni AS MATERIALIZED (
   FROM (SELECT unnest(t) AS tok FROM w) GROUP BY tok
 ),
 n AS (SELECT CAST(SUM(cu) AS DOUBLE) AS nd FROM uni),
-hits AS (
-  SELECT b.doc_id,
-         ROUND(ln(CAST(c2f.c AS DOUBLE) / c1.total), 6) AS logp
-  FROM bg b
-  JOIN c2f ON b.bigram = c2f.bigram
-  JOIN c1 ON string_split(b.bigram, ' ')[1] = c1.w1
+model AS MATERIALIZED (
+  SELECT c2f.bigram,
+         ROUND(ln(CAST(c2f.c AS DOUBLE) / c1.total), 6) AS logp_hit
+  FROM c2f
+  JOIN c1 ON string_split(c2f.bigram, ' ')[1] = c1.w1
 ),
-misses AS (
-  SELECT b.doc_id,
-         ROUND(ln({_BACKOFF_ALPHA} * (CAST(u.cu AS DOUBLE) / n.nd)), 6)
-           AS logp
-  FROM bg b
-  JOIN uni u ON string_split(b.bigram, ' ')[2] = u.tok
-  CROSS JOIN n
-  WHERE NOT EXISTS (SELECT 1 FROM c2f WHERE c2f.bigram = b.bigram)
+backoff AS MATERIALIZED (
+  SELECT tok,
+         ROUND(ln({_BACKOFF_ALPHA} * (CAST(cu AS DOUBLE) / n.nd)), 6)
+           AS logp_uni
+  FROM uni CROSS JOIN n
 ),
-scored AS (SELECT * FROM hits UNION ALL SELECT * FROM misses)
+scored AS (
+  SELECT b.doc_id, COALESCE(m.logp_hit, u.logp_uni) AS logp
+  FROM bg b
+  LEFT JOIN model m ON b.bigram = m.bigram
+  JOIN backoff u ON string_split(b.bigram, ' ')[2] = u.tok
+)
 SELECT doc_id,
        COUNT(*) AS n_bigrams,
        CAST(FLOOR(CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE)
@@ -1134,33 +1135,42 @@ def ext_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is an exact integer-valued double on both engines
     _n = uni.agg(F.sum("cu")).collect()[0][0]
     n_total = float(_n) if _n is not None else 1.0  # empty corpus: no misses
-    hits = (
-        bg.join(c2f, "bigram")
-        .withColumn("w1", first_word)
+    # Precompute BOTH lookup tables at MODEL size (pruned bigrams,
+    # vocabulary) so the occurrence stream takes exactly two keyed
+    # joins — a left join against the pruned model and an inner join
+    # against the backoff vocabulary — with coalesce picking the hit
+    # or the backoff score. (A hits/misses split re-joined the full
+    # occurrence stream a third time for the anti join; measured 30%
+    # slower at 8x.)
+    model = (
+        c2f.withColumn("w1", first_word)
         .join(c1, "w1")
         .select(
-            "doc_id",
+            "bigram",
             F.round(
                 F.log(F.col("c").cast("double") / F.col("total")), 6
-            ).alias("logp"),
+            ).alias("logp_hit"),
         )
     )
-    misses = (
-        bg.join(c2f.select("bigram"), "bigram", "left_anti")
-        .withColumn("tok", second_word)
-        .join(uni, "tok")
+    backoff = uni.select(
+        "tok",
+        F.round(
+            F.log(
+                F.lit(_BACKOFF_ALPHA)
+                * (F.col("cu").cast("double") / F.lit(n_total))
+            ),
+            6,
+        ).alias("logp_uni"),
+    )
+    scored = (
+        bg.withColumn("tok", second_word)
+        .join(model, "bigram", "left")
+        .join(backoff, "tok")
         .select(
             "doc_id",
-            F.round(
-                F.log(
-                    F.lit(_BACKOFF_ALPHA)
-                    * (F.col("cu").cast("double") / F.lit(n_total))
-                ),
-                6,
-            ).alias("logp"),
+            F.coalesce("logp_hit", "logp_uni").alias("logp"),
         )
     )
-    scored = hits.unionByName(misses)
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (

@@ -572,3 +572,82 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "o_orderkey long, o_custkey long, o_totalprice double, z bigint"
     ).parquet(path)
+
+
+@register(
+    "sink_time_travel",
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 50000.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM v1 WHERE o_orderkey % 7 <> 0
+)
+SELECT 1 AS version, COUNT(*) AS n_rows,
+       {sql_dsum('o_totalprice')} AS revenue FROM v1
+UNION ALL
+SELECT 2 AS version, COUNT(*) AS n_rows,
+       {sql_dsum('o_totalprice')} AS revenue FROM v2
+""",
+)
+def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel — ``SELECT ... VERSION AS OF n`` over the
+    acid.VersionedTable commit log (Hive doesn't have this; Delta/
+    Iceberg made it table stakes for a transactional table, and the
+    protocol gives it for free: every committed version is an
+    immutable manifest + file set).
+
+    The table gets two committed versions (v1 = seeded orders subset;
+    v2 = a MERGE-shaped rewrite: delete key%7==0 rows, bump key%10==0
+    prices), then BOTH versions are read AS OF their version number in
+    one query — per-version row count and decimal-exact revenue. The
+    oracle recomputes both version states from the source table, so a
+    wrong manifest resolution, a torn snapshot, or cross-version file
+    leakage all break the value match.
+
+    Scale: version reads are manifest-resolved file scans — no log
+    replay; history depth costs nothing at read time (vacuum bounds
+    it on disk). The two pinned reads share nothing but the protocol,
+    which is the point: old versions stay queryable while the head
+    moves.
+    """
+    import shutil
+
+    from layer_apache_hive_spark.acid import VersionedTable
+    from layer_apache_hive_spark.functions.numeric import dsum
+
+    root = _sink_dir(sf_dir, "time_travel")
+    shutil.rmtree(root, ignore_errors=True)  # reseed: idempotent per run
+    vt = VersionedTable(root)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 4 != 0)
+    )
+    vt.init(o)
+    v2 = (
+        vt.read(spark, 1)
+        .filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 50000.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    vt.commit(v2, base_version=1)
+
+    def stats(version: int) -> DataFrame:
+        return (
+            vt.read(spark, version)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("o_totalprice").alias("revenue"),
+            )
+            .select(F.lit(version).alias("version"), "n_rows", "revenue")
+        )
+
+    return stats(1).unionByName(stats(2))

@@ -51,7 +51,15 @@ _KEY_SHIFTS = {
     "customer": ["c_custkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    # label shifts WITH the replica: the per-replica circular roll is
+    # a coordinate permutation (orthogonal transform), so replica i
+    # carries its own rotated copy of the source's clusters — k·10
+    # TRUE clusters total. Shifted labels identify them, keeping the
+    # IVF coarse-quantizer invariant (label = the vector's actual
+    # cluster); leaving labels unshifted mixed 8 mutually-rotated
+    # point sets per bucket and collapsed measured IVF recall@5 to
+    # 0.11 — a corpus artifact, not a plan property.
+    "embeddings": ["vec_id", "label"],
 }
 _OFFSET = 10_000_000
 
@@ -190,6 +198,19 @@ def main() -> int:
         t1 = time_query(qs, qid, spark, args.sf_dir)
         tk = time_query(qs, qid, spark, big_dir)
         ratio = tk / t1 if t1 > 0 else float("inf")
+        # OUTPUT growth is part of the minimum work ANY engine pays:
+        # a pair-emitting query whose result rows grow ~n^2 on a k x
+        # corpus (ext_sim_lsh at theta=0.3 over mutually-random
+        # replicas: 15k -> 15.5M rows at 32x, the containment lesson
+        # in its un-fixable-by-corpus form) cannot be linear in n.
+        # The fair cut is 1.6 * max(input growth, output growth) —
+        # flagging only work in excess of writing the answer. For
+        # queries with scale-invariant output (the common case)
+        # r_out ~ 1 and this reduces to the old 1.6*k cut exactly.
+        n1 = qs[qid](spark, args.sf_dir).count()
+        nk = qs[qid](spark, big_dir).count()
+        r_out = (nk / n1) if n1 else 1.0
+        cut = superlinear_cut * max(1.0, r_out / args.k)
         results[qid] = {
             # k recorded PER ROW: a subset re-run at a different --k
             # merges into STRESS.json with its own threshold, so the
@@ -198,11 +219,16 @@ def main() -> int:
             "t_1x_sec": round(t1, 3),
             f"t_{args.k}x_sec": round(tk, 3),
             "ratio": round(ratio, 2),
-            "superlinear": ratio > superlinear_cut,
+            "rows_1x": n1,
+            f"rows_{args.k}x": nk,
+            "output_growth": round(r_out, 2),
+            "cut": round(cut, 1),
+            "superlinear": ratio > cut,
         }
         print(
-            f"  {qid}: {t1:.2f}s -> {tk:.2f}s  ratio {ratio:.2f}"
-            f"{'  ** SUPERLINEAR **' if ratio > superlinear_cut else ''}",
+            f"  {qid}: {t1:.2f}s -> {tk:.2f}s  ratio {ratio:.2f} "
+            f"(rows x{r_out:.1f}, cut {cut:.1f})"
+            f"{'  ** SUPERLINEAR **' if ratio > cut else ''}",
             flush=True,
         )
 
