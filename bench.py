@@ -49,6 +49,11 @@ FIXTURE_PREPASS = [
     "ext_dedup_near",
     "evt_sessionize_state",
     "evt_stream_tumbling",
+    # ACID family: the v1 seed is a write-once tagged fixture (r6,
+    # _acid_seed); per-call work after the prepass is rollback + the
+    # touched-partition rewrite + atomic flip — the actual query.
+    "sink_update",
+    "sink_delete",
 ]
 
 

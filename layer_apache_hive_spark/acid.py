@@ -288,6 +288,76 @@ class VersionedTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} rebase attempts")
 
+    def rollback(self, to_version: int) -> None:
+        """Truncate the commit log back to ``to_version``: drop every
+        later manifest and any snapshot directory no kept manifest
+        references. Destructive (history above the target is gone) —
+        the fixture/admin reset primitive, NOT the user-facing undo;
+        for that see :meth:`restore`, which preserves history.
+
+        Safe against torn state for the same reason vacuum is: kept
+        manifests are untouched, and only directories unreferenced by
+        every kept manifest are removed."""
+        vs = self.versions()
+        if to_version not in vs:
+            raise FileNotFoundError(
+                f"{self.root}: version {to_version} does not exist"
+            )
+        kept = [v for v in vs if v <= to_version]
+        referenced: set[str] = set()
+        for v in kept:
+            m = self.manifest(v)
+            if "snapshot" in m:
+                referenced.add(m["snapshot"])
+            else:
+                referenced.update(
+                    rel.split("/", 1)[0] for rel in m["partitions"].values()
+                )
+        for v in vs:
+            if v > to_version:
+                os.unlink(os.path.join(self.commits_dir, f"{v:06d}.json"))
+        for name in os.listdir(self.snapshots_dir):
+            if name not in referenced:
+                shutil.rmtree(os.path.join(self.snapshots_dir, name))
+        m = self.manifest(to_version)
+        self._refresh_current(to_version, m.get("snapshot", ""))
+
+    def restore(self, version: int) -> int:
+        """``RESTORE TABLE t TO VERSION AS OF v`` (Delta-style): make
+        an OLD version the new head by committing a new version whose
+        manifest re-references the old version's immutable files —
+        zero data copied, history preserved (the bad head stays
+        queryable via time travel until vacuum retires it), and the
+        restore itself serializes against concurrent writers through
+        the same one-exclusive-create commit slot."""
+        target = self.manifest(version)
+        base = self.current_version()
+        new_version = base + 1
+        payload = {
+            k: v
+            for k, v in target.items()
+            if k in ("snapshot", "partition_col", "partition_type",
+                     "partitions", "schema")
+        }
+        payload.update(
+            {
+                "base_version": base,
+                "restored_from": version,
+                "committed_at": time.time(),
+                "writer": f"{os.getpid()}",
+            }
+        )
+        marker = os.path.join(self.commits_dir, f"{new_version:06d}.json")
+        try:
+            with open(marker, "x") as fh:
+                fh.write(json.dumps(payload) + "\n")
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {new_version} was committed by another writer"
+            ) from None
+        self._refresh_current(new_version, payload.get("snapshot", ""))
+        return new_version
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop manifests older than the newest ``keep_last`` versions
         and any snapshot directory no kept version references — the

@@ -98,6 +98,207 @@ def ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ddl_cache",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST((l_quantity) AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def ddl_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared in-memory columnar cache — the LLAP-daemon analog
+    [upstream: Hive 2 llap-server's in-memory columnar cache +
+    daemon-resident executors; public-knowledge reconstruction,
+    SURVEY.md §0. Round-5 verdict missing #3].
+
+    LLAP's value proposition is that hot table fragments live in a
+    compressed columnar cache shared by every query, so repeated
+    scans pay memory bandwidth instead of IO + decode. Spark's
+    ``CACHE TABLE`` / ``spark.catalog.cacheTable`` is the same
+    design point: the first materialization stores the relation as
+    compressed columnar batches (InMemoryRelation) and every later
+    query — in ANY job of the session, exactly like LLAP's shared
+    daemon — scans ``InMemoryTableScan`` with column pruning and
+    predicate batch-skipping intact.
+
+    The fn caches a pruned hot projection of lineitem once per
+    session (re-calls find the cache warm and skip the build, the
+    daemon-resident behavior), runs an aggregate over it, and
+    ASSERTS the executed plan reads ``InMemoryTableScan`` — a plan
+    that silently fell back to the parquet scan fails loudly rather
+    than passing on values alone. The oracle recomputes the same
+    aggregate from the source table, pinning cache-transparency:
+    caching must never change results.
+
+    Scale: cache capacity is the executor storage pool
+    (MEMORY_AND_DISK spills instead of evicting correctness); at
+    100 TB you cache the hot partitions/projection, not the table —
+    which is why the cached relation here is already filtered and
+    column-pruned (LLAP caches column chunks on demand for the same
+    reason).
+    """
+    from layer_apache_hive_spark.functions.numeric import dsum
+    from layer_apache_hive_spark.plan_audit import explain_formatted
+
+    label = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    view = f"lineitem_hot_{label}"
+    try:
+        warm = spark.catalog.isCached(view)
+    except Exception:
+        warm = False
+    if not warm:
+        hot = (
+            read_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_shipdate") >= "1996-01-01")
+            .select(
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            )
+        )
+        hot.createOrReplaceTempView(view)
+        spark.catalog.cacheTable(view)
+        spark.table(view).count()  # materialize: the one-time warm-up
+    out = (
+        spark.table(view)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+    plan = explain_formatted(spark, out)
+    # Spark 4 formatted mode spells the cached scan "Scan In-memory
+    # table" over an InMemoryRelation (older releases: InMemoryTableScan)
+    assert "In-memory table" in plan or "InMemoryTableScan" in plan, (
+        "ddl_cache: aggregate does not read the in-memory columnar "
+        "cache — the LLAP-analog claim would be vacuous:\n" + plan
+    )
+    return out
+
+
+@register(
+    "ddl_history",
+    oracle="""
+WITH base AS (SELECT s_suppkey, s_acctbal FROM supplier),
+v1 AS (SELECT * FROM base WHERE s_suppkey % 3 <> 0),
+v2 AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 5 = 0 THEN -s_acctbal ELSE s_acctbal END
+           AS s_acctbal
+  FROM v1 WHERE s_suppkey % 7 <> 0
+),
+v3 AS (
+  SELECT * FROM v2
+  UNION ALL SELECT * FROM base WHERE s_suppkey % 3 = 0
+)
+SELECT 1 AS version, 0 AS base_version,
+       (SELECT COUNT(*) FROM v1) AS n_rows,
+       (SELECT CAST(SUM(CAST((s_acctbal) AS DECIMAL(38,4))) AS DOUBLE)
+        FROM v1) AS acctbal,
+       false AS retained
+UNION ALL
+SELECT 2, 1, (SELECT COUNT(*) FROM v2),
+       (SELECT CAST(SUM(CAST((s_acctbal) AS DECIMAL(38,4))) AS DOUBLE)
+        FROM v2),
+       true
+UNION ALL
+SELECT 3, 2, (SELECT COUNT(*) FROM v3),
+       (SELECT CAST(SUM(CAST((s_acctbal) AS DECIMAL(38,4))) AS DOUBLE)
+        FROM v3),
+       true
+""",
+)
+def ddl_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DESCRIBE HISTORY`` + ``VACUUM`` over the acid.VersionedTable
+    commit log — the table-history surface Delta/Iceberg attach to a
+    transactional table (Hive ACID keeps the same lineage in its
+    write-id / delta-directory chain and compactor).
+
+    Three committed versions (v1 = seeded supplier subset; v2 =
+    DELETE key%7==0 + UPDATE negating key%5==0 balances; v3 =
+    re-INSERT of the rows v1 excluded), each audited from its own
+    pinned manifest: version, the base version the writer read
+    (the optimistic-concurrency lineage), row count, and
+    decimal-exact balance sum. Then ``vacuum(keep_last=2)`` retires
+    v1's manifest + unreferenced snapshot files, and the ``retained``
+    column records which versions are still time-travel-readable —
+    so the result proves BOTH the history chain and that retention
+    actually removed the expired version.
+
+    The oracle recomputes every version state from the source table;
+    a mis-linked base_version, a torn snapshot, or a vacuum that
+    deleted still-referenced files all break the value match.
+
+    Scale: history reads are manifest lookups (O(versions) driver-side
+    metadata, bounded by retention, never data-sized); vacuum is
+    reference-counted over kept manifests exactly like Delta VACUUM,
+    and retention must exceed the longest-running reader's pin.
+    """
+    import shutil
+
+    from layer_apache_hive_spark.acid import VersionedTable
+    from layer_apache_hive_spark.functions.numeric import dsum
+
+    label = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    root = f"/root/repo/.tmp/acid_history/{label}"
+    shutil.rmtree(root, ignore_errors=True)  # reseed: idempotent per run
+    vt = VersionedTable(root)
+    base = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    )
+    vt.init(base.filter(F.col("s_suppkey") % 3 != 0))
+    v2 = (
+        vt.read(spark, 1)
+        .filter(F.col("s_suppkey") % 7 != 0)
+        .withColumn(
+            "s_acctbal",
+            F.when(
+                F.col("s_suppkey") % 5 == 0, -F.col("s_acctbal")
+            ).otherwise(F.col("s_acctbal")),
+        )
+    )
+    vt.commit(v2, base_version=1)
+    v3 = vt.read(spark, 2).unionByName(
+        base.filter(F.col("s_suppkey") % 3 == 0)
+    )
+    vt.commit(v3, base_version=2)
+
+    # audit every version BEFORE retention: O(versions) bounded rows
+    audit = []
+    for v in vt.versions():
+        stat = (
+            vt.read(spark, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("s_acctbal").alias("acctbal"),
+            )
+            .collect()[0]
+        )
+        audit.append(
+            (v, vt.manifest(v)["base_version"], stat["n_rows"],
+             stat["acctbal"])
+        )
+    vt.vacuum(keep_last=2)
+    alive = set(vt.versions())
+    return spark.createDataFrame(
+        [(v, b, n, a, v in alive) for v, b, n, a in audit],
+        schema="version int, base_version int, n_rows long, "
+               "acctbal double, retained boolean",
+    )
+
+
+@register(
     "ddl_export_import",
     oracle="""
 SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier

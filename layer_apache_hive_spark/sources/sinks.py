@@ -256,15 +256,33 @@ def _acid_seed(spark: SparkSession, sf_dir: str, kind: str):
     DELETE below can demonstrate the real COW shape: only the touched
     partition gets new files, the other four stay the base version's
     untouched bytes, and visibility flips with one atomic manifest
-    create (acid.py). Reseeded every call so the query is idempotent
-    under repeated runs in one session."""
+    create (acid.py).
+
+    Idempotency is ROLLBACK, not reseed: the v1 seed is write-once
+    (tagged on the source parquet's identity, the repo's fixture-tag
+    convention), and repeated calls truncate the log back to v1 —
+    exactly what a production fixture/admin reset does. A stale tag
+    (regenerated testdata) rebuilds from scratch. This keeps the
+    UPDATE/DELETE benchmarks measuring the rewrite + atomic flip,
+    not a full base-table write per call."""
     import shutil
 
     from layer_apache_hive_spark.acid import VersionedTable
 
     root = _sink_dir(sf_dir, kind)
-    shutil.rmtree(root, ignore_errors=True)
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    tag = f"acid_seed:{st.st_mtime_ns}:{st.st_size}"
+    tag_path = os.path.join(root, "SEED_TAG")
     vt = VersionedTable(root)
+    try:
+        with open(tag_path) as fh:
+            fresh = fh.read().strip() == tag and 1 in vt.versions()
+    except OSError:
+        fresh = False
+    if fresh:
+        vt.rollback(1)
+        return vt
+    shutil.rmtree(root, ignore_errors=True)
     vt.commit_partitions(
         read_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
@@ -272,6 +290,8 @@ def _acid_seed(spark: SparkSession, sf_dir: str, kind: str):
         "o_orderpriority",
         base_version=0,
     )
+    with open(tag_path, "w") as fh:
+        fh.write(tag + "\n")
     return vt
 
 
@@ -651,3 +671,74 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats(1).unionByName(stats(2))
+
+
+@register(
+    "sink_restore",
+    oracle=f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT 3 AS head_version, 1 AS restored_from,
+       COUNT(*) AS n_rows,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM v1
+""",
+)
+def sink_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``RESTORE TABLE t TO VERSION AS OF 1`` — the undo button Delta/
+    Iceberg attach to a transactional table, over acid.VersionedTable.
+
+    Scenario: v1 seeds the table, v2 is a bad job that dropped half
+    the rows, restore(1) makes v1 the head again as a NEW commit (v3)
+    whose manifest re-references v1's immutable files — zero data
+    copied (asserted in-fn: v3 and v1 share the same snapshot dir),
+    history preserved (v2 stays time-travel-readable until vacuum),
+    and the restore serializes against concurrent writers through the
+    same one-exclusive-create commit slot as any write.
+
+    The result reads the POST-RESTORE head and reports the head
+    version + restored_from lineage from the committed manifest; the
+    oracle recomputes the v1 state from the source table, so a restore
+    that copied the wrong snapshot, left the bad head in place, or
+    mis-linked lineage breaks the value match.
+
+    Scale: restore is O(1) data — one manifest write regardless of
+    table size; exactly why log-structured commits beat rewriting a
+    100 TB table back into shape.
+    """
+    import shutil
+
+    from layer_apache_hive_spark.acid import VersionedTable
+    from layer_apache_hive_spark.functions.numeric import dsum
+
+    root = _sink_dir(sf_dir, "restore")
+    shutil.rmtree(root, ignore_errors=True)  # reseed: idempotent per run
+    vt = VersionedTable(root)
+    vt.init(
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 3 == 0)
+    )
+    # the bad job: drops every even key, commits as v2
+    vt.commit(vt.read(spark, 1).filter(F.col("o_orderkey") % 2 != 0),
+              base_version=1)
+    head = vt.restore(1)
+    m_head, m_v1 = vt.manifest(head), vt.manifest(1)
+    assert m_head["restored_from"] == 1 and head == 3, m_head
+    assert m_head["snapshot"] == m_v1["snapshot"], (
+        "restore must re-reference v1's files, not copy them"
+    )
+    return (
+        vt.read(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            F.lit(head).alias("head_version"),
+            F.lit(m_head["restored_from"]).alias("restored_from"),
+            "n_rows",
+            "revenue",
+        )
+    )

@@ -238,3 +238,83 @@ def test_two_concurrent_writers_serialize(spark, tmp_path):
     assert vt.read(spark, 3).count() == 3
     referenced = {vt.manifest(v)["snapshot"] for v in vt.versions()}
     assert set(os.listdir(vt.snapshots_dir)) == referenced
+
+
+def test_ddl_history_vacuum_retires_expired_version(spark):
+    """After ddl_history runs, v1 must be GONE (manifest + snapshot
+    files) while v2/v3 stay readable — retention is real, not a flag."""
+    import pytest as _pytest
+
+    from layer_apache_hive_spark.registry import _REGISTRY, _load_all_modules
+    from tests.conftest import SF_DIR
+
+    _load_all_modules()
+    rows = {
+        r["version"]: r for r in _REGISTRY["ddl_history"].fn(spark, SF_DIR).collect()
+    }
+    assert [rows[v]["retained"] for v in (1, 2, 3)] == [False, True, True]
+    label = SF_DIR.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    vt = VersionedTable(f"/root/repo/.tmp/acid_history/{label}")
+    assert vt.versions() == [2, 3]
+    with _pytest.raises(FileNotFoundError):
+        vt.manifest(1)
+    # v1's snapshot dir is unreferenced by kept manifests -> removed
+    kept = {vt.manifest(v)["snapshot"] for v in (2, 3)}
+    assert set(os.listdir(vt.snapshots_dir)) == kept
+    # the audited chain carries the optimistic-concurrency lineage
+    assert [rows[v]["base_version"] for v in (1, 2, 3)] == [0, 1, 2]
+    assert rows[3]["n_rows"] > rows[2]["n_rows"]  # re-insert grew the table
+
+
+def test_rollback_truncates_and_restore_preserves_history(spark, tmp_path):
+    """rollback() = destructive log truncation (fixture/admin reset);
+    restore() = history-preserving undo that re-references old files."""
+    import pytest as _pytest
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    seed = spark.createDataFrame([(i, float(i)) for i in range(20)],
+                                 "k int, v double")
+    vt.init(seed)
+    vt.commit(vt.read(spark, 1).filter("k % 2 = 0"), base_version=1)
+
+    # restore: head becomes v3, zero-copy, v2 still readable
+    head = vt.restore(1)
+    assert head == 3
+    assert vt.manifest(3)["snapshot"] == vt.manifest(1)["snapshot"]
+    assert vt.manifest(3)["restored_from"] == 1
+    assert vt.read(spark).count() == 20
+    assert vt.read(spark, 2).count() == 10  # history preserved
+
+    # rollback: truncate to v1 — later manifests AND unreferenced dirs go
+    vt.rollback(1)
+    assert vt.versions() == [1]
+    assert vt.read(spark).count() == 20
+    with _pytest.raises(FileNotFoundError):
+        vt.manifest(2)
+    # v2's snapshot dir is gone; v1's (also v3's referent) kept
+    assert set(os.listdir(vt.snapshots_dir)) == {vt.manifest(1)["snapshot"]}
+    with _pytest.raises(FileNotFoundError):
+        vt.rollback(7)
+    # writes continue cleanly from the truncated head
+    vt.commit(vt.read(spark, 1).filter("k < 5"), base_version=1)
+    assert vt.read(spark).count() == 5
+
+
+def test_acid_seed_is_write_once_and_rolls_back(spark):
+    """Repeated sink_update calls must reuse the tagged v1 seed (no
+    full base-table rewrite) and roll the log back to v1 each call."""
+    from layer_apache_hive_spark.registry import _REGISTRY, _load_all_modules
+    from layer_apache_hive_spark.sources.sinks import _sink_dir
+    from tests.conftest import SF_DIR
+
+    _load_all_modules()
+    _REGISTRY["sink_update"].fn(spark, SF_DIR).count()
+    root = _sink_dir(SF_DIR, "acid_update")
+    vt = VersionedTable(root)
+    assert vt.versions() == [1, 2]
+    m1 = vt.manifest(1)
+    _REGISTRY["sink_update"].fn(spark, SF_DIR).count()
+    # same v1 manifest object (seed not rewritten), log rolled back to
+    # v1 then re-committed the update as v2
+    assert vt.manifest(1) == m1
+    assert vt.versions() == [1, 2]

@@ -222,3 +222,26 @@ def test_parts_supplier_cnt_filters_below_distinct(spark):
     assert agg_idx and semi_idx and anti_idx
     assert any(s > agg_idx[0] for s in semi_idx), "\n".join(lines)
     assert any(a > agg_idx[0] for a in anti_idx), "\n".join(lines)
+
+
+def test_ddl_cache_is_warm_on_recall_and_reads_memory(spark):
+    """The LLAP-analog cache must behave like a daemon-resident cache:
+    the second call finds the view already cached (no rebuild) and its
+    aggregate scans InMemoryTableScan, not the parquet source."""
+    from layer_apache_hive_spark.plan_audit import explain_formatted
+
+    label = SF_DIR.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    view = f"lineitem_hot_{label}"
+    _REGISTRY["ddl_cache"].fn(spark, SF_DIR)
+    assert spark.catalog.isCached(view)
+    out = _REGISTRY["ddl_cache"].fn(spark, SF_DIR)  # warm path
+    assert spark.catalog.isCached(view)
+    plan = explain_formatted(spark, out)
+    assert "In-memory table" in plan or "InMemoryTableScan" in plan
+    # cache transparency: uncached twin agrees exactly
+    spark.catalog.uncacheTable(view)
+    spark.catalog.dropTempView(view)
+    cold = _REGISTRY["ddl_cache"].fn(spark, SF_DIR)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, cold.collect()))
+    assert a == b
