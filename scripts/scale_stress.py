@@ -190,7 +190,9 @@ def main() -> int:
         unknown = set(args.ids) - set(qs)
         if unknown:
             sys.exit(f"unknown query id(s): {sorted(unknown)}")
-        queries = [q for q in queries if q in set(args.ids)]
+        # explicit ids run verbatim (not intersected with the default
+        # tier) so NEW queries can be stressed before joining the slice
+        queries = list(dict.fromkeys(args.ids))
     print(f"stress slice: {len(queries)} queries", flush=True)
     for qid in queries:
         # warm once (file listing, codegen, broadcast), then best-of-3
