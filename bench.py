@@ -54,6 +54,8 @@ FIXTURE_PREPASS = [
     # touched-partition rewrite + atomic flip — the actual query.
     "sink_update",
     "sink_delete",
+    # first user of the 2-file stream-source copy in registry order
+    "evt_stream_acid_sink",
 ]
 
 

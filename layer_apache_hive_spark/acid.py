@@ -57,6 +57,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(Exception):
@@ -189,6 +190,7 @@ class VersionedTable:
         partition_col: str,
         base_version: int,
         touched_values: list[str] | None = None,
+        files_per_partition: int = 1,
     ) -> int:
         """Partition-granular copy-on-write commit: write NEW files for
         only the touched partitions, then claim the next version with a
@@ -210,9 +212,19 @@ class VersionedTable:
         snap_name = f"v{new_version:06d}-{uuid.uuid4().hex[:8]}"
         staged = os.path.join(self.snapshots_dir, snap_name)
         ptype = dict(touched_df.dtypes)[partition_col]
+        # default: one file per partition value (anti-small-files for
+        # many-value commits); files_per_partition > 1 spreads EACH
+        # value across that many write tasks — the right shape when a
+        # commit touches few values with many rows (e.g. a streaming
+        # micro-batch whose partition value IS the batch id)
+        if files_per_partition > 1:
+            staged_df = touched_df.repartition(
+                files_per_partition, partition_col, F.spark_partition_id()
+            )
+        else:
+            staged_df = touched_df.repartition(partition_col)
         (
-            touched_df.repartition(partition_col)
-            .write.mode("overwrite")
+            staged_df.write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(staged)
         )

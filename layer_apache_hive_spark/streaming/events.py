@@ -2141,3 +2141,101 @@ def composite_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_event_us",
         "last_event_us",
     )
+
+
+@register(
+    "evt_stream_acid_sink",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value,
+       2 AS n_commits
+FROM events
+GROUP BY event_type
+""",
+)
+def evt_stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink: foreachBatch + one atomic
+    VersionedTable commit per micro-batch — the Delta/Iceberg
+    streaming-sink design (Delta's ``txn`` appId/version dedup)
+    rebuilt on acid.py's log-structured commits.
+
+    Structured Streaming's foreachBatch is at-least-once: a crash
+    between sink write and checkpoint advance REPLAYS the batch, so a
+    plain parquet append double-counts. Here each micro-batch commits
+    as a partition-granular snapshot whose partition value IS the
+    batch id, and the sink skips any batch id already present in the
+    head manifest — a replayed batch is recognized and dropped before
+    any data is written, and a commit race between concurrent retries
+    resolves through the same one-exclusive-create slot (the loser
+    re-checks and skips). Readers never see a torn batch: a batch is
+    either fully committed (its manifest exists) or invisible.
+
+    The stream runs with maxFilesPerTrigger=1 over a 2-file source
+    (two real micro-batches), then a duplicate delivery of batch 0 is
+    REPLAYED on purpose; the ``n_commits`` column is the final version
+    number, which the oracle pins to exactly 2 — a sink that
+    double-committed (3 versions) or dropped a batch (1) fails the
+    value match, as does any lost/duplicated row via the per-type
+    count + decimal-exact sum.
+
+    Scale: per-batch cost is O(batch) files + one manifest create,
+    independent of table size (the append never rewrites old
+    partitions); retention is vacuum's reference-counted job. This is
+    the 100 TB shape for streaming ingestion into a queryable table.
+    """
+    from layer_apache_hive_spark.acid import CommitConflict, VersionedTable
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = f"/root/repo/.tmp/stream_acid/{label}"
+    shutil.rmtree(root, ignore_errors=True)  # reseed: idempotent per run
+    vt = VersionedTable(root)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        key = str(batch_id)
+        base = vt.current_version()
+        if base > 0 and key in vt.manifest(base).get("partitions", {}):
+            return  # replayed batch: already committed, drop it
+        try:
+            vt.commit_partitions(
+                batch_df.select("event_id", "event_type", "value")
+                .withColumn("batch", F.lit(key)),
+                "batch",
+                base_version=base,
+                touched_values=[key],
+                # one value per commit (the batch id): spread the
+                # batch across 8 write tasks instead of 1
+                files_per_partition=8,
+            )
+        except CommitConflict:
+            # a concurrent retry won the slot; re-check finds the key
+            if key not in vt.manifest(vt.current_version()).get(
+                "partitions", {}
+            ):
+                raise
+
+    src = _stream_source_parts(spark, sf_dir, n_parts=2)
+    with _stream_partitions(spark):
+        q = (
+            src.writeStream.foreachBatch(commit_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # at-least-once delivery simulated: replay batch 0 after success —
+    # the guard must drop it without writing a third version
+    commit_batch(_normalize_ts(spark.read.parquet(
+        f"/root/repo/.tmp/stream_src_parts/{label}")), 0)
+
+    head = vt.current_version()
+    return (
+        vt.read(spark, head)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .withColumn("n_commits", F.lit(head))
+    )
