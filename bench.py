@@ -54,6 +54,9 @@ FIXTURE_PREPASS = [
     # touched-partition rewrite + atomic flip — the actual query.
     "sink_update",
     "sink_delete",
+    # write-once ACID seeds of their own (kind-keyed tables)
+    "sink_cdc_feed",
+    "sink_acid_add_column",
     # first user of the 2-file stream-source copy in registry order
     "evt_stream_acid_sink",
 ]

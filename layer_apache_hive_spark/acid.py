@@ -56,7 +56,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -109,33 +109,157 @@ class VersionedTable:
         under DIFFERENT snapshot dirs — only touched partitions get
         new files per commit), re-attaching the partition column the
         partitionBy write stripped."""
-        from functools import reduce
-
-        from pyspark.sql import functions as F
-
         v = self.current_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"{self.root}: no committed version")
         m = self.manifest(v)
         if "snapshot" in m:
             return spark.read.parquet(self.snapshot_path(v))
-        pcol, ptype = m["partition_col"], m["partition_type"]
-        if not m["partitions"]:
-            # empty table (0-row seed, or every partition deleted):
-            # the manifest carries the schema precisely because no
-            # files remain to infer it from
-            from pyspark.sql.types import StructType
+        return self._read_parts(spark, m)
 
-            return spark.createDataFrame(
-                [], StructType.fromJson(json.loads(m["schema"]))
+    def _read_parts(
+        self,
+        spark: SparkSession,
+        m: dict,
+        values: set[str] | None = None,
+    ) -> DataFrame:
+        """Union the per-partition directories of a partition-granular
+        manifest (optionally restricted to ``values``), projecting to
+        the MANIFEST's schema: a column the manifest declares but a
+        directory's older immutable files predate reads as NULL. That
+        makes ADD COLUMN a metadata-only commit (Delta/Iceberg schema
+        evolution): the evolved commit's manifest carries the new
+        schema, untouched partitions keep their old files, and no
+        byte of history is rewritten."""
+        from functools import reduce
+
+        from pyspark.sql.types import StructType
+
+        pcol, ptype = m["partition_col"], m["partition_type"]
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        sel = {
+            val: rel
+            for val, rel in m["partitions"].items()
+            if values is None or val in values
+        }
+        if not sel:
+            # empty table (0-row seed, every partition deleted, or an
+            # empty restriction): the manifest carries the schema
+            # precisely because no files remain to infer it from
+            return spark.createDataFrame([], schema)
+        parts = []
+        for val, rel in sorted(sel.items()):
+            p = spark.read.parquet(os.path.join(self.snapshots_dir, rel))
+            for f in schema.fields:
+                if f.name != pcol and f.name not in p.columns:
+                    p = p.withColumn(f.name, F.lit(None).cast(f.dataType))
+            parts.append(
+                p.withColumn(pcol, F.lit(val).cast(ptype)).select(schema.names)
             )
-        cols = [f["name"] for f in json.loads(m["schema"])["fields"]]
-        parts = [
-            spark.read.parquet(os.path.join(self.snapshots_dir, rel))
-            .withColumn(pcol, F.lit(val).cast(ptype))
-            for val, rel in sorted(m["partitions"].items())
-        ]
-        return reduce(lambda a, b: a.unionByName(b), parts).select(cols)
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def changes(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        key_cols: list[str],
+    ) -> tuple[DataFrame, tuple[int, int] | None]:
+        """Change data feed between two committed versions — the shape
+        of Delta's ``table_changes`` / Iceberg's changelog scan: every
+        row of ``v_to ⊖ v_from`` tagged ``_change_type`` ∈ {insert,
+        delete, update_preimage, update_postimage}, keyed on
+        ``key_cols``.
+
+        Manifest-pruned: when both versions are partition-granular
+        over the same column, only partitions whose manifest POINTER
+        changed are read — an identical pointer means identical
+        immutable files, hence no changes, with zero I/O spent proving
+        it. That is the 100 TB contract: CDC cost is O(touched
+        partitions), not O(table). Returns ``(changes_df, (n_changed,
+        n_total))``; the pruning tuple is None when either side is a
+        full snapshot (whole-table diff).
+
+        The diff itself is ONE join executed ONCE: a full-outer join
+        on the key over the two pruned sides, null-safe value compare,
+        then one explode that emits 0 rows (unchanged), 1 row
+        (insert/delete) or 2 rows (update pre+post image) per key — a
+        4-way union of filtered re-reads of the same join would
+        execute the join four times (schema evolution between the
+        versions null-fills the missing columns first, so an added
+        column diffs as NULL→value)."""
+        from functools import reduce
+
+        m_from, m_to = self.manifest(v_from), self.manifest(v_to)
+        pruned: tuple[int, int] | None = None
+        if (
+            "partitions" in m_from
+            and "partitions" in m_to
+            and m_from["partition_col"] == m_to["partition_col"]
+        ):
+            pf, pt = m_from["partitions"], m_to["partitions"]
+            all_vals = set(pf) | set(pt)
+            changed = {v for v in all_vals if pf.get(v) != pt.get(v)}
+            df_from = self._read_parts(spark, m_from, changed)
+            df_to = self._read_parts(spark, m_to, changed)
+            pruned = (len(changed), len(all_vals))
+        else:
+            df_from = self.read(spark, v_from)
+            df_to = self.read(spark, v_to)
+        # align evolved schemas: diff over the union of columns
+        cols = list(dict.fromkeys(df_from.columns + df_to.columns))
+        to_types = dict(df_to.dtypes)
+        from_types = dict(df_from.dtypes)
+        for c in cols:
+            if c not in df_from.columns:
+                df_from = df_from.withColumn(c, F.lit(None).cast(to_types[c]))
+            if c not in df_to.columns:
+                df_to = df_to.withColumn(c, F.lit(None).cast(from_types[c]))
+        nonkey = [c for c in cols if c not in key_cols]
+        a = df_from.select(cols).withColumn("_a", F.lit(1)).alias("a")
+        b = df_to.select(cols).withColumn("_b", F.lit(1)).alias("b")
+        j = a.join(b, on=list(key_cols), how="full_outer")
+        ins = F.col("a._a").isNull()
+        dele = F.col("b._b").isNull()
+        if not nonkey:
+            # key-only table: only membership can change
+            feed = j.filter(ins | dele).select(
+                *key_cols,
+                F.when(ins, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+            )
+            return feed, pruned
+        same = reduce(
+            lambda x, y: x & y,
+            [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in nonkey],
+            F.lit(True),
+        )
+        pre_s = F.struct(*[F.col(f"a.{c}").alias(c) for c in nonkey])
+        post_s = F.struct(*[F.col(f"b.{c}").alias(c) for c in nonkey])
+
+        def tag(kind: str, row) -> Column:
+            return F.struct(
+                F.lit(kind).alias("_change_type"), row.alias("_row")
+            )
+
+        emitted = (
+            F.when(ins, F.array(tag("insert", post_s)))
+            .when(dele, F.array(tag("delete", pre_s)))
+            # remaining rows are matched-and-different: update pair
+            .otherwise(
+                F.array(
+                    tag("update_preimage", pre_s),
+                    tag("update_postimage", post_s),
+                )
+            )
+        )
+        feed = (
+            j.filter(ins | dele | ~same)
+            .select(*key_cols, F.explode(emitted).alias("_c"))
+            .select(*key_cols, "_c._row.*", "_c._change_type")
+        )
+        return feed, pruned
 
     # ---- write side --------------------------------------------------
 
@@ -191,6 +315,7 @@ class VersionedTable:
         base_version: int,
         touched_values: list[str] | None = None,
         files_per_partition: int = 1,
+        file_salt: Column | None = None,
     ) -> int:
         """Partition-granular copy-on-write commit: write NEW files for
         only the touched partitions, then claim the next version with a
@@ -216,10 +341,16 @@ class VersionedTable:
         # many-value commits); files_per_partition > 1 spreads EACH
         # value across that many write tasks — the right shape when a
         # commit touches few values with many rows (e.g. a streaming
-        # micro-batch whose partition value IS the batch id)
+        # micro-batch whose partition value IS the batch id). The salt
+        # defaults to the upstream partition id (free, but collapses
+        # when the input is one partition); pass file_salt for a
+        # data-derived spread that fragments at any input layout.
         if files_per_partition > 1:
+            salt = (
+                file_salt if file_salt is not None else F.spark_partition_id()
+            )
             staged_df = touched_df.repartition(
-                files_per_partition, partition_col, F.spark_partition_id()
+                files_per_partition, partition_col, salt
             )
         else:
             staged_df = touched_df.repartition(partition_col)

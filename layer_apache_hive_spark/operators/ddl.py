@@ -356,3 +356,101 @@ def ddl_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     imported = spark.read.schema(schema).parquet(f"{exp_dir}/data")
     imported.createOrReplaceTempView("supplier_imported")
     return spark.table("supplier_imported")
+
+
+@register(
+    "ddl_constraints",
+    oracle="""
+WITH batch AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN NULL
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN -1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT 'nn_custkey' AS constraint_name, 'NOT NULL' AS kind,
+       true AS enforced, COUNT(*) AS n_checked,
+       COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations
+FROM batch
+UNION ALL
+SELECT 'ck_price_positive', 'CHECK', true, COUNT(*),
+       COUNT(CASE WHEN o_totalprice IS NOT NULL
+                   AND NOT (o_totalprice > 0) THEN 1 END)
+FROM batch
+UNION ALL
+SELECT 'pk_orderkey', 'PRIMARY KEY', false, COUNT(*),
+       COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+       + COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END)
+FROM batch
+""",
+)
+def ddl_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table constraints (Hive 3: NOT NULL/CHECK ENFORCED on write,
+    PRIMARY KEY ... RELY NOVALIDATE informational — HIVE-16575/16605)
+    via layer_apache_hive_spark.constraints.
+
+    A candidate insert batch is derived from orders with injected
+    defects (every key≡0 mod 101 gets a NULL custkey; every key≡0 mod
+    97 a negative price). The result scores all three declared
+    constraints over the batch in ONE distributed single-pass
+    aggregate — per-constraint checked/violation counts, exactly what
+    the oracle recomputes (CHECK obeys SQL three-valued logic: NULL
+    predicate ≙ pass; the PK counts duplicate slots + NULL key parts
+    and is informational, Hive's RELY NOVALIDATE default).
+
+    Write-time enforcement is exercised in-fn, both directions: the
+    dirty batch must be REJECTED (ConstraintViolation naming both
+    enforced constraints, nothing written), and the cleaned batch
+    must pass the same gate and write — so the enforcement path is
+    live in the registered query, not only in tests.
+
+    Scale: validation is a map-side-combinable aggregate over the
+    batch — O(|batch|), one row out; the exact COUNT DISTINCT for PK
+    is the expensive term and is exactly why it defaults to
+    informational, like Hive.
+    """
+    from layer_apache_hive_spark.constraints import (
+        ConstraintViolation,
+        check,
+        enforce,
+        not_null,
+        primary_key,
+        violation_counts,
+    )
+
+    cons = [
+        not_null("nn_custkey", "o_custkey"),
+        check("ck_price_positive", "o_totalprice > 0"),
+        primary_key("pk_orderkey", "o_orderkey"),  # informational
+    ]
+    o = read_table(spark, sf_dir, "orders")
+    batch = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(-1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    # enforcement gate, negative path: the dirty batch must be
+    # rejected outright (empty corpus has no violations: skip)
+    has_rows = bool(batch.head(1))
+    if has_rows:
+        try:
+            enforce(batch, cons)
+            raise AssertionError(
+                "ddl_constraints: dirty batch passed the write gate"
+            )
+        except ConstraintViolation as e:
+            assert "nn_custkey" in str(e) and "ck_price_positive" in str(e)
+    # positive path: the cleaned batch passes the same gate and writes
+    clean = batch.filter(
+        F.col("o_custkey").isNotNull() & (F.col("o_totalprice") > 0)
+    )
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    enforce(clean, cons).write.mode("overwrite").parquet(
+        f"/root/repo/.tmp/constraints/{label}/orders_clean"
+    )
+    return violation_counts(batch, cons)

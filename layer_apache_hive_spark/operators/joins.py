@@ -217,6 +217,53 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    tbl: str,
+    key: str,
+    n_buckets: int = 8,
+) -> str:
+    """Write-once bucketed+sorted copy of a base table (Hive
+    ``CLUSTERED BY ... SORTED BY ... INTO n BUCKETS``), shared by the
+    SMB join and bucket-pruned scans: pay the clustering shuffle ONCE
+    at write time, then every equi-join on the key is Exchange-free
+    and every point lookup prunes to one bucket file.
+
+    Bucketed files survive across sessions (only the catalog entry is
+    per-session): a later session re-registers the existing files via
+    CREATE TABLE ... CLUSTERED BY instead of re-shuffling."""
+    import os
+
+    from layer_apache_hive_spark.sources.sinks import TMP_ROOT
+
+    label = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    name = f"bkt_{tbl}_{label}"
+    if spark.catalog.tableExists(name):
+        return name
+    path = f"{TMP_ROOT}/bucketed/{label}/{tbl}"
+    if os.path.exists(f"{path}/_SUCCESS"):
+        src = read_table(spark, sf_dir, tbl)
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+    else:
+        (
+            read_table(spark, sf_dir, tbl)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name
+
+
 @register(
     "join_bucket_smb",
     oracle="""
@@ -239,43 +286,12 @@ def join_bucket_smb(spark: SparkSession, sf_dir: str) -> DataFrame:
     write time, join co-located forever after).
     tests/test_oracle_parity.py asserts the Exchange-free plan.
     """
-    from layer_apache_hive_spark.sources.sinks import TMP_ROOT
-
-    label = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
-    specs = {
-        "orders": ("o_orderkey", f"bkt_orders_{label}"),
-        "lineitem": ("l_orderkey", f"bkt_lineitem_{label}"),
-    }
-    import os
-
-    for tbl, (key, name) in specs.items():
-        if spark.catalog.tableExists(name):
-            continue
-        path = f"{TMP_ROOT}/bucketed/{label}/{tbl}"
-        if os.path.exists(f"{path}/_SUCCESS"):
-            # bucketed files survive across sessions (only the
-            # catalog entry is per-session): re-register instead of
-            # re-shuffling — the pay-the-shuffle-ONCE point of SMB
-            src = read_table(spark, sf_dir, tbl)
-            cols = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
-            )
-            spark.sql(
-                f"CREATE TABLE {name} ({cols}) USING PARQUET "
-                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
-                f"LOCATION '{path}'"
-            )
-        else:
-            (
-                read_table(spark, sf_dir, tbl)
-                .write.bucketBy(8, key)
-                .sortBy(key)
-                .option("path", path)
-                .mode("overwrite")
-                .saveAsTable(name)
-            )
-    o = spark.table(specs["orders"][1]).filter(F.col("o_orderkey") < 5000)
-    li = spark.table(specs["lineitem"][1])
+    o = spark.table(
+        ensure_bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    ).filter(F.col("o_orderkey") < 5000)
+    li = spark.table(
+        ensure_bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    )
     # merge hint pins SortMergeJoin (AQE would broadcast at this toy
     # scale, hiding the point): bucketed+sorted inputs ⇒ zero Exchange
     # and zero Sort in the executed plan, and the downstream groupBy

@@ -472,3 +472,81 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(good, F.col("n_name"))).alias("n_good_names"),
         F.sum(F.when(good, F.col("n_regionkey"))).alias("good_region_sum"),
     )
+
+
+_BUCKET_SESSION_CACHE: dict = {}
+
+
+@register(
+    "scan_bucket_prune",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders
+                    WHERE o_orderkey % 32 = 7)
+""",
+)
+def scan_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket pruning on a point lookup (Hive's bucketed-table fast
+    path / ``TABLESAMPLE(BUCKET x OUT OF y ON key)`` locality claim):
+    an equality predicate on the bucketing key lets the scan open ONE
+    bucket's files and skip the other n-1 entirely — data skipping by
+    layout, before any row is read.
+
+    Reuses the write-once bucketed orders table the SMB join pays for
+    (ensure_bucketed_table): at 100 TB the same clustered layout
+    serves co-located joins AND O(1/n)-scan point lookups, which is
+    the whole economics of bucketing. The fn ASSERTS the executed
+    plan reports ``SelectedBucketsCount: 1 out of 8`` — a plan that
+    silently scanned all buckets (e.g. the predicate stopped being
+    recognized as bucket-prunable) fails loudly rather than passing
+    on values alone.
+
+    The lookup key is data-derived (max orderkey ≡ 7 mod 32 — one
+    bounded scalar agg, the documented driver-side-scalar exception),
+    so the query works at every sf without a fixture literal; the
+    oracle derives the same key via a scalar subquery.
+
+    Planner note: Spark's DisableUnnecessaryBucketedScan rule turns
+    bucketed reading off when no operator needs the bucket
+    distribution — it does not account for bucket PRUNING, so the
+    point lookup is planned on a cloned session (own SQLConf, shared
+    context + catalog — the join_bloom pattern) with
+    autoBucketedScan disabled; nothing is mutated on the caller's
+    session.
+    """
+    from layer_apache_hive_spark.operators.joins import ensure_bucketed_table
+    from layer_apache_hive_spark.plan_audit import explain_formatted
+
+    app_id = spark.sparkContext.applicationId
+    s2 = _BUCKET_SESSION_CACHE.get(app_id)
+    if s2 is None:
+        s2 = spark.newSession()
+        s2.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        _BUCKET_SESSION_CACHE.clear()  # one live context at a time
+        _BUCKET_SESSION_CACHE[app_id] = s2
+    t = s2.table(
+        ensure_bucketed_table(s2, sf_dir, "orders", "o_orderkey")
+    )
+    key = (
+        t.filter(F.col("o_orderkey") % 32 == 7)
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
+    if key is None:
+        # empty corpus: no key ≡ 7 mod 32 exists; the oracle's scalar
+        # subquery is NULL too, so both sides return zero rows
+        return t.filter(F.lit(False)).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+    out = t.filter(F.col("o_orderkey") == F.lit(key)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    plan = explain_formatted(s2, out)
+    assert "SelectedBucketsCount: 1 out of 8" in plan, (
+        "scan_bucket_prune: point lookup did not prune to one bucket "
+        "— the layout-skipping claim would be vacuous:\n" + plan
+    )
+    return out

@@ -742,3 +742,321 @@ def sink_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "sink_cdc_feed",
+    oracle=f"""
+WITH u1 AS (
+  SELECT o_orderkey, o_totalprice
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+chg AS (
+  SELECT 'delete' AS change_type, o_totalprice
+  FROM u1 WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'insert', 42.0 FROM u1 WHERE o_orderkey % 200 = 0
+  UNION ALL
+  SELECT 'update_preimage', o_totalprice FROM u1 WHERE o_orderkey % 10 = 5
+  UNION ALL
+  SELECT 'update_postimage', o_totalprice + 1000.0
+  FROM u1 WHERE o_orderkey % 10 = 5
+)
+SELECT change_type, COUNT(*) AS n_rows,
+       {sql_dsum('o_totalprice')} AS total_value
+FROM chg GROUP BY change_type
+""",
+)
+def sink_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two committed versions — Delta's
+    ``table_changes`` / Iceberg's changelog scan, over the
+    acid.VersionedTable commit log (Hive ACID exposes the same
+    information as the delete/insert delta files its compactor reads).
+
+    v1 seeds orders partitioned by priority; v2 rewrites ONLY the
+    '1-URGENT' partition: deletes even keys, bumps key%10==5 prices
+    (+1000.0, order-free IEEE add), inserts key%200==0 rows re-keyed
+    to key+1e9. ``changes(1, 2)`` then emits every row tagged insert /
+    delete / update_preimage / update_postimage, keyed on o_orderkey.
+
+    Manifest pruning is asserted in-fn: of the 5 partition pointers,
+    exactly 1 differs between the manifests, so the diff reads 1/5th
+    of either version and spends ZERO I/O proving the other four are
+    unchanged — identical pointer ⇒ identical immutable files. That is
+    the 100 TB CDC contract: cost O(touched partitions), not O(table).
+    The diff itself is one full-outer join on the key (one shuffle of
+    the pruned sides, null-safe value compare).
+
+    The oracle recomputes all four change classes from the source
+    table, so a missed delete, a phantom update (row diffed when equal),
+    or pre/post image swap breaks the per-class count + decimal-exact
+    value sum.
+    """
+    from layer_apache_hive_spark.functions.numeric import dsum
+
+    vt = _acid_seed(spark, sf_dir, "acid_cdc")
+    u1 = vt.read(spark, 1).filter(F.col("o_orderpriority") == "1-URGENT")
+    kept = u1.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 5, F.col("o_totalprice") + 1000.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = u1.filter(F.col("o_orderkey") % 200 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        F.lit(-1).cast("long").alias("o_custkey"),
+        F.lit(42.0).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    vt.commit_partitions(
+        kept.unionByName(inserted),
+        "o_orderpriority",
+        base_version=1,
+        touched_values=["1-URGENT"],
+    )
+    feed, pruned = vt.changes(spark, 1, 2, ["o_orderkey"])
+    # exactly the touched pointer differs (none on an empty corpus,
+    # where the seed manifest has no partitions at all)
+    parts1 = vt.manifest(1)["partitions"]
+    expected = (1 if "1-URGENT" in parts1 else 0, len(parts1))
+    assert pruned == expected, (
+        f"sink_cdc_feed: expected the diff pruned to {expected} "
+        f"partition pointers, got {pruned}"
+    )
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_value"),
+    )
+
+
+@register(
+    "sink_matview_incremental",
+    oracle=f"""
+SELECT o_orderpriority, 2 AS mv_version,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_revenue
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def sink_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (Hive 3's
+    ``ALTER MATERIALIZED VIEW ... REBUILD`` incremental path, HIVE
+    ql/ddl MV rewrite): instead of recomputing the MV from the full
+    base table on every refresh, aggregate ONLY the newly arrived
+    delta and MERGE the partial aggregates into the stored MV —
+    refresh cost O(|delta| + |groups|), not O(|base|).
+
+    The MV (per-priority order count + revenue) stores its revenue as
+    the DECIMAL(38,4) accumulator, NOT the final double: decimal sums
+    are exact and order-independent, so partial(hist) + partial(delta)
+    is bit-identical to a full recompute — the algebraic property that
+    makes incremental maintenance sound for SUM/COUNT (AVG derives;
+    MIN/MAX need delete-free deltas). The final cast to double happens
+    once at read time, same as dsum.
+
+    Each refresh commits through the VersionedTable log, so MV readers
+    see the pre- or post-refresh view atomically, never a half-merged
+    one, and DESCRIBE HISTORY lineage covers the MV like any table.
+    The oracle recomputes the MV from the FULL base in DuckDB, so a
+    wrong merge (dropped group, double-counted delta, lost history
+    row) fails the value match.
+
+    Scale: the delta aggregate is the only data-sized shuffle; the
+    merge joins |groups| rows against |groups| rows — at 100 TB with
+    a billion groups both sides stay keyed (no broadcast), still tiny
+    next to a full rebuild's scan.
+    """
+    import shutil
+
+    from layer_apache_hive_spark.acid import VersionedTable
+
+    root = _sink_dir(sf_dir, "matview_inc")
+    shutil.rmtree(root, ignore_errors=True)  # reseed: idempotent per run
+    vt = VersionedTable(root)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def partial(df: DataFrame, n_alias: str, rev_alias: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias(n_alias),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias(
+                rev_alias
+            ),
+        )
+
+    # initial build: everything that has arrived so far
+    vt.init(partial(o.filter(F.col("o_orderkey") % 5 != 4), "n", "rev"))
+    # a new batch lands; refresh touches ONLY the delta + the MV
+    delta = partial(o.filter(F.col("o_orderkey") % 5 == 4), "d_n", "d_rev")
+    merged = (
+        vt.read(spark, 1)
+        .join(delta, on="o_orderpriority", how="full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce("rev", F.lit(0).cast("decimal(38,4)"))
+                + F.coalesce("d_rev", F.lit(0).cast("decimal(38,4)"))
+            ).cast("decimal(38,4)").alias("rev"),
+        )
+    )
+    head = vt.commit(merged, base_version=1)
+    return vt.read(spark, head).select(
+        "o_orderpriority",
+        F.lit(head).alias("mv_version"),
+        F.col("n").alias("n_orders"),
+        F.col("rev").cast("double").alias("total_revenue"),
+    )
+
+
+@register(
+    "sink_acid_add_column",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_with_col,
+       COUNT(CASE WHEN o_orderpriority = '5-LOW' AND o_orderkey % 3 = 0
+                  THEN 1 END) AS n_flagged,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def sink_acid_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... ADD COLUMN as a METADATA-ONLY commit over the
+    VersionedTable log — Delta/Iceberg schema evolution semantics
+    (Hive's ADD COLUMN likewise rewrites no data; old files read the
+    new column as NULL).
+
+    v1 seeds orders partitioned by priority (write-once seed). v2
+    rewrites only the '5-LOW' partition WITH a new boolean column
+    ``o_flag`` (key%3==0); the commit's manifest carries the evolved
+    schema while the other four partitions keep pointing at v1's
+    immutable files — asserted in-fn pointer-for-pointer, so the
+    evolution provably copied zero bytes of untouched data. Reading
+    the head null-fills ``o_flag`` for the old files from the manifest
+    schema (acid.VersionedTable._read_parts).
+
+    The result groups the head by priority and counts rows, non-null
+    flags, and true flags: '5-LOW' rows all carry the column, every
+    other partition reads it as NULL — which is exactly what the
+    oracle pins (n_with_col = 0 off the evolved partition), plus the
+    decimal-exact revenue proving no row was lost or duplicated in
+    the evolution.
+
+    Scale: ADD COLUMN on a 100 TB table is one manifest write; the
+    null-fill is a plan-time projection on old files (no I/O), the
+    same trick parquet readers use for schema-evolved scans.
+    """
+    from layer_apache_hive_spark.functions.numeric import dsum
+
+    vt = _acid_seed(spark, sf_dir, "acid_add_column")
+    low = (
+        vt.read(spark, 1)
+        .filter(F.col("o_orderpriority") == "5-LOW")
+        .withColumn("o_flag", F.col("o_orderkey") % 3 == 0)
+    )
+    vt.commit_partitions(
+        low, "o_orderpriority", base_version=1, touched_values=["5-LOW"]
+    )
+    m1, m2 = vt.manifest(1), vt.manifest(2)
+    untouched = [v for v in m1["partitions"] if v != "5-LOW"]
+    assert all(
+        m2["partitions"][v] == m1["partitions"][v] for v in untouched
+    ), "ADD COLUMN must not rewrite untouched partitions"
+    return (
+        vt.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_flag").alias("n_with_col"),
+            F.count(F.when(F.col("o_flag"), 1)).alias("n_flagged"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "sink_optimize",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+""",
+)
+def sink_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE / bin-packing compaction THROUGH the commit log —
+    Delta's ``OPTIMIZE`` / Hive ACID's minor compaction as a
+    VersionedTable commit: small files are rewritten into big ones as
+    a NEW version, the old fragmented version stays time-travel
+    readable until vacuum, and readers flip atomically (never a
+    half-compacted directory — the failure mode of in-place
+    compaction that sink_compaction documents).
+
+    The seed commits two priority partitions deliberately fragmented
+    (8 write tasks per partition value); OPTIMIZE rewrites them at 1
+    file per partition. Asserted in-fn:
+    * file count drops to exactly one per partition (the bin-pack),
+    * ``changes(1, 2)`` is EMPTY — compaction is a physical rewrite
+      with ZERO logical change, i.e. it must emit NO CDC events
+      (Delta marks compacted files dataChange=false for exactly this
+      reason; here the guarantee is checked row-for-row with the
+      engine's own change feed instead of trusted from a flag).
+
+    The oracle pins the logical state to the source table, so a
+    compaction that lost or duplicated a row fails the value match.
+    Scale: compaction cost is O(touched partitions); the atomic flip
+    is one manifest create, and pinned readers never block — the
+    log-structured answer to the small-files problem streaming
+    ingestion creates (evt_stream_acid_sink's per-batch commits are
+    this query's natural producer).
+    """
+    import glob
+    import shutil
+
+    from layer_apache_hive_spark.acid import VersionedTable
+
+    root = _sink_dir(sf_dir, "optimize")
+    shutil.rmtree(root, ignore_errors=True)  # reseed: idempotent per run
+    vt = VersionedTable(root)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    )
+    # fragmented seed: up to 8 files per partition value, salted on
+    # the key so the spread survives any input layout (a streaming
+    # ingester's natural debris)
+    vt.commit_partitions(
+        o,
+        "o_orderpriority",
+        base_version=0,
+        files_per_partition=8,
+        file_salt=F.col("o_orderkey") % 8,
+    )
+
+    def n_files(version: int) -> int:
+        m = vt.manifest(version)
+        return sum(
+            len(glob.glob(os.path.join(vt.snapshots_dir, rel, "*.parquet")))
+            for rel in m["partitions"].values()
+        )
+
+    frag = n_files(1)
+    vt.commit_partitions(
+        vt.read(spark, 1), "o_orderpriority", base_version=1
+    )  # default: one file per partition value — the bin-pack
+    parts = len(vt.manifest(2)["partitions"])
+    assert n_files(2) == parts <= 2 and (frag > parts or frag == 0), (
+        f"sink_optimize: expected {parts} compacted files from {frag}"
+    )
+    feed, _ = vt.changes(spark, 1, 2, ["o_orderkey"])
+    n_events = feed.count()
+    assert n_events == 0, (
+        f"sink_optimize: compaction must be logically invisible, but "
+        f"the change feed emitted {n_events} events"
+    )
+    return vt.read(spark, 2)

@@ -318,3 +318,92 @@ def test_acid_seed_is_write_once_and_rolls_back(spark):
     # v1 then re-committed the update as v2
     assert vt.manifest(1) == m1
     assert vt.versions() == [1, 2]
+
+
+def test_changes_cdc_feed_and_manifest_pruning(spark, tmp_path):
+    """changes(): every row of v_to ⊖ v_from is tagged with the right
+    change type, unchanged rows emit NOTHING, and the diff prunes to
+    partitions whose manifest pointer changed."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    seed = spark.createDataFrame(
+        [(i, "p%d" % (i % 3), float(i)) for i in range(12)],
+        "id int, p string, v double",
+    )
+    vt.commit_partitions(seed, "p", base_version=0)
+    # rewrite only p1 (ids 1,4,7,10): drop 1, update 4 (v*10),
+    # keep 7 and 10 identical, insert 99
+    new_p1 = spark.createDataFrame(
+        [(4, "p1", 40.0), (7, "p1", 7.0), (10, "p1", 10.0),
+         (99, "p1", 99.0)],
+        "id int, p string, v double",
+    )
+    vt.commit_partitions(new_p1, "p", base_version=1, touched_values=["p1"])
+
+    feed, pruned = vt.changes(spark, 1, 2, ["id"])
+    assert pruned == (1, 3)
+    got = {(r.id, r._change_type, r.v) for r in feed.collect()}
+    assert got == {
+        (1, "delete", 1.0),
+        (4, "update_preimage", 4.0),
+        (4, "update_postimage", 40.0),
+        (99, "insert", 99.0),
+    }
+    # identical-pointer partitions contribute zero I/O: the feed plan
+    # reads only the two p1 directories
+    files = {f for f in feed.inputFiles()}
+    assert files and all("/p=p1" in f.replace("%3D", "=") or "p=p1" in f
+                         for f in files)
+
+
+def test_changes_full_snapshot_fallback(spark, tmp_path):
+    """Full-snapshot versions diff whole-table (pruned is None) and
+    null-equal values compare as equal (no phantom updates)."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(spark.createDataFrame([(1, None), (2, "b")], "k int, s string"))
+    vt.commit(
+        spark.createDataFrame([(1, None), (2, "B")], "k int, s string"),
+        base_version=1,
+    )
+    feed, pruned = vt.changes(spark, 1, 2, ["k"])
+    assert pruned is None
+    got = {(r.k, r._change_type, r.s) for r in feed.collect()}
+    # k=1 is null-on-both-sides: NOT an update
+    assert got == {
+        (2, "update_preimage", "b"),
+        (2, "update_postimage", "B"),
+    }
+
+
+def test_add_column_is_metadata_only(spark, tmp_path):
+    """Schema evolution: a commit that rewrites one partition WITH a
+    new column leaves every other partition pointer untouched, and
+    reading the head null-fills the new column for old files."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    seed = spark.createDataFrame(
+        [(i, "p%d" % (i % 2), float(i)) for i in range(8)],
+        "id int, p string, v double",
+    )
+    vt.commit_partitions(seed, "p", base_version=0)
+    evolved = (
+        vt.read(spark, 1)
+        .filter(F.col("p") == "p1")
+        .withColumn("flag", F.col("id") % 2 == 1)
+    )
+    vt.commit_partitions(evolved, "p", base_version=1, touched_values=["p1"])
+    m1, m2 = vt.manifest(1), vt.manifest(2)
+    assert m2["partitions"]["p0"] == m1["partitions"]["p0"]
+    head = vt.read(spark)
+    assert head.columns == ["id", "p", "v", "flag"]
+    rows = {(r.id, r.flag) for r in head.collect()}
+    assert all(f is None for i, f in rows if i % 2 == 0)  # p0: null-fill
+    assert all(f is True for i, f in rows if i % 2 == 1)  # p1: evolved
+    # CDC across the evolution: added column diffs NULL -> value
+    feed, pruned = vt.changes(spark, 1, 2, ["id"])
+    assert pruned == (1, 2)
+    pre = {r.id for r in feed.filter(
+        "_change_type = 'update_preimage'").collect()}
+    assert pre == {1, 3, 5, 7}
