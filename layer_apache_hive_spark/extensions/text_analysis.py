@@ -1182,3 +1182,101 @@ def ext_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("avg_bigram_logprob"),
     )
+
+
+@register(
+    "ext_text_perplexity_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), corpus AS (
+  SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+), total AS (
+  SELECT COUNT(*) AS n FROM toks
+), scored AS (
+  SELECT t.doc_id,
+         ROUND(ln(CAST(c.c AS DOUBLE) / total.n), 6) AS logp
+  FROM toks t JOIN corpus c ON t.token = c.token, total
+), doc AS (
+  SELECT doc_id,
+         CAST(ROUND(
+           CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) * 1e6
+         ) AS BIGINT) AS score_micro
+  FROM scored GROUP BY doc_id
+), cut AS (
+  SELECT quantile_cont(score_micro, 1.0/3.0) AS c1,
+         quantile_cont(score_micro, 2.0/3.0) AS c2
+  FROM doc
+)
+SELECT doc_id, score_micro,
+       CASE WHEN score_micro >= c2 THEN 'head'
+            WHEN score_micro >= c1 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(score_micro >= c1 AS INT) AS kept
+FROM doc, cut
+""",
+)
+def ext_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, the
+    filter behind most public pretrain corpora): score every document
+    with the in-query unigram LM (the ext_text_unigram_lm kernel),
+    split the corpus into head / middle / tail at the 1/3 and 2/3
+    score percentiles, and keep head+middle — dropping the
+    worst-perplexity third.
+
+    The score is kept in INTEGER micro-logprob space
+    (round(mean_logprob * 1e6)): percentile cutoffs over integers and
+    integer>=double comparisons are engine-exact, so the bucket
+    boundary cannot drift between Spark and the oracle the way raw
+    float thresholds can. Cutoffs ride a 1-row scalar aggregate
+    crossJoined back (broadcast nested-loop against ONE row — the
+    uncorrelated-scalar-subquery plan, listed in NL_OK), never a
+    global sort: no single-partition window anywhere.
+
+    Scale: the LM join is the proven unigram shape (vocabulary
+    broadcasts by Heaps' law); doc scores are one shuffle on doc_id;
+    the cutoff aggregate reduces doc-level rows to ONE row map-side.
+    Exact percentile over ~1e9 doc scores is the only full-sort-ish
+    term — at 100 TB swap to approx_percentile(score, p, 10000)
+    (one sketch, bounded error) and keep the rest of the plan; the
+    exact form here is what makes the oracle bit-checkable.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        toks.join(F.broadcast(corpus), "token")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c").cast("double") / F.col("n")), 6).alias(
+                "logp"
+            ),
+        )
+    )
+    doc = scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("logp").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("score_micro")
+    )
+    cut = doc.agg(
+        F.percentile("score_micro", 1.0 / 3.0).alias("c1"),
+        F.percentile("score_micro", 2.0 / 3.0).alias("c2"),
+    )
+    return doc.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "score_micro",
+        F.when(F.col("score_micro") >= F.col("c2"), "head")
+        .when(F.col("score_micro") >= F.col("c1"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        (F.col("score_micro") >= F.col("c1")).cast("int").alias("kept"),
+    )

@@ -35,6 +35,8 @@ NL_OK = {
     # one row is the wanted plan — it replaces an eager collect()
     "composite_idle_customers", "composite_important_stock",
     "ext_sample_domain_mix", "ext_sample_temperature",
+    # 1-row percentile-cutoff aggregate crossJoined onto doc scores
+    "ext_text_perplexity_filter",
     # k-seed fan-out: crossJoin against the k-row broadcast centroid
     # set (k=8) — the map-side assignment plan, not a data-data NL
     "ext_emb_kmeans_step",

@@ -550,3 +550,117 @@ def scan_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "— the layout-skipping claim would be vacuous:\n" + plan
     )
     return out
+
+
+@register(
+    "scan_data_skipping",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty,
+       MIN(l_orderkey) AS min_key,
+       MAX(l_orderkey) AS max_key
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= epoch_us(TIMESTAMP '1996-01-01')
+  AND epoch_us(l_shipdate) <  epoch_us(TIMESTAMP '1996-04-01')
+""",
+)
+def scan_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping from footer statistics — Hive's ORC
+    min/max row-group indexes / Iceberg's manifest value ranges,
+    rebuilt on parquet footers: a range predicate prunes FILES before
+    the scan ever schedules a task, by consulting only metadata.
+
+    The fixture writes lineitem range-clustered on ship date
+    (``repartitionByRange(16)``), so each file covers a tight
+    interval. The reader then (1) builds a manifest of per-file
+    min/max from the parquet FOOTERS via pyarrow — zero data pages
+    read; (2) keeps only files whose [min,max] intersects the
+    predicate interval; (3) scans just those files with the residual
+    filter. An in-fn assert proves files were actually skipped (the
+    3-month window covers ~1/27 of the 7-year span, so a clustered
+    layout must prune most of the 16 files).
+
+    The skip column is INT64 epoch-micros, not a raw timestamp:
+    Spark's default INT96 parquet timestamps carry NO footer
+    statistics, which is precisely why every production layout
+    (Delta/Iceberg/Hudi) stores stats-bearing physical types. The
+    oracle recomputes from the unclustered source, so a wrong prune
+    (dropped file that held matching rows) breaks the value match,
+    not just a perf counter.
+
+    Scale: this is the third scan lever after partition pruning and
+    column pruning — at 100 TB the manifest is itself a small table
+    (1 row per file) consulted driver- or coordinator-side; clustering
+    (Z-order for multi-column) is what keeps the ranges tight enough
+    to skip. Conservative fallback: a file with missing stats is
+    always kept.
+    """
+    import pyarrow.parquet as pq
+
+    lo = 820454400000000  # 1996-01-01 UTC in epoch micros
+    hi = 828316800000000  # 1996-04-01 UTC
+
+    path = _fixture_dir(sf_dir, "lineitem_ranged")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        li = read_table(spark, sf_dir, "lineitem")
+        (
+            li.select(
+                "l_orderkey",
+                # NTZ source: cast interprets in the UTC session TZ,
+                # matching the oracle's epoch_us over naive timestamps
+                F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias(
+                    "ship_us"
+                ),
+                "l_quantity",
+            )
+            .repartitionByRange(16, "ship_us")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    kept: list[str] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ship_us"
+            )
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                fmin = None  # stats missing: keep conservatively
+                break
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmin is None or fmax is None or (fmax >= lo and fmin < hi):
+            kept.append(f)
+    if len(files) >= 8:
+        assert len(kept) < len(files) // 2, (
+            f"scan_data_skipping: expected the clustered layout to "
+            f"skip most files, kept {len(kept)}/{len(files)}"
+        )
+
+    schema = "l_orderkey long, ship_us long, l_quantity double"
+    if kept:
+        scan = spark.read.schema(schema).parquet(*kept)
+    else:  # empty corpus or fully-pruned window: same shape, no scan
+        scan = spark.createDataFrame([], schema)
+    return (
+        scan.filter((F.col("ship_us") >= lo) & (F.col("ship_us") < hi))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("total_qty"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )

@@ -2239,3 +2239,136 @@ def evt_stream_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_commits", F.lit(head))
     )
+
+
+@register(
+    "evt_stream_cdc_apply",
+    oracle=f"""
+WITH seed AS (
+  SELECT o_orderkey AS k, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 3 = 0
+), b0 AS (
+  SELECT k, CASE WHEN k % 5 = 0 THEN p + 100.0 ELSE p END AS p FROM seed
+  UNION ALL
+  SELECT k + 2000000000, 7.0 FROM seed WHERE k % 50 = 0
+), b1 AS (
+  SELECT k,
+         CASE WHEN k % 10 = 0 AND k % 7 <> 0 AND k < 2000000000
+              THEN 1.0 ELSE p END AS p
+  FROM b0
+  WHERE NOT (k % 7 = 0 AND k < 2000000000)
+)
+SELECT COUNT(*) AS n_rows, {sql_dsum('p')} AS total_price,
+       3 AS head_version
+FROM b1
+""",
+)
+def evt_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the continuous MERGE that turns a change
+    feed into a queryable table (Delta's foreachBatch-MERGE streaming
+    upsert; Hive ACID's streaming mutation API is the same contract):
+    each micro-batch of (op, key, value) change rows is applied
+    atomically to a VersionedTable — upserts replace-or-insert,
+    deletes drop — so readers always see a change-complete snapshot,
+    never a half-applied batch.
+
+    Two ordered CDC batches ride a file stream (one file per batch,
+    mtimes force batch order): batch 0 upserts price+100 for key%5==0
+    and inserts re-keyed key%50==0 rows; batch 1 deletes key%7==0 and
+    overwrites key%10==0 to 1.0 — exercising update-after-update,
+    insert-then-survive, and delete-of-updated lineage. Replay safety
+    is version arithmetic: batch b commits exactly version b+2, so a
+    redelivered batch sees current_version >= b+2 and drops itself
+    before any write (the Delta txn-appId idempotence shape).
+
+    The oracle replays the same change algebra in SQL (seed → b0 →
+    b1), so a lost delete, double-applied upsert, or misordered batch
+    breaks the decimal-exact price sum — and head_version pins that
+    exactly 2 commits landed.
+
+    Scale: the apply is one left-anti + union per batch — cost
+    O(|table| + |batch|) as copy-on-write here; at 100 TB the same
+    apply goes through commit_partitions so a batch touching k
+    partitions stages k/N of the data (sink_cdc_feed's manifest-diff
+    contract, run in reverse). State is the table itself, not
+    stream state — watermarks are unnecessary because CDC feeds are
+    totally ordered by the upstream log.
+    """
+    from layer_apache_hive_spark.acid import VersionedTable
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = f"/root/repo/.tmp/stream_cdc/{label}"
+    shutil.rmtree(root, ignore_errors=True)  # reseed: idempotent per run
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    _pin_stream_confs(spark)
+
+    seed = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+    )
+    vt = VersionedTable(os.path.join(root, "table"))
+    vt.init(seed)
+
+    b0 = (
+        seed.filter(F.col("k") % 5 == 0)
+        .select(F.lit("upsert").alias("op"), "k", (F.col("p") + 100.0).alias("p"))
+        .unionByName(
+            seed.filter(F.col("k") % 50 == 0).select(
+                F.lit("upsert").alias("op"),
+                (F.col("k") + 2000000000).alias("k"),
+                F.lit(7.0).alias("p"),
+            )
+        )
+    )
+    b1 = (
+        seed.filter(F.col("k") % 7 == 0)
+        .select(F.lit("delete").alias("op"), "k", F.lit(None).cast("double").alias("p"))
+        .unionByName(
+            seed.filter((F.col("k") % 10 == 0) & (F.col("k") % 7 != 0)).select(
+                F.lit("upsert").alias("op"), "k", F.lit(1.0).alias("p")
+            )
+        )
+    )
+    for i, b in enumerate([b0, b1]):
+        staged = os.path.join(root, f"stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = next(
+            f for f in sorted(os.listdir(staged)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"b{i}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (1700000000 + 100 * i, 1700000000 + 100 * i))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        head = vt.current_version()
+        if head >= batch_id + 2:
+            return  # replayed batch: version arithmetic says applied
+        cur = vt.read(spark, head)
+        keys = batch_df.select("k").distinct()
+        ups = batch_df.filter(F.col("op") == "upsert").select("k", "p")
+        vt.commit(
+            cur.join(keys, "k", "left_anti").unionByName(ups),
+            base_version=head,
+        )
+
+    schema = "op string, k long, p double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    head = vt.current_version()
+    assert head == 3, f"evt_stream_cdc_apply: expected 3 commits, got {head}"
+    return vt.read(spark, head).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("p").alias("total_price"),
+    ).withColumn("head_version", F.lit(head))
