@@ -901,3 +901,120 @@ def ext_pipeline_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         (reason == "kept").alias("keep"),
     )
+
+
+@register(
+    "ext_pipeline_dpo",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, lang, source,
+         (n_uniq * 10000) // n_tok AS score
+  FROM scored WHERE n_tok > 0
+),
+rk AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY score DESC, doc_id) AS rk_best,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY score ASC, doc_id DESC) AS rk_worst,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n
+  FROM s2
+)
+SELECT b.lang, b.source,
+       b.rk_best AS pair_rank,
+       b.doc_id AS chosen_doc_id,
+       w.doc_id AS rejected_doc_id,
+       b.score AS chosen_score,
+       w.score AS rejected_score,
+       b.score - w.score AS margin
+FROM rk b
+JOIN rk w ON b.lang = w.lang AND b.source = w.source
+         AND w.rk_worst = b.rk_best
+WHERE b.rk_best <= b.n // 2
+  AND b.score - w.score >= 1
+""",
+)
+def ext_pipeline_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO / RLHF preference-pair construction — the fine-tuning leg
+    after SFT (ext_pipeline_sft): within each (lang, source) prompt
+    bucket, rank documents by a deterministic quality score
+    (type-token ratio in scaled integer math: distinct-tokens ×
+    10000 div tokens — no float whose rounding could reorder ties)
+    and pair the i-th best with the i-th worst, chosen vs rejected,
+    keeping pairs with a strictly positive margin. The standard
+    "best-vs-worst within prompt group" pairing used to bootstrap
+    preference data from quality signals.
+
+    Spark-first: one map-side tokenize+score pass (whole-stage
+    codegen, no Python), then two ROW_NUMBERs and a COUNT over the
+    SAME (lang, source) window partition — Catalyst plans the
+    opposite sort orders as two Window nodes over one exchange — and
+    a self-join keyed on (lang, source, rank), co-partitioned with
+    the windows so AQE reuses the layout. At 100 TB prompt buckets
+    are the natural unit of skew: a zipf-hot source is handled by
+    AQE skew-split on the self-join, and the rank windows stay
+    bounded because ranking is per bucket, never global. Mirror-image
+    tiebreaks ((score DESC, doc_id) vs (score ASC, doc_id DESC))
+    make rk_worst = n - rk_best + 1 exactly, so chosen and rejected
+    can never alias while ranks stay deterministic in both engines.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    ).filter(F.col("n_tok") > 0)
+    s2 = scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("(n_uniq * 10000) div n_tok").alias("score"),
+    )
+    bucket = ["lang", "source"]
+    w_best = Window.partitionBy(*bucket).orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    w_worst = Window.partitionBy(*bucket).orderBy(
+        F.col("score").asc(), F.col("doc_id").desc()
+    )
+    rk = s2.select(
+        "*",
+        F.row_number().over(w_best).alias("rk_best"),
+        F.row_number().over(w_worst).alias("rk_worst"),
+        F.count(F.lit(1)).over(Window.partitionBy(*bucket)).alias("n"),
+    )
+    b = rk.select(
+        "lang", "source",
+        F.col("rk_best").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("score").alias("chosen_score"),
+        F.col("n"),
+    )
+    w_side = rk.select(
+        "lang", "source",
+        F.col("rk_worst").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        b.join(w_side, ["lang", "source", "pair_rank"])
+        .filter(
+            (F.col("pair_rank") <= F.expr("n div 2"))
+            & (F.col("chosen_score") - F.col("rejected_score") >= 1)
+        )
+        .select(
+            "lang", "source", "pair_rank",
+            "chosen_doc_id", "rejected_doc_id",
+            "chosen_score", "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        )
+    )

@@ -2372,3 +2372,103 @@ def evt_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("p").alias("total_price"),
     ).withColumn("head_version", F.lit(head))
+
+
+@register(
+    "evt_cep_pattern",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, event_type,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+o2 AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+),
+runs AS (
+  SELECT user_id, grp,
+         COUNT(*) AS n_errors,
+         MIN(t) AS err_start_t,
+         MAX(rn) + 1 AS p_rn
+  FROM o2 WHERE event_type = 'error'
+  GROUP BY 1, 2
+)
+SELECT r.user_id,
+       r.n_errors,
+       strftime(r.err_start_t, '{_SQL_TS_FMT}') AS err_start,
+       strftime(p.t, '{_SQL_TS_FMT}') AS purchase_ts,
+       p.event_id AS purchase_event_id
+FROM runs r
+JOIN o2 p ON p.user_id = r.user_id AND p.rn = r.p_rn
+WHERE p.event_type = 'purchase'
+""",
+)
+def evt_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match — SQL-standard
+    MATCH_RECOGNIZE semantics for the pattern `ERROR+ PURCHASE`
+    (one-or-more consecutive errors immediately followed by a
+    purchase) per user stream, ONE ROW PER MATCH with AFTER MATCH
+    SKIP PAST LAST ROW `[upstream: deployed Hive has no CEP; Flink /
+    Oracle MATCH_RECOGNIZE is the public semantics model]`. Each
+    match reports the run length, its first-error timestamp, and the
+    closing purchase — the "N failures then a success" shape behind
+    retry-storm and fraud-sequence detection.
+
+    Spark-first translation: the greedy `ERROR+` quantifier is a
+    maximal run, so matches are gaps-and-islands — ROW_NUMBER plus a
+    LAG-based change flag and a running SUM give each consecutive
+    same-type run an island id, all over ONE user-keyed sort (the
+    three window functions share partition+order, so Catalyst fuses
+    them into a single Window node: one shuffle on user_id, one
+    sort). Island aggregation is a partial-agg groupBy on the same
+    user_id key, and the `PURCHASE` suffix check is an equi-join of
+    the run's (user_id, last_rn + 1) against the row-numbered stream
+    — AQE reuses the exchange layout end to end. SKIP PAST LAST ROW
+    comes free: maximal runs cannot overlap, so no post-filter is
+    needed. State per user is bounded by one row per event and runs
+    compress at the agg; at 100 TB the plan is one shuffle + one
+    co-partitioned join, no per-row Python. Deterministic order via
+    the (ts, event_id) tiebreak both engines share; second-formatted
+    timestamps render identically (µs instants, same truncation).
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(F.lag("event_type").over(w) == F.col("event_type"), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    o = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "grp",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = (
+        o.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.min("ts").alias("err_start_t"),
+            (F.max("rn") + F.lit(1)).alias("p_rn"),
+        )
+    )
+    nxt = o.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("rn").alias("p_rn"),
+        F.col("ts").alias("p_t"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    return runs.join(nxt, ["user_id", "p_rn"]).select(
+        "user_id",
+        "n_errors",
+        F.date_format("err_start_t", _TS_FMT).alias("err_start"),
+        F.date_format("p_t", _TS_FMT).alias("purchase_ts"),
+        "purchase_event_id",
+    )
