@@ -2472,3 +2472,68 @@ def evt_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_t", _TS_FMT).alias("purchase_ts"),
         "purchase_event_id",
     )
+
+
+@register(
+    "evt_transition_matrix",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+  FROM o WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_trans,
+       CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+       CAST((n_trans * 1000000)
+         // SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS p_micro
+FROM trans
+""",
+)
+def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams — P(next event type | current event type), the model
+    behind next-action prediction and anomalous-sequence scoring
+    (a transition with tiny p_micro observed often = behavioral
+    drift). Probabilities in scaled integer math (micro-units,
+    floor division) so both engines emit identical values — no
+    float division whose last ulp could differ.
+
+    Spark-first: one LAG over the user-keyed window (single shuffle
+    on user_id, the same exchange evt_cep_pattern uses), then a
+    groupBy on (prev, next) — 25 cells max regardless of corpus
+    size, so the partial agg collapses map-side and the final
+    shuffle moves O(types²) rows. The per-row normalizer is a window
+    SUM over prev_type on the already-tiny matrix. At 100 TB this is
+    scan + one user-keyed sort + a 25-row reduce: the model table is
+    scale-invariant and broadcast-able to whatever scores with it.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.sum("n_trans").over(wn).alias("n_from"),
+        F.expr(
+            "(n_trans * 1000000) div sum(n_trans) over (partition by prev_type)"
+        ).alias("p_micro"),
+    )
