@@ -1280,3 +1280,84 @@ def ext_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         (F.col("score_micro") >= F.col("c1")).cast("int").alias("kept"),
     )
+
+
+# RAG chunking: 64-token chunks, 16-token overlap => 48-token stride
+_CHUNK_C = 64
+_CHUNK_S = 48
+
+
+@register(
+    "ext_rag_chunk",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, t, n_tok,
+         CASE WHEN n_tok > {_CHUNK_C}
+              THEN (n_tok - {_CHUNK_C} + {_CHUNK_S} - 1) // {_CHUNK_S}
+              ELSE 0 END AS extra
+  FROM w WHERE n_tok > 0
+),
+chunks AS (
+  SELECT doc_id, n_tok, unnest(range(0, extra + 1)) AS chunk_idx, t
+  FROM spans
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(LEAST({_CHUNK_C}, n_tok - chunk_idx * {_CHUNK_S}) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(
+         t[chunk_idx * {_CHUNK_S} + 1 : chunk_idx * {_CHUNK_S} + {_CHUNK_C}],
+         ' ') AS chunk_text
+FROM chunks
+""",
+)
+def ext_rag_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / embedding-prep chunking — split every document into
+    64-token chunks with 16-token overlap (stride 48), the standard
+    sliding-window segmentation feeding an embedding model or a
+    retrieval index. Emits (doc_id, chunk_idx, token count, chunk
+    text); the final chunk is the natural remainder, never padded.
+
+    Spark-first: tokenize, integer chunk-count arithmetic, and a
+    sequence+explode fan-out are all per-row expressions — ZERO
+    shuffles, runs at scan speed, which is what a 100 TB chunking
+    pass must be (the expensive part is the embedding model
+    downstream, never the slicing). Pure integer ceil-division in
+    both engines — no float whose rounding could add or drop a
+    chunk; slice() and 1-based list slicing agree exactly on the
+    window bounds.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).withColumn("n_tok", F.size("t").cast("long"))
+    spans = w.filter(F.col("n_tok") > 0).withColumn(
+        "extra",
+        F.expr(
+            f"CASE WHEN n_tok > {_CHUNK_C} "
+            f"THEN (n_tok - {_CHUNK_C} + {_CHUNK_S} - 1) div {_CHUNK_S} "
+            f"ELSE 0L END"
+        ),
+    )
+    chunks = spans.select(
+        "doc_id",
+        "n_tok",
+        "t",
+        F.explode(F.expr("sequence(0L, extra)")).alias("chunk_idx"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(
+            F.lit(_CHUNK_C).cast("long"),
+            F.col("n_tok") - F.col("chunk_idx") * _CHUNK_S,
+        ).alias("n_chunk_tokens"),
+        F.array_join(
+            F.expr(f"slice(t, int(chunk_idx * {_CHUNK_S} + 1), {_CHUNK_C})"),
+            " ",
+        ).alias("chunk_text"),
+    )

@@ -1018,3 +1018,80 @@ def ext_pipeline_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
         )
     )
+
+
+@register(
+    "ext_sample_importance",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+),
+w AS (
+  SELECT doc_id, lang, source,
+         LEAST(10000, (n_uniq * 20000) // n_tok) AS keep_micro,
+         ('0x' || substr(md5('imp:' || doc_id), 1, 8))::BIGINT % 10000
+           AS bucket
+  FROM scored WHERE n_tok > 0
+)
+SELECT doc_id, lang, source,
+       keep_micro,
+       10000000000 // keep_micro AS ipw_micro
+FROM w
+WHERE bucket < keep_micro
+""",
+)
+def ext_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling — keep each document with
+    probability proportional to a quality proxy (type-token ratio,
+    capped at 1), and emit the inverse-propensity weight that makes
+    downstream statistics unbiased (Horvitz-Thompson). The doc-level
+    sibling of ext_sample_temperature's source-level remix: quality
+    upsampling at the document grain is how pretraining mixes favor
+    clean text without hard-dropping the tail.
+
+    Spark-first: entirely map-side — score, cap, portable-md5 bucket,
+    threshold compare, all integer arithmetic inside whole-stage
+    codegen; ZERO shuffles, and the selection is partitioning- and
+    scale-invariant (each doc's fate depends only on its own id).
+    The keep probability lives in basis points (LEAST caps at 10000)
+    and the IPW in scaled integer micro-units — floor division in
+    both engines, no float boundary.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    ).filter(F.col("n_tok") > 0)
+    w = scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.least(
+            F.lit(10000).cast("long"),
+            F.expr("(n_uniq * 20000) div n_tok"),
+        ).alias("keep_micro"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("imp:"), F.col("doc_id"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 10000
+        ).alias("bucket"),
+    )
+    return w.filter(F.col("bucket") < F.col("keep_micro")).select(
+        "doc_id",
+        "lang",
+        "source",
+        "keep_micro",
+        F.expr("10000000000 div keep_micro").alias("ipw_micro"),
+    )

@@ -15,7 +15,7 @@ cardinality + skew is handled by AQE partition splitting (session.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from layer_apache_hive_spark.catalog import read_table
@@ -803,4 +803,53 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+  FROM lineitem
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY n DESC, l_quantity) AS rk
+  FROM counts
+)
+SELECT l_returnflag, l_quantity AS mode_qty, n AS n_mode
+FROM ranked WHERE rk = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group — the most frequent l_quantity for
+    each return flag `[upstream: Hive exposes no mode() UDAF; the
+    standard rewrite is count-then-rank, which is also how Spark
+    should run it at scale]`. Ties break to the smallest value so
+    the answer is unique and engine-independent.
+
+    Spark-first: the value-frequency aggregate shuffles once on
+    (group, value) with map-side combine — the heavy reduction —
+    then the rank window runs over the ALREADY-AGGREGATED frequency
+    table (O(distinct values) rows, not O(rows)), partitioned by the
+    group key. No collect, no per-group sort of raw data; the same
+    two-stage shape DuckDB's mode() implements internally.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("n").alias("n_mode"),
+        )
     )

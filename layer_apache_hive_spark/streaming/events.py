@@ -2537,3 +2537,64 @@ def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_trans * 1000000) div sum(n_trans) over (partition by prev_type)"
         ).alias("p_micro"),
     )
+
+
+@register(
+    "evt_windowed_topk",
+    oracle=f"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+           AS day,
+         user_id,
+         {sql_dsum('value')} AS revenue,
+         COUNT(*) AS n_purchases
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                               ORDER BY revenue DESC, user_id) AS rk
+  FROM daily
+)
+SELECT day, rk, user_id, revenue, n_purchases
+FROM ranked WHERE rk <= 3
+""",
+)
+def evt_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k — the top 3 users by purchase revenue within
+    every day: the leaderboard shape (trending items, heaviest
+    tenants per window) that pairs a time bucket with a per-bucket
+    rank. Hive writes this as a rank() over a GROUP BY subquery;
+    same plan here.
+
+    Spark-first: the aggregate shuffles once on (day, user_id) with
+    map-side partial sums; the rank window then shuffles the
+    ALREADY-AGGREGATED rows on day — the window sort sees one row
+    per (day, user) per bucket, never raw events, which is what
+    keeps a 100 TB leaderboard bounded (window input is O(users) per
+    day, not O(events)). ROW_NUMBER with a user_id tiebreak (not
+    rank()) keeps the cut deterministic; revenue goes through
+    decimal accumulation so both engines rank bit-identical doubles.
+    """
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .agg(
+            dsum("value").alias("revenue"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("revenue").desc(), F.col("user_id")
+    )
+    return (
+        daily.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("day", "rk", "user_id", "revenue", "n_purchases")
+    )

@@ -71,3 +71,31 @@ def test_committed_artifact_has_no_vacuous_rows(name):
         or (rec.get("hash_match") is True and rec.get("spark_rows") == 0)
     }
     assert not vacuous, f"{name} carries vacuous 0-row passes: {sorted(vacuous)}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "CORRECTNESS_local.json",
+        "CORRECTNESS_local_sf01.json",
+        "CORRECTNESS_driver_session.json",
+        "CORRECTNESS_hostile_planner.json",
+    ],
+)
+def test_committed_artifact_covers_full_registry(name):
+    """The four full-registry replicates must carry EXACTLY the live
+    registry's ids: an artifact regenerated before the newest
+    operators landed (missing ids), or carrying ids of a renamed/
+    removed query (extra ids), is stale even if every row it does
+    have is green. CORRECTNESS_metastore.json is exempt — it is a
+    deliberate 2-dozen-query catalog-resolution subset."""
+    from layer_apache_hive_spark.registry import _load_all_modules, _REGISTRY
+
+    _load_all_modules()
+    rows = _rows(name)
+    missing = sorted(set(_REGISTRY) - set(rows))
+    extra = sorted(set(rows) - set(_REGISTRY))
+    assert not missing and not extra, (
+        f"{name} stale vs registry: missing={missing} extra={extra} — "
+        "regenerate with `make replicates`"
+    )
