@@ -1095,3 +1095,83 @@ def ext_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_micro",
         F.expr("10000000000 div keep_micro").alias("ipw_micro"),
     )
+
+
+@register(
+    "ext_split_leakage",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fp,
+         CASE WHEN ('0x' || substr(md5('holdout:' || doc_id), 1, 8))::BIGINT
+                   % 100 < 10
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT v.doc_id, v.lang,
+       MIN(t.doc_id) AS witness_train_doc_id,
+       COUNT(*) AS n_train_dups
+FROM f v JOIN f t ON v.fp = t.fp
+WHERE v.split = 'val' AND t.split = 'train'
+GROUP BY 1, 2
+""",
+)
+def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation split-leakage audit — every held-out document
+    whose canonical fingerprint (sorted distinct tokens, the
+    ext_text_fingerprint canon) also appears in the training split,
+    with one witness train doc and the duplicate count. The check
+    that keeps eval numbers honest: a val doc with a train-side twin
+    measures memorization, not generalization. Composes the
+    ext_sample_holdout md5 split with the exact-canonical dup
+    relation — the doc-level sibling of ext_text_contamination's
+    n-gram benchmark decontamination.
+
+    Spark-first: fingerprint + split label are map-side; the
+    val↔train match is ONE equi-join on the fingerprint hash with
+    both sides shuffled on fp, and the witness aggregation groups on
+    the SAME key, so AQE reuses the exchange. Output is one row per
+    leaked VAL doc — deliberately NOT the all-pairs form, whose row
+    count grows with dup-cluster size squared (6.3k pairs vs 107
+    leaked docs at sf0.1 here; at 100 TB a boilerplate cluster of
+    10^5 copies would emit 10^9 pairs) — the aggregate keeps the
+    result linear in the held-out set while still counting every
+    train twin. Zipf-hot fingerprints are the skew case: AQE
+    skew-split handles the join, and the groupBy collapses map-side.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    f = d.select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+        ).alias("fp"),
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("holdout:"), F.col("doc_id"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+            < 10,
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    val = f.filter(F.col("split") == "val").select("doc_id", "lang", "fp")
+    train = f.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("t_doc_id"), "fp"
+    )
+    return (
+        val.join(train, "fp")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.min("t_doc_id").alias("witness_train_doc_id"),
+            F.count(F.lit(1)).alias("n_train_dups"),
+        )
+    )

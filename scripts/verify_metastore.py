@@ -63,6 +63,18 @@ SLICE = [
     "composite_order_priority",
     "composite_market_share",
     "composite_top_supplier",
+    # round-6 families through the catalog: the ACID/versioned-table
+    # surface creates and reads its own state under a catalog-backed
+    # session; CEP/window/mode + chunking/sampling prove the window,
+    # lateral-explode, and md5-selection kernels see the same bytes
+    # when the corpus resolves BY NAME
+    "sink_time_travel",
+    "ddl_analyze_stats",
+    "agg_mode",
+    "evt_cep_pattern",
+    "evt_windowed_topk",
+    "ext_rag_chunk",
+    "ext_sample_importance",
 ]
 
 
