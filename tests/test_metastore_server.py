@@ -278,6 +278,26 @@ parsed_q = [
 assert len(parsed_q) == len(local_q) > 0, (len(parsed_q), len(local_q))
 assert parsed_q == local_q
 print("AUTH_OK", len(parsed_q))
+
+# a round-6 CEP query (SURVEY §2.10) through the same endpoint:
+# exercises timestamp-formatted strings + bigints over the wire.
+cep = _REGISTRY["evt_cep_pattern"].fn(spark, {sf!r})
+cep.createOrReplaceGlobalTempView("evt_cep_pattern_result")
+cols_c, wire_c = beeline_query(
+    "SELECT * FROM global_temp.evt_cep_pattern_result "
+    "ORDER BY user_id, purchase_event_id", port,
+    user="etl", password="pipeline")
+assert cols_c == ["user_id", "n_errors", "err_start", "purchase_ts",
+                  "purchase_event_id"], cols_c
+local_c = [
+    (r.user_id, r.n_errors, r.err_start, r.purchase_ts,
+     r.purchase_event_id)
+    for r in cep.orderBy("user_id", "purchase_event_id").collect()
+]
+parsed_c = [(int(a), int(b), c, d, int(e)) for a, b, c, d, e in wire_c]
+assert len(parsed_c) == len(local_c) > 0, (len(parsed_c), len(local_c))
+assert parsed_c == local_c
+print("CEP_WIRE_OK", len(parsed_c))
 server.stop()
 spark.stop()
 """
@@ -303,6 +323,7 @@ def test_thrift_server_custom_authentication():
             timeout=420,
         )
         assert "AUTH_OK" in out
+        assert "CEP_WIRE_OK" in out
 
 
 def test_thrift_server_serves_registered_query():
