@@ -1361,3 +1361,91 @@ def ext_rag_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("chunk_text"),
     )
+
+
+@register(
+    "ext_bpe_merge_step",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, COUNT(*) AS wc FROM toks WHERE len(w) >= 2 GROUP BY w
+),
+positions AS (
+  SELECT w, wc, unnest(range(1, len(w))) AS i FROM vocab
+),
+pc AS (
+  SELECT substr(w, i, 1) AS left_sym,
+         substr(w, i + 1, 1) AS right_sym,
+         CAST(SUM(wc) AS BIGINT) AS pair_count
+  FROM positions GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC,
+                               left_sym, right_sym) AS pair_rank
+  FROM pc
+)
+SELECT pair_rank, left_sym, right_sym, pair_count,
+       CASE WHEN pair_rank = 1 THEN 1 ELSE 0 END AS is_merge
+FROM ranked WHERE pair_rank <= 10
+""",
+)
+def ext_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training merge step (Sennrich et al. 2016)
+    at corpus scale: count every adjacent symbol pair across the
+    corpus weighted by word frequency, and elect the merge — the
+    argmax pair with a lexicographic tiebreak. The iterative-kernel
+    sibling of ext_emb_kmeans_step: a driver loop re-running this
+    step (applying each merge to the vocab) IS tokenizer training;
+    one step is registered so the value oracle pins the heavy
+    reduction. ext_text_tokens_bpe applies a FIXED tokenizer; this
+    is how that tokenizer gets learned.
+
+    Spark-first: the word-frequency aggregate shuffles once on the
+    word (map-side combine collapses repeats), pair fan-out is a
+    per-row sequence+explode, and the pair-count aggregate shuffles
+    on the pair key. The final rank window is UNPARTITIONED on
+    purpose: its input is the aggregated pair table — O(alphabet²)
+    rows, scale-INVARIANT in corpus size — so the single-partition
+    sort touches a few hundred rows at any sf (the same
+    tiny-aggregate pattern as composite_dashboard's summary). At
+    100 TB the real cost is the two keyed aggregates; both are
+    partial-agg friendly. Top-10 emitted so the oracle checks the
+    contenders, not just the winner.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        toks.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    positions = vocab.select(
+        "w", "wc", F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i")
+    )
+    pc = (
+        positions.select(
+            F.expr("substr(w, i, 1)").alias("left_sym"),
+            F.expr("substr(w, i + 1, 1)").alias("right_sym"),
+            "wc",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("wc").alias("pair_count"))
+    )
+    w = Window.orderBy(
+        F.col("pair_count").desc(), F.col("left_sym"), F.col("right_sym")
+    )
+    return (
+        pc.withColumn("pair_rank", F.row_number().over(w))
+        .filter(F.col("pair_rank") <= 10)
+        .select(
+            "pair_rank",
+            "left_sym",
+            "right_sym",
+            "pair_count",
+            F.when(F.col("pair_rank") == 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_merge"),
+        )
+    )

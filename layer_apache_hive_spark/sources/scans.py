@@ -664,3 +664,41 @@ def scan_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_orderkey").alias("max_key"),
         )
     )
+
+
+@register("scan_xml", oracle=_NATION_ORACLE)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round trip `[upstream: Hive deployments read XML via the
+    community XmlSerDe / XmlInputFormat; Spark 4 ships to_xml/from_xml
+    natively]`: the nation dimension serialized to one XML record per
+    line, read back as text and parsed with from_xml under an
+    explicit schema — schema-on-read over markup, the LazySimpleSerDe
+    story with angle brackets.
+
+    Scale: to_xml/from_xml are per-row codegen expressions; the text
+    scan splits like any line-oriented format, so parsing
+    parallelizes per partition. Pushdown note: unlike parquet, a
+    text-backed XML scan cannot skip row groups — the residual filter
+    runs post-parse, which is why an ingest pipeline converts XML to
+    columnar on first touch (sink_ctas) rather than re-scanning it.
+    """
+    path = _fixture_dir(sf_dir, "xml")
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    # to_xml pretty-prints one field per line; flatten to ONE record
+    # per line so the line-oriented text scan keeps record boundaries
+    n.select(
+        F.regexp_replace(
+            F.to_xml(F.struct("n_nationkey", "n_name", "n_regionkey")),
+            r"\n\s*",
+            "",
+        ).alias("x")
+    ).write.mode("overwrite").text(path)
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    parsed = (
+        spark.read.text(path)
+        .select(F.from_xml("value", schema).alias("r"))
+        .select("r.n_nationkey", "r.n_name", "r.n_regionkey")
+    )
+    return parsed

@@ -215,3 +215,27 @@ def test_split_leakage_witnesses_are_true_twins(spark):
         if is_val[doc_id] and f in train_by_fp
     }
     assert set(got.doc_id) == want
+
+
+# --- 9. BPE merge step: pandas recount of the pair election --------------------
+
+
+def test_bpe_merge_step_elects_true_argmax(spark):
+    got = _run(spark, "ext_bpe_merge_step").sort_values("pair_rank")
+    from collections import Counter
+
+    wc = Counter()
+    for r in _docs(SF_DIR).itertuples():
+        for w in r.text.split(" "):
+            if len(w) >= 2:
+                wc[w] += 1
+    pairs = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += c
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got_rows = [
+        ((r.left_sym, r.right_sym), r.pair_count) for r in got.itertuples()
+    ]
+    assert got_rows == want
+    assert list(got.is_merge) == [1] + [0] * (len(got) - 1)
