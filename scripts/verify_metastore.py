@@ -75,6 +75,8 @@ SLICE = [
     "evt_windowed_topk",
     "ext_rag_chunk",
     "ext_sample_importance",
+    "scan_xml",
+    "ext_bpe_merge_step",
 ]
 
 
