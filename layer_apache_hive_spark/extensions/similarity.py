@@ -1454,3 +1454,81 @@ def ext_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / 5).alias("recall_at_5"),
     )
+
+
+# ext_emb_pca_step: deterministic start vector for the power
+# iteration — small exact-decimal rationals, same literal text in
+# both dialects so the parsed doubles are bit-identical
+_PCA_V0 = [((j * 37 + 11) % 13 - 6) / 10.0 for j in range(1, _EMB_DIM + 1)]
+
+
+@register(
+    "ext_emb_pca_step",
+    oracle=f"""
+WITH dims AS (SELECT unnest(range(1, {_EMB_DIM + 1})) AS j),
+v0 AS (
+  SELECT j, CAST(((j * 37 + 11) % 13 - 6) AS DOUBLE) / 10 AS v FROM dims
+),
+sc AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST(FLOOR(CAST(e.embedding[j] AS DOUBLE) * v0.v * 1e12)
+                  AS BIGINT)) AS BIGINT) AS s_scaled
+  FROM embeddings e, v0
+  GROUP BY e.vec_id
+),
+terms AS (
+  SELECT d.j AS dim,
+         CAST(FLOOR((CAST(e.embedding[d.j] AS DOUBLE)
+                     * (sc.s_scaled / 1e12)) * 1e10) AS BIGINT) AS t
+  FROM embeddings e JOIN sc USING (vec_id), dims d
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(SUM(t) AS BIGINT) / 1e10 AS component
+FROM terms GROUP BY dim
+""",
+)
+def ext_emb_pca_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: w = Xᵀ(X v₀) over the embedding matrix, from a fixed
+    deterministic start vector — the iterative kernel of PCA /
+    spectral whitening at corpus scale (a driver loop normalizing and
+    re-feeding w IS power iteration; one step is registered so the
+    oracle pins the heavy reduction, the ext_emb_kmeans_step /
+    ext_bpe_merge_step convention for iterative algorithms).
+
+    Spark-first, two passes, both map-heavy: (1) per-row dot
+    s = ⟨emb, v₀⟩ as an IN-ORDER fold of FLOOR-scaled BIGINT terms
+    (per-element double products are IEEE-identical in both engines;
+    the integer sum is exact and order-independent — the _DOT
+    convention, no decimal-rounding tie); (2) posexplode to (dim,
+    x·s) terms, again FLOOR-scaled, reduced by a 64-group aggregate —
+    partial aggregation collapses every partition to 64 rows before
+    the shuffle, so the exchange moves O(partitions × 64) rows at any
+    corpus size. Term bounds: |x·v₀| ≤ 0.6 ⇒ |s| ≤ 40, per-term
+    ≤ 4e11 at 1e10 scale ⇒ int64 holds past 10⁷ rows; the docstring
+    contract at 100 TB is DECIMAL(38,0) accumulation for the outer
+    sum (one-line swap), same plan shape.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    v0_lits = ", ".join(
+        f"CAST(({j} * 37 + 11) % 13 - 6 AS DOUBLE) / 10"
+        for j in range(1, _EMB_DIM + 1)
+    )
+    s_expr = (
+        f"CAST(aggregate(zip_with(embedding, array({v0_lits}), "
+        f"(x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * y * 1e12) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+    )
+    sc = e.select("vec_id", "embedding", F.expr(s_expr).alias("s_scaled"))
+    terms = sc.select(
+        F.posexplode("embedding").alias("pos", "x"),
+        (F.col("s_scaled") / F.lit(1e12)).alias("s"),
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.expr("CAST(FLOOR((CAST(x AS DOUBLE) * s) * 1e10) AS BIGINT)").alias(
+            "t"
+        ),
+    )
+    return terms.groupBy("dim").agg(
+        (F.sum("t").cast("bigint") / F.lit(1e10)).alias("component")
+    )

@@ -702,3 +702,57 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.n_nationkey", "r.n_name", "r.n_regionkey")
     )
     return parsed
+
+
+@register(
+    "scan_binaryfile",
+    oracle="""
+SELECT 'n_' || CAST(n_nationkey AS VARCHAR) || '.bin' AS file_name,
+       CAST((n_nationkey + 1) * (length('nation:' || CAST(n_nationkey AS VARCHAR) || ':' || n_name) + 1) AS BIGINT)
+         AS length,
+       md5(repeat('nation:' || CAST(n_nationkey AS VARCHAR) || ':' || n_name || chr(10),
+                  n_nationkey + 1)) AS content_md5
+FROM nation
+""",
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary-payload ingest via Spark's ``binaryFile`` source
+    — the scan every multimodal pipeline starts from (raw
+    image/audio/video files on object storage become (path, length,
+    modificationTime, content) rows; extensions/multimodal.py picks
+    up from exactly this shape) `[upstream: Hive reads blobs through
+    SequenceFile BytesWritable; binaryFile is Spark's native form]`.
+
+    The fixture: one deterministic .bin file per nation row
+    (text-derived bytes, content length varies per key), read back
+    with binaryFile + a path glob, emitting name, size, and an md5
+    of the raw bytes — the oracle recomputes all three from the
+    dimension, so a truncated read, wrong file, or content corruption
+    breaks values. Scale: binaryFile splits per FILE (content is one
+    cell — ``spark.sql.files.maxPartitionBytes`` governs batching of
+    small files, one task per large file), which is why the decode
+    stage downstream is mapInPandas over whole payloads; the md5 here
+    runs JVM-side per row.
+    """
+    import hashlib
+
+    path = _fixture_dir(sf_dir, "binaryfile")
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    # bounded dimension (25 rows at every sf): driver-side file
+    # materialization, the same pattern as the other format fixtures
+    os.makedirs(path, exist_ok=True)
+    for r in n.collect():
+        content = (
+            f"nation:{r['n_nationkey']}:{r['n_name']}\n"
+            * (r["n_nationkey"] + 1)
+        ).encode()
+        with open(os.path.join(path, f"n_{r['n_nationkey']}.bin"), "wb") as fh:
+            fh.write(content)
+    b = spark.read.format("binaryFile").load(path)
+    return b.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.md5("content").alias("content_md5"),
+    )

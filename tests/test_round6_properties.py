@@ -239,3 +239,36 @@ def test_bpe_merge_step_elects_true_argmax(spark):
     ]
     assert got_rows == want
     assert list(got.is_merge) == [1] + [0] * (len(got) - 1)
+
+
+# --- 10. PCA step: numpy recompute within the scaled-integer tolerance ----------
+
+
+def test_pca_step_matches_numpy(spark):
+    import numpy as np
+
+    got = _run(spark, "ext_emb_pca_step").sort_values("dim")
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    v0 = np.array([((j * 37 + 11) % 13 - 6) / 10.0 for j in range(1, 65)])
+    w = X.T @ (X @ v0)
+    # two FLOOR-scaled stages: |err| <= n_rows/1e10 + 64*|x|/1e12 slack
+    tol = len(X) / 1e10 + 1e-6
+    assert np.allclose(got.component.to_numpy(), w, atol=tol)
+    assert list(got.dim) == list(range(1, 65))
+
+
+# --- 11. Bitmap distinct equals pandas nunique ---------------------------------
+
+
+def test_bitmap_distinct_equals_nunique(spark):
+    got = _run(spark, "agg_bitmap_distinct")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    want = li.groupby("l_returnflag").agg(
+        p=("l_partkey", "nunique"), s=("l_suppkey", "nunique")
+    )
+    for r in got.itertuples():
+        assert (r.ndv_parts, r.ndv_supps) == (
+            want.loc[r.l_returnflag, "p"],
+            want.loc[r.l_returnflag, "s"],
+        )
