@@ -913,3 +913,35 @@ FROM p JOIN s USING (l_returnflag)
     # expanded-distinct pass here: at 100 TB running both would
     # defeat the point of the bitmap form
     return bm
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ', ' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / GROUP_CONCAT) — the
+    Hive idiom is collect_list + sort + concat_ws, which is also the
+    ONLY deterministic form on a distributed engine: collect order is
+    partition-arrival order, so the sort inside the aggregate is what
+    makes the result reproducible (and hashable cross-engine —
+    DuckDB's string_agg ... ORDER BY is the same contract).
+
+    Scale: a string aggregate's cost is the value payload, not the
+    rows — per-group output grows with group size, so at 100 TB this
+    belongs on bounded-cardinality dims (here: nations per region) or
+    behind a top-k cut; the plan itself is one partial-agg groupBy.
+    """
+    n = read_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list("n_name")), ", "
+        ).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from layer_apache_hive_spark.catalog import read_table
+from layer_apache_hive_spark.functions.numeric import dsum
 from layer_apache_hive_spark.registry import register
 
 
@@ -492,5 +493,70 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             # price(2dp) x (1-discount)(2dp) is exactly 4 decimals:
             # the decimal(38,4) cast is lossless, no rounding tie
             dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice,
+         NULLIF(o_orderpriority, '3-MEDIUM') AS prio
+  FROM orders
+),
+cls AS (
+  SELECT prio, COUNT(*) AS class_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+           AS class_total
+  FROM o GROUP BY prio
+)
+SELECT COALESCE(o.prio, 'NULL') AS priority,
+       COUNT(*) AS n_matched,
+       MAX(cls.class_orders) AS class_orders,
+       MAX(cls.class_total) AS class_total
+FROM o JOIN cls ON o.prio IS NOT DISTINCT FROM cls.prio
+GROUP BY 1
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join — Hive/Spark ``<=>`` (IS NOT DISTINCT
+    FROM) `[upstream: Hive GenericUDFOPEqualNS; the join planner
+    treats it as an equi-key]`: one priority class is NULLed out on
+    BOTH sides and must still match itself, which a plain ``=`` join
+    silently drops (NULL = NULL is NULL). The query joins each order
+    to its priority-class aggregate through the null-safe key and
+    counts matches per class — if the NULL row vanishes or fans out
+    wrong, both the row count and the totals break.
+
+    Spark-first: EqualNullSafe is an equi-condition, so this plans as
+    a hash/broadcast join on the key (NOT a nested loop — the audit
+    would flag that); the class aggregate is tiny and broadcasts. At
+    100 TB null-keyed rows all hash to ONE partition under <=>, the
+    classic null-skew — the production pattern is exactly this
+    pre-aggregate-then-join shape (or AQE skew-split) rather than
+    joining raw null-heavy tables.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.expr("nullif(o_orderpriority, '3-MEDIUM')").alias("prio"),
+    )
+    cls = o.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("class_orders"),
+        dsum("o_totalprice").alias("class_total"),
+    )
+    j = o.join(
+        cls.select(
+            F.col("prio").alias("c_prio"), "class_orders", "class_total"
+        ),
+        F.col("prio").eqNullSafe(F.col("c_prio")),
+    )
+    return (
+        j.groupBy(F.coalesce("prio", F.lit("NULL")).alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.max("class_orders").alias("class_orders"),
+            F.max("class_total").alias("class_total"),
         )
     )
