@@ -272,3 +272,29 @@ def test_bitmap_distinct_equals_nunique(spark):
             want.loc[r.l_returnflag, "p"],
             want.loc[r.l_returnflag, "s"],
         )
+
+
+# --- 12. Null-safe join: the NULL class survives --------------------------------
+
+
+def test_null_safe_join_keeps_null_class(spark):
+    got = _run(spark, "join_null_safe")
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    prio = o.o_orderpriority.where(o.o_orderpriority != "3-MEDIUM")
+    want = prio.fillna("NULL").value_counts()
+    assert "NULL" in set(got.priority), "the NULL class must match itself"
+    for r in got.itertuples():
+        assert r.n_matched == want[r.priority]
+        assert r.class_orders == want[r.priority]
+
+
+# --- 13. string_agg: sorted, complete, reproducible ------------------------------
+
+
+def test_string_agg_sorted_and_complete(spark):
+    got = _run(spark, "agg_string_agg")
+    n = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    for r in got.itertuples():
+        want = sorted(n[n.n_regionkey == r.n_regionkey].n_name)
+        assert r.nations == ", ".join(want)
+        assert r.n_nations == len(want)
