@@ -99,3 +99,28 @@ def test_committed_artifact_covers_full_registry(name):
         f"{name} stale vs registry: missing={missing} extra={extra} — "
         "regenerate with `make replicates`"
     )
+
+
+def test_committed_stress_artifact_is_green_and_fresh():
+    """STRESS.json: every measured row is sub-cut (0 superlinear) and
+    every row records the k it was measured at — a merged subset run
+    that silently mixed thresholds (round-5 advisor item) or a
+    committed superlinear row fails here."""
+    d = _rows("STRESS.json")
+    assert d["n_superlinear"] == 0
+    for qid, row in d["queries"].items():
+        assert "k" in row, f"{qid}: stress row missing its k"
+        assert not row.get("superlinear"), f"{qid} committed superlinear"
+
+
+def test_committed_plan_audit_covers_registry():
+    """PLAN_AUDIT.md must be regenerated whenever the registry grows:
+    every registered id appears as a row (audited or explicitly
+    SKIP-stream), so a new operator can't ship without its plan
+    fingerprint on record."""
+    from layer_apache_hive_spark.registry import _load_all_modules, _REGISTRY
+
+    _load_all_modules()
+    text = open(os.path.join(REPO, "PLAN_AUDIT.md")).read()
+    missing = [q for q in _REGISTRY if f"`{q}`" not in text]
+    assert not missing, f"PLAN_AUDIT.md missing rows for: {missing}"
