@@ -116,15 +116,30 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_label(SF_DIR),
     }
-    print(json.dumps(payload))
-    # The driver records only a bounded tail of stdout, which truncates
-    # the per-query map once the registry is large; full runs also
-    # write the complete payload in-repo (git history keeps one per
-    # round) so cross-round regression diffs cover every query.
+    # The driver records only a bounded TAIL of stdout (~2000 chars)
+    # and parses the last JSON line it finds; the full 249-query map
+    # is ~7 KB and overflows that window, so the full payload goes to
+    # the in-repo file (git history keeps one per round for per-query
+    # regression diffs) and stdout's LAST line is a compact summary —
+    # same schema, `queries` trimmed to the top-10 slowest — small
+    # enough to always survive the tail capture.
     if not only:
         with open("/root/repo/BENCH_local.json", "w") as fh:
             json.dump(payload, fh, indent=2, sort_keys=True)
             fh.write("\n")
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": _sf_label(SF_DIR),
+        "full_map": "BENCH_local.json" if not only else None,
+        "queries": top10,
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

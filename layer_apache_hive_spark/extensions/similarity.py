@@ -1457,18 +1457,24 @@ def ext_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ext_emb_pca_step: deterministic start vector for the power
-# iteration — small exact-decimal rationals, same literal text in
-# both dialects so the parsed doubles are bit-identical
+# iteration — small exact-decimal rationals. _PCA_V0 is the single
+# source of truth: both the oracle's VALUES CTE and the Spark array
+# literals below are GENERATED from it (same `CAST(k AS DOUBLE) / 10`
+# literal text in both dialects, so the parsed doubles are
+# bit-identical and the three copies cannot drift).
 _PCA_V0 = [((j * 37 + 11) % 13 - 6) / 10.0 for j in range(1, _EMB_DIM + 1)]
+# k = 10·v is an exact integer in [-6, 6] for every entry.
+_PCA_V0_LIT = [f"CAST({round(v * 10)} AS DOUBLE) / 10" for v in _PCA_V0]
+_PCA_V0_ROWS = ", ".join(
+    f"({j}, {lit})" for j, lit in enumerate(_PCA_V0_LIT, 1)
+)
 
 
 @register(
     "ext_emb_pca_step",
     oracle=f"""
 WITH dims AS (SELECT unnest(range(1, {_EMB_DIM + 1})) AS j),
-v0 AS (
-  SELECT j, CAST(((j * 37 + 11) % 13 - 6) AS DOUBLE) / 10 AS v FROM dims
-),
+v0(j, v) AS (VALUES {_PCA_V0_ROWS}),
 sc AS (
   SELECT e.vec_id,
          CAST(SUM(CAST(FLOOR(CAST(e.embedding[j] AS DOUBLE) * v0.v * 1e12)
@@ -1510,10 +1516,7 @@ def ext_emb_pca_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (one-line swap), same plan shape.
     """
     e = read_table(spark, sf_dir, "embeddings")
-    v0_lits = ", ".join(
-        f"CAST(({j} * 37 + 11) % 13 - 6 AS DOUBLE) / 10"
-        for j in range(1, _EMB_DIM + 1)
-    )
+    v0_lits = ", ".join(_PCA_V0_LIT)
     s_expr = (
         f"CAST(aggregate(zip_with(embedding, array({v0_lits}), "
         f"(x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * y * 1e12) AS BIGINT)), "

@@ -1204,10 +1204,16 @@ WITH toks AS (
            CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) * 1e6
          ) AS BIGINT) AS score_micro
   FROM scored GROUP BY doc_id
+), nn AS (
+  SELECT COUNT(*) AS n FROM doc
+), hist AS (
+  SELECT score_micro AS s, COUNT(*) AS c FROM doc GROUP BY score_micro
+), cum AS (
+  SELECT s, SUM(c) OVER (ORDER BY s) AS cum FROM hist
 ), cut AS (
-  SELECT quantile_cont(score_micro, 1.0/3.0) AS c1,
-         quantile_cont(score_micro, 2.0/3.0) AS c2
-  FROM doc
+  SELECT MIN(CASE WHEN cum >= n // 3 + 1 THEN s END) AS c1,
+         MIN(CASE WHEN cum >= (2 * n) // 3 + 1 THEN s END) AS c2
+  FROM cum, nn
 )
 SELECT doc_id, score_micro,
        CASE WHEN score_micro >= c2 THEN 'head'
@@ -1226,21 +1232,27 @@ def ext_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst-perplexity third.
 
     The score is kept in INTEGER micro-logprob space
-    (round(mean_logprob * 1e6)): percentile cutoffs over integers and
-    integer>=double comparisons are engine-exact, so the bucket
-    boundary cannot drift between Spark and the oracle the way raw
-    float thresholds can. Cutoffs ride a 1-row scalar aggregate
-    crossJoined back (broadcast nested-loop against ONE row — the
-    uncorrelated-scalar-subquery plan, listed in NL_OK), never a
-    global sort: no single-partition window anywhere.
+    (round(mean_logprob * 1e6)), and the cutoffs are ORDER
+    STATISTICS, not interpolated percentiles: c1 is the (n DIV 3 +
+    1)-th smallest score, c2 the (2n DIV 3 + 1)-th — exact integers
+    selected from a cumulative count over the distinct-score
+    histogram, identical CASE/MIN logic in both dialects. Linearly
+    interpolated quantiles (Spark percentile vs DuckDB quantile_cont)
+    can differ in the last ulp and flip a doc sitting exactly on a
+    cut; the k-th-smallest formulation has no interpolation to
+    disagree about. The 1-row cut crossJoins back (broadcast
+    nested-loop against ONE row — the uncorrelated-scalar-subquery
+    plan, listed in NL_OK).
 
     Scale: the LM join is the proven unigram shape (vocabulary
     broadcasts by Heaps' law); doc scores are one shuffle on doc_id;
-    the cutoff aggregate reduces doc-level rows to ONE row map-side.
-    Exact percentile over ~1e9 doc scores is the only full-sort-ish
-    term — at 100 TB swap to approx_percentile(score, p, 10000)
-    (one sketch, bounded error) and keep the rest of the plan; the
-    exact form here is what makes the oracle bit-checkable.
+    the cumulative count runs over the DISTINCT-score histogram (a
+    grouped table far smaller than the corpus — micro-score space
+    collapses ties), so the one single-partition window touches
+    histogram rows, never doc rows. At 100 TB swap the histogram
+    order-statistic for approx_percentile(score, p, 10000) (one
+    sketch, bounded error) and keep the rest of the plan; the exact
+    form here is what makes the oracle bit-checkable.
     """
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -1267,9 +1279,25 @@ def ext_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("score_micro")
     )
-    cut = doc.agg(
-        F.percentile("score_micro", 1.0 / 3.0).alias("c1"),
-        F.percentile("score_micro", 2.0 / 3.0).alias("c2"),
+    n = doc.agg(F.count(F.lit(1)).alias("n"))
+    hist = doc.groupBy("score_micro").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        F.col("score_micro").alias("s"),
+        F.sum("c")
+        .over(
+            Window.orderBy("score_micro").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("cum"),
+    )
+    cut = cum.crossJoin(F.broadcast(n)).agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("n DIV 3 + 1"), F.col("s"))
+        ).alias("c1"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(2 * n) DIV 3 + 1"), F.col("s"))
+        ).alias("c2"),
     )
     return doc.crossJoin(F.broadcast(cut)).select(
         "doc_id",

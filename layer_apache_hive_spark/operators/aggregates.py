@@ -880,39 +880,33 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the pandas nunique property test.
     """
     li = read_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("li_bitmap_src")
+
     # one bitmap aggregation PER counted column: a joint
     # (part-bucket, supp-bucket) grouping would replicate each
-    # part bit across every supp bucket it co-occurs with
-    bm = spark.sql(
-        """
-WITH p AS (
-  SELECT l_returnflag,
-         CAST(SUM(bitmap_count(bm)) AS BIGINT) AS ndv_parts
-  FROM (
-    SELECT l_returnflag, bitmap_bucket_number(l_partkey) AS bkt,
-           bitmap_construct_agg(bitmap_bit_position(l_partkey)) AS bm
-    FROM li_bitmap_src GROUP BY 1, 2
-  ) GROUP BY l_returnflag
-),
-s AS (
-  SELECT l_returnflag,
-         CAST(SUM(bitmap_count(bm)) AS BIGINT) AS ndv_supps
-  FROM (
-    SELECT l_returnflag, bitmap_bucket_number(l_suppkey) AS bkt,
-           bitmap_construct_agg(bitmap_bit_position(l_suppkey)) AS bm
-    FROM li_bitmap_src GROUP BY 1, 2
-  ) GROUP BY l_returnflag
-)
-SELECT p.l_returnflag, p.ndv_parts, s.ndv_supps
-FROM p JOIN s USING (l_returnflag)
-"""
-    )
+    # part bit across every supp bucket it co-occurs with.
+    # Built over DataFrame expressions — no session temp view, so
+    # interleaved queries on the shared session cannot race on a
+    # view name and nothing leaks into the catalog after return.
+    def ndv(key: str, alias: str) -> DataFrame:
+        buckets = li.groupBy(
+            "l_returnflag",
+            F.expr(f"bitmap_bucket_number({key})").alias("bkt"),
+        ).agg(
+            F.expr(f"bitmap_construct_agg(bitmap_bit_position({key}))").alias(
+                "bm"
+            )
+        )
+        return buckets.groupBy("l_returnflag").agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias(alias)
+        )
+
     # exactness is pinned by the value oracle (plain COUNT(DISTINCT)
     # in DuckDB) and by the pandas nunique property test — no second
     # expanded-distinct pass here: at 100 TB running both would
     # defeat the point of the bitmap form
-    return bm
+    return ndv("l_partkey", "ndv_parts").join(
+        ndv("l_suppkey", "ndv_supps"), "l_returnflag"
+    )
 
 
 @register(

@@ -79,6 +79,11 @@ def main() -> int:
                     "total": len(ids),
                     "ok": len(ids) - len(failures),
                     "failures": failures,
+                    # per-id coverage record: lets the artifact gate
+                    # (tests/test_artifacts.py) detect a sweep that
+                    # predates the newest registry entries instead of
+                    # trusting the totals
+                    "ids": sorted(ids),
                 },
                 fh,
                 indent=1,
