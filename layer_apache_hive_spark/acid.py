@@ -529,3 +529,97 @@ class VersionedTable:
                 shutil.rmtree(os.path.join(self.snapshots_dir, name))
                 removed.append(name)
         return removed
+
+
+# ---------------------------------------------------------------------------
+# Catalog publication (r7, round-6 verdict item 5): serve versioned
+# tables through the Hive metastore so JDBC/beeline clients can query
+# committed state — including pinned historical versions (time
+# travel) — BY NAME over the wire. This is the charm deployment's
+# actual serving story for its tables: HiveServer2 resolves names
+# through the metastore; the commit log stays the source of truth and
+# the catalog entry is a re-pointable projection of one version.
+
+
+def publish_to_catalog(
+    spark: SparkSession,
+    vt: "VersionedTable",
+    name: str,
+    db: str = "default",
+    version: int | None = None,
+) -> str:
+    """Register version ``version`` (default: current) of ``vt`` as
+    catalog object ``db.name``, and return the qualified name.
+
+    Full-snapshot manifests publish as an EXTERNAL TABLE over the
+    immutable snapshot directory; re-publishing after a commit
+    re-points it with ``ALTER TABLE .. SET LOCATION`` — a pure
+    metadata flip, exactly how production lakehouse catalogs track a
+    snapshot pointer. Partition-granular manifests publish as a
+    catalog VIEW unioning the per-partition immutable directories
+    (which may live under different snapshot dirs), re-attaching the
+    partition column and NULL-projecting columns a partition's older
+    files predate — the SQL twin of ``VersionedTable._read_parts``,
+    so schema evolution serves correctly over the wire.
+
+    Publish ``version=N`` under a pinned name (``orders_v3``) for
+    served time travel; snapshots are immutable, so a pinned entry
+    can never drift. ``vacuum(keep_last=k)`` still applies: dropping
+    history invalidates pinned entries older than k, as on any
+    lakehouse.
+    """
+    v = vt.current_version() if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"{vt.root}: no committed version")
+    m = vt.manifest(v)
+    qual = f"{db}.{name}"
+    if "snapshot" in m:
+        loc = vt.snapshot_path(v)
+        exists = spark.catalog.tableExists(qual)
+        if exists and spark.catalog.getTable(qual).tableType == "VIEW":
+            spark.sql(f"DROP VIEW {qual}")
+            exists = False
+        if exists:
+            spark.sql(f"ALTER TABLE {qual} SET LOCATION '{loc}'")
+            # the old location's footer-derived schema may be cached
+            spark.sql(f"REFRESH TABLE {qual}")
+        else:
+            spark.sql(
+                f"CREATE TABLE {qual} USING PARQUET LOCATION '{loc}'"
+            )
+        return qual
+
+    # partition-granular manifest → view unioning immutable dirs
+    from pyspark.sql.types import StructType
+
+    pcol, ptype = m["partition_col"], m["partition_type"]
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    selects = []
+    for val, rel in sorted(m["partitions"].items()):
+        path = os.path.join(vt.snapshots_dir, rel)
+        have = set(spark.read.parquet(path).columns)  # footer metadata
+        cols = []
+        for f in schema.fields:
+            if f.name == pcol:
+                cols.append(f"CAST('{val}' AS {ptype}) AS `{pcol}`")
+            elif f.name in have:
+                cols.append(f"`{f.name}`")
+            else:
+                cols.append(
+                    f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                )
+        selects.append(f"SELECT {', '.join(cols)} FROM parquet.`{path}`")
+    body = " UNION ALL ".join(selects)
+    if not selects:  # empty table: 0-row view with the manifest schema
+        cols = ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+            for f in schema.fields
+        )
+        body = f"SELECT {cols} WHERE 1 = 0"
+    if (
+        spark.catalog.tableExists(qual)
+        and spark.catalog.getTable(qual).tableType != "VIEW"
+    ):
+        spark.sql(f"DROP TABLE {qual}")
+    spark.sql(f"CREATE OR REPLACE VIEW {qual} AS {body}")
+    return qual

@@ -22,10 +22,12 @@ Tests prove the wire behavior both ways: correct credentials execute
 a query; wrong credentials are refused at SASL negotiation before any
 SQL runs.
 
-Scope note (kept honest): this is AUTHENTICATION for the served
-endpoint. SQL-standard authorization (GRANT/REVOKE object ACLs,
-Ranger policies) lives in plugin stacks that have no analog in a
-single-user Spark distribution and remains documented out-of-scope.
+Scope note: this module is AUTHENTICATION for the served endpoint
+(who is connecting). AUTHORIZATION — what that identity may read —
+is authz.py (r7): a compiled analyzer check rule enforcing a
+per-user catalog-table ACL, the HiveServer2 SQL-std-authorization
+analog, wire-tested alongside this module in
+tests/test_metastore_server.py.
 """
 
 from __future__ import annotations

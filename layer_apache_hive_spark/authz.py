@@ -1,0 +1,257 @@
+"""HiveServer2 SQL-standard authorization — per-user table ACLs for
+the served endpoint `[upstream: deployed HiveServer2 SQL-std auth /
+ql/security/authorization/* — GRANT/REVOKE object privileges checked
+at query compile time; public-knowledge reconstruction, SURVEY.md §0.
+Round-6 verdict, What's missing #1]`.
+
+auth.py authenticates the wire (WHO is connecting); this module
+authorizes it (WHAT that identity may read). Spark SQL has no native
+GRANT enforcement — Hive's SQL-std authorization lives in a
+HiveServer2-side compile hook (``Driver.doAuthorization``), and the
+honest Spark analog is the same thing at the same place: an analyzer
+CHECK RULE on the serving session that walks every analyzed plan,
+collects the catalog tables it touches, and refuses the statement if
+the session user lacks access. The rule is compiled from Java at
+provision time (the auth.py pattern) and injected through the public
+``spark.sql.extensions`` API — no Spark internals are patched.
+
+Identity: Spark's Thrift server publishes the SASL-authenticated
+username of each statement through
+``org.apache.spark.sql.catalyst.CurrentUserContext`` (the same
+source the ``current_user()`` SQL function reads), so the rule sees
+exactly the identity auth.py verified. Plans built in-process by the
+service itself (provisioning, registered queries, view refreshes)
+carry no wire identity — or the service principal's own name — and
+run unrestricted: ACL entries govern WIRE users.
+
+Policy: ``SPARK_GRAFT_HS2_ACL`` in the SERVER process environment,
+``user=table1,table2;other=*`` — ``*`` grants everything; a listed
+user may read exactly the named tables (case-insensitive, by table
+name); an authenticated user with NO entry is denied every catalog
+table (default-deny, the SQL-std posture). Statements touching no
+catalog table (SET, SHOW DATABASES, SELECT 1, connection chrome)
+always pass, so JDBC clients can negotiate sessions.
+
+Scope (kept honest): the object surface is CATALOG TABLES — exactly
+what HS2 SQL-std auth governs for SELECT. Global temp views exported
+by the service are service-published results, not catalog objects,
+and are not gated. Subquery expressions are walked too
+(``subqueriesAll``), so a denied table cannot be smuggled in through
+``WHERE x IN (SELECT ...)``.
+
+Scale: the check is O(plan nodes) driver-side metadata work per
+statement — zero data-path cost at any corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+import pyspark
+
+AUTHZ_CLASS = "sparkgraft.SparkGraftAuthz"
+ACL_ENV = "SPARK_GRAFT_HS2_ACL"
+DEFAULT_CLASSES_DIR = "/root/repo/.tmp/hs2_authz_classes"
+
+_JAVA_SOURCE = """
+package sparkgraft;
+
+import java.util.ArrayList;
+import java.util.Collections;
+import java.util.HashSet;
+import java.util.List;
+import java.util.Locale;
+import java.util.Set;
+import org.apache.spark.sql.SparkSession;
+import org.apache.spark.sql.SparkSessionExtensions;
+import org.apache.spark.sql.catalyst.CurrentUserContext$;
+import org.apache.spark.sql.catalyst.catalog.CatalogTable;
+import org.apache.spark.sql.catalyst.catalog.HiveTableRelation;
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
+import org.apache.spark.sql.execution.datasources.LogicalRelation;
+import scala.collection.Iterator;
+import scala.runtime.AbstractFunction1;
+import scala.runtime.BoxedUnit;
+
+/**
+ * Analyzer check rule: per-user catalog-table ACL for the served
+ * Thrift endpoint (the HiveServer2 SQL-std-authorization analog).
+ * Policy comes from SPARK_GRAFT_HS2_ACL in the server process
+ * environment ("user=tbl1,tbl2;other=*"); the statement identity
+ * comes from CurrentUserContext, which Spark's Thrift server sets to
+ * the SASL-authenticated username per statement. No ACL configured
+ * means the rule is inert.
+ */
+public class SparkGraftAuthz
+    extends AbstractFunction1<SparkSessionExtensions, BoxedUnit>
+    implements org.apache.spark.sql.SparkSessionExtensionsProvider {
+
+  @Override
+  public BoxedUnit apply(SparkSessionExtensions ext) {
+    ext.injectCheckRule(
+        new AbstractFunction1<SparkSession,
+                              scala.Function1<LogicalPlan, BoxedUnit>>() {
+          @Override
+          public scala.Function1<LogicalPlan, BoxedUnit> apply(
+              SparkSession session) {
+            return new AbstractFunction1<LogicalPlan, BoxedUnit>() {
+              @Override
+              public BoxedUnit apply(LogicalPlan plan) {
+                check(plan);
+                return BoxedUnit.UNIT;
+              }
+            };
+          }
+        });
+    return BoxedUnit.UNIT;
+  }
+
+  static void check(LogicalPlan plan) {
+    String acl = System.getenv("SPARK_GRAFT_HS2_ACL");
+    if (acl == null || acl.isEmpty()) {
+      return;
+    }
+    String user = CurrentUserContext$.MODULE$.getCurrentUserOrEmpty();
+    String service = System.getProperty("user.name", "");
+    // in-process plans (provisioning, registered queries) carry no
+    // wire identity, or the service principal's own name: the ACL
+    // governs WIRE users, which auth.py guarantees are distinct
+    // credentialed identities.
+    if (user.isEmpty() || user.equals(service)) {
+      return;
+    }
+    boolean all = false;
+    Set<String> allowed = null;
+    for (String entry : acl.split(";")) {
+      int i = entry.indexOf('=');
+      if (i <= 0 || !entry.substring(0, i).trim().equals(user)) {
+        continue;
+      }
+      allowed = new HashSet<String>();
+      for (String t : entry.substring(i + 1).split(",")) {
+        String tt = t.trim().toLowerCase(Locale.ROOT);
+        if (tt.equals("*")) {
+          all = true;
+        } else if (!tt.isEmpty()) {
+          allowed.add(tt);
+        }
+      }
+    }
+    if (all) {
+      return;
+    }
+    final Set<String> allow =
+        allowed == null ? Collections.<String>emptySet() : allowed;
+    final List<String> denied = new ArrayList<String>();
+    visit(plan, allow, denied);
+    Iterator<LogicalPlan> subs =
+        ((scala.collection.Seq<LogicalPlan>) plan.subqueriesAll())
+            .iterator();
+    while (subs.hasNext()) {
+      visit(subs.next(), allow, denied);
+    }
+    if (!denied.isEmpty()) {
+      throw new SecurityException(
+          "Authorization error: user '" + user
+              + "' lacks SELECT privilege on " + denied
+              + " (per SPARK_GRAFT_HS2_ACL)");
+    }
+  }
+
+  private static void visit(
+      LogicalPlan plan, final Set<String> allow, final List<String> denied) {
+    plan.foreach(
+        new AbstractFunction1<LogicalPlan, BoxedUnit>() {
+          @Override
+          public BoxedUnit apply(LogicalPlan node) {
+            CatalogTable meta = null;
+            if (node instanceof HiveTableRelation) {
+              meta = ((HiveTableRelation) node).tableMeta();
+            } else if (node instanceof LogicalRelation) {
+              scala.Option<CatalogTable> ct =
+                  ((LogicalRelation) node).catalogTable();
+              if (ct.isDefined()) {
+                meta = ct.get();
+              }
+            }
+            if (meta != null) {
+              String tbl =
+                  meta.identifier().table().toLowerCase(Locale.ROOT);
+              if (!allow.contains(tbl)) {
+                denied.add(meta.identifier().unquotedString());
+              }
+            }
+            return BoxedUnit.UNIT;
+          }
+        });
+  }
+}
+"""
+
+
+def _spark_jars_dir() -> str:
+    return os.path.join(os.path.dirname(pyspark.__file__), "jars")
+
+
+def ensure_authz_classes(classes_dir: str = DEFAULT_CLASSES_DIR) -> str:
+    """Compile the check-rule extension once (cached by source
+    identity); return the directory for ``spark.driver.extraClassPath``."""
+    os.makedirs(classes_dir, exist_ok=True)
+    marker = os.path.join(classes_dir, "_SOURCE")
+    cls = os.path.join(classes_dir, "sparkgraft", "SparkGraftAuthz.class")
+    if os.path.exists(cls) and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == _JAVA_SOURCE:
+                return classes_dir
+    src_path = os.path.join(classes_dir, "SparkGraftAuthz.java")
+    with open(src_path, "w") as fh:
+        fh.write(_JAVA_SOURCE)
+    subprocess.run(
+        [
+            "javac",
+            "-cp",
+            os.path.join(_spark_jars_dir(), "*"),
+            "-d",
+            classes_dir,
+            src_path,
+        ],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    with open(marker, "w") as fh:
+        fh.write(_JAVA_SOURCE)
+    return classes_dir
+
+
+def validate_acl(acl: str) -> None:
+    """Reject ACL strings the user=tables;... format cannot represent."""
+    for entry in acl.split(";"):
+        if "=" not in entry:
+            raise ValueError(f"ACL entry {entry!r} is not user=tables")
+        user, tables = entry.split("=", 1)
+        if not user.strip() or not tables.strip():
+            raise ValueError(f"empty user or table list in {entry!r}")
+
+
+def authz_session_conf(
+    base_conf: dict[str, str] | None = None,
+    classes_dir: str | None = None,
+) -> dict[str, str]:
+    """Extend ``base_conf`` (typically ``auth_session_conf()``) with
+    the authorization extension: merges ``spark.sql.extensions`` and
+    ``spark.driver.extraClassPath`` rather than overwriting, so
+    authn (auth.py) and authz compose in one serving session."""
+    acl = os.environ.get(ACL_ENV)
+    if acl:
+        validate_acl(acl)
+    d = ensure_authz_classes(classes_dir or DEFAULT_CLASSES_DIR)
+    conf = dict(base_conf or {})
+    cp = conf.get("spark.driver.extraClassPath")
+    conf["spark.driver.extraClassPath"] = f"{cp}:{d}" if cp else d
+    ext = conf.get("spark.sql.extensions")
+    conf["spark.sql.extensions"] = (
+        f"{ext},{AUTHZ_CLASS}" if ext else AUTHZ_CLASS
+    )
+    return conf

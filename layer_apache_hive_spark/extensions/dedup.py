@@ -1218,3 +1218,151 @@ def ext_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring tier (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): flag duplicate spans
+# of >= _SUBSTR_W tokens ACROSS documents. The paper builds one giant
+# suffix array; the Spark-first equivalent below is anchor-join +
+# diagonal islands, which keeps every shuffle KEYED and needs no
+# global ordered structure.
+
+#: minimum duplicated span length, in tokens (the paper's threshold).
+_SUBSTR_W = 50
+
+#: anti-boilerplate guard: a W-gram shared by more than this many
+#: DISTINCT documents (site chrome, license headers) is excluded from
+#: pair generation in BOTH engines — df-capped candidate generation
+#: is what keeps the pair relation linear-ish at corpus scale.
+_SUBSTR_MAX_DF = 64
+
+
+@register(
+    "ext_dedup_substring",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_SUBSTR_W}
+),
+anchors AS (
+  SELECT doc_id, i AS pos,
+         CAST('0x' || substr(md5(array_to_string(tok[i:i+{_SUBSTR_W - 1}], ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) - {_SUBSTR_W - 2})) AS i
+        FROM t)
+),
+dup AS (
+  SELECT h FROM anchors GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SUBSTR_MAX_DF}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM anchors a JOIN dup USING (h) JOIN anchors b USING (h)
+  WHERE a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+  FROM pairs
+)
+SELECT doc_a, doc_b,
+       CAST(MIN(pos_a) AS BIGINT) AS a_start,
+       CAST(MIN(pos_b) AS BIGINT) AS b_start,
+       CAST(COUNT(*) + {_SUBSTR_W - 1} AS BIGINT) AS span_tokens
+FROM runs GROUP BY doc_a, doc_b, diag, grp
+""",
+)
+def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document duplicate SUBSTRING spans (>= 50 tokens),
+    the one standard LLM-dedup tier the repo lacked: Lee et al. 2022
+    remove exact duplicate >=50-token character/token spans because
+    near-dup tiers (MinHash over whole docs) miss partial overlap —
+    a quote, a syndicated paragraph, a template body shared by
+    otherwise-different documents.
+
+    The paper's tool is a single suffix array over the concatenated
+    corpus — inherently sequential to build and awkward to shard.
+    The Spark-first equivalent used here is EXACT for detection and
+    maximal-span reporting, with only keyed shuffles:
+
+    1. ANCHORS: every W-token window (W=50) of every doc, hashed to
+       the house 60-bit portable md5 prefix. Any duplicate span of
+       length L >= W contains exactly L-W+1 shared W-gram anchors,
+       so span detection reduces to anchor-hash equality. The
+       50-token window string is built and hashed MAP-SIDE inside
+       whole-stage codegen (transform/slice/array_join/md5);
+       only (doc_id, pos, h) int64 triples ever shuffle — the ~50x
+       string blowup is transient per-task CPU, never network. (A
+       Rabin-Karp rolling hash would cut that CPU 50x at 100 TB;
+       same relation, drop-in swap.)
+    2. DF CAP: W-grams shared by 2..64 distinct docs generate pairs;
+       hotter ones (site chrome, license boilerplate) are excluded
+       in BOTH engines — the df cap is what bounds pair fan-out at
+       corpus scale (max observed df on the fixtures is 4).
+    3. PAIRS: anchors self-joined on h (keyed shuffle), doc_a < doc_b.
+    4. MAXIMAL SPANS: matches at the same diagonal (pos_a - pos_b)
+       with consecutive pos_a belong to one span — the gaps-and-
+       islands trick (pos_a - row_number() per (doc_a, doc_b, diag)
+       window: KEYED by doc pair, never global). Each island is one
+       maximal duplicated span: (a_start, b_start, length + W - 1).
+
+    Hash collisions (2^-60/pair) could in principle alias two
+    different W-grams, but both engines join on the SAME hash, so
+    the relation still matches bit-for-bit (house convention, cf.
+    _shingled).
+    """
+    W = _SUBSTR_W
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
+        .filter(F.size("tok") >= W)
+    )
+    anchors = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(tok) - {W - 1}), i -> "
+                f"cast(conv(substring(md5(array_join(slice(tok, i, {W}), "
+                f"' ')), 1, 15), 16, 10) as bigint))"
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup = (
+        anchors.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("dd"))
+        .filter(
+            (F.col("dd") >= 2) & (F.col("dd") <= _SUBSTR_MAX_DF)
+        )
+        .select("h")
+    )
+    hits = anchors.join(dup, "h")
+    a = hits.select(
+        "h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = hits.select(
+        "h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .drop("h")
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = pairs.withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("a_start"),
+            F.min("pos_b").cast("bigint").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(W - 1)).cast("bigint").alias(
+                "span_tokens"
+            ),
+        )
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    )

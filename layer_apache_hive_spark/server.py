@@ -119,9 +119,16 @@ def beeline_query(
         timeout=timeout,
     )
     if proc.returncode != 0:
+        # keep the HEAD of each stream too: the root-cause message of
+        # a server-side exception (e.g. an authorization refusal)
+        # precedes its multi-KB stack trace, and a tail-only excerpt
+        # loses it
+        def excerpt(s: str) -> str:
+            return s if len(s) <= 3000 else f"{s[:1500]}\n...\n{s[-1500:]}"
+
         raise RuntimeError(
-            f"beeline rc={proc.returncode}\nstdout:{proc.stdout[-2000:]}"
-            f"\nstderr:{proc.stderr[-2000:]}"
+            f"beeline rc={proc.returncode}\nstdout:{excerpt(proc.stdout)}"
+            f"\nstderr:{excerpt(proc.stderr)}"
         )
     return parse_beeline_csv2(proc.stdout)
 

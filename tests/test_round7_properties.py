@@ -85,3 +85,32 @@ def test_pq_recall_clears_floor_on_clustered_fixture(spark, clustered_dirs):
     assert recall >= CLUSTERED_RECALL_FLOOR, (
         f"PQ recall {recall:.3f} < {CLUSTERED_RECALL_FLOOR} on clustered data"
     )
+
+
+def test_substring_spans_are_equal_and_maximal(spark):
+    """ext_dedup_substring: every reported span must be a TRUE token-
+    for-token match between the two documents, >= 50 tokens, and
+    MAXIMAL (extending one token left or right breaks equality) —
+    the Lee-et-al contract, checked against the raw text."""
+    from layer_apache_hive_spark.catalog import read_table
+
+    rows = all_queries()["ext_dedup_substring"](spark, SF_DIR).collect()
+    assert rows, "fixture must contain duplicate >=50-token spans"
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in read_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        ta, tb = docs[r["doc_a"]], docs[r["doc_b"]]
+        i, j, L = r["a_start"] - 1, r["b_start"] - 1, r["span_tokens"]
+        assert L >= 50
+        assert ta[i : i + L] == tb[j : j + L], (
+            f"span mismatch {r['doc_a']}/{r['doc_b']}@{i},{j}"
+        )
+        left_ok = i == 0 or j == 0 or ta[i - 1] != tb[j - 1]
+        right_ok = (
+            i + L >= len(ta) or j + L >= len(tb) or ta[i + L] != tb[j + L]
+        )
+        assert left_ok and right_ok, "span is not maximal"
