@@ -552,9 +552,18 @@ _LSH_PLANE_RANGE = 2001  # weights uniform in [-1000, 1000]
 # and reproduce the n^1.745 LSH-exponent candidate growth exactly —
 # no scaling win; anchoring at the high-similarity tier lets the
 # boundary recall decay slowly (~n^-0.16, 0.67 -> ~0.5 at 64x) while
-# expected candidates fall from ~n^2*0.31 to ~3n*bands. Both engines
-# derive (bits, bands) from COUNT(*) with the same integer law, so
-# the oracle stays a full value twin at every scale factor.
+# expected candidates fall from ~n^2*0.31 to ~linear-in-n. The
+# precise envelope (r7, measured within a few percent at 1x/8x/32x by
+# scripts/lsh_law_check.py) is
+#   bands * C(n,2)/2^bits * (1 + C(bits,2)*(2*sigma/pi)^2)
+# where sigma is the corpus's pairwise-cosine spread: the first
+# factor is the uniform collision mass (2n..4n per band depending on
+# where n falls between powers of two), the second the Jensen term
+# from cosine variance — quadratic in bits, i.e. polylog in n, so it
+# never threatens the scaling claim. Per-plane sign-bit bias was
+# measured and is NOT a factor (<=1.01). Both engines derive
+# (bits, bands) from COUNT(*) with the same integer law, so the
+# oracle stays a full value twin at every scale factor.
 _LSH_BITS_MIN, _LSH_BITS_MAX = 6, 14
 _LSH_BANDS_BY_BITS = {
     6: 24, 7: 36, 8: 54, 9: 81, 10: 122,

@@ -1477,3 +1477,130 @@ def ext_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_merge"),
         )
     )
+
+
+# entropy quality gate: keep docs with token entropy >= 2.5 nats,
+# expressed in integer MICRO-nats (the perplexity-filter convention:
+# FLOOR-scaled integers have no rounding tie for engines to disagree
+# about — ROUND(x, 6) on the final mean hit an exact .5 tie 4 times
+# at sf0.1)
+_ENTROPY_KEEP_MICRO = 2_500_000
+
+
+@register(
+    "ext_text_entropy",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS sym
+  FROM documents
+), th AS (
+  SELECT doc_id, sym, COUNT(*) AS c FROM toks GROUP BY doc_id, sym
+), tn AS (
+  SELECT doc_id, SUM(c) AS n FROM th GROUP BY doc_id
+), te AS (
+  SELECT th.doc_id,
+         CAST(FLOOR(-CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE) / tn.n), 6)
+                                       AS DECIMAL(38,6))) AS DOUBLE)
+                    / ANY_VALUE(tn.n) * 1e6) AS BIGINT) AS token_entropy_micro,
+         ANY_VALUE(tn.n) AS n_tokens
+  FROM th JOIN tn USING (doc_id) GROUP BY th.doc_id
+), chars AS (
+  SELECT doc_id, unnest(string_split(lower(text), '')) AS sym
+  FROM documents
+), ch AS (
+  SELECT doc_id, sym, COUNT(*) AS c FROM chars GROUP BY doc_id, sym
+), cn AS (
+  SELECT doc_id, SUM(c) AS n FROM ch GROUP BY doc_id
+), ce AS (
+  SELECT ch.doc_id,
+         CAST(FLOOR(-CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE) / cn.n), 6)
+                                       AS DECIMAL(38,6))) AS DOUBLE)
+                    / ANY_VALUE(cn.n) * 1e6) AS BIGINT) AS char_entropy_micro,
+         ANY_VALUE(cn.n) AS n_chars
+  FROM ch JOIN cn USING (doc_id) GROUP BY ch.doc_id
+)
+SELECT te.doc_id,
+       CAST(te.n_tokens AS BIGINT) AS n_tokens,
+       CAST(ce.n_chars AS BIGINT) AS n_chars,
+       te.token_entropy_micro, ce.char_entropy_micro,
+       CAST(te.token_entropy_micro >= {_ENTROPY_KEEP_MICRO} AS INT) AS kept
+FROM te JOIN ce ON te.doc_id = ce.doc_id
+""",
+)
+def ext_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy quality gate (the RefinedWeb/Gopher-family
+    low-entropy filter): per-document token entropy and character
+    entropy in nats — templated spam, keyboard mash, and
+    single-phrase repetition all collapse entropy, so dropping the
+    low-entropy tail removes exactly the junk perplexity filters are
+    too vocabulary-bound to see. kept = token entropy >= 2.5 nats
+    (2.5e6 micro-nats — the corpus's low tail at every sf: 36/500
+    drop at sf0.001).
+
+    Determinism: per distinct symbol, ln(c/n) is rounded to 6
+    (libm-ulp policy) and weighted by the exact integer count INSIDE
+    decimal accumulation (BIGINT x DECIMAL(38,6) is exact in both
+    engines); the final mean is FLOOR-scaled to integer MICRO-nats
+    (the perplexity-filter convention) because ROUND on the mean hit
+    a genuine .5-at-the-6th-decimal tie 4 times at sf0.1 — FLOOR of
+    the IEEE-identical quotient has no tie for engines to disagree
+    about.
+
+    Scale: everything is per-document — two explodes, two (doc_id,
+    symbol) groupBys, two doc_id reductions; no corpus-global state
+    at all, so the operator is embarrassingly parallel and
+    map-side-combinable end to end. The histograms are bounded by
+    document length (tokens) and alphabet (chars), never by corpus.
+    """
+    d = read_table(spark, sf_dir, "documents")
+
+    def entropy(sym_df: DataFrame, ent_name: str, n_name: str) -> DataFrame:
+        h = sym_df.groupBy("doc_id", "sym").agg(F.count(F.lit(1)).alias("c"))
+        n = h.groupBy("doc_id").agg(F.sum("c").alias("n"))
+        return (
+            h.join(n, "doc_id")
+            .select(
+                "doc_id",
+                "n",
+                (
+                    F.col("c")
+                    * F.round(
+                        F.log(F.col("c").cast("double") / F.col("n")), 6
+                    ).cast("decimal(38,6)")
+                ).alias("term"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.floor(
+                    -F.sum("term").cast("double") / F.first("n") * 1e6
+                )
+                .cast("bigint")
+                .alias(ent_name),
+                F.first("n").alias(n_name),
+            )
+        )
+
+    te = entropy(
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("sym")
+        ),
+        "token_entropy_micro",
+        "n_tokens",
+    )
+    ce = entropy(
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), "")).alias("sym")
+        ),
+        "char_entropy_micro",
+        "n_chars",
+    )
+    return te.join(ce, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        "token_entropy_micro",
+        "char_entropy_micro",
+        (F.col("token_entropy_micro") >= _ENTROPY_KEEP_MICRO)
+        .cast("int")
+        .alias("kept"),
+    )

@@ -1,20 +1,45 @@
 #!/usr/bin/env python
 """Audit the n-adaptive LSH banding law against MEASURED candidates.
 
-The law (similarity.py): bits = clamp(ceil(log2 n) - 3, 6, 14),
-bands = 24·1.5^(bits-6), chosen so expected candidate volume falls
-from O(n²·p_rand) (static knob) to ~3n·bands while the cos ≥ 0.5
-tier's recall stays constant. The round-5 verdict (#4) asks for the
-prediction to be CHECKED, not asserted: this script builds (or
-reuses) the k×-replicated stress corpus, counts the actual distinct
-candidate pairs from the shared candidate stage
-(similarity.lsh_candidates — the same code ext_sim_lsh runs), and
-records measured-vs-predicted into STRESS.json under "lsh_law".
+The knob (similarity.py): bits = clamp(ceil(log2 n) - 3, 6, 14),
+bands = 24·1.5^(bits-6), chosen so candidate volume stays ~linear in
+n while the cos ≥ 0.5 tier's recall stays constant.
 
-Pass criterion (the verdict's): measured ≤ ~2× the 3n·bands
-prediction. Under-prediction (measured ≪ predicted) is fine — the
-3n·bands figure is an upper-shape envelope with the corpus's true
-similar pairs riding on top.
+Round-6 found the original 3n·bands envelope under-predicting by a
+factor that GREW with scale (1.31× at 1× → 1.63× at 8×) and asked
+for the cause (judge item 8). Round-7 instrumentation (recorded in
+each row below) identified it — and refuted the suspected cause:
+
+* **NOT sign-bit bias.** Per-plane bias is tiny (max |2q-1| ≈ 0.07 at
+  1×, 0.02 at 8×); the analytic bias inflation Π(1 + (2q-1)²) over a
+  band's bits is ≤ 1.01. The md5-derived planes are effectively
+  balanced; "skewed sign-bit buckets from correlated planes" is not
+  what happens.
+* **Cause 1 — log2 rounding.** Uniform random collision mass per band
+  is C(n,2)/2^bits = n²/2^(bits+1); with bits = ceil(log2 n) - 3 the
+  bucket count 2^bits sits anywhere in [n/8, n/4), so the per-band
+  mass is 2n–4n, i.e. up to 1.33× the flat "3n" figure depending on
+  where n falls between powers of two.
+* **Cause 2 — the Jensen/variance term.** A pair with cosine c
+  collides on one band with p(c)^bits, p(c) ≈ 1/2 + c/π. Over a
+  corpus whose pairwise cosines have spread σ (≈ 1/√dim ≈ 0.125 for
+  these near-isotropic 64-dim embeddings), convexity gives
+  E[p(c)^bits] ≈ 2^-bits · (1 + C(bits,2)·(2σ/π)²) — an excess that
+  grows quadratically in bits, i.e. ~(log n)², which is exactly the
+  slow growth round 6 observed. It is a property of the corpus's
+  cosine distribution, not a flaw in the banding; crucially it is
+  POLYLOG, not a power of n, so the linear-in-n scaling claim stands.
+
+**Corrected law** (what this script now checks):
+
+    predicted = bands · n(n-1)/2 / 2^bits · (1 + C(bits,2)·(2σ/π)²)
+
+with σ measured from a deterministic sample (the 1024 smallest
+vec_ids). Measured distinct candidates must be ≤ 1.5× this (they run
+BELOW it in practice — the distinct-pair count is bounded by the
+per-band sum the law models; measured/corrected was 1.00× at 1×,
+1.03× at 8× when derived). The legacy 3n·bands shape figure is kept
+in each row for cross-round comparability.
 
 Usage:
     python scripts/lsh_law_check.py [--k 1 8 32] [--sf-dir /root/testdata/sf0.1]
@@ -28,12 +53,72 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, "/root/repo")
 
 from layer_apache_hive_spark.extensions.similarity import (  # noqa: E402
+    _lsh_params,
+    _lsh_planes,
     lsh_candidates,
 )
 from layer_apache_hive_spark.session import get_spark  # noqa: E402
+
+
+def _corpus_stats(path: str, cap: int = 1024) -> dict:
+    """Deterministic instrumentation straight from the parquet:
+    pairwise-cosine spread σ (the Jensen input), per-plane sign-bit
+    bias, per-band occupancy extremes, and the analytic bias factor —
+    the evidence trail for WHY the corrected law holds."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    vid = t.column("vec_id").to_numpy()
+    M = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    n = len(M)
+    bands, bits = _lsh_params(n)
+
+    # sigma from the cap smallest vec_ids (deterministic sample)
+    order = np.argsort(vid)[:cap]
+    S = M[order]
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    iu = np.triu_indices(len(S), 1)
+    sigma = float((Sn @ Sn.T)[iu].std())
+
+    # sign bits over the full corpus (the registered pipeline's exact
+    # integer convention)
+    planes = _lsh_planes(bands, bits)
+    B = (np.floor(M * 1e6).astype(np.int64) @ planes.T) > 0
+    q = B.mean(0)
+    bias_factor = float(
+        np.mean(
+            [
+                np.prod(1.0 + (2.0 * q[b * bits : (b + 1) * bits] - 1.0) ** 2)
+                for b in range(bands)
+            ]
+        )
+    )
+    w = np.int64(1) << np.arange(bits, dtype=np.int64)
+    occ_max = 0
+    pre_distinct_pairs = 0
+    for b in range(bands):
+        keys = B[:, b * bits : (b + 1) * bits].astype(np.int64) @ w
+        _, counts = np.unique(keys, return_counts=True)
+        occ_max = max(occ_max, int(counts.max()))
+        pre_distinct_pairs += int((counts * (counts - 1) // 2).sum())
+    return {
+        "sigma": round(sigma, 4),
+        "bias_factor_mean": round(bias_factor, 4),
+        "max_bucket_occupancy": occ_max,
+        "uniform_expected_occupancy": round(n / 2**bits, 1),
+        "pre_distinct_same_bucket_pairs": pre_distinct_pairs,
+    }
+
+
+def corrected_prediction(n: int, bands: int, bits: int, sigma: float) -> float:
+    base = n * (n - 1) / 2 / (2**bits)
+    jensen = 1.0 + bits * (bits - 1) / 2 * (2.0 * sigma / np.pi) ** 2
+    return bands * base * jensen
 
 
 def main() -> int:
@@ -58,22 +143,30 @@ def main() -> int:
         cand, bands, bits, n = lsh_candidates(spark, corpus)
         measured = cand.count()
         wall = time.monotonic() - t0
-        predicted = 3 * n * bands
-        ratio = measured / predicted if predicted else float("inf")
+        stats = _corpus_stats(os.path.join(corpus, "embeddings.parquet"))
+        legacy = 3 * n * bands
+        pred = corrected_prediction(n, bands, bits, stats["sigma"])
+        ratio = measured / pred if pred else float("inf")
         rows[f"{label}x{k}"] = {
             "n_vecs": n,
             "bits": bits,
             "bands": bands,
             "candidates_measured": measured,
-            "candidates_predicted_3n_bands": predicted,
-            "measured_over_predicted": round(ratio, 3),
-            "within_2x": ratio <= 2.0,
+            "predicted_corrected_law": int(pred),
+            "measured_over_corrected": round(ratio, 3),
+            "within_1_5x": ratio <= 1.5,
+            "legacy_3n_bands": legacy,
+            "measured_over_legacy": round(measured / legacy, 3),
+            "instrumentation": stats,
             "wall_sec": round(wall, 2),
         }
         print(
             f"  {label}x{k}: n={n} bits={bits} bands={bands} "
-            f"measured={measured} predicted={predicted} "
-            f"ratio={ratio:.3f} {'OK' if ratio <= 2.0 else '** OVER 2x **'}",
+            f"measured={measured} corrected_pred={pred:.0f} "
+            f"ratio={ratio:.3f} (legacy 3n·bands ratio "
+            f"{measured / legacy:.3f}; sigma={stats['sigma']}, "
+            f"bias={stats['bias_factor_mean']}) "
+            f"{'OK' if ratio <= 1.5 else '** OVER 1.5x **'}",
             flush=True,
         )
     spark.stop()
@@ -83,11 +176,11 @@ def main() -> int:
     if os.path.exists(stress_path):
         with open(stress_path) as fh:
             out = json.load(fh)
-    out.setdefault("lsh_law", {}).update(rows)
+    out["lsh_law"] = rows
     with open(stress_path, "w") as fh:
         json.dump(out, fh, indent=1)
-    bad = [k for k, r in rows.items() if not r["within_2x"]]
-    print(f"\nwrote lsh_law rows to STRESS.json — {len(bad)} over 2x: {bad}")
+    bad = [k for k, r in rows.items() if not r["within_1_5x"]]
+    print(f"\nwrote lsh_law rows to STRESS.json — {len(bad)} over 1.5x: {bad}")
     return 1 if bad else 0
 
 

@@ -77,6 +77,10 @@ SLICE = [
     "ext_sample_importance",
     "scan_xml",
     "ext_bpe_merge_step",
+    # round-7 additions: the substring-dedup anchor join and the
+    # entropy gate read documents BY NAME through the catalog
+    "ext_dedup_substring",
+    "ext_text_entropy",
 ]
 
 

@@ -149,3 +149,37 @@ def test_committed_emptycheck_covers_registry():
         f"EMPTYCHECK stale vs registry: missing={missing} extra={extra} — "
         "regenerate with `make empty`"
     )
+
+
+def test_committed_lsh_law_rows_hold_corrected_law():
+    """STRESS.json `lsh_law`: every committed row must satisfy the
+    round-7 corrected candidate law (measured ≤ 1.5× the
+    variance-aware prediction) and carry its instrumentation (σ,
+    bias factor, occupancy) — the evidence that the round-6 drift is
+    explained, not just re-measured."""
+    d = _rows("STRESS.json")
+    rows = d.get("lsh_law", {})
+    assert rows, "lsh_law rows missing from STRESS.json"
+    for key, row in rows.items():
+        assert row.get("within_1_5x"), f"{key}: over the corrected law"
+        inst = row.get("instrumentation", {})
+        for field in ("sigma", "bias_factor_mean", "max_bucket_occupancy"):
+            assert field in inst, f"{key}: missing instrumentation {field}"
+
+
+def test_committed_recall_rows_include_clustered_gate():
+    """STRESS.json `recall_at_stress`: the clustered-fixture floor
+    gate (round-7) must be present and green — recall over planted
+    clusters ≥ the 0.55 floor at 1× and k×, the scrambled-cell
+    control collapsed, and the nprobe separation recorded. A STRESS
+    regenerated without the gate (or with it failing) is
+    un-committable."""
+    d = _rows("STRESS.json")
+    rows = d.get("recall_at_stress", {})
+    gate = rows.get("ivf_clustered_recall_gate")
+    assert gate, "clustered recall gate row missing"
+    assert gate["ok"], gate
+    assert gate["recall_clustered_x1"] >= gate["floor"]
+    assert gate["recall_scrambled_cells"] < gate["floor"]
+    for r in rows.values():
+        assert r.get("ok"), r

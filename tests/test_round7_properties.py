@@ -114,3 +114,41 @@ def test_substring_spans_are_equal_and_maximal(spark):
             i + L >= len(ta) or j + L >= len(tb) or ta[i + L] != tb[j + L]
         )
         assert left_ok and right_ok, "span is not maximal"
+
+
+def test_entropy_matches_numpy_recompute(spark):
+    """ext_text_entropy: the micro-nat values must equal an exact
+    recompute of the documented convention (per-symbol ROUND(ln,6),
+    integer-weighted decimal sum, FLOOR-scaled mean) from the raw
+    text — pinning the convention itself, not just cross-engine
+    agreement."""
+    import math
+    from collections import Counter
+
+    from layer_apache_hive_spark.catalog import read_table
+
+    got = {
+        r["doc_id"]: (r["token_entropy_micro"], r["n_tokens"], r["kept"])
+        for r in all_queries()["ext_text_entropy"](spark, SF_DIR).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"].lower()
+        for r in read_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(got) == set(docs)
+    n_kept = 0
+    for doc_id, text in docs.items():
+        counts = Counter(text.split(" "))
+        n = sum(counts.values())
+        sum_micro = sum(
+            c * round(round(math.log(c / n), 6) * 1e6) for c in counts.values()
+        )
+        expect = math.floor(-(sum_micro / 1e6) / n * 1e6)
+        micro, n_tok, kept = got[doc_id]
+        assert n_tok == n
+        assert micro == expect, (doc_id, micro, expect)
+        assert kept == int(micro >= 2_500_000)
+        n_kept += kept
+    assert 0 < n_kept < len(docs), "keep flag must discriminate"
