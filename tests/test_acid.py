@@ -407,3 +407,152 @@ def test_add_column_is_metadata_only(spark, tmp_path):
     pre = {r.id for r in feed.filter(
         "_change_type = 'update_preimage'").collect()}
     assert pre == {1, 3, 5, 7}
+
+
+# --- delete deltas + compactor (r7, round-6 verdict missing #2) ------------
+
+
+def test_delete_delta_stages_only_keys(spark, tmp_path):
+    """delete_where commits an O(deleted-rows) key file, not a table
+    rewrite: the staged delta holds exactly the matched keys, the new
+    version reads without them, and the parent snapshot's files are
+    untouched (snapshot isolation on history)."""
+    import pyarrow.parquet as pq
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(_df(spark, [(k, "seed") for k in range(100)]))
+    v2 = vt.delete_where(spark, "k % 10 = 3", key_col="k")
+    assert v2 == 2
+    m = vt.manifest(2)
+    assert m["delete_delta"] and m["parent"] == 1 and m["key_col"] == "k"
+    # the staged delta is the key set, nothing more
+    delta = pq.read_table(
+        os.path.join(vt.snapshots_dir, m["delete_delta"])
+    )
+    assert delta.num_rows == 10 and delta.column_names == ["k"]
+    # v2 reads without the deleted class; v1 still has everything
+    assert vt.read(spark, 2).count() == 90
+    assert vt.read(spark, 2).filter("k % 10 = 3").count() == 0
+    assert vt.read(spark, 1).count() == 100
+
+
+def test_delete_delta_chain_folds_and_compacts(spark, tmp_path):
+    """Two stacked deltas read correctly through the recursive fold;
+    compact() materializes one plain snapshot with identical rows and
+    subsequent manifests carry no delta chain."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(_df(spark, [(k, "seed") for k in range(20)]))
+    vt.delete_where(spark, "k < 5", key_col="k")
+    vt.delete_where(spark, "k >= 15", key_col="k")
+    got = sorted(r.k for r in vt.read(spark).collect())
+    assert got == list(range(5, 15))
+    v4 = vt.compact(spark)
+    assert v4 == 4 and "snapshot" in vt.manifest(4)
+    assert sorted(r.k for r in vt.read(spark, 4).collect()) == got
+    # compacting a compacted head is a no-op
+    assert vt.compact(spark) == 4
+
+
+def test_delete_delta_rebases_on_conflict(spark, tmp_path):
+    """A delete that loses the version race must re-evaluate against
+    the new head and land on top — no lost update in either
+    direction (the winner's rows stay gone, the delete applies)."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(_df(spark, [(k, "seed") for k in range(10)]))
+
+    class RaceOnce(VersionedTable):
+        raced = False
+
+        def current_version(self):
+            v = super().current_version()
+            if not RaceOnce.raced:
+                RaceOnce.raced = True
+                # another writer claims the slot AFTER this writer
+                # reads its base — the classic lost-update window
+                super().commit(
+                    _df(spark, [(99, "interloper")]).unionByName(
+                        self.read(spark, v)
+                    ),
+                    v,
+                )
+            return v
+
+    rt = RaceOnce(str(tmp_path / "t"))
+    v = rt.delete_where(spark, "k < 3", key_col="k")
+    assert v == 3  # v2 went to the interloper, the delete rebased to v3
+    rows = sorted(r.k for r in vt.read(spark, 3).collect())
+    assert rows == [3, 4, 5, 6, 7, 8, 9, 99], rows
+
+
+def test_vacuum_keeps_delta_parent_chain(spark, tmp_path):
+    """Retention is closure-aware: keeping a delta head keeps its
+    parent's manifest and data too, so the head stays readable after
+    vacuum; unreferenced older snapshots still go."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(_df(spark, [(k, "a") for k in range(10)]))          # v1
+    vt.update(spark, lambda df: df.filter("k < 8"))             # v2
+    vt.delete_where(spark, "k < 2", key_col="k")                # v3 (delta on v2)
+    removed = vt.vacuum(keep_last=1)  # keep v3 => must keep v2 too
+    assert sorted(r.k for r in vt.read(spark).collect()) == list(range(2, 8))
+    assert vt.versions() == [2, 3]  # v1's manifest dropped, chain kept
+    assert removed, "v1's unreferenced snapshot should be reclaimed"
+
+
+def test_publish_serves_delta_version_as_view(spark, tmp_path):
+    """publish_to_catalog on a delete-delta head builds the anti-join
+    view: the catalog object returns exactly vt.read() for that
+    version (local catalog check; the wire path is covered by the
+    metastore server tests)."""
+    from layer_apache_hive_spark.acid import publish_to_catalog
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(_df(spark, [(k, "seed") for k in range(12)]))
+    vt.delete_where(spark, "k % 3 = 0", key_col="k")
+    name = publish_to_catalog(spark, vt, "delta_head_view")
+    got = sorted(r.k for r in spark.table(name).collect())
+    want = sorted(r.k for r in vt.read(spark).collect())
+    assert got == want and len(got) == 8
+    spark.sql(f"DROP VIEW {name}")
+
+
+def test_update_delta_merge_on_read(spark, tmp_path):
+    """update_where (merge-on-read): staged bytes are the touched
+    keys + replacement rows only; readers see the transformed values;
+    untouched rows and history are untouched; compact() folds the
+    mixed delete/update chain; the published view matches read()."""
+    import pyarrow.parquet as pq
+
+    from layer_apache_hive_spark.acid import publish_to_catalog
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(_df(spark, [(k, "seed") for k in range(50)]))
+    v2 = vt.update_where(
+        spark,
+        "k % 5 = 0",
+        lambda df: df.withColumn("who", F.lit("updated")),
+        key_col="k",
+    )
+    assert v2 == 2
+    m = vt.manifest(2)
+    assert m["delta_rows"] and m["delta_keys"] and m["parent"] == 1
+    keys = pq.read_table(os.path.join(vt.snapshots_dir, m["delta_keys"]))
+    rows = pq.read_table(os.path.join(vt.snapshots_dir, m["delta_rows"]))
+    assert keys.num_rows == 10 and rows.num_rows == 10
+    got = {r.k: r.who for r in vt.read(spark, 2).collect()}
+    assert len(got) == 50
+    assert all(
+        who == ("updated" if k % 5 == 0 else "seed")
+        for k, who in got.items()
+    )
+    # history intact
+    assert {r.who for r in vt.read(spark, 1).collect()} == {"seed"}
+    # a delete on top of the update delta, then publish + compact
+    vt.delete_where(spark, "k >= 45", key_col="k")
+    name = publish_to_catalog(spark, vt, "mor_head_view")
+    want = sorted((r.k, r.who) for r in vt.read(spark).collect())
+    assert sorted((r.k, r.who) for r in spark.table(name).collect()) == want
+    v4 = vt.compact(spark)
+    assert "snapshot" in vt.manifest(v4)
+    assert sorted((r.k, r.who) for r in vt.read(spark, v4).collect()) == want
+    spark.sql(f"DROP VIEW {name}")
