@@ -1204,10 +1204,10 @@ WITH toks AS (
            CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) * 1e6
          ) AS BIGINT) AS score_micro
   FROM scored GROUP BY doc_id
-), nn AS (
-  SELECT COUNT(*) AS n FROM doc
 ), hist AS (
   SELECT score_micro AS s, COUNT(*) AS c FROM doc GROUP BY score_micro
+), nn AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist
 ), cum AS (
   SELECT s, SUM(c) OVER (ORDER BY s) AS cum FROM hist
 ), cut AS (
@@ -1279,8 +1279,10 @@ def ext_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("score_micro")
     )
-    n = doc.agg(F.count(F.lit(1)).alias("n"))
     hist = doc.groupBy("score_micro").agg(F.count(F.lit(1)).alias("c"))
+    # n derives from the histogram (sum of bucket counts), not from a
+    # third full evaluation of the doc pipeline
+    n = hist.agg(F.sum("c").cast("bigint").alias("n"))
     cum = hist.select(
         F.col("score_micro").alias("s"),
         F.sum("c")
