@@ -84,6 +84,13 @@ def main(argv: list[str] | None = None) -> int:
         help="require SASL PLAIN credentials (CUSTOM provider; pairs "
         "read from $SPARK_GRAFT_HS2_CREDENTIALS as user:pass,...)",
     )
+    p_serve.add_argument(
+        "--acl",
+        action="store_true",
+        help="enforce the per-user catalog-table ACL from "
+        "$SPARK_GRAFT_HS2_ACL (user=tbl1,tbl2;other=*); implies the "
+        "wire identity from --auth is what the rule sees",
+    )
 
     args = ap.parse_args(argv)
 
@@ -120,6 +127,22 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"--auth requires {CREDENTIALS_ENV}=user:pass[,...]")
                 return 2
             conf.update(auth_session_conf())
+        if args.acl:
+            from layer_apache_hive_spark.authz import (
+                ACL_ENV,
+                authz_session_conf,
+            )
+
+            if not os.environ.get(ACL_ENV):
+                print(f"--acl requires {ACL_ENV}=user=tbl[,tbl];other=*")
+                return 2
+            if not args.auth:
+                # an ACL without authenticated identities is theater:
+                # every connection would arrive as an unverified name
+                print("--acl requires --auth (the ACL keys on the "
+                      "SASL-verified wire identity)")
+                return 2
+            conf = authz_session_conf(conf)
         spark = hive_session(app_name="cli-serve", extra_conf=conf)
         db = provision_corpus(spark, args.sf_dir)
         start_thrift_server(spark, args.port)
@@ -148,7 +171,8 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"HiveServer2-compatible endpoint on jdbc:hive2://localhost:"
             f"{args.port} (corpus db: {db}"
-            f"{', CUSTOM auth' if args.auth else ''}); Ctrl-C to stop"
+            f"{', CUSTOM auth' if args.auth else ''}"
+            f"{', table ACL' if args.acl else ''}); Ctrl-C to stop"
         )
         try:
             import time

@@ -1366,3 +1366,174 @@ def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
     )
+
+
+@register(
+    "ext_dedup_substring_removal",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {_SUBSTR_W}
+),
+anchors AS (
+  SELECT doc_id, i AS pos,
+         CAST('0x' || substr(md5(array_to_string(tok[i:i+{_SUBSTR_W - 1}], ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) - {_SUBSTR_W - 2})) AS i
+        FROM t)
+),
+dup AS (
+  SELECT h FROM anchors GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SUBSTR_MAX_DF}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM anchors a JOIN dup USING (h) JOIN anchors b USING (h)
+  WHERE a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+  FROM pairs
+),
+spans AS (
+  SELECT doc_b AS doc_id, MIN(pos_b) AS s,
+         MIN(pos_b) + COUNT(*) + {_SUBSTR_W - 2} AS e
+  FROM runs GROUP BY doc_a, doc_b, diag, grp
+),
+cut AS (
+  SELECT DISTINCT doc_id, s + o AS pos
+  FROM (SELECT doc_id, s, unnest(range(e - s + 1)) AS o FROM spans)
+),
+alltok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents
+),
+toks AS (
+  SELECT d.doc_id, i AS pos, tok[i] AS token
+  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS i
+        FROM alltok) d(doc_id, tok, i)
+),
+kept AS (
+  SELECT toks.doc_id, pos, token
+  FROM toks LEFT JOIN cut USING (doc_id, pos)
+  WHERE cut.pos IS NULL
+),
+kept_agg AS (
+  SELECT doc_id,
+         string_agg(token, ' ' ORDER BY pos) AS deduped_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT nt.doc_id,
+       COALESCE(k.deduped_text, '') AS deduped_text,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(nt.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_cut
+FROM (SELECT doc_id, len(tok) AS n FROM alltok) nt
+LEFT JOIN kept_agg k ON nt.doc_id = k.doc_id
+""",
+)
+def ext_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass completing the Lee-et-al substring tier:
+    ext_dedup_substring FLAGS duplicate >= 50-token spans; this query
+    CUTS them from the later document of each pair (doc_a < doc_b
+    keeps the first occurrence — the paper removes one copy of each
+    duplicated span, not both) and re-emits the deduped text.
+
+    Spark-first: the span relation is the registered detection plan
+    (same anchors/df-cap/islands kernel inline); the cut set explodes
+    each doc_b span into (doc_id, pos) rows — O(span tokens), NOT
+    O(doc tokens) — then one keyed anti-join drops cut positions from
+    the posexploded token stream and an ordered string aggregation
+    (the agg_string_agg kernel: collect_list of (pos, token) structs
+    sorted in-aggregate) rebuilds the text. The token stream covers
+    EVERY document — docs shorter than W generate no anchors, so
+    their cut set is empty and they pass through verbatim with
+    n_tokens_cut = 0, and a WHOLE-document duplicate emits an empty
+    remainder rather than vanishing (no special case, both pinned by
+    test). Every shuffle is keyed by doc_id or anchor hash; nothing
+    global.
+
+    Scale note: emitting full rewritten text makes output size O(
+    corpus) — the pipeline shape at 100 TB writes this as the next
+    pretrain-corpus snapshot, exactly what the operator models.
+    """
+    W = _SUBSTR_W
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
+        .filter(F.size("tok") >= W)
+    )
+    anchors = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(tok) - {W - 1}), i -> "
+                f"cast(conv(substring(md5(array_join(slice(tok, i, {W}), "
+                f"' ')), 1, 15), 16, 10) as bigint))"
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup = (
+        anchors.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("dd"))
+        .filter((F.col("dd") >= 2) & (F.col("dd") <= _SUBSTR_MAX_DF))
+        .select("h")
+    )
+    hits = anchors.join(dup, "h")
+    a = hits.select(
+        "h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = hits.select(
+        "h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .drop("h")
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    spans = (
+        pairs.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_b").alias("s"),
+            (F.min("pos_b") + F.count(F.lit(1)) + F.lit(W - 2)).alias("e"),
+        )
+        .select(F.col("doc_b").alias("doc_id"), "s", "e")
+    )
+    cut = spans.select(
+        "doc_id",
+        F.explode(F.expr("sequence(s, e)")).alias("pos"),
+    ).distinct()
+    # the token stream covers EVERY doc (short docs have no anchors,
+    # hence an empty cut set, and pass through verbatim)
+    alltok = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tok")
+    )
+    toks = alltok.select(
+        "doc_id", F.posexplode("tok").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    kept = toks.join(cut, ["doc_id", "pos"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, token))), "
+                   "x -> x.token)"),
+        ).alias("deduped_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # LEFT join from the full doc list: a doc whose every token sits
+    # inside duplicated spans (a whole-document duplicate) emits an
+    # EMPTY remainder rather than disappearing from the output corpus
+    nt = alltok.select("doc_id", F.size("tok").alias("n"))
+    return nt.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+        (F.col("n") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens_cut"),
+    )

@@ -152,3 +152,72 @@ def test_entropy_matches_numpy_recompute(spark):
         assert kept == int(micro >= 2_500_000)
         n_kept += kept
     assert 0 < n_kept < len(docs), "keep flag must discriminate"
+
+
+def test_serve_cli_rejects_misconfigured_acl():
+    """`python -m layer_apache_hive_spark serve --acl` must refuse to
+    start without the ACL env var, and without --auth (an ACL keyed
+    on unverified identities is security theater) — both before any
+    JVM spins up."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("SPARK_GRAFT_HS2_ACL", "SPARK_GRAFT_HS2_CREDENTIALS")}
+    r = subprocess.run(
+        [sys.executable, "-m", "layer_apache_hive_spark", "serve",
+         "--acl", "--auth"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+        env={**env, "SPARK_GRAFT_HS2_CREDENTIALS": "u:p"},
+    )
+    assert r.returncode == 2 and "SPARK_GRAFT_HS2_ACL" in r.stdout
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "layer_apache_hive_spark", "serve", "--acl"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+        env={**env, "SPARK_GRAFT_HS2_ACL": "u=nation"},
+    )
+    assert r2.returncode == 2 and "--auth" in r2.stdout
+
+
+def test_substring_removal_consistent_with_detection(spark):
+    """ext_dedup_substring_removal must equal the detection query's
+    spans applied to the raw text: for every doc, kept text = tokens
+    minus the union of positions where the doc is the LATER (doc_b)
+    side of a reported span; docs without spans pass through
+    verbatim; whole-document duplicates emit an empty remainder; the
+    output covers the entire corpus."""
+    from layer_apache_hive_spark.catalog import read_table
+
+    qs = all_queries()
+    spans = qs["ext_dedup_substring"](spark, SF_DIR).collect()
+    out = {
+        r["doc_id"]: (r["deduped_text"], r["n_tokens_kept"], r["n_tokens_cut"])
+        for r in qs["ext_dedup_substring_removal"](spark, SF_DIR).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in read_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(out) == set(docs), "removal must emit the whole corpus"
+    cut: dict[int, set[int]] = {}
+    for s in spans:
+        cut.setdefault(s["doc_b"], set()).update(
+            range(s["b_start"], s["b_start"] + s["span_tokens"])
+        )
+    saw_verbatim = saw_cut = saw_empty = False
+    for doc_id, toks in docs.items():
+        positions = cut.get(doc_id, set())
+        want = [t for i, t in enumerate(toks, 1) if i not in positions]
+        text, n_kept, n_cut = out[doc_id]
+        assert text == " ".join(want), doc_id
+        assert n_kept == len(want) and n_cut == len(toks) - len(want)
+        saw_verbatim |= not positions
+        saw_cut |= bool(positions) and bool(want)
+        saw_empty |= bool(positions) and not want
+    assert saw_verbatim and saw_cut and saw_empty, (
+        "fixture must exercise all three cases"
+    )
