@@ -37,7 +37,13 @@ what HS2 SQL-std auth governs for SELECT. Global temp views exported
 by the service are service-published results, not catalog objects,
 and are not gated. Subquery expressions are walked too
 (``subqueriesAll``), so a denied table cannot be smuggled in through
-``WHERE x IN (SELECT ...)``.
+``WHERE x IN (SELECT ...)``. Metadata commands (DESCRIBE / SHOW
+TABLES / SHOW COLUMNS) resolve to command nodes carrying identifiers
+rather than relations and are NOT gated — an unauthorized user can
+see that a table exists and its schema, but never a row of it (the
+same split Hive draws between its metadata- and data-read
+privileges; gate DESCRIBE too by matching the command classes if a
+deployment needs it).
 
 Scale: the check is O(plan nodes) driver-side metadata work per
 statement — zero data-path cost at any corpus size.
