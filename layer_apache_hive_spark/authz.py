@@ -37,13 +37,12 @@ what HS2 SQL-std auth governs for SELECT. Global temp views exported
 by the service are service-published results, not catalog objects,
 and are not gated. Subquery expressions are walked too
 (``subqueriesAll``), so a denied table cannot be smuggled in through
-``WHERE x IN (SELECT ...)``. Metadata commands (DESCRIBE / SHOW
-TABLES / SHOW COLUMNS) resolve to command nodes carrying identifiers
-rather than relations and are NOT gated — an unauthorized user can
-see that a table exists and its schema, but never a row of it (the
-same split Hive draws between its metadata- and data-read
-privileges; gate DESCRIBE too by matching the command classes if a
-deployment needs it).
+``WHERE x IN (SELECT ...)``. Metadata and DDL statements whose
+target resolves as a ``ResolvedTable`` command child (DESCRIBE, SHOW
+COLUMNS, DROP TABLE, ALTER TABLE) obey the same per-table grant, so
+a scoped user can neither inspect nor mutate an ungranted table.
+Catalog LISTING (SHOW TABLES / SHOW DATABASES) stays open — names
+are directory metadata, the split Hive itself draws.
 
 Scale: the check is O(plan nodes) driver-side metadata work per
 statement — zero data-path cost at any corpus size.
@@ -72,9 +71,13 @@ import java.util.Set;
 import org.apache.spark.sql.SparkSession;
 import org.apache.spark.sql.SparkSessionExtensions;
 import org.apache.spark.sql.catalyst.CurrentUserContext$;
+import org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier;
+import org.apache.spark.sql.catalyst.analysis.ResolvedTable;
 import org.apache.spark.sql.catalyst.catalog.CatalogTable;
 import org.apache.spark.sql.catalyst.catalog.HiveTableRelation;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
+import org.apache.spark.sql.execution.command.DescribeTableCommand;
+import org.apache.spark.sql.execution.command.ShowColumnsCommand;
 import org.apache.spark.sql.execution.datasources.LogicalRelation;
 import scala.collection.Iterator;
 import scala.runtime.AbstractFunction1;
@@ -171,22 +174,43 @@ public class SparkGraftAuthz
         new AbstractFunction1<LogicalPlan, BoxedUnit>() {
           @Override
           public BoxedUnit apply(LogicalPlan node) {
-            CatalogTable meta = null;
+            String tbl = null;
+            String full = null;
             if (node instanceof HiveTableRelation) {
-              meta = ((HiveTableRelation) node).tableMeta();
+              CatalogTable meta = ((HiveTableRelation) node).tableMeta();
+              tbl = meta.identifier().table();
+              full = meta.identifier().unquotedString();
             } else if (node instanceof LogicalRelation) {
               scala.Option<CatalogTable> ct =
                   ((LogicalRelation) node).catalogTable();
               if (ct.isDefined()) {
-                meta = ct.get();
+                tbl = ct.get().identifier().table();
+                full = ct.get().identifier().unquotedString();
               }
+            } else if (node instanceof ResolvedTable) {
+              // v2 metadata/DDL target (ALTER ... and friends):
+              // obeys the same per-table grant as reads
+              tbl = ((ResolvedTable) node).identifier().name();
+              full = ((ResolvedTable) node).name();
+            } else if (node instanceof ResolvedIdentifier) {
+              // v2 name-only target (DROP TABLE, CREATE in a scoped
+              // namespace): DDL on an ungranted name is denied
+              tbl = ((ResolvedIdentifier) node).identifier().name();
+              full = tbl;
+            } else if (node instanceof DescribeTableCommand) {
+              // v1 session-catalog metadata commands carry a bare
+              // TableIdentifier, not a relation child
+              tbl = ((DescribeTableCommand) node).table().table();
+              full = ((DescribeTableCommand) node).table()
+                  .unquotedString();
+            } else if (node instanceof ShowColumnsCommand) {
+              tbl = ((ShowColumnsCommand) node).tableName().table();
+              full = ((ShowColumnsCommand) node).tableName()
+                  .unquotedString();
             }
-            if (meta != null) {
-              String tbl =
-                  meta.identifier().table().toLowerCase(Locale.ROOT);
-              if (!allow.contains(tbl)) {
-                denied.add(meta.identifier().unquotedString());
-              }
+            if (tbl != null
+                && !allow.contains(tbl.toLowerCase(Locale.ROOT))) {
+              denied.add(full);
             }
             return BoxedUnit.UNIT;
           }

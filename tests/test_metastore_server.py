@@ -409,6 +409,24 @@ try:
 except RuntimeError as e:
     assert "Authorization error" in str(e), str(e)[:800]
 
+# ... and metadata/DDL on an ungranted table is refused too
+# (DESCRIBE and DROP resolve the target as a ResolvedTable command
+# child; the rule gates it like a read)
+for stmt, label in [
+    (f"DESCRIBE {{db}}.customer", "describe"),
+    (f"DROP TABLE {{db}}.customer", "drop"),
+]:
+    try:
+        beeline_query(stmt, port, user="intern", password="readonly")
+        raise SystemExit(f"intern {{label}} on customer — not gated")
+    except RuntimeError as e:
+        assert "Authorization error" in str(e), (label, str(e)[:800])
+
+# DESCRIBE on the GRANTED table works for the scoped user
+cols_d, rows_d = beeline_query(f"DESCRIBE {{db}}.nation", port,
+                               user="intern", password="readonly")
+assert any("n_nationkey" in r[0] for r in rows_d), rows_d
+
 # a valid login with NO grants is denied every catalog table ...
 try:
     beeline_query(f"SELECT COUNT(*) AS n FROM {{db}}.nation", port,
