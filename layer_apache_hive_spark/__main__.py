@@ -92,7 +92,30 @@ def main(argv: list[str] | None = None) -> int:
         "wire identity from --auth is what the rule sees",
     )
 
+    for name, helptext in (
+        ("grant", "GRANT SELECT ON <table> TO <user> (file-backed ACL)"),
+        ("revoke", "REVOKE SELECT ON <table> FROM <user> ('*' = all)"),
+    ):
+        p = sub.add_parser(name, help=helptext)
+        p.add_argument("user")
+        p.add_argument("table")
+        p.add_argument(
+            "--acl-file",
+            default=os.environ.get("SPARK_GRAFT_HS2_ACL_FILE"),
+            help="policy store path (default: $SPARK_GRAFT_HS2_ACL_FILE)",
+        )
+
     args = ap.parse_args(argv)
+
+    if args.cmd in ("grant", "revoke"):
+        from layer_apache_hive_spark import authz
+
+        if not args.acl_file:
+            print("grant/revoke need --acl-file or $SPARK_GRAFT_HS2_ACL_FILE")
+            return 2
+        fn = authz.grant if args.cmd == "grant" else authz.revoke
+        print(fn(args.acl_file, args.user, args.table) or "(no grants)")
+        return 0
 
     if args.cmd == "provision":
         from layer_apache_hive_spark.metastore import (
@@ -130,11 +153,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.acl:
             from layer_apache_hive_spark.authz import (
                 ACL_ENV,
+                ACL_FILE_ENV,
                 authz_session_conf,
             )
 
-            if not os.environ.get(ACL_ENV):
-                print(f"--acl requires {ACL_ENV}=user=tbl[,tbl];other=*")
+            if not (
+                os.environ.get(ACL_ENV) or os.environ.get(ACL_FILE_ENV)
+            ):
+                print(
+                    f"--acl requires {ACL_ENV}=user=tbl[,tbl];other=* "
+                    f"or {ACL_FILE_ENV}=<path> (live GRANT/REVOKE store)"
+                )
                 return 2
             if not args.auth:
                 # an ACL without authenticated identities is theater:

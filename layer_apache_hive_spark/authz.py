@@ -24,13 +24,18 @@ service itself (provisioning, registered queries, view refreshes)
 carry no wire identity — or the service principal's own name — and
 run unrestricted: ACL entries govern WIRE users.
 
-Policy: ``SPARK_GRAFT_HS2_ACL`` in the SERVER process environment,
-``user=table1,table2;other=*`` — ``*`` grants everything; a listed
-user may read exactly the named tables (case-insensitive, by table
-name); an authenticated user with NO entry is denied every catalog
-table (default-deny, the SQL-std posture). Statements touching no
-catalog table (SET, SHOW DATABASES, SELECT 1, connection chrome)
-always pass, so JDBC clients can negotiate sessions.
+Policy: ``user=table1,table2;other=*`` — ``*`` grants everything; a
+listed user may read exactly the named tables (case-insensitive, by
+table name); an authenticated user with NO entry is denied every
+catalog table (default-deny, the SQL-std posture). Statements
+touching no catalog table (SET, SHOW DATABASES, SELECT 1, connection
+chrome) always pass, so JDBC clients can negotiate sessions. Two
+stores: ``SPARK_GRAFT_HS2_ACL`` (env — static, frozen at JVM start)
+or ``SPARK_GRAFT_HS2_ACL_FILE`` (file — re-read per statement, so
+:func:`grant` / :func:`revoke` — the GRANT/REVOKE SQL statements'
+analog — take effect on the next statement with NO server restart;
+an unreadable configured file fails CLOSED, an empty one means zero
+grants).
 
 Scope (kept honest): the object surface is CATALOG TABLES — exactly
 what HS2 SQL-std auth governs for SELECT. Global temp views exported
@@ -57,6 +62,11 @@ import pyspark
 
 AUTHZ_CLASS = "sparkgraft.SparkGraftAuthz"
 ACL_ENV = "SPARK_GRAFT_HS2_ACL"
+#: file-backed policy store: same format, re-read per statement, so
+#: grant()/revoke() take effect live (GRANT/REVOKE analog). Wins over
+#: ACL_ENV when both are set; an EMPTY configured file means zero
+#: grants (default-deny), not "open".
+ACL_FILE_ENV = "SPARK_GRAFT_HS2_ACL_FILE"
 DEFAULT_CLASSES_DIR = "/root/repo/.tmp/hs2_authz_classes"
 
 _JAVA_SOURCE = """
@@ -116,10 +126,42 @@ public class SparkGraftAuthz
     return BoxedUnit.UNIT;
   }
 
+  static String readAcl() {
+    // file-backed policy wins: GRANT/REVOKE edit the file and take
+    // effect on the NEXT statement with no server restart (env vars
+    // are frozen at JVM start, so they can only express a static
+    // policy). The file is tiny; a per-statement read is microseconds
+    // of driver time and guarantees freshness.
+    String path = System.getenv("SPARK_GRAFT_HS2_ACL_FILE");
+    if (path != null && !path.isEmpty()) {
+      try {
+        return new String(
+            java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(path)),
+            java.nio.charset.StandardCharsets.UTF_8).trim();
+      } catch (java.io.IOException e) {
+        // fail CLOSED: a configured-but-unreadable policy store must
+        // not silently open the endpoint
+        throw new SecurityException(
+            "Authorization error: ACL file " + path + " unreadable: "
+                + e);
+      }
+    }
+    return System.getenv("SPARK_GRAFT_HS2_ACL");
+  }
+
   static void check(LogicalPlan plan) {
-    String acl = System.getenv("SPARK_GRAFT_HS2_ACL");
-    if (acl == null || acl.isEmpty()) {
+    String filePath = System.getenv("SPARK_GRAFT_HS2_ACL_FILE");
+    boolean fileMode = filePath != null && !filePath.isEmpty();
+    String acl = readAcl();
+    // env mode: unset/empty means "no policy" (rule inert).
+    // file mode: the file IS the policy store — an empty file means
+    // ZERO grants (default-deny for every wire user), not "open".
+    if (!fileMode && (acl == null || acl.isEmpty())) {
       return;
+    }
+    if (acl == null) {
+      acl = "";
     }
     String user = CurrentUserContext$.MODULE$.getCurrentUserOrEmpty();
     String service = System.getProperty("user.name", "");
@@ -253,6 +295,64 @@ def ensure_authz_classes(classes_dir: str = DEFAULT_CLASSES_DIR) -> str:
     with open(marker, "w") as fh:
         fh.write(_JAVA_SOURCE)
     return classes_dir
+
+
+def parse_acl(acl: str) -> dict[str, set[str]]:
+    """``user=tbl1,tbl2;other=*`` → {user: {tables...}} ('' → {})."""
+    out: dict[str, set[str]] = {}
+    for entry in acl.split(";"):
+        if "=" not in entry:
+            continue
+        user, tables = entry.split("=", 1)
+        out[user.strip()] = {
+            t.strip().lower() for t in tables.split(",") if t.strip()
+        }
+    return out
+
+
+def format_acl(grants: dict[str, set[str]]) -> str:
+    return ";".join(
+        f"{u}={','.join(sorted(ts))}" for u, ts in sorted(grants.items()) if ts
+    )
+
+
+def _write_acl_file(path: str, grants: dict[str, set[str]]) -> None:
+    """Full-file write + atomic rename: the serving JVM re-reads per
+    statement and must never observe a torn policy."""
+    import uuid
+
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(format_acl(grants) + "\n")
+    os.replace(tmp, path)
+
+
+def grant(acl_file: str, user: str, table: str) -> str:
+    """GRANT SELECT ON ``table`` TO ``user`` — the HS2 SQL-std
+    statement's analog against the file-backed policy store; takes
+    effect on the served endpoint's NEXT statement, no restart."""
+    if "=" in user or ";" in user or "," in table or ";" in table:
+        raise ValueError("user/table may not contain '=', ';' or ','")
+    grants = parse_acl(
+        open(acl_file).read().strip() if os.path.exists(acl_file) else ""
+    )
+    grants.setdefault(user, set()).add(table.lower())
+    _write_acl_file(acl_file, grants)
+    return format_acl(grants)
+
+
+def revoke(acl_file: str, user: str, table: str) -> str:
+    """REVOKE SELECT ON ``table`` FROM ``user`` (``*`` revokes the
+    user's every grant)."""
+    grants = parse_acl(
+        open(acl_file).read().strip() if os.path.exists(acl_file) else ""
+    )
+    if table == "*":
+        grants.pop(user, None)
+    else:
+        grants.get(user, set()).discard(table.lower())
+    _write_acl_file(acl_file, grants)
+    return format_acl(grants)
 
 
 def validate_acl(acl: str) -> None:

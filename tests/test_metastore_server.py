@@ -574,3 +574,87 @@ def test_thrift_server_serves_versioned_tables():
             timeout=420,
         )
         assert "ACID_WIRE_OK" in out
+
+
+_GRANT_SERVER = """
+import os, sys, tempfile
+sys.path.insert(0, "/root/repo")
+acl_file = {ms!r} + "_acl"
+open(acl_file, "w").write("etl=*\\n")
+os.environ["SPARK_GRAFT_HS2_CREDENTIALS"] = "etl:pipeline,intern:readonly"
+os.environ["SPARK_GRAFT_HS2_ACL_FILE"] = acl_file
+from layer_apache_hive_spark import authz
+from layer_apache_hive_spark.auth import auth_session_conf
+from layer_apache_hive_spark.authz import authz_session_conf
+from layer_apache_hive_spark.metastore import hive_session, provision_corpus
+from layer_apache_hive_spark.server import (
+    start_thrift_server, wait_for_port, beeline_query)
+
+port = {port}
+conf = authz_session_conf(auth_session_conf())
+conf["spark.hadoop.hive.server2.thrift.port"] = str(port)
+spark = hive_session(
+    app_name="thrift-grant", master="local[4]",
+    metastore_dir={ms!r}, warehouse_dir={wh!r}, extra_conf=conf)
+db = provision_corpus(spark, {sf!r}, metastore_dir={ms!r})
+server = start_thrift_server(spark, port)
+wait_for_port(port)
+
+def denied(user, pw, sql):
+    try:
+        beeline_query(sql, port, user=user, password=pw)
+        return False
+    except RuntimeError as e:
+        return "Authorization error" in str(e)
+
+q = f"SELECT COUNT(*) AS n FROM {{db}}.nation"
+
+# intern starts with zero grants (file-backed default-deny)
+assert denied("intern", "readonly", q), "pre-grant read not denied"
+
+# GRANT while the server keeps running: next statement sees it
+authz.grant(acl_file, "intern", "nation")
+_, rows = beeline_query(q, port, user="intern", password="readonly")
+assert rows == [["25"]], rows
+# ... but only the granted table
+assert denied("intern", "readonly",
+              f"SELECT COUNT(*) AS n FROM {{db}}.region")
+
+# REVOKE: next statement refused again, no restart
+authz.revoke(acl_file, "intern", "nation")
+assert denied("intern", "readonly", q), "post-revoke read not denied"
+
+# the full-grant user is unaffected throughout
+_, rows = beeline_query(q, port, user="etl", password="pipeline")
+assert rows == [["25"]], rows
+
+# fail-closed: an unreadable policy store refuses even prior grants
+os.rename(acl_file, acl_file + ".gone")
+assert denied("etl", "pipeline", q), "unreadable ACL file must fail closed"
+os.rename(acl_file + ".gone", acl_file)
+_, rows = beeline_query(q, port, user="etl", password="pipeline")
+assert rows == [["25"]], rows
+
+print("GRANT_WIRE_OK")
+spark.stop()
+"""
+
+
+def test_thrift_server_live_grant_revoke():
+    """The GRANT/REVOKE analog: with the file-backed policy store,
+    grants and revokes edited while the server is RUNNING take effect
+    on the next statement (no restart), scoped to exactly the named
+    table; an unreadable policy store fails closed."""
+    from layer_apache_hive_spark.server import free_port
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = _run(
+            _GRANT_SERVER.format(
+                ms=f"{tmp}/metastore",
+                wh=f"{tmp}/warehouse",
+                sf=SF_DIR,
+                port=free_port(),
+            ),
+            timeout=420,
+        )
+        assert "GRANT_WIRE_OK" in out

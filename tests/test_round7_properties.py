@@ -221,3 +221,25 @@ def test_substring_removal_consistent_with_detection(spark):
     assert saw_verbatim and saw_cut and saw_empty, (
         "fixture must exercise all three cases"
     )
+
+
+def test_acl_grant_revoke_roundtrip(tmp_path):
+    """authz.grant/revoke maintain the file-backed policy store:
+    idempotent grants, scoped revokes, '*' revoke-all, atomic
+    full-file writes, and reserved-character rejection."""
+    from layer_apache_hive_spark import authz
+
+    f = str(tmp_path / "acl")
+    assert authz.grant(f, "alice", "Nation") == "alice=nation"
+    assert authz.grant(f, "alice", "region") == "alice=nation,region"
+    assert authz.grant(f, "alice", "nation") == "alice=nation,region"
+    assert authz.grant(f, "bob", "*") == "alice=nation,region;bob=*"
+    assert authz.revoke(f, "alice", "region") == "alice=nation;bob=*"
+    assert authz.revoke(f, "alice", "*") == "bob=*"
+    assert authz.parse_acl(open(f).read().strip()) == {"bob": {"*"}}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        authz.grant(f, "a=b", "t")
+    with _pytest.raises(ValueError):
+        authz.grant(f, "a", "t,u")
