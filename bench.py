@@ -124,9 +124,17 @@ def main() -> None:
     # same schema, `queries` trimmed to the top-10 slowest — small
     # enough to always survive the tail capture.
     if not only:
-        with open("/root/repo/BENCH_local.json", "w") as fh:
-            json.dump(payload, fh, indent=2, sort_keys=True)
-            fh.write("\n")
+        map_path = "/root/repo/BENCH_local.json"
+    else:
+        # subset runs keep their full map too (a targeted-subset run
+        # exists to read per-query timings, and the compact stdout
+        # line only carries the 10 slowest) — under .tmp, never
+        # clobbering the committed full-registry map
+        os.makedirs("/root/repo/.tmp", exist_ok=True)
+        map_path = "/root/repo/.tmp/BENCH_only.json"
+    with open(map_path, "w") as fh:
+        json.dump(payload, fh, indent=2, sort_keys=True)
+        fh.write("\n")
     top10 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
@@ -136,7 +144,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "sf": _sf_label(SF_DIR),
-        "full_map": "BENCH_local.json" if not only else None,
+        "full_map": map_path.removeprefix("/root/repo/"),
         "queries": top10,
     }
     print(json.dumps(compact))

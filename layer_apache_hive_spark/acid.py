@@ -136,8 +136,15 @@ class VersionedTable:
             base = self.read(spark, m["parent"])
             keys = spark.read.parquet(
                 os.path.join(self.snapshots_dir, m["delete_delta"])
+            ).withColumnRenamed(m["key_col"], "__delta_key")
+            # NULL-SAFE anti-join: a plain equality anti-join keeps
+            # NULL-key base rows (NULL != NULL), silently un-deleting
+            # them; <=> matches the NULL class like join_null_safe
+            return base.join(
+                keys,
+                F.col(m["key_col"]).eqNullSafe(F.col("__delta_key")),
+                "left_anti",
             )
-            return base.join(keys, on=m["key_col"], how="left_anti")
         if "delta_rows" in m:
             # row-delta (merge-on-read) commit (r7): parent minus the
             # touched keys, plus the staged replacement rows — the
@@ -146,12 +153,16 @@ class VersionedTable:
             base = self.read(spark, m["parent"])
             keys = spark.read.parquet(
                 os.path.join(self.snapshots_dir, m["delta_keys"])
-            )
+            ).withColumnRenamed(m["key_col"], "__delta_key")
             rows = spark.read.parquet(
                 os.path.join(self.snapshots_dir, m["delta_rows"])
             )
+            # null-safe for the same reason as the delete branch: a
+            # NULL-key row must be REPLACED, not kept-and-duplicated
             return base.join(
-                keys, on=m["key_col"], how="left_anti"
+                keys,
+                F.col(m["key_col"]).eqNullSafe(F.col("__delta_key")),
+                "left_anti",
             ).unionByName(rows)
         if "snapshot" in m:
             return spark.read.parquet(self.snapshot_path(v))
@@ -671,11 +682,16 @@ class VersionedTable:
         target = self.manifest(version)
         base = self.current_version()
         new_version = base + 1
+        # carry EVERY data-reference key of the target manifest:
+        # snapshot / partition-granular / delta families all restore
+        # (a delta target's parent chain stays pinned by version
+        # number, which _needed_refs walks for retention)
         payload = {
             k: v
             for k, v in target.items()
             if k in ("snapshot", "partition_col", "partition_type",
-                     "partitions", "schema")
+                     "partitions", "schema", "parent", "delete_delta",
+                     "delta_keys", "delta_rows", "key_col")
         }
         payload.update(
             {
@@ -771,15 +787,6 @@ def publish_to_catalog(
         raise FileNotFoundError(f"{vt.root}: no committed version")
     m = vt.manifest(v)
     qual = f"{db}.{name}"
-    if "delete_delta" in m or "delta_rows" in m:
-        body = _version_body_sql(spark, vt, v)
-        if (
-            spark.catalog.tableExists(qual)
-            and spark.catalog.getTable(qual).tableType != "VIEW"
-        ):
-            spark.sql(f"DROP TABLE {qual}")
-        spark.sql(f"CREATE OR REPLACE VIEW {qual} AS {body}")
-        return qual
     if "snapshot" in m:
         loc = vt.snapshot_path(v)
         exists = spark.catalog.tableExists(qual)
@@ -787,16 +794,30 @@ def publish_to_catalog(
             spark.sql(f"DROP VIEW {qual}")
             exists = False
         if exists:
-            spark.sql(f"ALTER TABLE {qual} SET LOCATION '{loc}'")
-            # the old location's footer-derived schema may be cached
-            spark.sql(f"REFRESH TABLE {qual}")
+            # a re-pointed datasource table keeps the schema the
+            # catalog persisted at CREATE time — ALTER SET LOCATION
+            # never re-infers, so an evolved snapshot (new column)
+            # would serve the STALE schema. Compare against the new
+            # location's footer schema and recreate on drift; when
+            # the schema is unchanged the flip stays metadata-only.
+            new_schema = spark.read.parquet(loc).schema
+            if spark.table(qual).schema != new_schema:
+                spark.sql(f"DROP TABLE {qual}")
+                spark.sql(
+                    f"CREATE TABLE {qual} USING PARQUET LOCATION '{loc}'"
+                )
+            else:
+                spark.sql(f"ALTER TABLE {qual} SET LOCATION '{loc}'")
+                # the old location's footer-derived data may be cached
+                spark.sql(f"REFRESH TABLE {qual}")
         else:
             spark.sql(
                 f"CREATE TABLE {qual} USING PARQUET LOCATION '{loc}'"
             )
         return qual
 
-    # partition-granular manifest → view unioning immutable dirs
+    # everything else (partition-granular, delete-delta, row-delta)
+    # publishes as a view over _version_body_sql's dispatch
     body = _version_body_sql(spark, vt, v)
     if (
         spark.catalog.tableExists(qual)
@@ -820,9 +841,10 @@ def _version_body_sql(spark: SparkSession, vt: "VersionedTable", v: int) -> str:
         parent = _version_body_sql(spark, vt, m["parent"])
         path = os.path.join(vt.snapshots_dir, m["delete_delta"])
         key = m["key_col"]
+        # <=> : null-safe, matching VersionedTable.read's delta fold
         return (
             f"SELECT a.* FROM ({parent}) a LEFT ANTI JOIN "
-            f"parquet.`{path}` d ON a.`{key}` = d.`{key}`"
+            f"parquet.`{path}` d ON a.`{key}` <=> d.`{key}`"
         )
     if "delta_rows" in m:
         parent = _version_body_sql(spark, vt, m["parent"])
@@ -834,7 +856,7 @@ def _version_body_sql(spark: SparkSession, vt: "VersionedTable", v: int) -> str:
         )
         return (
             f"SELECT {cols} FROM ({parent}) a LEFT ANTI JOIN "
-            f"parquet.`{kpath}` d ON a.`{key}` = d.`{key}` "
+            f"parquet.`{kpath}` d ON a.`{key}` <=> d.`{key}` "
             f"UNION ALL SELECT {cols} FROM parquet.`{rpath}`"
         )
     if "snapshot" in m:

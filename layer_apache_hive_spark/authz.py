@@ -37,17 +37,24 @@ analog — take effect on the next statement with NO server restart;
 an unreadable configured file fails CLOSED, an empty one means zero
 grants).
 
-Scope (kept honest): the object surface is CATALOG TABLES — exactly
-what HS2 SQL-std auth governs for SELECT. Global temp views exported
-by the service are service-published results, not catalog objects,
-and are not gated. Subquery expressions are walked too
-(``subqueriesAll``), so a denied table cannot be smuggled in through
-``WHERE x IN (SELECT ...)``. Metadata and DDL statements whose
-target resolves as a ``ResolvedTable`` command child (DESCRIBE, SHOW
-COLUMNS, DROP TABLE, ALTER TABLE) obey the same per-table grant, so
-a scoped user can neither inspect nor mutate an ungranted table.
-Catalog LISTING (SHOW TABLES / SHOW DATABASES) stays open — names
-are directory metadata, the split Hive itself draws.
+Scope: the object surface is catalog TABLES and VIEWS — what HS2
+SQL-std auth governs for SELECT. Views key on the VIEW's own grant
+with DEFINER semantics (a granted view's body executes under the
+grantor, so views expose row/column subsets of tables the user may
+not read directly — the standard HS2 pattern, and how
+``acid.publish_to_catalog``'s delta/partition views serve scoped
+users); traversal therefore stops at a view node either way.
+Relations with NO catalog entry (``SELECT * FROM parquet.`/path```)
+are direct file access and are denied outright for scoped users (the
+SQL-std posture: path reads need admin). Subquery expressions are
+walked per node, so a denied table cannot be smuggled in through
+``WHERE x IN (SELECT ...)``. Metadata and DDL targets (DESCRIBE,
+SHOW COLUMNS, DROP TABLE, ALTER TABLE — ResolvedTable /
+ResolvedIdentifier / the v1 command nodes) obey the same per-table
+grant, so a scoped user can neither inspect nor mutate an ungranted
+table. Catalog LISTING (SHOW TABLES / SHOW DATABASES) stays open —
+names are directory metadata, the split Hive itself draws. Not
+matched: DataSourceV2Relation (no v2 sources are served here).
 
 Scale: the check is O(plan nodes) driver-side metadata work per
 statement — zero data-path cost at any corpus size.
@@ -86,21 +93,25 @@ import org.apache.spark.sql.catalyst.analysis.ResolvedTable;
 import org.apache.spark.sql.catalyst.catalog.CatalogTable;
 import org.apache.spark.sql.catalyst.catalog.HiveTableRelation;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
+import org.apache.spark.sql.catalyst.plans.logical.View;
 import org.apache.spark.sql.execution.command.DescribeTableCommand;
 import org.apache.spark.sql.execution.command.ShowColumnsCommand;
 import org.apache.spark.sql.execution.datasources.LogicalRelation;
 import scala.collection.Iterator;
 import scala.runtime.AbstractFunction1;
 import scala.runtime.BoxedUnit;
+import org.apache.spark.sql.catalyst.analysis.AnalysisContext$;
+import org.apache.spark.sql.catalyst.rules.Rule;
 
 /**
  * Analyzer check rule: per-user catalog-table ACL for the served
  * Thrift endpoint (the HiveServer2 SQL-std-authorization analog).
- * Policy comes from SPARK_GRAFT_HS2_ACL in the server process
+ * Policy comes from SPARK_GRAFT_HS2_ACL_FILE (re-read per statement,
+ * live GRANT/REVOKE) or SPARK_GRAFT_HS2_ACL in the server process
  * environment ("user=tbl1,tbl2;other=*"); the statement identity
  * comes from CurrentUserContext, which Spark's Thrift server sets to
- * the SASL-authenticated username per statement. No ACL configured
- * means the rule is inert.
+ * the SASL-authenticated username per statement. No policy
+ * configured means the rule is inert.
  */
 public class SparkGraftAuthz
     extends AbstractFunction1<SparkSessionExtensions, BoxedUnit>
@@ -108,17 +119,22 @@ public class SparkGraftAuthz
 
   @Override
   public BoxedUnit apply(SparkSessionExtensions ext) {
-    ext.injectCheckRule(
-        new AbstractFunction1<SparkSession,
-                              scala.Function1<LogicalPlan, BoxedUnit>>() {
+    // POST-HOC RESOLUTION rule, not a check rule: the extended check
+    // rules receive a view-INLINED copy of the plan (measured: no
+    // View node survives to them), which would make definer-semantics
+    // view grants impossible. The post-hoc batch runs inside the
+    // analyzer where View wrappers are still present, so traversal
+    // can stop at a granted view. The rule throws on violation and
+    // otherwise returns the plan unchanged.
+    ext.injectPostHocResolutionRule(
+        new AbstractFunction1<SparkSession, Rule<LogicalPlan>>() {
           @Override
-          public scala.Function1<LogicalPlan, BoxedUnit> apply(
-              SparkSession session) {
-            return new AbstractFunction1<LogicalPlan, BoxedUnit>() {
+          public Rule<LogicalPlan> apply(SparkSession session) {
+            return new Rule<LogicalPlan>() {
               @Override
-              public BoxedUnit apply(LogicalPlan plan) {
+              public LogicalPlan apply(LogicalPlan plan) {
                 check(plan);
-                return BoxedUnit.UNIT;
+                return plan;
               }
             };
           }
@@ -151,11 +167,19 @@ public class SparkGraftAuthz
   }
 
   static void check(LogicalPlan plan) {
+    // the analyzer re-enters itself to resolve a view's BODY (and
+    // the post-hoc batch runs in that nested execute too, on a plan
+    // with no View wrapper); the OUTER pass gates the View node
+    // itself under definer semantics, so nested passes must not
+    // re-check the body under the wire user's own grants
+    if (AnalysisContext$.MODULE$.get().nestedViewDepth() > 0) {
+      return;
+    }
     String filePath = System.getenv("SPARK_GRAFT_HS2_ACL_FILE");
     boolean fileMode = filePath != null && !filePath.isEmpty();
     String acl = readAcl();
     // env mode: unset/empty means "no policy" (rule inert).
-    // file mode: the file IS the policy store — an empty file means
+    // file mode: the file IS the policy store - an empty file means
     // ZERO grants (default-deny for every wire user), not "open".
     if (!fileMode && (acl == null || acl.isEmpty())) {
       return;
@@ -179,7 +203,11 @@ public class SparkGraftAuthz
       if (i <= 0 || !entry.substring(0, i).trim().equals(user)) {
         continue;
       }
+      // last-entry-wins, matching the Python parse_acl audit view:
+      // a later duplicate entry REPLACES the earlier one, including
+      // its '*'
       allowed = new HashSet<String>();
+      all = false;
       for (String t : entry.substring(i + 1).split(",")) {
         String tt = t.trim().toLowerCase(Locale.ROOT);
         if (tt.equals("*")) {
@@ -196,12 +224,6 @@ public class SparkGraftAuthz
         allowed == null ? Collections.<String>emptySet() : allowed;
     final List<String> denied = new ArrayList<String>();
     visit(plan, allow, denied);
-    Iterator<LogicalPlan> subs =
-        ((scala.collection.Seq<LogicalPlan>) plan.subqueriesAll())
-            .iterator();
-    while (subs.hasNext()) {
-      visit(subs.next(), allow, denied);
-    }
     if (!denied.isEmpty()) {
       throw new SecurityException(
           "Authorization error: user '" + user
@@ -211,52 +233,69 @@ public class SparkGraftAuthz
   }
 
   private static void visit(
-      LogicalPlan plan, final Set<String> allow, final List<String> denied) {
-    plan.foreach(
-        new AbstractFunction1<LogicalPlan, BoxedUnit>() {
-          @Override
-          public BoxedUnit apply(LogicalPlan node) {
-            String tbl = null;
-            String full = null;
-            if (node instanceof HiveTableRelation) {
-              CatalogTable meta = ((HiveTableRelation) node).tableMeta();
-              tbl = meta.identifier().table();
-              full = meta.identifier().unquotedString();
-            } else if (node instanceof LogicalRelation) {
-              scala.Option<CatalogTable> ct =
-                  ((LogicalRelation) node).catalogTable();
-              if (ct.isDefined()) {
-                tbl = ct.get().identifier().table();
-                full = ct.get().identifier().unquotedString();
-              }
-            } else if (node instanceof ResolvedTable) {
-              // v2 metadata/DDL target (ALTER ... and friends):
-              // obeys the same per-table grant as reads
-              tbl = ((ResolvedTable) node).identifier().name();
-              full = ((ResolvedTable) node).name();
-            } else if (node instanceof ResolvedIdentifier) {
-              // v2 name-only target (DROP TABLE, CREATE in a scoped
-              // namespace): DDL on an ungranted name is denied
-              tbl = ((ResolvedIdentifier) node).identifier().name();
-              full = tbl;
-            } else if (node instanceof DescribeTableCommand) {
-              // v1 session-catalog metadata commands carry a bare
-              // TableIdentifier, not a relation child
-              tbl = ((DescribeTableCommand) node).table().table();
-              full = ((DescribeTableCommand) node).table()
-                  .unquotedString();
-            } else if (node instanceof ShowColumnsCommand) {
-              tbl = ((ShowColumnsCommand) node).tableName().table();
-              full = ((ShowColumnsCommand) node).tableName()
-                  .unquotedString();
-            }
-            if (tbl != null
-                && !allow.contains(tbl.toLowerCase(Locale.ROOT))) {
-              denied.add(full);
-            }
-            return BoxedUnit.UNIT;
-          }
-        });
+      LogicalPlan node, Set<String> allow, List<String> denied) {
+    if (node instanceof View) {
+      // views are objects of their own: access keys on the VIEW's
+      // grant, and a GRANTED view's body executes under the grantor
+      // (definer semantics - the standard HS2 pattern for exposing
+      // row/column subsets of tables a user may not read directly),
+      // so traversal STOPS here either way.
+      CatalogTable d = ((View) node).desc();
+      if (!allow.contains(d.identifier().table().toLowerCase(Locale.ROOT))) {
+        denied.add(d.identifier().unquotedString());
+      }
+      return;
+    }
+    String tbl = null;
+    String full = null;
+    if (node instanceof HiveTableRelation) {
+      CatalogTable meta = ((HiveTableRelation) node).tableMeta();
+      tbl = meta.identifier().table();
+      full = meta.identifier().unquotedString();
+    } else if (node instanceof LogicalRelation) {
+      scala.Option<CatalogTable> ct =
+          ((LogicalRelation) node).catalogTable();
+      if (ct.isDefined()) {
+        tbl = ct.get().identifier().table();
+        full = ct.get().identifier().unquotedString();
+      } else {
+        // a relation with NO catalog entry is a direct path read
+        // (SELECT * FROM parquet.`/path`): ungoverned by any table
+        // grant, so scoped users are denied outright - the SQL-std
+        // posture (Hive requires admin for direct file access)
+        denied.add("path-based relation (direct file access)");
+      }
+    } else if (node instanceof ResolvedTable) {
+      // v2 metadata/DDL target (ALTER ... and friends)
+      tbl = ((ResolvedTable) node).identifier().name();
+      full = ((ResolvedTable) node).name();
+    } else if (node instanceof ResolvedIdentifier) {
+      // v2 name-only target (DROP TABLE, CREATE in a scoped
+      // namespace): DDL on an ungranted name is denied
+      tbl = ((ResolvedIdentifier) node).identifier().name();
+      full = tbl;
+    } else if (node instanceof DescribeTableCommand) {
+      // v1 session-catalog metadata commands carry a bare
+      // TableIdentifier, not a relation child
+      tbl = ((DescribeTableCommand) node).table().table();
+      full = ((DescribeTableCommand) node).table().unquotedString();
+    } else if (node instanceof ShowColumnsCommand) {
+      tbl = ((ShowColumnsCommand) node).tableName().table();
+      full = ((ShowColumnsCommand) node).tableName().unquotedString();
+    }
+    if (tbl != null && !allow.contains(tbl.toLowerCase(Locale.ROOT))) {
+      denied.add(full);
+    }
+    Iterator<LogicalPlan> kids =
+        ((scala.collection.Seq<LogicalPlan>) node.children()).iterator();
+    while (kids.hasNext()) {
+      visit(kids.next(), allow, denied);
+    }
+    Iterator<LogicalPlan> subs =
+        ((scala.collection.Seq<LogicalPlan>) node.subqueries()).iterator();
+    while (subs.hasNext()) {
+      visit(subs.next(), allow, denied);
+    }
   }
 }
 """
@@ -327,32 +366,49 @@ def _write_acl_file(path: str, grants: dict[str, set[str]]) -> None:
     os.replace(tmp, path)
 
 
+def _locked_acl_update(acl_file: str, mutate) -> str:
+    """Read-modify-write of the policy store under an exclusive
+    fcntl lock (a sibling ``.lock`` file, so the store itself is only
+    ever replaced atomically): two concurrent grant/revoke calls
+    serialize instead of the loser's change silently vanishing. The
+    serving JVM never takes the lock — it only ever reads the
+    rename-atomic store file."""
+    import fcntl
+
+    with open(f"{acl_file}.lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        grants = parse_acl(
+            open(acl_file).read().strip()
+            if os.path.exists(acl_file)
+            else ""
+        )
+        mutate(grants)
+        _write_acl_file(acl_file, grants)
+        return format_acl(grants)
+
+
 def grant(acl_file: str, user: str, table: str) -> str:
     """GRANT SELECT ON ``table`` TO ``user`` — the HS2 SQL-std
     statement's analog against the file-backed policy store; takes
     effect on the served endpoint's NEXT statement, no restart."""
     if "=" in user or ";" in user or "," in table or ";" in table:
         raise ValueError("user/table may not contain '=', ';' or ','")
-    grants = parse_acl(
-        open(acl_file).read().strip() if os.path.exists(acl_file) else ""
+    return _locked_acl_update(
+        acl_file, lambda g: g.setdefault(user, set()).add(table.lower())
     )
-    grants.setdefault(user, set()).add(table.lower())
-    _write_acl_file(acl_file, grants)
-    return format_acl(grants)
 
 
 def revoke(acl_file: str, user: str, table: str) -> str:
     """REVOKE SELECT ON ``table`` FROM ``user`` (``*`` revokes the
     user's every grant)."""
-    grants = parse_acl(
-        open(acl_file).read().strip() if os.path.exists(acl_file) else ""
-    )
-    if table == "*":
-        grants.pop(user, None)
-    else:
-        grants.get(user, set()).discard(table.lower())
-    _write_acl_file(acl_file, grants)
-    return format_acl(grants)
+
+    def mutate(grants: dict[str, set[str]]) -> None:
+        if table == "*":
+            grants.pop(user, None)
+        else:
+            grants.get(user, set()).discard(table.lower())
+
+    return _locked_acl_update(acl_file, mutate)
 
 
 def validate_acl(acl: str) -> None:

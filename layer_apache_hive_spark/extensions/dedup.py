@@ -1238,140 +1238,13 @@ _SUBSTR_W = 50
 _SUBSTR_MAX_DF = 64
 
 
-@register(
-    "ext_dedup_substring",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents
-  WHERE len(string_split(lower(text), ' ')) >= {_SUBSTR_W}
-),
-anchors AS (
-  SELECT doc_id, i AS pos,
-         CAST('0x' || substr(md5(array_to_string(tok[i:i+{_SUBSTR_W - 1}], ' ')), 1, 15)
-              AS BIGINT) AS h
-  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) - {_SUBSTR_W - 2})) AS i
-        FROM t)
-),
-dup AS (
-  SELECT h FROM anchors GROUP BY h
-  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_SUBSTR_MAX_DF}
-),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.pos AS pos_a, b.pos AS pos_b
-  FROM anchors a JOIN dup USING (h) JOIN anchors b USING (h)
-  WHERE a.doc_id < b.doc_id
-),
-runs AS (
-  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
-         pos_a - ROW_NUMBER() OVER (
-           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
-  FROM pairs
-)
-SELECT doc_a, doc_b,
-       CAST(MIN(pos_a) AS BIGINT) AS a_start,
-       CAST(MIN(pos_b) AS BIGINT) AS b_start,
-       CAST(COUNT(*) + {_SUBSTR_W - 1} AS BIGINT) AS span_tokens
-FROM runs GROUP BY doc_a, doc_b, diag, grp
-""",
-)
-def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cross-document duplicate SUBSTRING spans (>= 50 tokens),
-    the one standard LLM-dedup tier the repo lacked: Lee et al. 2022
-    remove exact duplicate >=50-token character/token spans because
-    near-dup tiers (MinHash over whole docs) miss partial overlap —
-    a quote, a syndicated paragraph, a template body shared by
-    otherwise-different documents.
-
-    The paper's tool is a single suffix array over the concatenated
-    corpus — inherently sequential to build and awkward to shard.
-    The Spark-first equivalent used here is EXACT for detection and
-    maximal-span reporting, with only keyed shuffles:
-
-    1. ANCHORS: every W-token window (W=50) of every doc, hashed to
-       the house 60-bit portable md5 prefix. Any duplicate span of
-       length L >= W contains exactly L-W+1 shared W-gram anchors,
-       so span detection reduces to anchor-hash equality. The
-       50-token window string is built and hashed MAP-SIDE inside
-       whole-stage codegen (transform/slice/array_join/md5);
-       only (doc_id, pos, h) int64 triples ever shuffle — the ~50x
-       string blowup is transient per-task CPU, never network. (A
-       Rabin-Karp rolling hash would cut that CPU 50x at 100 TB;
-       same relation, drop-in swap.)
-    2. DF CAP: W-grams shared by 2..64 distinct docs generate pairs;
-       hotter ones (site chrome, license boilerplate) are excluded
-       in BOTH engines — the df cap is what bounds pair fan-out at
-       corpus scale (max observed df on the fixtures is 4).
-    3. PAIRS: anchors self-joined on h (keyed shuffle), doc_a < doc_b.
-    4. MAXIMAL SPANS: matches at the same diagonal (pos_a - pos_b)
-       with consecutive pos_a belong to one span — the gaps-and-
-       islands trick (pos_a - row_number() per (doc_a, doc_b, diag)
-       window: KEYED by doc pair, never global). Each island is one
-       maximal duplicated span: (a_start, b_start, length + W - 1).
-
-    Hash collisions (2^-60/pair) could in principle alias two
-    different W-grams, but both engines join on the SAME hash, so
-    the relation still matches bit-for-bit (house convention, cf.
-    _shingled).
-    """
-    W = _SUBSTR_W
-    d = (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split(F.lower("text"), " ").alias("tok"))
-        .filter(F.size("tok") >= W)
-    )
-    anchors = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(tok) - {W - 1}), i -> "
-                f"cast(conv(substring(md5(array_join(slice(tok, i, {W}), "
-                f"' ')), 1, 15), 16, 10) as bigint))"
-            )
-        ).alias("pos0", "h"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
-    dup = (
-        anchors.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("dd"))
-        .filter(
-            (F.col("dd") >= 2) & (F.col("dd") <= _SUBSTR_MAX_DF)
-        )
-        .select("h")
-    )
-    hits = anchors.join(dup, "h")
-    a = hits.select(
-        "h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
-    )
-    b = hits.select(
-        "h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
-    )
-    pairs = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .drop("h")
-        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
-    )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    runs = pairs.withColumn(
-        "grp", F.col("pos_a") - F.row_number().over(w)
-    )
-    return (
-        runs.groupBy("doc_a", "doc_b", "diag", "grp")
-        .agg(
-            F.min("pos_a").cast("bigint").alias("a_start"),
-            F.min("pos_b").cast("bigint").alias("b_start"),
-            (F.count(F.lit(1)) + F.lit(W - 1)).cast("bigint").alias(
-                "span_tokens"
-            ),
-        )
-        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
-    )
-
-
-@register(
-    "ext_dedup_substring_removal",
-    oracle=f"""
-WITH t AS (
+# Shared oracle CTE prefix: tokenized docs -> W-gram anchor hashes ->
+# df-capped duplicate anchors -> cross-doc position pairs -> maximal
+# runs per (doc pair, diagonal). SINGLE SOURCE for both the detection
+# and the removal oracle, exactly as _substring_spans is for the two
+# Spark plans — a change to the hash, W, or the df cap lands in one
+# place per engine or nowhere.
+_SUBSTR_RUNS_CTES = f"""t AS (
   SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents
   WHERE len(string_split(lower(text), ' ')) >= {_SUBSTR_W}
 ),
@@ -1399,66 +1272,22 @@ runs AS (
   FROM pairs
 ),
 spans AS (
-  SELECT doc_b AS doc_id, MIN(pos_b) AS s,
-         MIN(pos_b) + COUNT(*) + {_SUBSTR_W - 2} AS e
+  SELECT doc_a, doc_b,
+         CAST(MIN(pos_a) AS BIGINT) AS a_start,
+         CAST(MIN(pos_b) AS BIGINT) AS b_start,
+         CAST(COUNT(*) + {_SUBSTR_W - 1} AS BIGINT) AS span_tokens
   FROM runs GROUP BY doc_a, doc_b, diag, grp
-),
-cut AS (
-  SELECT DISTINCT doc_id, s + o AS pos
-  FROM (SELECT doc_id, s, unnest(range(e - s + 1)) AS o FROM spans)
-),
-alltok AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents
-),
-toks AS (
-  SELECT d.doc_id, i AS pos, tok[i] AS token
-  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS i
-        FROM alltok) d(doc_id, tok, i)
-),
-kept AS (
-  SELECT toks.doc_id, pos, token
-  FROM toks LEFT JOIN cut USING (doc_id, pos)
-  WHERE cut.pos IS NULL
-),
-kept_agg AS (
-  SELECT doc_id,
-         string_agg(token, ' ' ORDER BY pos) AS deduped_text,
-         COUNT(*) AS n_kept
-  FROM kept GROUP BY doc_id
-)
-SELECT nt.doc_id,
-       COALESCE(k.deduped_text, '') AS deduped_text,
-       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_kept,
-       CAST(nt.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_cut
-FROM (SELECT doc_id, len(tok) AS n FROM alltok) nt
-LEFT JOIN kept_agg k ON nt.doc_id = k.doc_id
-""",
-)
-def ext_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REMOVAL pass completing the Lee-et-al substring tier:
-    ext_dedup_substring FLAGS duplicate >= 50-token spans; this query
-    CUTS them from the later document of each pair (doc_a < doc_b
-    keeps the first occurrence — the paper removes one copy of each
-    duplicated span, not both) and re-emits the deduped text.
+)"""
 
-    Spark-first: the span relation is the registered detection plan
-    (same anchors/df-cap/islands kernel inline); the cut set explodes
-    each doc_b span into (doc_id, pos) rows — O(span tokens), NOT
-    O(doc tokens) — then one keyed anti-join drops cut positions from
-    the posexploded token stream and an ordered string aggregation
-    (the agg_string_agg kernel: collect_list of (pos, token) structs
-    sorted in-aggregate) rebuilds the text. The token stream covers
-    EVERY document — docs shorter than W generate no anchors, so
-    their cut set is empty and they pass through verbatim with
-    n_tokens_cut = 0, and a WHOLE-document duplicate emits an empty
-    remainder rather than vanishing (no special case, both pinned by
-    test). Every shuffle is keyed by doc_id or anchor hash; nothing
-    global.
 
-    Scale note: emitting full rewritten text makes output size O(
-    corpus) — the pipeline shape at 100 TB writes this as the next
-    pretrain-corpus snapshot, exactly what the operator models.
-    """
+def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated >= W-token spans across document pairs:
+    (doc_a, doc_b, a_start, b_start, span_tokens) with doc_a < doc_b.
+    The SHARED kernel of ext_dedup_substring (detection) and
+    ext_dedup_substring_removal (the cut pass) — anchor hashing,
+    df-capped pair generation, and the gaps-and-islands maximal-run
+    aggregation live only here (and in _SUBSTR_RUNS_CTES for the
+    oracles)."""
     W = _SUBSTR_W
     d = (
         read_table(spark, sf_dir, "documents")
@@ -1495,23 +1324,148 @@ def ext_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    spans = (
-        pairs.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
-        .groupBy("doc_a", "doc_b", "diag", "grp")
+    runs = pairs.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
         .agg(
-            F.min("pos_b").alias("s"),
-            (F.min("pos_b") + F.count(F.lit(1)) + F.lit(W - 2)).alias("e"),
+            F.min("pos_a").cast("bigint").alias("a_start"),
+            F.min("pos_b").cast("bigint").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(W - 1)).cast("bigint").alias(
+                "span_tokens"
+            ),
         )
-        .select(F.col("doc_b").alias("doc_id"), "s", "e")
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
     )
+
+
+@register(
+    "ext_dedup_substring",
+    oracle=f"""
+WITH {_SUBSTR_RUNS_CTES}
+SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM spans
+""",
+)
+def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document duplicate SUBSTRING spans (>= 50 tokens),
+    the one standard LLM-dedup tier the repo lacked: Lee et al. 2022
+    remove exact duplicate >=50-token character/token spans because
+    near-dup tiers (MinHash over whole docs) miss partial overlap —
+    a quote, a syndicated paragraph, a template body shared by
+    otherwise-different documents.
+
+    The paper's tool is a single suffix array over the concatenated
+    corpus — inherently sequential to build and awkward to shard.
+    The Spark-first equivalent (see _substring_spans, the kernel
+    shared with the removal pass) is EXACT for detection and
+    maximal-span reporting, with only keyed shuffles:
+
+    1. ANCHORS: every W-token window (W=50) of every doc, hashed to
+       the house 60-bit portable md5 prefix. Any duplicate span of
+       length L >= W contains exactly L-W+1 shared W-gram anchors,
+       so span detection reduces to anchor-hash equality. The
+       50-token window string is built and hashed MAP-SIDE inside
+       whole-stage codegen (transform/slice/array_join/md5);
+       only (doc_id, pos, h) int64 triples ever shuffle — the ~50x
+       string blowup is transient per-task CPU, never network. (A
+       Rabin-Karp rolling hash would cut that CPU 50x at 100 TB;
+       same relation, drop-in swap.)
+    2. DF CAP: W-grams shared by 2..64 distinct docs generate pairs;
+       hotter ones (site chrome, license boilerplate) are excluded
+       in BOTH engines — the df cap is what bounds pair fan-out at
+       corpus scale (max observed df on the fixtures is 4).
+    3. PAIRS: anchors self-joined on h (keyed shuffle), doc_a < doc_b.
+    4. MAXIMAL SPANS: matches at the same diagonal (pos_a - pos_b)
+       with consecutive pos_a belong to one span — the gaps-and-
+       islands trick (pos_a - row_number() per (doc_a, doc_b, diag)
+       window: KEYED by doc pair, never global). Each island is one
+       maximal duplicated span: (a_start, b_start, length + W - 1).
+
+    Hash collisions (2^-60/pair) could in principle alias two
+    different W-grams, but both engines join on the SAME hash, so
+    the relation still matches bit-for-bit (house convention, cf.
+    _shingled).
+    """
+    return _substring_spans(spark, sf_dir)
+
+
+@register(
+    "ext_dedup_substring_removal",
+    oracle=f"""
+WITH {_SUBSTR_RUNS_CTES},
+cut AS (
+  SELECT DISTINCT doc_id, s + o AS pos
+  FROM (SELECT doc_b AS doc_id, b_start AS s,
+               unnest(range(span_tokens)) AS o
+        FROM spans)
+),
+alltok AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+toks AS (
+  SELECT d.doc_id, i AS pos, tok[i] AS token
+  FROM (SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS i
+        FROM alltok) d(doc_id, tok, i)
+),
+kept AS (
+  SELECT toks.doc_id, pos, token
+  FROM toks LEFT JOIN cut USING (doc_id, pos)
+  WHERE cut.pos IS NULL
+),
+kept_agg AS (
+  SELECT doc_id,
+         string_agg(token, ' ' ORDER BY pos) AS deduped_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT nt.doc_id,
+       COALESCE(k.deduped_text, '') AS deduped_text,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(nt.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_cut
+FROM (SELECT doc_id, len(tok) AS n FROM alltok) nt
+LEFT JOIN kept_agg k ON nt.doc_id = k.doc_id
+""",
+)
+def ext_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass completing the Lee-et-al substring tier:
+    ext_dedup_substring FLAGS duplicate >= 50-token spans; this query
+    CUTS them from the later document of each pair (doc_a < doc_b
+    keeps the first occurrence — the paper removes one copy of each
+    duplicated span, not both) and re-emits the deduped text.
+
+    Spark-first: the span relation IS the registered detection kernel
+    (_substring_spans — one code path for both queries, one oracle
+    CTE prefix for both twins); the cut set explodes each doc_b span
+    into (doc_id, pos) rows — O(span tokens), NOT O(doc tokens) —
+    then one keyed anti-join drops cut positions from the posexploded
+    token stream and an ordered string aggregation (the
+    agg_string_agg kernel: collect_list of (pos, token) structs
+    sorted in-aggregate) rebuilds the text. MATCHING is
+    case-insensitive (the detection contract) but the re-emitted
+    text keeps the ORIGINAL casing — split(' ') gives identical
+    token boundaries either way, and a training corpus must not come
+    back case-destroyed. The token stream covers EVERY document —
+    docs shorter than W generate no anchors, so their cut set is
+    empty and they pass through verbatim with n_tokens_cut = 0, and
+    a WHOLE-document duplicate emits an empty remainder rather than
+    vanishing (no special case, both pinned by test). Every shuffle
+    is keyed by doc_id or anchor hash; nothing global.
+
+    Scale note: emitting full rewritten text makes output size O(
+    corpus) — the pipeline shape at 100 TB writes this as the next
+    pretrain-corpus snapshot, exactly what the operator models.
+    """
+    spans = _substring_spans(spark, sf_dir)
     cut = spans.select(
-        "doc_id",
-        F.explode(F.expr("sequence(s, e)")).alias("pos"),
+        F.col("doc_b").alias("doc_id"),
+        F.explode(
+            F.expr("sequence(b_start, b_start + span_tokens - 1)")
+        ).alias("pos"),
     ).distinct()
-    # the token stream covers EVERY doc (short docs have no anchors,
-    # hence an empty cut set, and pass through verbatim)
+    # the token stream covers EVERY doc, in ORIGINAL casing (short
+    # docs have no anchors, hence an empty cut set, and pass through
+    # verbatim)
     alltok = read_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), " ").alias("tok")
+        "doc_id", F.split(F.col("text"), " ").alias("tok")
     )
     toks = alltok.select(
         "doc_id", F.posexplode("tok").alias("pos0", "token")

@@ -556,3 +556,83 @@ def test_update_delta_merge_on_read(spark, tmp_path):
     assert "snapshot" in vt.manifest(v4)
     assert sorted((r.k, r.who) for r in vt.read(spark, v4).collect()) == want
     spark.sql(f"DROP VIEW {name}")
+
+
+def test_restore_to_delta_version(spark, tmp_path):
+    """restore() to a delete-delta head must re-reference the delta
+    manifest's whole key set (parent/delta files), not just snapshot
+    keys — previously it wrote a data-less manifest that made every
+    subsequent read raise. The restored head reads identically to the
+    target, and retention still follows the parent chain."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(_df(spark, [(k, "seed") for k in range(10)]))      # v1
+    vt.delete_where(spark, "k < 3", key_col="k")               # v2 (delta)
+    vt.update(spark, lambda df: df.filter("k < 8"))            # v3 (bad head)
+    v4 = vt.restore(2)
+    assert sorted(r.k for r in vt.read(spark, v4).collect()) == list(
+        range(3, 10)
+    )
+    # retention keeps the restored delta's parent chain readable
+    vt.vacuum(keep_last=1)
+    assert sorted(r.k for r in vt.read(spark).collect()) == list(range(3, 10))
+
+
+def test_publish_republish_serves_evolved_schema(spark, tmp_path):
+    """Re-publishing a full snapshot after schema evolution must serve
+    the NEW column: ALTER SET LOCATION alone keeps the create-time
+    schema, so publish compares footer schemas and recreates on
+    drift (metadata-only flip when unchanged)."""
+    from layer_apache_hive_spark.acid import publish_to_catalog
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(_df(spark, [(1, "a"), (2, "b")]))
+    name = publish_to_catalog(spark, vt, "evolve_pub")
+    assert spark.table(name).columns == ["k", "who"]
+    vt.update(spark, lambda df: df.withColumn("extra", F.lit(7)))
+    publish_to_catalog(spark, vt, "evolve_pub")
+    got = {r.k: r.extra for r in spark.table(name).collect()}
+    assert got == {1: 7, 2: 7}, got
+    # unchanged-schema republish still works (the ALTER path)
+    vt.update(spark, lambda df: df.filter("k = 1"))
+    publish_to_catalog(spark, vt, "evolve_pub")
+    assert spark.table(name).count() == 1
+    spark.sql(f"DROP TABLE {name}")
+
+
+def test_delta_null_keys_are_null_safe(spark, tmp_path):
+    """A NULL join key must behave like a value in the delta fold:
+    delete_where removes the NULL-key row (a plain equality anti-join
+    would keep it), and update_where REPLACES it instead of
+    duplicating it — matching the <=> semantics the published view
+    uses."""
+    from layer_apache_hive_spark.acid import publish_to_catalog
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(
+        spark.createDataFrame(
+            [(1, "a"), (None, "nullish"), (3, "c")], "k int, who string"
+        )
+    )
+    vt.update_where(
+        spark,
+        "k IS NULL",
+        lambda df: df.withColumn("who", F.lit("updated")),
+        key_col="k",
+    )
+    rows = sorted(
+        ((r.k if r.k is not None else -1), r.who)
+        for r in vt.read(spark).collect()
+    )
+    assert rows == [(-1, "updated"), (1, "a"), (3, "c")], rows
+    # the published view agrees with read()
+    name = publish_to_catalog(spark, vt, "null_delta_pub")
+    wired = sorted(
+        ((r.k if r.k is not None else -1), r.who)
+        for r in spark.table(name).collect()
+    )
+    assert wired == rows
+    vt.delete_where(spark, "k IS NULL", key_col="k")
+    assert sorted(r.k for r in vt.read(spark).collect()) == [1, 3]
+    spark.sql(f"DROP VIEW {name}")

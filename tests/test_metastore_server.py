@@ -628,6 +628,29 @@ assert denied("intern", "readonly", q), "post-revoke read not denied"
 _, rows = beeline_query(q, port, user="etl", password="pipeline")
 assert rows == [["25"]], rows
 
+# VIEW grants carry DEFINER semantics: a versioned table published
+# as a view (delta head -> anti-join view over path reads) is
+# readable by a user granted ONLY the view — the underlying paths
+# and tables stay ungranted (the HS2 row/column-subset pattern)
+from layer_apache_hive_spark.acid import VersionedTable, publish_to_catalog
+spark.sql("CREATE DATABASE IF NOT EXISTS acid")
+vt = VersionedTable({wh!r} + "/grant_vt")
+vt.init(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+vt.delete_where(spark, "id = 2", key_col="id")
+vname = publish_to_catalog(spark, vt, "grant_vt_view", db="acid")
+assert denied("intern", "readonly", f"SELECT * FROM {{vname}}")
+authz.grant(acl_file, "intern", "grant_vt_view")
+_, vrows = beeline_query(f"SELECT id, v FROM {{vname}}", port,
+                         user="intern", password="readonly")
+assert vrows == [["1", "a"]], vrows
+
+# direct path reads are ungoverned by any table grant: denied for
+# scoped users, open to '*' users
+praw = f"SELECT COUNT(*) AS n FROM parquet.`{sf}/nation.parquet`"
+assert denied("intern", "readonly", praw), "path read not denied"
+_, prows = beeline_query(praw, port, user="etl", password="pipeline")
+assert prows == [["25"]], prows
+
 # fail-closed: an unreadable policy store refuses even prior grants
 os.rename(acl_file, acl_file + ".gone")
 assert denied("etl", "pipeline", q), "unreadable ACL file must fail closed"

@@ -183,11 +183,13 @@ def test_serve_cli_rejects_misconfigured_acl():
 
 def test_substring_removal_consistent_with_detection(spark):
     """ext_dedup_substring_removal must equal the detection query's
-    spans applied to the raw text: for every doc, kept text = tokens
-    minus the union of positions where the doc is the LATER (doc_b)
-    side of a reported span; docs without spans pass through
-    verbatim; whole-document duplicates emit an empty remainder; the
-    output covers the entire corpus."""
+    spans applied to the raw text: for every doc, kept text = the
+    ORIGINAL-CASE tokens minus the union of positions where the doc
+    is the LATER (doc_b) side of a reported span (matching is
+    case-insensitive, the rebuilt corpus is not case-destroyed);
+    docs without spans pass through verbatim; whole-document
+    duplicates emit an empty remainder; the output covers the entire
+    corpus."""
     from layer_apache_hive_spark.catalog import read_table
 
     qs = all_queries()
@@ -197,7 +199,7 @@ def test_substring_removal_consistent_with_detection(spark):
         for r in qs["ext_dedup_substring_removal"](spark, SF_DIR).collect()
     }
     docs = {
-        r["doc_id"]: r["text"].lower().split(" ")
+        r["doc_id"]: r["text"].split(" ")
         for r in read_table(spark, SF_DIR, "documents")
         .select("doc_id", "text")
         .collect()
@@ -243,3 +245,52 @@ def test_acl_grant_revoke_roundtrip(tmp_path):
         authz.grant(f, "a=b", "t")
     with _pytest.raises(ValueError):
         authz.grant(f, "a", "t,u")
+
+
+def test_substring_removal_preserves_original_casing(spark, tmp_path):
+    """Matching is case-INsensitive, the rebuilt text is not
+    case-destroyed: two docs sharing a 60-token span that differ only
+    in casing must (a) be detected as duplicates, and (b) come back
+    with their ORIGINAL casing in the surviving text (the driver
+    fixture is all-lowercase, so this claim needs its own mixed-case
+    corpus to be falsifiable)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = [f"Word{i}" for i in range(60)]  # mixed-case shared span
+    docs = [
+        (0, " ".join(["Alpha", "BETA"] + span + ["gamma"])),
+        (1, " ".join(["Delta"] + [w.upper() for w in span] + ["EPSILON"])),
+        (2, "Unrelated Short Doc"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array(
+                    [len(t) for _, t in docs], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    qs = all_queries()
+    spans = qs["ext_dedup_substring"](spark, str(tmp_path)).collect()
+    assert len(spans) == 1 and spans[0]["span_tokens"] == 60, spans
+    out = {
+        r["doc_id"]: r
+        for r in qs["ext_dedup_substring_removal"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # doc 0 (the FIRST occurrence) is untouched, original casing intact
+    assert out[0]["deduped_text"] == docs[0][1]
+    assert out[0]["n_tokens_cut"] == 0
+    # doc 1 loses the span but keeps ITS original casing elsewhere
+    assert out[1]["deduped_text"] == "Delta EPSILON"
+    assert out[1]["n_tokens_cut"] == 60
+    # the unrelated short doc passes through verbatim, case intact
+    assert out[2]["deduped_text"] == "Unrelated Short Doc"
