@@ -24,7 +24,7 @@ SQL runs.
 
 Scope note: this module is AUTHENTICATION for the served endpoint
 (who is connecting). AUTHORIZATION — what that identity may read —
-is authz.py (r7): a compiled analyzer check rule enforcing a
+is authz.py (r7): a compiled analyzer post-hoc rule enforcing a
 per-user catalog-table ACL, the HiveServer2 SQL-std-authorization
 analog, wire-tested alongside this module in
 tests/test_metastore_server.py.

@@ -9,9 +9,11 @@ authorizes it (WHAT that identity may read). Spark SQL has no native
 GRANT enforcement — Hive's SQL-std authorization lives in a
 HiveServer2-side compile hook (``Driver.doAuthorization``), and the
 honest Spark analog is the same thing at the same place: an analyzer
-CHECK RULE on the serving session that walks every analyzed plan,
-collects the catalog tables it touches, and refuses the statement if
-the session user lacks access. The rule is compiled from Java at
+POST-HOC RESOLUTION rule on the serving session that walks every
+resolved plan (where View wrappers still exist — the extended check
+rules only see a view-inlined copy, which would break definer-
+semantics view grants), collects the catalog objects it touches, and
+refuses the statement if the session user lacks access. The rule is compiled from Java at
 provision time (the auth.py pattern) and injected through the public
 ``spark.sql.extensions`` API — no Spark internals are patched.
 
@@ -104,7 +106,7 @@ import org.apache.spark.sql.catalyst.analysis.AnalysisContext$;
 import org.apache.spark.sql.catalyst.rules.Rule;
 
 /**
- * Analyzer check rule: per-user catalog-table ACL for the served
+ * Analyzer post-hoc resolution rule: per-user catalog-object ACL for the served
  * Thrift endpoint (the HiveServer2 SQL-std-authorization analog).
  * Policy comes from SPARK_GRAFT_HS2_ACL_FILE (re-read per statement,
  * live GRANT/REVOKE) or SPARK_GRAFT_HS2_ACL in the server process
@@ -306,7 +308,7 @@ def _spark_jars_dir() -> str:
 
 
 def ensure_authz_classes(classes_dir: str = DEFAULT_CLASSES_DIR) -> str:
-    """Compile the check-rule extension once (cached by source
+    """Compile the authorization-rule extension once (cached by source
     identity); return the directory for ``spark.driver.extraClassPath``."""
     os.makedirs(classes_dir, exist_ok=True)
     marker = os.path.join(classes_dir, "_SOURCE")
