@@ -55,12 +55,19 @@ Three write granularities (coarse → fine):
   anti-join then union (the Iceberg MoR / Hive update-delta shape).
   Staged bytes are O(touched rows) at any table size.
 
+Cross-table transactions (r7): ``TransactionCatalog`` — a
+catalog-level commit log atomically pinning {table -> version} for a
+group of tables (the Iceberg multi-table catalog commit / Delta
+coordinated-commit shape). Readers that resolve through a catalog
+version get ONE consistent snapshot across every enrolled table;
+multi-table visibility is a single exclusive-create, so a
+transaction is never half-visible.
+
 Remaining limits vs real Hive ACID (documented in SCALE.md): the
 compactor is an explicit method the deployment schedules, not a
 daemon; the commit primitive is local-FS ``open(x)`` (HDFS
 create-no-overwrite / S3 conditional PUT are the documented cluster
-variants); no cross-table transactions; reader version pinning is
-per-query, not per-session.
+variants); reader version pinning is per-query, not per-session.
 """
 
 from __future__ import annotations
@@ -887,3 +894,156 @@ def _version_body_sql(spark: SparkSession, vt: "VersionedTable", v: int) -> str:
         )
         return f"SELECT {cols} WHERE 1 = 0"
     return " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Cross-table transactions (r7, closing the acid.py docstring's "no
+# cross-table transactions" limit): a CATALOG-level commit log whose
+# entries atomically pin {table -> version} for a group of versioned
+# tables — the Iceberg multi-table catalog commit / Delta coordinated
+# commit shape, built on the same exclusive-create primitive.
+#
+# The per-table logs stay the data truth (snapshots, deltas,
+# retention); the catalog log is the CONSISTENCY truth: a reader that
+# resolves the catalog head gets one mutually-consistent set of table
+# versions, and a multi-table commit is visible either for ALL its
+# tables or none, because visibility IS the single catalog-slot
+# create. Writers may race: per-table version slots are claimed
+# first (losers rebase exactly like single-table commits), then the
+# catalog slot; a writer that loses the catalog race leaves valid but
+# unreferenced per-table versions behind (vacuum-able), never a
+# half-visible transaction.
+
+
+class TransactionCatalog:
+    """Atomic multi-table snapshots over a set of VersionedTables.
+
+    Contract: tables enrolled in a catalog are WRITTEN through
+    :meth:`commit` (direct ``vt.update`` bypasses cross-table
+    consistency for readers who resolve through the catalog —
+    exactly the rule lakehouse coordinated commits impose)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.commits_dir = os.path.join(root, "_commits")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.commits_dir):
+            return []
+        out = []
+        for name in os.listdir(self.commits_dir):
+            if name.endswith(".json"):
+                out.append(int(name[:-5]))
+        return sorted(out)
+
+    def current_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def manifest(self, version: int) -> dict:
+        with open(
+            os.path.join(self.commits_dir, f"{version:06d}.json")
+        ) as fh:
+            return json.load(fh)
+
+    def table(self, name: str) -> VersionedTable:
+        return VersionedTable(os.path.join(self.root, "tables", name))
+
+    def resolve(self, version: int | None = None) -> dict[str, int]:
+        """The pinned {table: version} map of a catalog snapshot —
+        ONE consistent view across every enrolled table."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {}
+        return self.manifest(v)["tables"]
+
+    def read(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read table ``name`` AT the catalog snapshot: cross-table
+        queries that read several tables through the same catalog
+        version can never observe half a transaction."""
+        pins = self.resolve(version)
+        if name not in pins:
+            raise FileNotFoundError(
+                f"{name}: not in catalog version "
+                f"{version if version is not None else self.current_version()}"
+            )
+        return self.table(name).read(spark, pins[name])
+
+    def commit(
+        self,
+        spark: SparkSession,
+        updates: dict,
+        max_retries: int = 5,
+    ) -> int:
+        """Atomically commit ``{table_name: transform_or_df}`` as ONE
+        transaction. A transform is ``fn(snapshot_df) -> DataFrame``
+        evaluated against the table's version pinned by the CURRENT
+        catalog head (so the whole transaction reads one consistent
+        snapshot — snapshot isolation across tables); a plain
+        DataFrame initializes/overwrites. Visibility is atomic: the
+        single catalog-slot create publishes every table's new
+        version at once.
+
+        Two-phase, all slots exclusive-create: (1) claim each table's
+        next per-table version (rebase-retry per table on conflicts
+        with direct writers); (2) claim the next catalog slot pinning
+        {table: version} — the ONLY step that changes what catalog
+        readers see. Losing (2) abandons the phase-1 versions
+        (valid, unreferenced, vacuum-able) and retries the whole
+        transaction against the new head: first-committer-wins at
+        transaction granularity."""
+        os.makedirs(self.commits_dir, exist_ok=True)
+        for _ in range(max_retries):
+            base = self.current_version()
+            pins = self.resolve(base) if base else {}
+            new_pins = dict(pins)
+            for name, upd in updates.items():
+                vt = self.table(name)
+                if callable(upd):
+                    if name not in pins:
+                        raise FileNotFoundError(
+                            f"{name}: transform against a table not in "
+                            "the catalog — initialize it with a DataFrame "
+                            "first"
+                        )
+                    new_df = upd(vt.read(spark, pins[name]))
+                else:
+                    new_df = upd
+                # claim the next PER-TABLE slot, rebasing past any
+                # concurrent direct writers (their versions stay in
+                # history; the catalog pin is what our readers see)
+                while True:
+                    table_base = vt.current_version()
+                    try:
+                        new_pins[name] = vt.commit(new_df, table_base)
+                        break
+                    except CommitConflict:
+                        continue
+            payload = json.dumps(
+                {
+                    "tables": new_pins,
+                    "base_version": base,
+                    "committed_at": time.time(),
+                    "writer": f"{os.getpid()}",
+                }
+            )
+            marker = os.path.join(
+                self.commits_dir, f"{base + 1:06d}.json"
+            )
+            try:
+                with open(marker, "x") as fh:  # atomic publish
+                    fh.write(payload + "\n")
+                return base + 1
+            except FileExistsError:
+                # another TRANSACTION won: our phase-1 versions stay
+                # unreferenced history; re-read the new head and
+                # re-apply the transforms (no lost update)
+                continue
+        raise CommitConflict(
+            f"gave up after {max_retries} transaction retries"
+        )

@@ -636,3 +636,113 @@ def test_delta_null_keys_are_null_safe(spark, tmp_path):
     vt.delete_where(spark, "k IS NULL", key_col="k")
     assert sorted(r.k for r in vt.read(spark).collect()) == [1, 3]
     spark.sql(f"DROP VIEW {name}")
+
+
+# --- cross-table transactions (r7, TransactionCatalog) ----------------------
+
+
+def test_transaction_commits_atomically_across_tables(spark, tmp_path):
+    """A stock-movement transaction (decrement inventory, append an
+    order) is visible for BOTH tables or NEITHER: catalog version 1
+    shows the pre-state of both, version 2 the post-state of both,
+    and the pins of every catalog version stay mutually consistent."""
+    from layer_apache_hive_spark.acid import TransactionCatalog
+
+    cat = TransactionCatalog(str(tmp_path / "cat"))
+    v1 = cat.commit(
+        spark,
+        {
+            "inventory": spark.createDataFrame(
+                [("widget", 10)], "item string, qty int"
+            ),
+            "orders": spark.createDataFrame([], "order_id int, item string"),
+        },
+    )
+    assert v1 == 1
+
+    from pyspark.sql import functions as F
+
+    v2 = cat.commit(
+        spark,
+        {
+            "inventory": lambda df: df.withColumn(
+                "qty", F.col("qty") - F.lit(3)
+            ),
+            "orders": lambda df: df.unionByName(
+                spark.createDataFrame(
+                    [(1, "widget")], "order_id int, item string"
+                )
+            ),
+        },
+    )
+    assert v2 == 2
+    # old catalog snapshot: pre-state of BOTH
+    assert cat.read(spark, "inventory", 1).collect()[0].qty == 10
+    assert cat.read(spark, "orders", 1).count() == 0
+    # new catalog snapshot: post-state of BOTH
+    assert cat.read(spark, "inventory", 2).collect()[0].qty == 7
+    assert cat.read(spark, "orders", 2).count() == 1
+
+
+def test_transaction_loser_rebases_without_lost_update(spark, tmp_path):
+    """A transaction that loses the catalog-slot race must re-read the
+    new head and re-apply its transforms — both transactions' effects
+    land, in serial order, and the losing attempt's phase-1 table
+    versions never become visible through the catalog."""
+    from layer_apache_hive_spark.acid import TransactionCatalog
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "cat")
+    cat = TransactionCatalog(root)
+    cat.commit(
+        spark,
+        {"acct": spark.createDataFrame([("a", 100)], "id string, bal int")},
+    )
+
+    class RaceOnce(TransactionCatalog):
+        raced = False
+
+        def current_version(self):
+            v = super().current_version()
+            if not RaceOnce.raced and v == 1:
+                RaceOnce.raced = True
+                # another TRANSACTION commits after this one reads its
+                # base: -10 lands first
+                TransactionCatalog(root).commit(
+                    spark,
+                    {"acct": lambda df: df.withColumn(
+                        "bal", F.col("bal") - F.lit(10))},
+                )
+            return v
+
+    rc = RaceOnce(root)
+    v = rc.commit(
+        spark,
+        {"acct": lambda df: df.withColumn("bal", F.col("bal") - F.lit(7))},
+    )
+    assert v == 3  # v2 went to the interloper; this txn rebased onto it
+    assert cat.read(spark, "acct", 3).collect()[0].bal == 83  # both applied
+    assert cat.read(spark, "acct", 2).collect()[0].bal == 90
+
+
+def test_transaction_reads_pin_catalog_not_table_head(spark, tmp_path):
+    """Catalog reads resolve the PINNED table version: a direct
+    (non-catalog) write to an enrolled table advances the table's own
+    log but never changes what catalog readers see until the next
+    transaction pins it — the coordinated-commit consistency rule."""
+    from layer_apache_hive_spark.acid import TransactionCatalog
+
+    cat = TransactionCatalog(str(tmp_path / "cat"))
+    cat.commit(
+        spark,
+        {"t": spark.createDataFrame([(1, "a")], "k int, who string")},
+    )
+    vt = cat.table("t")
+    vt.update(spark, lambda df: df.withColumn("who",
+                                              df.who.substr(1, 1)))
+    # direct write advanced the table log ...
+    assert vt.current_version() == 2
+    # ... but the catalog still serves the pinned version 1 state
+    assert cat.resolve()["t"] == 1
+    assert cat.read(spark, "t").collect() == vt.read(spark, 1).collect()
