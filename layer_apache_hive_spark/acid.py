@@ -73,6 +73,7 @@ variants); reader version pinning is per-query, not per-session.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time
@@ -80,6 +81,8 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 class CommitConflict(Exception):
@@ -417,8 +420,14 @@ class VersionedTable:
             .partitionBy(partition_col)
             .parquet(staged)
         )
+        # partitionBy URL-escapes special characters in the directory
+        # name (Hive escapePathName: "o'brien" → "o%27brien"); the
+        # manifest keys on the LOGICAL value and its path keeps the
+        # escaped form, so values round-trip exactly (r8)
+        from urllib.parse import unquote
+
         staged_values = {
-            name.split("=", 1)[1]
+            unquote(name.split("=", 1)[1]): name.split("=", 1)[1]
             for name in os.listdir(staged)
             if "=" in name and os.path.isdir(os.path.join(staged, name))
         }
@@ -436,7 +445,9 @@ class VersionedTable:
             new_map = {}
         for val in touched_values:
             if val in staged_values:
-                new_map[val] = f"{snap_name}/{partition_col}={val}"
+                new_map[val] = (
+                    f"{snap_name}/{partition_col}={staged_values[val]}"
+                )
             else:
                 new_map.pop(val, None)  # rewrite emptied this partition
         marker = os.path.join(self.commits_dir, f"{new_version:06d}.json")
@@ -652,7 +663,9 @@ class VersionedTable:
                 )
         return need_v, need_d
 
-    def rollback(self, to_version: int) -> None:
+    def rollback(
+        self, to_version: int, grace_seconds: float = 600.0
+    ) -> None:
         """Truncate the commit log back to ``to_version``: drop every
         later manifest and any snapshot directory no kept manifest
         references. Destructive (history above the target is gone) —
@@ -661,7 +674,10 @@ class VersionedTable:
 
         Safe against torn state for the same reason vacuum is: kept
         manifests are untouched, and only directories unreferenced by
-        every kept manifest are removed."""
+        every kept manifest are removed. Orphan directories referenced
+        by NO manifest get vacuum's ``grace_seconds`` window (r8): an
+        in-flight writer's staged-but-unclaimed directory must not be
+        swept out from under it."""
         vs = self.versions()
         if to_version not in vs:
             raise FileNotFoundError(
@@ -669,12 +685,23 @@ class VersionedTable:
             )
         kept = [v for v in vs if v <= to_version]
         _, referenced = self._needed_refs(kept)
+        _, ever_referenced = self._needed_refs(vs)
         for v in vs:
             if v > to_version:
                 os.unlink(os.path.join(self.commits_dir, f"{v:06d}.json"))
+        now = time.time()
         for name in os.listdir(self.snapshots_dir):
-            if name not in referenced:
-                shutil.rmtree(os.path.join(self.snapshots_dir, name))
+            if name in referenced:
+                continue
+            path = os.path.join(self.snapshots_dir, name)
+            if name not in ever_referenced:
+                try:
+                    age = now - os.path.getmtime(path)
+                except OSError:
+                    continue
+                if age < grace_seconds:
+                    continue
+            shutil.rmtree(path)
         m = self.manifest(to_version)
         self._refresh_current(to_version, m.get("snapshot", ""))
 
@@ -719,7 +746,9 @@ class VersionedTable:
         self._refresh_current(new_version, payload.get("snapshot", ""))
         return new_version
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(
+        self, keep_last: int = 2, grace_seconds: float = 600.0
+    ) -> list[str]:
         """Drop manifests older than the newest ``keep_last`` versions
         and any snapshot directory no kept version references — the
         compactor/retention analog. Reference-counted because a
@@ -732,18 +761,44 @@ class VersionedTable:
         whole PARENT chain — manifests and data — to stay readable,
         so retention keeps the transitive closure, not just the
         newest ``keep_last`` manifests. Run :meth:`compact` first to
-        fold chains if maximal reclamation is the goal."""
+        fold chains if maximal reclamation is the goal.
+
+        Writer-safe (r8, advisor item): every writer STAGES its
+        snapshot/delta directory BEFORE claiming the commit marker, so
+        a staged-but-not-yet-committed directory is indistinguishable
+        from an abandoned loser by references alone. Directories
+        referenced by a DROPPED manifest are provably not in-flight
+        (their commit already happened) and are removed immediately;
+        true ORPHANS (referenced by no manifest at all) are removed
+        only once older than ``grace_seconds`` — Delta VACUUM's
+        retention-hours rule applied to the staging race. Size the
+        grace above the longest staging write."""
         vs = self.versions()
         kept = vs[-keep_last:] if keep_last else []
         need_v, referenced = self._needed_refs(kept)
+        # dirs referenced by ANY manifest (kept or about-to-drop):
+        # provably post-commit, never an in-flight writer's staging
+        _, ever_referenced = self._needed_refs(vs)
         removed = []
         for v in vs:
             if v not in need_v:
                 os.unlink(os.path.join(self.commits_dir, f"{v:06d}.json"))
+        now = time.time()
         for name in os.listdir(self.snapshots_dir):
-            if name not in referenced:
-                shutil.rmtree(os.path.join(self.snapshots_dir, name))
-                removed.append(name)
+            if name in referenced:
+                continue
+            path = os.path.join(self.snapshots_dir, name)
+            if name not in ever_referenced:
+                # orphan: in-flight staging or abandoned loser — only
+                # age distinguishes them, so apply the grace window
+                try:
+                    age = now - os.path.getmtime(path)
+                except OSError:
+                    continue  # racing writer renamed/removed it
+                if age < grace_seconds:
+                    continue
+            shutil.rmtree(path)
+            removed.append(name)
         return removed
 
 
@@ -755,6 +810,19 @@ class VersionedTable:
 # actual serving story for its tables: HiveServer2 resolves names
 # through the metastore; the commit log stays the source of truth and
 # the catalog entry is a re-pointable projection of one version.
+
+
+def _qi(name: str) -> str:
+    """Backtick-quote a SQL identifier (embedded backticks doubled) —
+    names and filesystem-derived tokens are interpolated into served
+    DDL, so an unquoted hyphen/keyword/backtick must not break the
+    statement or open an injection surface (r8, advisor item)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _qs(s: str) -> str:
+    """Escape a string for single-quoted SQL literal interpolation."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
 def publish_to_catalog(
@@ -793,7 +861,7 @@ def publish_to_catalog(
     if v == 0:
         raise FileNotFoundError(f"{vt.root}: no committed version")
     m = vt.manifest(v)
-    qual = f"{db}.{name}"
+    qual = f"{_qi(db)}.{_qi(name)}"
     if "snapshot" in m:
         loc = vt.snapshot_path(v)
         exists = spark.catalog.tableExists(qual)
@@ -811,15 +879,18 @@ def publish_to_catalog(
             if spark.table(qual).schema != new_schema:
                 spark.sql(f"DROP TABLE {qual}")
                 spark.sql(
-                    f"CREATE TABLE {qual} USING PARQUET LOCATION '{loc}'"
+                    f"CREATE TABLE {qual} USING PARQUET "
+                    f"LOCATION '{_qs(loc)}'"
                 )
             else:
-                spark.sql(f"ALTER TABLE {qual} SET LOCATION '{loc}'")
+                spark.sql(
+                    f"ALTER TABLE {qual} SET LOCATION '{_qs(loc)}'"
+                )
                 # the old location's footer-derived data may be cached
                 spark.sql(f"REFRESH TABLE {qual}")
         else:
             spark.sql(
-                f"CREATE TABLE {qual} USING PARQUET LOCATION '{loc}'"
+                f"CREATE TABLE {qual} USING PARQUET LOCATION '{_qs(loc)}'"
             )
         return qual
 
@@ -851,7 +922,7 @@ def _version_body_sql(spark: SparkSession, vt: "VersionedTable", v: int) -> str:
         # <=> : null-safe, matching VersionedTable.read's delta fold
         return (
             f"SELECT a.* FROM ({parent}) a LEFT ANTI JOIN "
-            f"parquet.`{path}` d ON a.`{key}` <=> d.`{key}`"
+            f"parquet.{_qi(path)} d ON a.{_qi(key)} <=> d.{_qi(key)}"
         )
     if "delta_rows" in m:
         parent = _version_body_sql(spark, vt, m["parent"])
@@ -859,15 +930,15 @@ def _version_body_sql(spark: SparkSession, vt: "VersionedTable", v: int) -> str:
         rpath = os.path.join(vt.snapshots_dir, m["delta_rows"])
         key = m["key_col"]
         cols = ", ".join(
-            f"`{c}`" for c in spark.read.parquet(rpath).columns
+            _qi(c) for c in spark.read.parquet(rpath).columns
         )
         return (
             f"SELECT {cols} FROM ({parent}) a LEFT ANTI JOIN "
-            f"parquet.`{kpath}` d ON a.`{key}` <=> d.`{key}` "
-            f"UNION ALL SELECT {cols} FROM parquet.`{rpath}`"
+            f"parquet.{_qi(kpath)} d ON a.{_qi(key)} <=> d.{_qi(key)} "
+            f"UNION ALL SELECT {cols} FROM parquet.{_qi(rpath)}"
         )
     if "snapshot" in m:
-        return f"SELECT * FROM parquet.`{vt.snapshot_path(v)}`"
+        return f"SELECT * FROM parquet.{_qi(vt.snapshot_path(v))}"
     from pyspark.sql.types import StructType
 
     pcol, ptype = m["partition_col"], m["partition_type"]
@@ -879,17 +950,18 @@ def _version_body_sql(spark: SparkSession, vt: "VersionedTable", v: int) -> str:
         cols = []
         for f in schema.fields:
             if f.name == pcol:
-                cols.append(f"CAST('{val}' AS {ptype}) AS `{pcol}`")
+                cols.append(f"CAST('{_qs(val)}' AS {ptype}) AS {_qi(pcol)}")
             elif f.name in have:
-                cols.append(f"`{f.name}`")
+                cols.append(_qi(f.name))
             else:
                 cols.append(
-                    f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                    f"CAST(NULL AS {f.dataType.simpleString()}) "
+                    f"AS {_qi(f.name)}"
                 )
-        selects.append(f"SELECT {', '.join(cols)} FROM parquet.`{path}`")
+        selects.append(f"SELECT {', '.join(cols)} FROM parquet.{_qi(path)}")
     if not selects:  # empty table: 0-row view with the manifest schema
         cols = ", ".join(
-            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS {_qi(f.name)}"
             for f in schema.fields
         )
         return f"SELECT {cols} WHERE 1 = 0"
@@ -1016,14 +1088,33 @@ class TransactionCatalog:
                     new_df = upd
                 # claim the next PER-TABLE slot, rebasing past any
                 # concurrent direct writers (their versions stay in
-                # history; the catalog pin is what our readers see)
-                while True:
+                # history; the catalog pin is what our readers see —
+                # new_df was computed from the CATALOG pin on purpose,
+                # so a direct writer's change is overridden in the
+                # catalog lineage; each override is logged so the
+                # coordinated-commit rule violation is observable).
+                # Bounded (r8, advisor item): a sustained stream of
+                # direct writers must surface as CommitConflict, not
+                # livelock re-staging full snapshots forever.
+                for attempt in range(max_retries):
                     table_base = vt.current_version()
                     try:
                         new_pins[name] = vt.commit(new_df, table_base)
                         break
                     except CommitConflict:
+                        _LOG.warning(
+                            "txn rebase past direct writer on table "
+                            "%r (attempt %d/%d); the direct write is "
+                            "not part of the catalog lineage",
+                            name, attempt + 1, max_retries,
+                        )
                         continue
+                else:
+                    raise CommitConflict(
+                        f"table {name!r}: gave up after {max_retries} "
+                        "per-table slot attempts (sustained direct-"
+                        "writer contention)"
+                    )
             payload = json.dumps(
                 {
                     "tables": new_pins,

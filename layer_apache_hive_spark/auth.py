@@ -144,6 +144,29 @@ def validate_credentials(creds: str) -> None:
                 "password may not contain ':' (ambiguous in the "
                 "user:password,... format)"
             )
+        if user == _service_principal():
+            # authz.py treats a statement whose wire identity equals
+            # the JVM's user.name as an IN-PROCESS plan and skips all
+            # ACL checks — so a wire credential under that name would
+            # be a silent full-bypass keyed on an OS detail (r8,
+            # advisor item). Refuse it at serve time.
+            raise ValueError(
+                f"wire credential username {user!r} equals the service "
+                "principal (the JVM user.name): that identity is "
+                "treated as in-process by the authorization rule and "
+                "would bypass every ACL — pick a different username"
+            )
+
+
+def _service_principal() -> str:
+    """The JVM's ``user.name`` — the identity authz.py's rule treats
+    as in-process. Matches Java's default (the OS user)."""
+    import getpass
+
+    try:
+        return getpass.getuser()
+    except Exception:  # no passwd entry in minimal containers
+        return os.environ.get("USER", "")
 
 
 def auth_session_conf(classes_dir: str | None = None) -> dict[str, str]:

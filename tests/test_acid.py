@@ -746,3 +746,123 @@ def test_transaction_reads_pin_catalog_not_table_head(spark, tmp_path):
     # ... but the catalog still serves the pinned version 1 state
     assert cat.resolve()["t"] == 1
     assert cat.read(spark, "t").collect() == vt.read(spark, 1).collect()
+
+
+# --- r8 advisor items: vacuum grace window, bounded txn retries, quoting ----
+
+
+def test_vacuum_grace_spares_inflight_staging(spark, tmp_path):
+    """A staged-but-not-yet-committed snapshot directory (what an
+    in-flight writer has on disk before it claims the version marker)
+    must survive a concurrent vacuum/rollback — only orphans OLDER
+    than the grace window are reclaimed. Dirs referenced by dropped
+    manifests are post-commit by construction and go immediately."""
+    import os
+
+    from layer_apache_hive_spark.acid import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(spark.range(3).toDF("id"))
+    vt.update(spark, lambda df: df.withColumn("id", df.id + 1))
+    vt.update(spark, lambda df: df.withColumn("id", df.id + 1))
+
+    # simulate an in-flight writer: staged dir, no marker yet
+    staged = os.path.join(vt.snapshots_dir, "v000099-inflight")
+    os.makedirs(staged)
+    open(os.path.join(staged, "part-0.parquet"), "w").write("x")
+
+    removed = vt.vacuum(keep_last=1)  # default grace: orphan survives
+    assert os.path.isdir(staged), "in-flight staging swept by vacuum"
+    # v1/v2's dirs were referenced by the dropped manifests: gone now
+    assert len(removed) == 2, removed
+
+    # rollback honors the same window
+    vt.rollback(vt.current_version())
+    assert os.path.isdir(staged), "in-flight staging swept by rollback"
+
+    # grace_seconds=0: the orphan is treated as abandoned and reclaimed
+    removed2 = vt.vacuum(keep_last=1, grace_seconds=0)
+    assert "v000099-inflight" in removed2
+    assert not os.path.isdir(staged)
+    # the kept head still reads
+    assert vt.read(spark).count() == 3
+
+
+def test_transaction_bounded_rebase_raises(spark, tmp_path):
+    """Sustained direct-writer contention on an enrolled table must
+    surface as CommitConflict after max_retries per-table attempts —
+    never an unbounded re-staging livelock (r8 advisor item)."""
+    import pytest as _pytest
+
+    from layer_apache_hive_spark.acid import (
+        CommitConflict,
+        TransactionCatalog,
+        VersionedTable,
+    )
+
+    root = str(tmp_path / "cat")
+    cat = TransactionCatalog(root)
+    cat.commit(
+        spark, {"t": spark.createDataFrame([(1,)], "k int")}
+    )
+
+    class AlwaysConflict(VersionedTable):
+        def commit(self, df, base_version):
+            raise CommitConflict("simulated sustained contention")
+
+    class Hostile(TransactionCatalog):
+        def table(self, name):
+            return AlwaysConflict(
+                __import__("os").path.join(self.root, "tables", name)
+            )
+
+    h = Hostile(root)
+    with _pytest.raises(CommitConflict, match="per-table slot"):
+        h.commit(
+            spark,
+            {"t": lambda df: df},
+            max_retries=3,
+        )
+
+
+def test_publish_to_catalog_quotes_paths_and_values(spark, tmp_path):
+    """Locations containing a single quote and partition values with
+    quotes must publish without breaking the served DDL (r8 advisor
+    item: identifier backtick-quoting + literal escaping). Table NAMES
+    with exotic characters are rejected by the catalog itself
+    (INVALID_SCHEMA_OR_RELATION_NAME) — fail-loud, not injectable."""
+    from layer_apache_hive_spark.acid import (
+        VersionedTable,
+        publish_to_catalog,
+    )
+
+    # snapshot + delta branches: table root with a quote in the path
+    vt = VersionedTable(str(tmp_path / "weird's dir" / "select"))
+    vt.init(spark.createDataFrame([(1, "a")], "id long, v string"))
+    qual = publish_to_catalog(spark, vt, "quoted_loc_t", db="default")
+    try:
+        assert spark.sql(f"SELECT * FROM {qual}").count() == 1
+        # a delta head publishes as a view through the same quoting
+        vt.delete_where(spark, "id = 1", key_col="id")
+        publish_to_catalog(spark, vt, "quoted_loc_t", db="default")
+        assert spark.sql(f"SELECT * FROM {qual}").count() == 0
+    finally:
+        spark.sql(f"DROP VIEW IF EXISTS {qual}")
+        spark.sql(f"DROP TABLE IF EXISTS {qual}")
+
+    # partition-granular branch: a partition VALUE containing a quote
+    # is interpolated into CAST('<val>' AS ...) in the view body
+    vtp = VersionedTable(str(tmp_path / "it's partitioned"))
+    seed = spark.createDataFrame(
+        [("o'brien", 1), ("plain", 2)], "p string, x long"
+    )
+    vtp.commit_partitions(seed, "p", base_version=0)
+    pq = publish_to_catalog(spark, vtp, "quoted_part_t", db="default")
+    try:
+        rows = {
+            (r.p, r.x)
+            for r in spark.sql(f"SELECT p, x FROM {pq}").collect()
+        }
+        assert rows == {("o'brien", 1), ("plain", 2)}, rows
+    finally:
+        spark.sql(f"DROP VIEW IF EXISTS {pq}")
