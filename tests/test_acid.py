@@ -866,3 +866,120 @@ def test_publish_to_catalog_quotes_paths_and_values(spark, tmp_path):
         assert rows == {("o'brien", 1), ("plain", 2)}, rows
     finally:
         spark.sql(f"DROP VIEW IF EXISTS {pq}")
+
+
+# --- r8: background compaction daemon (Hive compactor initiator) ------------
+
+
+def test_compaction_daemon_auto_folds_delta_chains(spark, tmp_path):
+    """N delete_where/update_where commits auto-compact once the
+    chain exceeds the threshold, while (a) a reader's pinned snapshot
+    stays consistent, (b) the head's rows are unchanged, (c) the
+    compaction commit emits ZERO CDC events, and (d) a served catalog
+    read hash-matches before/after (round-7 verdict task 2)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from layer_apache_hive_spark.acid import (
+        CompactionDaemon,
+        VersionedTable,
+        publish_to_catalog,
+    )
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(
+        spark.createDataFrame(
+            [(i, f"v{i}", 10.0 * i) for i in range(20)],
+            "id long, v string, amount double",
+        )
+    )
+    daemon = CompactionDaemon(spark, [vt], threshold=3, interval=0.05)
+    daemon.start()
+    try:
+        # writers keep writing while the daemon runs: never blocked
+        vt.delete_where(spark, "id = 0", key_col="id")
+        vt.update_where(
+            spark, "id = 1",
+            lambda df: df.withColumn("amount", F.col("amount") + 1),
+            key_col="id",
+        )
+        vt.delete_where(spark, "id = 2", key_col="id")
+        pre_head = vt.current_version()
+        pinned = sorted(
+            tuple(r) for r in vt.read(spark, pre_head).collect()
+        )
+        # publish + remember the served rows before compaction
+        qual = publish_to_catalog(spark, vt, "compact_t", db="default")
+        served_before = sorted(
+            tuple(r) for r in spark.sql(f"SELECT * FROM {qual}").collect()
+        )
+
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline and not daemon.compactions:
+            _time.sleep(0.1)
+        assert daemon.compactions, "daemon never compacted"
+        root, v_compacted = daemon.compactions[0]
+        assert root == vt.root and v_compacted > pre_head
+        # the compacted head is a plain snapshot (no delta fold left)
+        assert vt.delta_chain_length(v_compacted) == 0
+        assert "snapshot" in vt.manifest(v_compacted)
+    finally:
+        daemon.stop()
+
+    # (a) the pre-compaction pinned snapshot still reads identically
+    assert sorted(
+        tuple(r) for r in vt.read(spark, pre_head).collect()
+    ) == pinned
+    # (b) head rows unchanged by compaction
+    assert sorted(
+        tuple(r) for r in vt.read(spark, v_compacted).collect()
+    ) == pinned
+    # (c) compaction emits no CDC events (the sink_optimize contract)
+    feed, _ = vt.changes(spark, pre_head, v_compacted, key_cols=["id"])
+    assert feed.count() == 0
+    # (d) served read after republish hash-matches the pre-compaction
+    # served rows (compaction is invisible over the wire)
+    publish_to_catalog(spark, vt, "compact_t", db="default")
+    served_after = sorted(
+        tuple(r) for r in spark.sql(f"SELECT * FROM {qual}").collect()
+    )
+    assert served_after == served_before
+    spark.sql(f"DROP TABLE IF EXISTS {qual}")
+    spark.sql(f"DROP VIEW IF EXISTS {qual}")
+
+
+def test_compaction_daemon_skips_conflicts_and_short_chains(spark, tmp_path):
+    """run_once() compacts nothing below threshold; a lost slot race
+    is swallowed (retried next pass), and a concurrent writer is
+    never blocked or corrupted."""
+    from layer_apache_hive_spark.acid import (
+        CommitConflict,
+        CompactionDaemon,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.init(spark.range(5).toDF("id"))
+    vt.delete_where(spark, "id = 0", key_col="id")
+    daemon = CompactionDaemon(spark, [vt], threshold=3)
+    assert daemon.run_once() == []  # chain=1 < 3: untouched
+    assert vt.delta_chain_length() == 1
+
+    vt.delete_where(spark, "id = 1", key_col="id")
+    vt.delete_where(spark, "id = 2", key_col="id")
+
+    class RacyTable(VersionedTable):
+        def compact(self, spark):
+            raise CommitConflict("simulated lost race")
+
+    racy = CompactionDaemon(
+        spark, [RacyTable(str(tmp_path / "t"))], threshold=3
+    )
+    assert racy.run_once() == []  # conflict swallowed, not raised
+
+    # the real daemon folds on the next pass
+    done = daemon.run_once()
+    assert len(done) == 1
+    assert vt.delta_chain_length() == 0
+    assert sorted(r.id for r in vt.read(spark).collect()) == [3, 4]
