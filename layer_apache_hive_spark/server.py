@@ -166,3 +166,46 @@ def parse_beeline_csv2(stdout: str) -> tuple[list[str], list[list[str]]]:
         body.pop()
     reader = csv.reader(io.StringIO("\n".join(body)))
     return header, [row for row in reader]
+
+
+def beeline_script(
+    sql_script: str,
+    port: int = 10000,
+    timeout: float = 300.0,
+    user: str = "spark",
+    password: str | None = None,
+) -> str:
+    """Run a multi-statement SQL script (';'-separated) on ONE JDBC
+    connection and return beeline's raw csv2 stdout. This is the
+    transaction-surface client path: BEGIN/DML/COMMIT share a
+    connection, hence a server-side session, hence one transaction —
+    separate :func:`beeline_query` calls are separate connections and
+    would each be their own (implicitly rolled back) session.
+    Raises on nonzero exit with both streams excerpted."""
+    cred_args = ["-n", user]
+    if password is not None:
+        cred_args += ["-p", password]
+    proc = subprocess.run(
+        [
+            _BEELINE,
+            "-u",
+            f"jdbc:hive2://localhost:{port}",
+            *cred_args,
+            "--silent=true",
+            "--outputformat=csv2",
+            "-e",
+            sql_script,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    if proc.returncode != 0:
+        def excerpt(s: str) -> str:
+            return s if len(s) <= 3000 else f"{s[:1500]}\n...\n{s[-1500:]}"
+
+        raise RuntimeError(
+            f"beeline rc={proc.returncode}\nstdout:{excerpt(proc.stdout)}"
+            f"\nstderr:{excerpt(proc.stderr)}"
+        )
+    return proc.stdout

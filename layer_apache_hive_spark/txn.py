@@ -1,0 +1,620 @@
+"""Multi-statement SQL transactions at the served endpoint —
+``BEGIN; <DML>...; COMMIT`` over JDBC/beeline, bound to
+``acid.TransactionCatalog`` `[upstream: deployed Hive ACID
+multi-statement transactions (Hive 3, ql/txn/* — BEGIN/COMMIT/
+ROLLBACK at HiveServer2); public-knowledge reconstruction,
+SURVEY.md §0. Round-7 verdict "what's missing" #1 / next-round #1]`.
+
+r7 delivered atomic cross-table commits as a Python API
+(``TransactionCatalog``). A real user at the served endpoint speaks
+SQL, so this module binds the three statements to that catalog where
+HiveServer2 binds them: at statement interpretation time, inside the
+serving session.
+
+Mechanics — all public Spark extension points, no internals patched:
+
+* A **parser interceptor** (``sparkgraft.SparkGraftTxn``, compiled
+  with javac at provision time like auth.py/authz.py) is injected
+  through ``spark.sql.extensions``. Spark builds ONE parser instance
+  per SessionState, and the Thrift server gives every JDBC connection
+  its own session (``singleSession=false`` default), so the parser
+  instance IS the connection identity: its UUID keys per-connection
+  transaction state.
+* The interceptor forwards ``BEGIN/START TRANSACTION``, and — while a
+  transaction is open on that connection — every statement, to a
+  Python **TxnSessionManager** over py4j's callback server (the same
+  bridge Structured Streaming's foreachBatch rides). Everything else
+  passes straight through to the delegate parser: the non-transaction
+  hot path never crosses into Python.
+* The manager buffers the transaction's DML (INSERT INTO / INSERT
+  OVERWRITE / UPDATE / DELETE against catalog-enrolled tables) as
+  DataFrame TRANSFORMS and, on COMMIT, hands them to
+  ``TransactionCatalog.commit`` — so the transaction's reads all pin
+  ONE catalog snapshot (snapshot isolation across tables), visibility
+  is a single exclusive-create (all-or-nothing), and a lost race
+  REBASES and re-applies the transforms (first-committer-wins at
+  transaction granularity). ROLLBACK just drops the buffer; a
+  connection that disconnects mid-transaction implicitly rolls back
+  (its buffer is keyed by the dead parser's UUID and never commits).
+
+Semantics (documented contract):
+
+* Writes are evaluated against the catalog snapshot pinned at COMMIT
+  time, composing in statement order per table — the optimistic
+  analog of Hive's write-set validation. There is no read-your-own-
+  writes inside an open transaction: SELECTs pass through to the
+  committed catalog state (READ COMMITTED reads, snapshot-atomic
+  writes), like Hive ACID's statement-level reads.
+* DML on a table NOT enrolled in the transaction catalog is refused
+  (keeping the atomicity promise honest), as is nested BEGIN.
+* After COMMIT returns, the manager republishes every touched table's
+  pinned version through the metastore (``publish_to_catalog``), so
+  the wire sees the new state as soon as the COMMIT statement
+  completes. Catalog-API readers (``TransactionCatalog.read``) see
+  the flip atomically at the marker create itself; the served VIEW
+  re-point is a metadata-only projection refreshed inside COMMIT.
+* The buffered DML is interpreted BEFORE analysis, so the authz rule
+  never sees it; transactional tables are therefore published under
+  their own namespace and gated at that level (table-grant the
+  published names), with per-statement column gating inside open
+  transactions a documented non-goal this round.
+
+Scale: parsing/buffering is O(statement) driver-side work; COMMIT
+costs exactly what the equivalent TransactionCatalog.commit costs
+(one staged snapshot write per touched table + two exclusive
+creates). The callback hop is microseconds against a multi-second
+distributed write.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import threading
+
+import pyspark
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from layer_apache_hive_spark.acid import (
+    CommitConflict,
+    TransactionCatalog,
+    publish_to_catalog,
+)
+
+TXN_CLASS = "sparkgraft.SparkGraftTxn"
+DEFAULT_CLASSES_DIR = "/root/repo/.tmp/hs2_txn_classes"
+
+_HANDLER_JAVA = """
+package sparkgraft;
+
+/**
+ * Bridge interface the Python TxnSessionManager implements through
+ * py4j's callback server. Return protocol (one line, no newlines):
+ *   "PASS"          - not a transaction statement: delegate-parse it
+ *   "ACTIVE:<msg>"  - handled; transaction now OPEN on this session
+ *   "DONE:<msg>"    - handled; transaction now CLOSED (commit/rollback)
+ *   "ERR_ACTIVE:<m>"- refuse statement; transaction STAYS open
+ *   "ERR_ENDED:<m>" - refuse statement; transaction is CLOSED
+ */
+public interface TxnHandler {
+  String handle(String sessionId, String sqlText);
+}
+"""
+
+_TXN_JAVA = """
+package sparkgraft;
+
+import java.util.UUID;
+import java.util.regex.Pattern;
+import org.apache.spark.sql.SparkSession;
+import org.apache.spark.sql.SparkSessionExtensions;
+import org.apache.spark.sql.catalyst.FunctionIdentifier;
+import org.apache.spark.sql.catalyst.TableIdentifier;
+import org.apache.spark.sql.catalyst.expressions.Expression;
+import org.apache.spark.sql.catalyst.parser.ParseException;
+import org.apache.spark.sql.catalyst.parser.ParserInterface;
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
+import org.apache.spark.sql.types.DataType;
+import org.apache.spark.sql.types.StructType;
+import scala.runtime.AbstractFunction1;
+import scala.runtime.AbstractFunction2;
+import scala.runtime.BoxedUnit;
+
+/**
+ * Parser interceptor binding BEGIN/COMMIT/ROLLBACK at the served
+ * endpoint to the Python-side transaction manager. One parser
+ * instance per SessionState = per JDBC connection (the Thrift server
+ * default is one session per connection), so the instance UUID keys
+ * per-connection transaction state; the in-process driver session
+ * gets its own instance the same way.
+ *
+ * Only BEGIN-shaped statements and statements inside an OPEN
+ * transaction cross the py4j bridge; everything else goes straight
+ * to the delegate parser (zero overhead on the non-txn path, and no
+ * behavior at all until a handler is registered).
+ */
+public class SparkGraftTxn
+    extends AbstractFunction1<SparkSessionExtensions, BoxedUnit>
+    implements org.apache.spark.sql.SparkSessionExtensionsProvider {
+
+  private static volatile TxnHandler handler = null;
+
+  /** Python side registers its TxnSessionManager proxy here. */
+  public static void setHandler(TxnHandler h) { handler = h; }
+
+  private static final Pattern BEGIN_LIKE = Pattern.compile(
+      "(?is)^\\\\s*(BEGIN|START\\\\s+TRANSACTION|BEGIN\\\\s+TRANSACTION)\\\\s*;?\\\\s*$");
+
+  @Override
+  public BoxedUnit apply(SparkSessionExtensions ext) {
+    ext.injectParser(
+        new AbstractFunction2<SparkSession, ParserInterface, ParserInterface>() {
+          @Override
+          public ParserInterface apply(
+              SparkSession session, ParserInterface delegate) {
+            return new TxnParser(delegate);
+          }
+        });
+    return BoxedUnit.UNIT;
+  }
+
+  static class TxnParser implements ParserInterface {
+    private final ParserInterface delegate;
+    private final String sessionId = UUID.randomUUID().toString();
+    // mirror of the Python-side open/closed state, kept in sync by
+    // the return protocol; exists only to keep non-txn statements
+    // off the callback bridge
+    private boolean active = false;
+
+    TxnParser(ParserInterface delegate) { this.delegate = delegate; }
+
+    @Override
+    public LogicalPlan parsePlan(String sqlText) throws ParseException {
+      TxnHandler h = handler;
+      if (h == null
+          || (!active && !BEGIN_LIKE.matcher(sqlText).matches())) {
+        return delegate.parsePlan(sqlText);
+      }
+      String out = h.handle(sessionId, sqlText);
+      if (out == null || out.equals("PASS")) {
+        return delegate.parsePlan(sqlText);
+      }
+      if (out.startsWith("ERR_ACTIVE:")) {
+        active = true;
+        throw new RuntimeException(
+            "Transaction error: " + out.substring(11));
+      }
+      if (out.startsWith("ERR_ENDED:")) {
+        active = false;
+        throw new RuntimeException(
+            "Transaction error: " + out.substring(10));
+      }
+      String msg = out;
+      if (out.startsWith("ACTIVE:")) {
+        active = true;
+        msg = out.substring(7);
+      } else if (out.startsWith("DONE:")) {
+        active = false;
+        msg = out.substring(5);
+      }
+      // surface the handler's status as a one-row result the JDBC
+      // client renders ('' doubled: msg is sanitized Python-side too)
+      return delegate.parsePlan(
+          "SELECT '" + msg.replace("'", "''") + "' AS txn_status");
+    }
+
+    @Override
+    public Expression parseExpression(String s) throws ParseException {
+      return delegate.parseExpression(s);
+    }
+
+    @Override
+    public TableIdentifier parseTableIdentifier(String s) throws ParseException {
+      return delegate.parseTableIdentifier(s);
+    }
+
+    @Override
+    public FunctionIdentifier parseFunctionIdentifier(String s) throws ParseException {
+      return delegate.parseFunctionIdentifier(s);
+    }
+
+    @Override
+    public scala.collection.immutable.Seq<String> parseMultipartIdentifier(
+        String s) throws ParseException {
+      return delegate.parseMultipartIdentifier(s);
+    }
+
+    @Override
+    public LogicalPlan parseQuery(String s) throws ParseException {
+      return delegate.parseQuery(s);
+    }
+
+    @Override
+    public StructType parseRoutineParam(String s) throws ParseException {
+      return delegate.parseRoutineParam(s);
+    }
+
+    @Override
+    public StructType parseTableSchema(String s) throws ParseException {
+      return delegate.parseTableSchema(s);
+    }
+
+    @Override
+    public DataType parseDataType(String s) throws ParseException {
+      return delegate.parseDataType(s);
+    }
+  }
+}
+"""
+
+
+def _spark_jars_dir() -> str:
+    return os.path.join(os.path.dirname(pyspark.__file__), "jars")
+
+
+def ensure_txn_classes(classes_dir: str = DEFAULT_CLASSES_DIR) -> str:
+    """Compile the interceptor + bridge interface once (cached by
+    source identity); return the dir for spark.driver.extraClassPath."""
+    os.makedirs(classes_dir, exist_ok=True)
+    source_blob = _HANDLER_JAVA + _TXN_JAVA
+    marker = os.path.join(classes_dir, "_SOURCE")
+    cls = os.path.join(classes_dir, "sparkgraft", "SparkGraftTxn.class")
+    if os.path.exists(cls) and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == source_blob:
+                return classes_dir
+    h_path = os.path.join(classes_dir, "TxnHandler.java")
+    t_path = os.path.join(classes_dir, "SparkGraftTxn.java")
+    with open(h_path, "w") as fh:
+        fh.write(_HANDLER_JAVA)
+    with open(t_path, "w") as fh:
+        fh.write(_TXN_JAVA)
+    subprocess.run(
+        [
+            "javac",
+            "-cp",
+            os.path.join(_spark_jars_dir(), "*"),
+            "-d",
+            classes_dir,
+            h_path,
+            t_path,
+        ],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    with open(marker, "w") as fh:
+        fh.write(source_blob)
+    return classes_dir
+
+
+def txn_session_conf(
+    base_conf: dict[str, str] | None = None,
+    classes_dir: str | None = None,
+) -> dict[str, str]:
+    """Extend ``base_conf`` with the transaction interceptor: merges
+    ``spark.sql.extensions`` / ``spark.driver.extraClassPath`` so
+    authn (auth.py), authz (authz.py) and transactions compose in one
+    serving session."""
+    d = ensure_txn_classes(classes_dir or DEFAULT_CLASSES_DIR)
+    conf = dict(base_conf or {})
+    cp = conf.get("spark.driver.extraClassPath")
+    conf["spark.driver.extraClassPath"] = f"{cp}:{d}" if cp else d
+    ext = conf.get("spark.sql.extensions")
+    conf["spark.sql.extensions"] = f"{ext},{TXN_CLASS}" if ext else TXN_CLASS
+    return conf
+
+
+# --- statement grammar (the Hive ACID multi-statement txn surface) ---------
+
+_BEGIN_RE = re.compile(
+    r"(?is)^\s*(?:BEGIN|START\s+TRANSACTION|BEGIN\s+TRANSACTION)\s*;?\s*$"
+)
+_COMMIT_RE = re.compile(r"(?is)^\s*COMMIT(?:\s+WORK)?\s*;?\s*$")
+_ROLLBACK_RE = re.compile(r"(?is)^\s*ROLLBACK(?:\s+WORK)?\s*;?\s*$")
+_INSERT_RE = re.compile(
+    r"(?is)^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    r"(?P<name>[\w.`]+)\s+(?P<body>.+?)\s*;?\s*$"
+)
+_DELETE_RE = re.compile(
+    r"(?is)^\s*DELETE\s+FROM\s+(?P<name>[\w.`]+)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$"
+)
+_UPDATE_RE = re.compile(
+    r"(?is)^\s*UPDATE\s+(?P<name>[\w.`]+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$"
+)
+
+
+def _bare_name(name: str) -> str:
+    """Catalog key of a possibly db-qualified, possibly backticked
+    table reference (the TransactionCatalog keys on bare names)."""
+    return name.replace("`", "").split(".")[-1].lower()
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parens/quotes (UPDATE set-lists can
+    contain function calls and string literals with commas)."""
+    out, depth, quote, cur = [], 0, None, []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            cur.append(c)
+            if c == quote and not (i + 1 < len(s) and s[i + 1] == quote):
+                quote = None
+            elif c == quote:  # doubled quote inside literal
+                cur.append(s[i + 1])
+                i += 1
+        elif c in "'\"":
+            quote = c
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+def _sanitize(msg: str) -> str:
+    return " ".join(str(msg).split())[:500]
+
+
+class TxnSessionManager:
+    """Python half of the served transaction surface: per-connection
+    statement buffers + the COMMIT binding to TransactionCatalog.
+
+    Implements the ``sparkgraft.TxnHandler`` bridge interface (py4j
+    callback proxy). Register with :func:`install_txn_handler` after
+    the session is up; tables become transactional by being enrolled
+    in the manager's TransactionCatalog (seed them with
+    ``catalog.commit(spark, {name: df})``), and ``publish_all()``
+    projects their pinned versions into the metastore so JDBC reads
+    resolve BY NAME."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: TransactionCatalog,
+        publish_db: str = "txn",
+        publish: bool = True,
+        max_retries: int = 5,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.publish_db = publish_db
+        self.publish = publish
+        self.max_retries = max_retries
+        # guards PUBLICATION only — commits themselves serialize
+        # through the catalog's exclusive-create slots (holding a
+        # manager lock across catalog.commit would deadlock two
+        # connections committing through the same handler)
+        self._publish_lock = threading.Lock()
+        #: sessionId -> list[(table, kind, payload...)] buffered ops
+        self._open: dict[str, list[tuple]] = {}
+        if publish:
+            spark.sql(
+                f"CREATE DATABASE IF NOT EXISTS `"
+                + publish_db.replace("`", "``")
+                + "`"
+            )
+
+    # -- bridge entry ----------------------------------------------------
+
+    def handle(self, session_id: str, sql_text: str) -> str:  # noqa: C901
+        """One statement from one connection; see TxnHandler protocol."""
+        try:
+            return self._handle(session_id, sql_text)
+        except Exception as e:  # never leak a raw traceback to the wire
+            self._open.pop(session_id, None)
+            return f"ERR_ENDED:{_sanitize(e)}"
+
+    def _handle(self, session_id: str, sql_text: str) -> str:
+        if _BEGIN_RE.match(sql_text):
+            if session_id in self._open:
+                return (
+                    "ERR_ACTIVE:nested BEGIN: a transaction is already "
+                    "open on this session"
+                )
+            self._open[session_id] = []
+            base = self.catalog.current_version()
+            return f"ACTIVE:Transaction started (catalog v{base})"
+        ops = self._open.get(session_id)
+        if ops is None:
+            return "PASS"  # stale Java-side flag: not in a txn
+        if _COMMIT_RE.match(sql_text):
+            return self._commit(session_id, ops)
+        if _ROLLBACK_RE.match(sql_text):
+            n = len(ops)
+            self._open.pop(session_id, None)
+            return f"DONE:Transaction rolled back ({n} buffered statements discarded)"
+        m = _INSERT_RE.match(sql_text)
+        if m:
+            return self._buffer(
+                session_id, m.group("name"),
+                ("insert", m.group("mode").lower(), m.group("body")),
+            )
+        m = _DELETE_RE.match(sql_text)
+        if m:
+            return self._buffer(
+                session_id, m.group("name"), ("delete", m.group("pred"))
+            )
+        m = _UPDATE_RE.match(sql_text)
+        if m:
+            sets = []
+            for part in _split_top_level(m.group("sets")):
+                if "=" not in part:
+                    return (
+                        "ERR_ACTIVE:malformed SET clause: "
+                        + _sanitize(part)
+                    )
+                col, expr = part.split("=", 1)
+                sets.append((col.strip().replace("`", ""), expr.strip()))
+            return self._buffer(
+                session_id, m.group("name"),
+                ("update", tuple(sets), m.group("pred")),
+            )
+        # reads (and anything else) pass through: statement-level READ
+        # COMMITTED against the published catalog state — Hive ACID's
+        # read posture for open transactions
+        return "PASS"
+
+    # -- buffering + commit ------------------------------------------------
+
+    def _buffer(self, session_id: str, name: str, op: tuple) -> str:
+        table = _bare_name(name)
+        if table not in self.catalog.resolve():
+            return (
+                f"ERR_ACTIVE:table '{table}' is not enrolled in the "
+                "transaction catalog; transactional DML is only atomic "
+                "for enrolled tables"
+            )
+        self._open[session_id].append((table, op))
+        n = len(self._open[session_id])
+        return f"ACTIVE:Buffered statement {n} for table '{table}'"
+
+    def _commit(self, session_id: str, ops: list[tuple]) -> str:
+        self._open.pop(session_id, None)  # closed whatever happens next
+        if not ops:
+            return "DONE:Nothing to commit (empty transaction)"
+        # compose per-table transforms in statement order; evaluation
+        # happens inside TransactionCatalog.commit against the catalog
+        # snapshot pinned at commit (rebased on conflict)
+        per_table: dict[str, list[tuple]] = {}
+        for table, op in ops:
+            per_table.setdefault(table, []).append(op)
+        updates = {
+            t: self._compose(t_ops) for t, t_ops in per_table.items()
+        }
+        try:
+            v = self.catalog.commit(
+                self.spark, updates, max_retries=self.max_retries
+            )
+        except (CommitConflict, Exception) as e:
+            return f"ERR_ENDED:commit failed: {_sanitize(e)}"
+        if self.publish:
+            # publish the catalog HEAD pins (not v's): with two racing
+            # commits, a slower publisher must never overwrite a newer
+            # transaction's served view with an older pin
+            with self._publish_lock:
+                head = self.catalog.current_version()
+                pins = self.catalog.resolve(head)
+                for t in per_table:
+                    publish_to_catalog(
+                        self.spark,
+                        self.catalog.table(t),
+                        t,
+                        db=self.publish_db,
+                        version=pins[t],
+                    )
+        return (
+            f"DONE:Committed catalog v{v} "
+            f"({len(ops)} statements, {len(per_table)} tables)"
+        )
+
+    def _compose(self, t_ops: list[tuple]):
+        spark = self.spark
+
+        def transform(df: DataFrame) -> DataFrame:
+            out = df
+            for op in t_ops:
+                kind = op[0]
+                if kind == "insert":
+                    _, mode, body = op
+                    incoming = spark.sql(body)
+                    if len(incoming.columns) != len(out.columns):
+                        raise ValueError(
+                            f"INSERT column count {len(incoming.columns)} "
+                            f"!= table arity {len(out.columns)}"
+                        )
+                    aligned = incoming.toDF(*out.columns)
+                    for c, typ in out.dtypes:
+                        aligned = aligned.withColumn(
+                            c, F.col(c).cast(typ)
+                        )
+                    out = aligned if mode == "overwrite" else (
+                        out.unionByName(aligned)
+                    )
+                elif kind == "delete":
+                    _, pred = op
+                    if pred is None:
+                        out = out.filter(F.lit(False))
+                    else:
+                        out = out.filter(
+                            ~F.coalesce(F.expr(pred), F.lit(False))
+                        )
+                elif kind == "update":
+                    _, sets, pred = op
+                    hit = (
+                        F.coalesce(F.expr(pred), F.lit(False))
+                        if pred is not None
+                        else F.lit(True)
+                    )
+                    types = dict(out.dtypes)
+                    cols = []
+                    set_map = dict(sets)
+                    for c in out.columns:
+                        if c in set_map:
+                            cols.append(
+                                F.when(hit, F.expr(set_map[c]))
+                                .otherwise(F.col(c))
+                                .cast(types[c])
+                                .alias(c)
+                            )
+                        else:
+                            cols.append(F.col(c))
+                    unknown = set(set_map) - set(out.columns)
+                    if unknown:
+                        raise ValueError(
+                            f"UPDATE SET references unknown columns "
+                            f"{sorted(unknown)}"
+                        )
+                    out = out.select(cols)
+                else:  # pragma: no cover - grammar guarantees kinds
+                    raise ValueError(f"unknown buffered op {kind!r}")
+            return out
+
+        return transform
+
+    # -- serving helpers ---------------------------------------------------
+
+    def publish_all(self, version: int | None = None) -> dict[str, str]:
+        """Publish every enrolled table's pinned version into the
+        metastore under ``publish_db`` (initial serving setup)."""
+        pins = self.catalog.resolve(version)
+        return {
+            t: publish_to_catalog(
+                self.spark, self.catalog.table(t), t,
+                db=self.publish_db, version=v,
+            )
+            for t, v in pins.items()
+        }
+
+    class Java:  # py4j callback-proxy declaration
+        implements = ["sparkgraft.TxnHandler"]
+
+
+def install_txn_handler(
+    spark: SparkSession, manager: TxnSessionManager
+) -> TxnSessionManager:
+    """Start the py4j callback server (idempotent) and register the
+    manager as the JVM-wide transaction handler. The session must have
+    been built with :func:`txn_session_conf` (the interceptor class
+    on the extensions list); without a registered handler the
+    interceptor is inert."""
+    from pyspark.java_gateway import ensure_callback_server_started
+
+    ensure_callback_server_started(spark.sparkContext._gateway)
+    getattr(spark._jvm, "sparkgraft.SparkGraftTxn").setHandler(manager)
+    return manager

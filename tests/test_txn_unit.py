@@ -1,0 +1,160 @@
+"""TxnSessionManager unit coverage (no wire, no parser): the bridge
+protocol, statement grammar, transform composition, and failure modes
+— driven by calling handle() directly, exactly what the compiled
+interceptor does per statement."""
+
+from __future__ import annotations
+
+import pytest
+
+from layer_apache_hive_spark.acid import TransactionCatalog
+from layer_apache_hive_spark.txn import TxnSessionManager, _split_top_level
+
+
+@pytest.fixture()
+def mgr(spark, tmp_path):
+    cat = TransactionCatalog(str(tmp_path / "cat"))
+    cat.commit(
+        spark,
+        {
+            "inv": spark.createDataFrame(
+                [("w", 10, 1.5), ("g", 5, 2.5)],
+                "item string, qty int, price double",
+            ),
+            "log": spark.createDataFrame([], "id int, note string"),
+        },
+    )
+    return TxnSessionManager(spark, cat, publish=False)
+
+
+def test_protocol_lifecycle(mgr, spark):
+    assert mgr.handle("s1", "SELECT 1") == "PASS"  # no txn open
+    assert mgr.handle("s1", "BEGIN").startswith("ACTIVE:Transaction started")
+    assert mgr.handle("s1", "BEGIN TRANSACTION").startswith(
+        "ERR_ACTIVE:nested BEGIN"
+    )
+    # reads pass through inside a txn (statement-level READ COMMITTED)
+    assert mgr.handle("s1", "SELECT * FROM somewhere") == "PASS"
+    assert mgr.handle(
+        "s1", "UPDATE inv SET qty = qty + 1 WHERE item = 'w'"
+    ).startswith("ACTIVE:Buffered statement 1")
+    # a SECOND session is independent state
+    assert mgr.handle("s2", "COMMIT") == "PASS"  # s2 has no txn
+    assert mgr.handle("s1", "ROLLBACK").startswith("DONE:Transaction rolled")
+    assert mgr.catalog.current_version() == 1  # nothing committed
+
+
+def test_statement_order_composes_per_table(mgr, spark):
+    """INSERT then UPDATE then DELETE on one table apply in statement
+    order against the pinned snapshot."""
+    sid = "s"
+    mgr.handle(sid, "BEGIN")
+    mgr.handle(sid, "INSERT INTO inv VALUES ('n', 100, 9.0)")
+    mgr.handle(sid, "UPDATE inv SET qty = qty * 2 WHERE item = 'n'")
+    mgr.handle(sid, "DELETE FROM inv WHERE item = 'g'")
+    out = mgr.handle(sid, "COMMIT")
+    assert out.startswith("DONE:Committed catalog v2"), out
+    rows = {
+        (r.item, r.qty, r.price)
+        for r in mgr.catalog.read(spark, "inv").collect()
+    }
+    assert rows == {("w", 10, 1.5), ("n", 200, 9.0)}, rows
+
+
+def test_insert_overwrite_and_select_body(mgr, spark):
+    sid = "s"
+    mgr.handle(sid, "BEGIN")
+    mgr.handle(
+        sid,
+        "INSERT OVERWRITE TABLE inv "
+        "SELECT 'z' AS a, 1 AS b, 0.5 AS c",
+    )
+    assert mgr.handle(sid, "COMMIT").startswith("DONE:Committed")
+    rows = [tuple(r) for r in mgr.catalog.read(spark, "inv").collect()]
+    assert rows == [("z", 1, 0.5)]
+
+
+def test_update_set_list_with_function_commas(mgr, spark):
+    sid = "s"
+    mgr.handle(sid, "BEGIN")
+    out = mgr.handle(
+        sid,
+        "UPDATE inv SET qty = GREATEST(qty, 7), "
+        "price = round(price + 0.25, 1) WHERE item IN ('w', 'g')",
+    )
+    assert out.startswith("ACTIVE:"), out
+    assert mgr.handle(sid, "COMMIT").startswith("DONE:")
+    rows = {
+        (r.item, r.qty, r.price)
+        for r in mgr.catalog.read(spark, "inv").collect()
+    }
+    assert rows == {("w", 10, 1.8), ("g", 7, 2.8)}, rows
+
+
+def test_delete_without_where_empties_table(mgr, spark):
+    sid = "s"
+    mgr.handle(sid, "BEGIN")
+    mgr.handle(sid, "DELETE FROM inv")
+    assert mgr.handle(sid, "COMMIT").startswith("DONE:")
+    assert mgr.catalog.read(spark, "inv").count() == 0
+
+
+def test_null_predicate_rows_survive_delete(mgr, spark):
+    """SQL DELETE removes rows where the predicate is TRUE; a NULL
+    predicate row must be KEPT (the coalesce-false contract)."""
+    sid = "s"
+    mgr.catalog.commit(
+        spark,
+        {
+            "inv": spark.createDataFrame(
+                [("w", None, 1.0), ("g", 5, 2.0)],
+                "item string, qty int, price double",
+            )
+        },
+    )
+    mgr.handle(sid, "BEGIN")
+    mgr.handle(sid, "DELETE FROM inv WHERE qty < 10")
+    mgr.handle(sid, "COMMIT")
+    rows = [r.item for r in mgr.catalog.read(spark, "inv").collect()]
+    assert rows == ["w"], rows  # NULL-qty row kept, g deleted
+
+
+def test_commit_failures_end_transaction(mgr, spark):
+    # arity mismatch surfaces at COMMIT evaluation and CLOSES the txn
+    sid = "s"
+    mgr.handle(sid, "BEGIN")
+    mgr.handle(sid, "INSERT INTO inv VALUES (1)")
+    out = mgr.handle(sid, "COMMIT")
+    assert out.startswith("ERR_ENDED:commit failed"), out
+    assert mgr.handle(sid, "COMMIT") == "PASS"  # txn is gone
+    assert mgr.catalog.current_version() == 1
+
+    # unknown SET column
+    mgr.handle(sid, "BEGIN")
+    mgr.handle(sid, "UPDATE inv SET nope = 1")
+    out = mgr.handle(sid, "COMMIT")
+    assert out.startswith("ERR_ENDED:"), out
+
+    # DML on a non-enrolled table refused, txn stays open
+    mgr.handle(sid, "BEGIN")
+    out = mgr.handle(sid, "INSERT INTO elsewhere VALUES (1)")
+    assert out.startswith("ERR_ACTIVE:") and "not enrolled" in out
+    assert mgr.handle(sid, "ROLLBACK").startswith("DONE:")
+
+
+def test_empty_commit_is_noop(mgr):
+    mgr.handle("s", "BEGIN")
+    assert mgr.handle("s", "COMMIT").startswith("DONE:Nothing to commit")
+    assert mgr.catalog.current_version() == 1
+
+
+def test_split_top_level_respects_parens_and_quotes():
+    assert _split_top_level("a = f(x, y), b = 'p,q', c = 2") == [
+        "a = f(x, y)",
+        "b = 'p,q'",
+        "c = 2",
+    ]
+    assert _split_top_level("x = concat('a''b', ','), y = 1") == [
+        "x = concat('a''b', ',')",
+        "y = 1",
+    ]
