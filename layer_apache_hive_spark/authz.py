@@ -26,18 +26,36 @@ service itself (provisioning, registered queries, view refreshes)
 carry no wire identity — or the service principal's own name — and
 run unrestricted: ACL entries govern WIRE users.
 
-Policy: ``user=table1,table2;other=*`` — ``*`` grants everything; a
-listed user may read exactly the named tables (case-insensitive, by
-table name); an authenticated user with NO entry is denied every
-catalog table (default-deny, the SQL-std posture). Statements
-touching no catalog table (SET, SHOW DATABASES, SELECT 1, connection
-chrome) always pass, so JDBC clients can negotiate sessions. Two
-stores: ``SPARK_GRAFT_HS2_ACL`` (env — static, frozen at JVM start)
-or ``SPARK_GRAFT_HS2_ACL_FILE`` (file — re-read per statement, so
-:func:`grant` / :func:`revoke` — the GRANT/REVOKE SQL statements'
-analog — take effect on the next statement with NO server restart;
-an unreadable configured file fails CLOSED, an empty one means zero
-grants).
+Policy: ``user=obj1,obj2;other=*`` — ``*`` grants everything; an
+authenticated user with NO entry is denied every catalog table
+(default-deny, the SQL-std posture). Each object token is one of
+(case-insensitive):
+
+* ``table`` — full grant on any object with that bare name, in ANY
+  database (the pre-r8 form, kept as a documented wildcard-db
+  compatibility form);
+* ``db.table`` — full grant on exactly that database's object (r8,
+  advisor item: bare names over-grant in multi-db catalogs);
+* ``table:colA|colB`` / ``db.table:colA|colB`` — COLUMN-scoped grant
+  (r8, round-7 verdict task 5): the user may reference ONLY the
+  listed columns of that object — the projection list, ``SELECT *``
+  expansion, WHERE/JOIN/GROUP BY references and subquery references
+  are all walked (any ungranted column anywhere in the plan refuses
+  the statement). Zero-column statements over a column-granted
+  object (``SELECT COUNT(*)``) pass: the grant is on the object, and
+  no ungranted column's values flow. Metadata/DDL statements
+  (DESCRIBE, DROP, ALTER) require a FULL grant — a column-scoped
+  user can read their columns but not inspect or mutate the object
+  (fail-closed; Hive's column-masking analog would live here).
+
+Statements touching no catalog table (SET, SHOW DATABASES, SELECT 1,
+connection chrome) always pass, so JDBC clients can negotiate
+sessions. Two stores: ``SPARK_GRAFT_HS2_ACL`` (env — static, frozen
+at JVM start) or ``SPARK_GRAFT_HS2_ACL_FILE`` (file — re-read per
+statement, so :func:`grant` / :func:`revoke` — the GRANT/REVOKE SQL
+statements' analog — take effect on the next statement with NO
+server restart; an unreadable configured file fails CLOSED, an empty
+one means zero grants).
 
 Scope: the object surface is catalog TABLES and VIEWS — what HS2
 SQL-std auth governs for SELECT. Views key on the VIEW's own grant
@@ -83,9 +101,11 @@ package sparkgraft;
 
 import java.util.ArrayList;
 import java.util.Collections;
+import java.util.HashMap;
 import java.util.HashSet;
 import java.util.List;
 import java.util.Locale;
+import java.util.Map;
 import java.util.Set;
 import org.apache.spark.sql.SparkSession;
 import org.apache.spark.sql.SparkSessionExtensions;
@@ -94,6 +114,7 @@ import org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier;
 import org.apache.spark.sql.catalyst.analysis.ResolvedTable;
 import org.apache.spark.sql.catalyst.catalog.CatalogTable;
 import org.apache.spark.sql.catalyst.catalog.HiveTableRelation;
+import org.apache.spark.sql.catalyst.expressions.Attribute;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
 import org.apache.spark.sql.catalyst.plans.logical.View;
 import org.apache.spark.sql.execution.command.DescribeTableCommand;
@@ -110,10 +131,18 @@ import org.apache.spark.sql.catalyst.rules.Rule;
  * Thrift endpoint (the HiveServer2 SQL-std-authorization analog).
  * Policy comes from SPARK_GRAFT_HS2_ACL_FILE (re-read per statement,
  * live GRANT/REVOKE) or SPARK_GRAFT_HS2_ACL in the server process
- * environment ("user=tbl1,tbl2;other=*"); the statement identity
- * comes from CurrentUserContext, which Spark's Thrift server sets to
- * the SASL-authenticated username per statement. No policy
- * configured means the rule is inert.
+ * environment; the statement identity comes from CurrentUserContext,
+ * which Spark's Thrift server sets to the SASL-authenticated
+ * username per statement. No policy configured means the rule is
+ * inert.
+ *
+ * Object tokens (r8): "table" (bare: wildcard-db compatibility),
+ * "db.table" (qualified), and either form suffixed ":colA|colB" for
+ * COLUMN-scoped SELECT - the rule then collects every attribute
+ * referenced anywhere in the plan (projections, predicates, grouping,
+ * subqueries; SELECT * arrives pre-expanded by the analyzer) and
+ * refuses the statement if any referenced column of that object is
+ * outside the granted set. Metadata/DDL targets require a FULL grant.
  */
 public class SparkGraftAuthz
     extends AbstractFunction1<SparkSessionExtensions, BoxedUnit>
@@ -194,12 +223,15 @@ public class SparkGraftAuthz
     // in-process plans (provisioning, registered queries) carry no
     // wire identity, or the service principal's own name: the ACL
     // governs WIRE users, which auth.py guarantees are distinct
-    // credentialed identities.
+    // credentialed identities (it REFUSES a wire credential equal to
+    // the service principal, closing the bypass this skip would
+    // otherwise open).
     if (user.isEmpty() || user.equals(service)) {
       return;
     }
     boolean all = false;
     Set<String> allowed = null;
+    Map<String, Set<String>> colAllowed = null;
     for (String entry : acl.split(";")) {
       int i = entry.indexOf('=');
       if (i <= 0 || !entry.substring(0, i).trim().equals(user)) {
@@ -209,13 +241,28 @@ public class SparkGraftAuthz
       // a later duplicate entry REPLACES the earlier one, including
       // its '*'
       allowed = new HashSet<String>();
+      colAllowed = new HashMap<String, Set<String>>();
       all = false;
       for (String t : entry.substring(i + 1).split(",")) {
         String tt = t.trim().toLowerCase(Locale.ROOT);
         if (tt.equals("*")) {
           all = true;
-        } else if (!tt.isEmpty()) {
-          allowed.add(tt);
+        } else if (tt.isEmpty()) {
+          continue;
+        } else {
+          int c = tt.indexOf(':');
+          if (c < 0) {
+            allowed.add(tt);
+          } else {
+            Set<String> cols = new HashSet<String>();
+            for (String col : tt.substring(c + 1).split("\\\\|")) {
+              String cc = col.trim();
+              if (!cc.isEmpty()) {
+                cols.add(cc);
+              }
+            }
+            colAllowed.put(tt.substring(0, c).trim(), cols);
+          }
         }
       }
     }
@@ -224,8 +271,17 @@ public class SparkGraftAuthz
     }
     final Set<String> allow =
         allowed == null ? Collections.<String>emptySet() : allowed;
+    final Map<String, Set<String>> colAllow =
+        colAllowed == null
+            ? Collections.<String, Set<String>>emptyMap()
+            : colAllowed;
+    // phase 1: every attribute the plan references ANYWHERE
+    // (projections, predicates, grouping, subqueries) - SELECT *
+    // arrives pre-expanded, so star reads reference every column
+    final Set<Long> refs = new HashSet<Long>();
+    collectRefs(plan, refs);
     final List<String> denied = new ArrayList<String>();
-    visit(plan, allow, denied);
+    visit(plan, allow, colAllow, refs, denied);
     if (!denied.isEmpty()) {
       throw new SecurityException(
           "Authorization error: user '" + user
@@ -234,32 +290,106 @@ public class SparkGraftAuthz
     }
   }
 
+  private static void collectRefs(LogicalPlan node, Set<Long> refs) {
+    Iterator<Attribute> it =
+        node.references().iterator();
+    while (it.hasNext()) {
+      Attribute a = it.next();
+      // some command nodes reach post-hoc resolution with unresolved
+      // attribute placeholders whose exprId THROWS - they carry no
+      // bound column, so they cannot reference a granted one either
+      if (a.resolved()) {
+        refs.add(a.exprId().id());
+      }
+    }
+    Iterator<LogicalPlan> kids =
+        ((scala.collection.Seq<LogicalPlan>) node.children()).iterator();
+    while (kids.hasNext()) {
+      collectRefs(kids.next(), refs);
+    }
+    Iterator<LogicalPlan> subs =
+        ((scala.collection.Seq<LogicalPlan>) node.subqueries()).iterator();
+    while (subs.hasNext()) {
+      collectRefs(subs.next(), refs);
+    }
+  }
+
+  /** Grant check for one catalog object occurrence. metadataOp = DDL
+   * or metadata command target: column grants never satisfy those. */
+  private static void checkObject(
+      String bare,
+      String qual,
+      scala.collection.Seq<Attribute> output,
+      Set<String> allow,
+      Map<String, Set<String>> colAllow,
+      Set<Long> refs,
+      List<String> denied,
+      boolean metadataOp) {
+    String b = bare.toLowerCase(Locale.ROOT);
+    String q = qual.toLowerCase(Locale.ROOT);
+    // identifiers from the session catalog arrive catalog-qualified
+    // (spark_catalog.db.table); grants are written db.table - match
+    // on the trailing two segments
+    String[] seg = q.split("\\\\.");
+    if (seg.length > 2) {
+      q = seg[seg.length - 2] + "." + seg[seg.length - 1];
+    }
+    if (allow.contains(b) || allow.contains(q)) {
+      return;
+    }
+    Set<String> cols =
+        colAllow.containsKey(q) ? colAllow.get(q) : colAllow.get(b);
+    if (cols == null || metadataOp || output == null) {
+      denied.add(qual);
+      return;
+    }
+    Iterator<Attribute> it = output.iterator();
+    while (it.hasNext()) {
+      Attribute a = it.next();
+      if (refs.contains(a.exprId().id())
+          && !cols.contains(a.name().toLowerCase(Locale.ROOT))) {
+        denied.add(qual + "." + a.name());
+      }
+    }
+  }
+
   private static void visit(
-      LogicalPlan node, Set<String> allow, List<String> denied) {
+      LogicalPlan node,
+      Set<String> allow,
+      Map<String, Set<String>> colAllow,
+      Set<Long> refs,
+      List<String> denied) {
     if (node instanceof View) {
       // views are objects of their own: access keys on the VIEW's
       // grant, and a GRANTED view's body executes under the grantor
       // (definer semantics - the standard HS2 pattern for exposing
       // row/column subsets of tables a user may not read directly),
-      // so traversal STOPS here either way.
+      // so traversal STOPS here either way. Column-scoped grants
+      // apply to the view's own output columns.
       CatalogTable d = ((View) node).desc();
-      if (!allow.contains(d.identifier().table().toLowerCase(Locale.ROOT))) {
-        denied.add(d.identifier().unquotedString());
-      }
+      checkObject(
+          d.identifier().table(),
+          d.identifier().unquotedString(),
+          (scala.collection.Seq<Attribute>) node.output(),
+          allow, colAllow, refs, denied, false);
       return;
     }
-    String tbl = null;
-    String full = null;
     if (node instanceof HiveTableRelation) {
       CatalogTable meta = ((HiveTableRelation) node).tableMeta();
-      tbl = meta.identifier().table();
-      full = meta.identifier().unquotedString();
+      checkObject(
+          meta.identifier().table(),
+          meta.identifier().unquotedString(),
+          (scala.collection.Seq<Attribute>) node.output(),
+          allow, colAllow, refs, denied, false);
     } else if (node instanceof LogicalRelation) {
       scala.Option<CatalogTable> ct =
           ((LogicalRelation) node).catalogTable();
       if (ct.isDefined()) {
-        tbl = ct.get().identifier().table();
-        full = ct.get().identifier().unquotedString();
+        checkObject(
+            ct.get().identifier().table(),
+            ct.get().identifier().unquotedString(),
+            (scala.collection.Seq<Attribute>) node.output(),
+            allow, colAllow, refs, denied, false);
       } else {
         // a relation with NO catalog entry is a direct path read
         // (SELECT * FROM parquet.`/path`): ungoverned by any table
@@ -269,34 +399,43 @@ public class SparkGraftAuthz
       }
     } else if (node instanceof ResolvedTable) {
       // v2 metadata/DDL target (ALTER ... and friends)
-      tbl = ((ResolvedTable) node).identifier().name();
-      full = ((ResolvedTable) node).name();
+      org.apache.spark.sql.connector.catalog.Identifier id =
+          ((ResolvedTable) node).identifier();
+      checkObject(
+          id.name(), ((ResolvedTable) node).name(), null,
+          allow, colAllow, refs, denied, true);
     } else if (node instanceof ResolvedIdentifier) {
       // v2 name-only target (DROP TABLE, CREATE in a scoped
       // namespace): DDL on an ungranted name is denied
-      tbl = ((ResolvedIdentifier) node).identifier().name();
-      full = tbl;
+      org.apache.spark.sql.connector.catalog.Identifier id =
+          ((ResolvedIdentifier) node).identifier();
+      String[] ns = id.namespace();
+      String q = ns.length > 0
+          ? ns[ns.length - 1] + "." + id.name() : id.name();
+      checkObject(id.name(), q, null,
+          allow, colAllow, refs, denied, true);
     } else if (node instanceof DescribeTableCommand) {
       // v1 session-catalog metadata commands carry a bare
       // TableIdentifier, not a relation child
-      tbl = ((DescribeTableCommand) node).table().table();
-      full = ((DescribeTableCommand) node).table().unquotedString();
+      checkObject(
+          ((DescribeTableCommand) node).table().table(),
+          ((DescribeTableCommand) node).table().unquotedString(),
+          null, allow, colAllow, refs, denied, true);
     } else if (node instanceof ShowColumnsCommand) {
-      tbl = ((ShowColumnsCommand) node).tableName().table();
-      full = ((ShowColumnsCommand) node).tableName().unquotedString();
-    }
-    if (tbl != null && !allow.contains(tbl.toLowerCase(Locale.ROOT))) {
-      denied.add(full);
+      checkObject(
+          ((ShowColumnsCommand) node).tableName().table(),
+          ((ShowColumnsCommand) node).tableName().unquotedString(),
+          null, allow, colAllow, refs, denied, true);
     }
     Iterator<LogicalPlan> kids =
         ((scala.collection.Seq<LogicalPlan>) node.children()).iterator();
     while (kids.hasNext()) {
-      visit(kids.next(), allow, denied);
+      visit(kids.next(), allow, colAllow, refs, denied);
     }
     Iterator<LogicalPlan> subs =
         ((scala.collection.Seq<LogicalPlan>) node.subqueries()).iterator();
     while (subs.hasNext()) {
-      visit(subs.next(), allow, denied);
+      visit(subs.next(), allow, colAllow, refs, denied);
     }
   }
 }
