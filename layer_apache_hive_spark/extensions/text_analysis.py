@@ -301,11 +301,18 @@ def ext_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
     lang_tok = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    # glob_tok / lang_tot / glob_tot all DERIVE from lang_tok's
+    # (lang, token) counts instead of re-aggregating the raw explode:
+    # their exchanges hang off lang_tok's one shuffle (ReuseExchange
+    # dedupes the identical scan→explode→partial-agg subplan), so the
+    # corpus is tokenized once for the model + once for scoring — the
+    # r6 shape paid FOUR explode passes (adjudicated r8, BASELINE.md).
+    # Sums of exact integer counts, so every lift input is unchanged.
     lang_tot = lang_tok.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    glob_tok = toks.groupBy("token").agg(F.count(F.lit(1)).alias("gcnt"))
+    glob_tok = lang_tok.groupBy("token").agg(F.sum("cnt").alias("gcnt"))
     # total corpus tokens as a broadcast 1-row aggregate, NOT an eager
     # .count(): that would run a full extra job at plan-build time
-    glob_tot = toks.agg(F.count(F.lit(1)).cast("double").alias("gtot"))
+    glob_tot = lang_tok.agg(F.sum("cnt").cast("double").alias("gtot"))
     from pyspark.sql import Window
 
     rel = (

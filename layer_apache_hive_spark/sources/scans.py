@@ -756,3 +756,232 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length"),
         F.md5("content").alias("content_md5"),
     )
+
+
+# --- Hive full-ACID ORC layout (read compatibility) -------------------------
+
+
+def _build_hive_acid_fixture(sf_dir: str, root: str) -> None:
+    """Write a format-faithful Hive 3 full-ACID ORC table directory
+    (public layout: base_N/ + delta_minWID_maxWID/ + delete_delta_*/
+    of bucket_NNNNN ORC files whose rows carry the ACID struct —
+    operation, originalTransaction, bucket, rowId, currentTransaction,
+    row). PROBE_hive_acid.json establishes the jars cannot produce
+    this layout (Spark's hive session writes a FLAT directory for
+    transactional DDL and refuses UPDATE), so the fixture is written
+    directly with pyarrow.orc — the same writer family Hive uses,
+    minus the txn manager. Bucket ids are stored raw (Hive's
+    BucketCodec bit-packs version/bucket/statement into this field; a
+    migration reader would decode it first — documented delta).
+
+    Change algebra over orders (replayed by the oracle):
+      txn 1 (base):          o_orderkey % 3 = 0
+      txn 2 (insert delta):  o_orderkey % 3 = 1 AND % 7 = 0
+      txn 3 (delete delta):  base rows with o_orderkey % 5 = 0
+    rowId is Hive's per-(txn, bucket) write-order ordinal: position
+    within the bucket's rows ordered by o_orderkey."""
+    import duckdb
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    src = f"{sf_dir}/orders.parquet"
+    con = duckdb.connect()
+
+    def fetch(where: str):
+        return con.sql(
+            "SELECT o_orderkey, o_orderstatus, o_totalprice "
+            f"FROM '{src}' WHERE {where} ORDER BY o_orderkey"
+        ).fetch_arrow_table().to_pandas()
+
+    def write_dir(dirname: str, frames_by_bucket: dict) -> None:
+        d = os.path.join(root, dirname)
+        os.makedirs(d, exist_ok=True)
+        for b, tbl in frames_by_bucket.items():
+            pa_orc.write_table(tbl, os.path.join(d, f"bucket_{b:05d}"))
+
+    def acid_table(pdf, otid: int, op: int, bucket: int) -> "pa.Table":
+        n = len(pdf)
+        row = pa.StructArray.from_arrays(
+            [
+                pa.array(pdf["o_orderkey"], pa.int64()),
+                pa.array(pdf["o_orderstatus"], pa.string()),
+                pa.array(pdf["o_totalprice"], pa.float64()),
+            ],
+            names=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        )
+        return pa.table(
+            {
+                "operation": pa.array([op] * n, pa.int32()),
+                "originalTransaction": pa.array([otid] * n, pa.int64()),
+                "bucket": pa.array([bucket] * n, pa.int32()),
+                "rowId": pa.array(range(n), pa.int64()),
+                "currentTransaction": pa.array([otid] * n, pa.int64()),
+                "row": row,
+            }
+        )
+
+    base = fetch("o_orderkey % 3 = 0")
+    ins = fetch("o_orderkey % 3 = 1 AND o_orderkey % 7 = 0")
+    base_by_bucket = {}
+    del_by_bucket = {}
+    for b in (0, 1):
+        sub = base[base["o_orderkey"] % 2 == b].reset_index(drop=True)
+        base_by_bucket[b] = acid_table(sub, 1, 0, b)
+        # deletes reference the BASE row identity (otid=1, bucket,
+        # rowId) of the %5 victims; currentTransaction is the deleter
+        victims = sub.index[sub["o_orderkey"] % 5 == 0].to_numpy()
+        del_by_bucket[b] = pa.table(
+            {
+                "operation": pa.array([2] * len(victims), pa.int32()),
+                "originalTransaction": pa.array(
+                    [1] * len(victims), pa.int64()
+                ),
+                "bucket": pa.array([b] * len(victims), pa.int32()),
+                "rowId": pa.array(victims, pa.int64()),
+                "currentTransaction": pa.array(
+                    [3] * len(victims), pa.int64()
+                ),
+            }
+        )
+    write_dir("base_0000001", base_by_bucket)
+    write_dir(
+        "delta_0000002_0000002",
+        {
+            b: acid_table(
+                ins[ins["o_orderkey"] % 2 == b].reset_index(drop=True),
+                2,
+                0,
+                b,
+            )
+            for b in (0, 1)
+        },
+    )
+    write_dir("delete_delta_0000003_0000003", del_by_bucket)
+
+
+def _hive_acid_fixture(sf_dir: str) -> str:
+    """Write-once ACID-layout fixture keyed on the source file
+    identity (the _hive_serde_roundtrip convention)."""
+    fixture = _fixture_dir(sf_dir, "hive_acid_table")
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    tag = f"hive_acid:{st.st_mtime_ns}:{st.st_size}"
+    tag_file = f"{fixture}/_SOURCE_TAG"
+    if not (os.path.exists(tag_file) and open(tag_file).read() == tag):
+        import shutil
+
+        shutil.rmtree(fixture, ignore_errors=True)
+        os.makedirs(fixture, exist_ok=True)
+        _build_hive_acid_fixture(sf_dir, fixture)
+        with open(tag_file, "w") as fh:
+            fh.write(tag)
+    return fixture
+
+
+@register(
+    "scan_hive_acid",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE (o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0)
+   OR (o_orderkey % 3 = 1 AND o_orderkey % 7 = 0)
+""",
+)
+def scan_hive_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a Hive 3 full-ACID ORC table IN PLACE — base + insert
+    deltas merged, delete deltas applied — migrating nothing
+    (`[upstream: deployed Hive ql/io/AcidUtils + orc acid reader]`,
+    round-7 verdict task 8).
+
+    Directory election is AcidUtils' (driver-side METADATA only):
+    highest base_N wins, delta/delete_delta dirs with writeids above
+    it apply on top. The files themselves are read DISTRIBUTED: the
+    file list becomes a DataFrame, mapInPandas decodes each file with
+    pyarrow.orc (PROBE_hive_acid.json: Spark's own ORC source crashes
+    on ACID-schema files — its AcidUtils column remap feeds the batch
+    reader an empty mapping — while Arrow reads them verbatim), and
+    deletes anti-join on Hive's row identity triple
+    (originalTransaction, bucket, rowId).
+
+    Scale: one task per ORC file (a 100 TB ACID table is many
+    thousands of bucket files), delete deltas are tiny by nature →
+    broadcast anti-join; nothing corpus-sized ever sits on the
+    driver (the listing is dir entries, not rows). The oracle replays
+    the fixture's change algebra over the orders view, so a missed
+    delete, double-applied delta, or mis-parsed writeid breaks the
+    value hash.
+    """
+    import glob as _glob
+
+    root = _hive_acid_fixture(sf_dir)
+    base_n = 0
+    data_dirs: list[str] = []
+    delete_dirs: list[str] = []
+    for e in sorted(os.listdir(root)):
+        if e.startswith("base_"):
+            base_n = max(base_n, int(e.split("_")[1]))
+    for e in sorted(os.listdir(root)):
+        p = os.path.join(root, e)
+        if e.startswith("base_") and int(e.split("_")[1]) == base_n:
+            data_dirs.append(p)
+        elif e.startswith("delete_delta_"):
+            if int(e.split("_")[2]) > base_n:
+                delete_dirs.append(p)
+        elif e.startswith("delta_"):
+            if int(e.split("_")[1]) > base_n:
+                data_dirs.append(p)
+
+    def files_df(dirs: list[str]) -> DataFrame:
+        paths = [
+            (f,)
+            for d in dirs
+            for f in sorted(_glob.glob(os.path.join(d, "bucket_*")))
+        ]
+        return spark.createDataFrame(paths, "path string").repartition(
+            max(len(paths), 1)
+        )
+
+    def read_data(it):
+        import pandas as pd
+        from pyarrow import orc as pa_orc
+
+        for pdf in it:
+            for path in pdf["path"]:
+                t = pa_orc.ORCFile(path).read()
+                flat = t.flatten().to_pandas()
+                yield pd.DataFrame(
+                    {
+                        "otid": flat["originalTransaction"],
+                        "bucket": flat["bucket"],
+                        "rid": flat["rowId"],
+                        "o_orderkey": flat["row.o_orderkey"],
+                        "o_orderstatus": flat["row.o_orderstatus"],
+                        "o_totalprice": flat["row.o_totalprice"],
+                    }
+                )
+
+    def read_deletes(it):
+        import pandas as pd
+        from pyarrow import orc as pa_orc
+
+        for pdf in it:
+            for path in pdf["path"]:
+                t = pa_orc.ORCFile(path).read().to_pandas()
+                yield pd.DataFrame(
+                    {
+                        "otid": t["originalTransaction"],
+                        "bucket": t["bucket"],
+                        "rid": t["rowId"],
+                    }
+                )
+
+    live = files_df(data_dirs).mapInPandas(
+        read_data,
+        "otid long, bucket int, rid long, o_orderkey long,"
+        " o_orderstatus string, o_totalprice double",
+    )
+    dels = files_df(delete_dirs).mapInPandas(
+        read_deletes, "otid long, bucket int, rid long"
+    )
+    return live.join(
+        F.broadcast(dels), ["otid", "bucket", "rid"], "left_anti"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")

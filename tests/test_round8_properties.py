@@ -12,6 +12,9 @@
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import numpy as np
 import pytest
 
@@ -100,3 +103,60 @@ def test_nprobe2_collapses_on_scrambled_cells(spark, clustered_dirs):
     assert r2 < CLUSTERED_RECALL_FLOOR - 0.15, (
         f"scrambled-cell nprobe=2 recall {r2:.3f} is not below the floor"
     )
+
+
+def test_hive_acid_directory_election_ignores_compacted_deltas(spark):
+    """scan_hive_acid's AcidUtils election: after a (simulated) major
+    compaction to base_0000005, delta/delete_delta dirs with writeids
+    <= 5 are dead and must be IGNORED — a reader that unions every
+    delta double-counts compacted rows. Build: base_0000005 holds
+    rows 0..4; a stale delta_0000002_0000002 (already folded into the
+    base) and a stale delete_delta_0000003_0000003 both sit below it;
+    a live delta_0000006_0000006 adds row 9."""
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    from layer_apache_hive_spark.sources import scans
+
+    root = "/root/repo/.tmp/hive_acid_election"
+    shutil.rmtree(root, ignore_errors=True)
+
+    def write(dirname, keys, otid, op=0, with_row=True):
+        d = os.path.join(root, dirname)
+        os.makedirs(d, exist_ok=True)
+        n = len(keys)
+        cols = {
+            "operation": pa.array([op] * n, pa.int32()),
+            "originalTransaction": pa.array([otid] * n, pa.int64()),
+            "bucket": pa.array([0] * n, pa.int32()),
+            "rowId": pa.array(range(n), pa.int64()),
+            "currentTransaction": pa.array([otid] * n, pa.int64()),
+        }
+        if with_row:
+            cols["row"] = pa.StructArray.from_arrays(
+                [
+                    pa.array([int(k) for k in keys], pa.int64()),
+                    pa.array([f"s{k}" for k in keys], pa.string()),
+                    pa.array([float(k) for k in keys], pa.float64()),
+                ],
+                names=["o_orderkey", "o_orderstatus", "o_totalprice"],
+            )
+        pa_orc.write_table(pa.table(cols), os.path.join(d, "bucket_00000"))
+
+    write("base_0000005", [0, 1, 2, 3, 4], otid=5)
+    write("delta_0000002_0000002", [1, 2], otid=2)  # stale: folded in
+    write("delete_delta_0000003_0000003", [0], otid=2, op=2, with_row=False)
+    write("delta_0000006_0000006", [9], otid=6)  # live
+
+    # drive the reader body over this root by monkey-pointing the
+    # fixture resolver (the query function's only fixture coupling)
+    orig = scans._hive_acid_fixture
+    scans._hive_acid_fixture = lambda sf_dir: root
+    try:
+        rows = sorted(
+            r["o_orderkey"]
+            for r in scans.scan_hive_acid(spark, SF_DIR).collect()
+        )
+    finally:
+        scans._hive_acid_fixture = orig
+    assert rows == [0, 1, 2, 3, 4, 9], rows
