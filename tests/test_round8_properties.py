@@ -160,3 +160,17 @@ def test_hive_acid_directory_election_ignores_compacted_deltas(spark):
     finally:
         scans._hive_acid_fixture = orig
     assert rows == [0, 1, 2, 3, 4, 9], rows
+
+
+def test_service_principal_wire_credential_refused():
+    """auth.validate_credentials must refuse a wire credential whose
+    username equals the JVM service principal — the authorization
+    rule treats that identity as in-process (skips every ACL check),
+    so serving it would be a silent full bypass."""
+    from layer_apache_hive_spark import auth
+
+    with pytest.raises(ValueError, match="service\\s+principal"):
+        auth.validate_credentials(
+            f"etl:pw,{auth._service_principal()}:pw2"
+        )
+    auth.validate_credentials("etl:pw,intern:pw2")  # clean set passes
