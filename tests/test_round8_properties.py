@@ -174,3 +174,39 @@ def test_service_principal_wire_credential_refused():
             f"etl:pw,{auth._service_principal()}:pw2"
         )
     auth.validate_credentials("etl:pw,intern:pw2")  # clean set passes
+
+
+def test_stateful_streaming_on_rocksdb_state_store(spark):
+    """The production state backend: Spark's RocksDB state store
+    (rocksdbjni ships with this build) must run the stateful
+    streaming operators with results IDENTICAL to the default
+    HDFS-backed in-memory provider — at 100 TB the session/dedup
+    state exceeds executor heap, and RocksDB spills it to local disk,
+    so the engine's stateful surface has to be provider-portable.
+    Covers dropDuplicatesWithinWatermark (evt_stream_dedup) and
+    applyInPandasWithState (evt_sessionize_state)."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    qs = all_queries()
+    for qid in ("evt_stream_dedup", "evt_sessionize_state"):
+        default_rows = sorted(
+            map(tuple, qs[qid](spark, SF_DIR).collect())
+        )
+        prev = spark.conf.get(provider_conf, None)
+        spark.conf.set(provider_conf, rocks)
+        try:
+            rocks_rows = sorted(
+                map(tuple, qs[qid](spark, SF_DIR).collect())
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_conf)
+            else:
+                spark.conf.set(provider_conf, prev)
+        assert rocks_rows == default_rows, (
+            f"{qid}: RocksDB state store diverges from default provider"
+        )
+        assert default_rows, f"{qid}: empty result"
