@@ -42,9 +42,14 @@ os.environ["SPARK_GRAFT_HS2_CREDENTIALS"] = (
 # etl: everything. intern: ONLY (n_name, n_nationkey) of nation,
 # plus full customer for the baseline table-level checks.
 # clerk: region ONLY in the corpus db (db-qualified).
-os.environ["SPARK_GRAFT_HS2_ACL"] = (
-    f"etl=*;intern=nation:n_name|n_nationkey,customer;"
-    f"clerk={{db}}.region")
+# FILE store (re-read per statement) so the masking section can
+# GRANT live without a server restart.
+acl_file = {ms!r} + "_acl.txt"
+os.makedirs(os.path.dirname(acl_file), exist_ok=True)
+with open(acl_file, "w") as fh:
+    fh.write("etl=*;intern=nation:n_name|n_nationkey,customer;"
+             f"clerk={{db}}.region\\n")
+os.environ["SPARK_GRAFT_HS2_ACL_FILE"] = acl_file
 from layer_apache_hive_spark.auth import auth_session_conf
 from layer_apache_hive_spark.authz import authz_session_conf
 from layer_apache_hive_spark.metastore import hive_session, provision_corpus
@@ -123,6 +128,25 @@ assert rows == [["150"]], rows
 assert denied("intern", "readonly",
               f"SELECT COUNT(*) AS n FROM {{db}}.supplier")
 print("COLGRANT_OK")
+
+# --- policy-driven column MASKING, the HS2 recipe: a definer-
+# semantics view exposes masked columns; the scoped user holds the
+# VIEW's grant (live, via the file store) and no table grant at all
+spark.sql(
+    f"CREATE OR REPLACE VIEW {{db}}.nation_masked AS "
+    f"SELECT n_nationkey, md5(n_name) AS n_name_masked "
+    f"FROM {{db}}.nation")
+from layer_apache_hive_spark.authz import grant
+grant(acl_file, "clerk", "nation_masked")  # next statement sees it
+_, rows = ok("clerk", "stamp",
+             f"SELECT n_nationkey, n_name_masked FROM "
+             f"{{db}}.nation_masked ORDER BY n_nationkey LIMIT 2")
+assert len(rows) == 2 and len(rows[0][1]) == 32, (
+    "masked view must serve the md5 column to the view-granted user")
+assert denied("clerk", "stamp",
+              f"SELECT n_name FROM {{db}}.nation"), (
+    "view grant must NOT leak the underlying table")
+print("MASKVIEW_OK")
 
 # --- db-qualified grants: clerk reads the corpus db's region ...
 _, rows = ok("clerk", "stamp",
