@@ -91,15 +91,19 @@ package sparkgraft;
 
 /**
  * Bridge interface the Python TxnSessionManager implements through
- * py4j's callback server. Return protocol (one line, no newlines):
- *   "PASS"          - not a transaction statement: delegate-parse it
+ * py4j's callback server. `user` is the SASL wire identity
+ * (CurrentUserContext; empty for in-process statements) - the
+ * GRANT/REVOKE surface gates admin on it. Return protocol (one
+ * line, no newlines):
+ *   "PASS"          - not an intercepted statement: delegate-parse it
  *   "ACTIVE:<msg>"  - handled; transaction now OPEN on this session
- *   "DONE:<msg>"    - handled; transaction now CLOSED (commit/rollback)
+ *   "DONE:<msg>"    - handled; transaction now CLOSED (commit/rollback
+ *                     or a non-transactional GRANT/REVOKE/SHOW GRANTS)
  *   "ERR_ACTIVE:<m>"- refuse statement; transaction STAYS open
  *   "ERR_ENDED:<m>" - refuse statement; transaction is CLOSED
  */
 public interface TxnHandler {
-  String handle(String sessionId, String sqlText);
+  String handle(String sessionId, String user, String sqlText);
 }
 """
 
@@ -108,6 +112,7 @@ package sparkgraft;
 
 import java.util.UUID;
 import java.util.regex.Pattern;
+import org.apache.spark.sql.catalyst.CurrentUserContext$;
 import org.apache.spark.sql.SparkSession;
 import org.apache.spark.sql.SparkSessionExtensions;
 import org.apache.spark.sql.catalyst.FunctionIdentifier;
@@ -147,6 +152,13 @@ public class SparkGraftTxn
   private static final Pattern BEGIN_LIKE = Pattern.compile(
       "(?is)^\\\\s*(BEGIN|START\\\\s+TRANSACTION|BEGIN\\\\s+TRANSACTION)\\\\s*;?\\\\s*$");
 
+  // GRANT/REVOKE/SHOW GRANTS are served statements too (HS2 SQL-std
+  // auth surface): intercepted even outside a transaction and routed
+  // to the Python handler, which binds them to the live file-backed
+  // ACL store with '*'-grant admin gating on the wire identity.
+  private static final Pattern GRANT_LIKE = Pattern.compile(
+      "(?is)^\\\\s*(GRANT|REVOKE|SHOW\\\\s+GRANTS)\\\\b.*");
+
   @Override
   public BoxedUnit apply(SparkSessionExtensions ext) {
     ext.injectParser(
@@ -174,10 +186,15 @@ public class SparkGraftTxn
     public LogicalPlan parsePlan(String sqlText) throws ParseException {
       TxnHandler h = handler;
       if (h == null
-          || (!active && !BEGIN_LIKE.matcher(sqlText).matches())) {
+          || (!active
+              && !BEGIN_LIKE.matcher(sqlText).matches()
+              && !GRANT_LIKE.matcher(sqlText).matches())) {
         return delegate.parsePlan(sqlText);
       }
-      String out = h.handle(sessionId, sqlText);
+      String out = h.handle(
+          sessionId,
+          CurrentUserContext$.MODULE$.getCurrentUserOrEmpty(),
+          sqlText);
       if (out == null || out.equals("PASS")) {
         return delegate.parsePlan(sqlText);
       }
@@ -327,6 +344,39 @@ _UPDATE_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$"
 )
 
+# --- GRANT/REVOKE/SHOW GRANTS over the wire (HS2 SQL-std auth) -------------
+
+_ACL_STMT_RE = re.compile(r"(?is)^\s*(?:GRANT|REVOKE|SHOW\s+GRANTS)\b")
+_GRANT_RE = re.compile(
+    r"(?is)^\s*GRANT\s+SELECT\s*(?:\(\s*(?P<cols>[\w`\s,]+?)\s*\))?"
+    r"\s+ON\s+(?:TABLE\s+)?(?P<obj>[\w.`]+)"
+    r"\s+TO\s+(?:USER\s+)?(?P<grantee>\w+)\s*;?\s*$"
+)
+_REVOKE_RE = re.compile(
+    r"(?is)^\s*REVOKE\s+SELECT\s*(?:\(\s*(?P<cols>[\w`\s,]+?)\s*\))?"
+    r"\s+ON\s+(?:TABLE\s+)?(?P<obj>[\w.`]+)"
+    r"\s+FROM\s+(?:USER\s+)?(?P<grantee>\w+)\s*;?\s*$"
+)
+_SHOW_GRANTS_RE = re.compile(
+    r"(?is)^\s*SHOW\s+GRANTS(?:\s+FOR\s+(?:USER\s+)?(?P<user>\w+))?\s*;?\s*$"
+)
+
+
+def _acl_object_token(m: "re.Match[str]") -> str:
+    """ACL token of a GRANT/REVOKE object clause: the (possibly
+    db-qualified) object name, with a column list folded into the
+    ``obj:colA|colB`` column-scope form authz.py enforces."""
+    obj = m.group("obj").replace("`", "").lower()
+    cols = m.group("cols")
+    if cols:
+        col_list = "|".join(
+            c.strip().replace("`", "").lower()
+            for c in cols.split(",")
+            if c.strip()
+        )
+        return f"{obj}:{col_list}"
+    return obj
+
 
 def _bare_name(name: str) -> str:
     """Catalog key of a possibly db-qualified, possibly backticked
@@ -412,15 +462,22 @@ class TxnSessionManager:
 
     # -- bridge entry ----------------------------------------------------
 
-    def handle(self, session_id: str, sql_text: str) -> str:  # noqa: C901
-        """One statement from one connection; see TxnHandler protocol."""
+    def handle(self, session_id: str, *args: str) -> str:  # noqa: C901
+        """One statement from one connection; see TxnHandler protocol.
+
+        Bridge calls are 3-arg ``(session_id, user, sql)``; the 2-arg
+        ``(session_id, sql)`` form (user = in-process) is kept for
+        direct unit driving."""
+        user, sql_text = ("", args[0]) if len(args) == 1 else args
         try:
-            return self._handle(session_id, sql_text)
+            return self._handle(session_id, sql_text, user)
         except Exception as e:  # never leak a raw traceback to the wire
             self._open.pop(session_id, None)
             return f"ERR_ENDED:{_sanitize(e)}"
 
-    def _handle(self, session_id: str, sql_text: str) -> str:
+    def _handle(self, session_id: str, sql_text: str, user: str = "") -> str:
+        if _ACL_STMT_RE.match(sql_text):
+            return self._acl_statement(session_id, user, sql_text)
         if _BEGIN_RE.match(sql_text):
             if session_id in self._open:
                 return (
@@ -469,6 +526,78 @@ class TxnSessionManager:
         # COMMITTED against the published catalog state — Hive ACID's
         # read posture for open transactions
         return "PASS"
+
+    # -- GRANT/REVOKE/SHOW GRANTS (HS2 SQL-std auth statements) -----------
+
+    def _acl_statement(self, session_id: str, user: str, sql: str) -> str:
+        """Serve the SQL-standard authorization statements against the
+        live file-backed ACL store (authz.py's grant/revoke — here
+        bound to their actual SQL spellings). Admin gate: the
+        in-process session (empty wire identity) or a '*'-granted wire
+        user; everyone may SHOW GRANTS for themselves. Grants take
+        effect on the NEXT statement (the rule re-reads the file), no
+        server restart. Not transactional: refused inside an open
+        BEGIN (Hive ACID's posture — DDL/auth statements auto-commit
+        outside the txn scope, which would break atomicity promises,
+        so we refuse rather than silently escape the transaction)."""
+        from layer_apache_hive_spark import authz
+
+        if session_id in self._open:
+            return (
+                "ERR_ACTIVE:GRANT/REVOKE/SHOW GRANTS are not "
+                "transactional statements; COMMIT or ROLLBACK first"
+            )
+        acl_file = os.environ.get("SPARK_GRAFT_HS2_ACL_FILE", "")
+        if not acl_file:
+            return (
+                "ERR_ENDED:no live policy store: served GRANT/REVOKE "
+                "need SPARK_GRAFT_HS2_ACL_FILE (the env-var ACL is "
+                "frozen at JVM start and cannot be mutated)"
+            )
+        grants = authz.parse_acl(
+            open(acl_file).read().strip()
+            if os.path.exists(acl_file)
+            else ""
+        )
+        admin = user == "" or "*" in grants.get(user, set())
+        m = _SHOW_GRANTS_RE.match(sql)
+        if m:
+            target = (m.group("user") or user or "").strip()
+            if not admin and target != user:
+                return (
+                    f"ERR_ENDED:user '{user}' may only SHOW GRANTS "
+                    "for themselves"
+                )
+            toks = sorted(grants.get(target, set()))
+            shown = ", ".join(toks) if toks else "(none)"
+            return f"DONE:grants for '{target}': {shown}"
+        if not admin:
+            return (
+                f"ERR_ENDED:user '{user}' lacks admin privilege: only "
+                "'*'-granted users (or the in-process session) may "
+                "GRANT/REVOKE"
+            )
+        m = _GRANT_RE.match(sql)
+        if m:
+            token = _acl_object_token(m)
+            authz.grant(acl_file, m.group("grantee"), token)
+            return (
+                f"DONE:Granted SELECT on '{token}' to "
+                f"'{m.group('grantee')}' (live on next statement)"
+            )
+        m = _REVOKE_RE.match(sql)
+        if m:
+            token = _acl_object_token(m)
+            authz.revoke(acl_file, m.group("grantee"), token)
+            return (
+                f"DONE:Revoked '{token}' from '{m.group('grantee')}'"
+            )
+        return (
+            "ERR_ENDED:unsupported authorization statement: expected "
+            "GRANT SELECT[(c1, c2)] ON [TABLE] obj TO [USER] name | "
+            "REVOKE SELECT[(...)] ON [TABLE] obj FROM [USER] name | "
+            "SHOW GRANTS [FOR name]"
+        )
 
     # -- buffering + commit ------------------------------------------------
 

@@ -187,3 +187,111 @@ def test_thrift_server_column_level_and_db_qualified_grants():
         )
         assert "COLGRANT_OK" in out
         assert "DBQUAL_OK" in out
+
+
+_GRANT_WIRE_SERVER = """
+import os, sys
+sys.path.insert(0, "/root/repo")
+from layer_apache_hive_spark.metastore import corpus_db
+db = corpus_db({sf!r})
+os.environ["SPARK_GRAFT_HS2_CREDENTIALS"] = (
+    "etl:pipeline,intern:readonly,clerk:stamp")
+acl_file = {ms!r} + "_acl.txt"
+with open(acl_file, "w") as fh:
+    fh.write("etl=*\\n")
+os.environ["SPARK_GRAFT_HS2_ACL_FILE"] = acl_file
+from layer_apache_hive_spark.auth import auth_session_conf
+from layer_apache_hive_spark.authz import authz_session_conf
+from layer_apache_hive_spark.txn import (
+    TxnSessionManager, install_txn_handler, txn_session_conf)
+from layer_apache_hive_spark.acid import TransactionCatalog
+from layer_apache_hive_spark.metastore import hive_session, provision_corpus
+from layer_apache_hive_spark.server import (
+    start_thrift_server, wait_for_port, beeline_query)
+
+port = {port}
+conf = txn_session_conf(authz_session_conf(auth_session_conf()))
+conf["spark.hadoop.hive.server2.thrift.port"] = str(port)
+spark = hive_session(
+    app_name="thrift-grantwire", master="local[4]",
+    metastore_dir={ms!r}, warehouse_dir={wh!r}, extra_conf=conf)
+provision_corpus(spark, {sf!r}, metastore_dir={ms!r})
+install_txn_handler(spark, TxnSessionManager(
+    spark, TransactionCatalog({wh!r} + "/grant_cat"), publish=False))
+server = start_thrift_server(spark, port)
+wait_for_port(port)
+
+def ok(user, pw, sql):
+    return beeline_query(sql, port, user=user, password=pw)
+
+def refused(user, pw, sql, needle):
+    try:
+        beeline_query(sql, port, user=user, password=pw)
+        return False
+    except RuntimeError as e:
+        return needle in str(e)
+
+# default-deny before any grant
+assert refused("intern", "readonly",
+               f"SELECT COUNT(*) FROM {{db}}.nation",
+               "Authorization error")
+# non-admin cannot GRANT themselves in
+assert refused("intern", "readonly",
+               "GRANT SELECT ON nation TO intern", "admin privilege")
+# admin GRANTs over the wire; the next statement sees it live
+_, rows = ok("etl", "pipeline", "GRANT SELECT ON nation TO intern")
+assert "Granted SELECT" in rows[0][0], rows
+_, rows = ok("intern", "readonly",
+             f"SELECT COUNT(*) AS n FROM {{db}}.nation")
+assert rows == [["25"]], rows
+# SHOW GRANTS reflects it (admin for others, self always)
+_, rows = ok("etl", "pipeline", "SHOW GRANTS FOR intern")
+assert "nation" in rows[0][0], rows
+_, rows = ok("intern", "readonly", "SHOW GRANTS")
+assert "nation" in rows[0][0], rows
+print("GRANT_WIRE_OK")
+
+# column-scoped grant over the wire
+_, rows = ok("etl", "pipeline",
+             "GRANT SELECT(n_name, n_nationkey) ON TABLE nation "
+             "TO USER clerk")
+assert "nation:n_name|n_nationkey" in rows[0][0], rows
+_, rows = ok("clerk", "stamp",
+             f"SELECT n_name FROM {{db}}.nation ORDER BY n_nationkey "
+             "LIMIT 1")
+assert rows and rows[0][0], rows
+assert refused("clerk", "stamp",
+               f"SELECT n_regionkey FROM {{db}}.nation",
+               "Authorization error")
+# REVOKE closes the door again on the next statement
+_, rows = ok("etl", "pipeline", "REVOKE SELECT ON nation FROM intern")
+assert "Revoked" in rows[0][0], rows
+assert refused("intern", "readonly",
+               f"SELECT COUNT(*) FROM {{db}}.nation",
+               "Authorization error")
+print("REVOKE_WIRE_OK")
+server.stop()
+spark.stop()
+"""
+
+
+def test_thrift_server_grant_revoke_statements_over_the_wire():
+    """r8: GRANT/REVOKE/SHOW GRANTS spoken as SQL by a real beeline
+    client, bound to the live file-backed ACL store through the
+    parser interceptor: admin-gated ('*' grant or in-process),
+    effective on the very next statement with no server restart,
+    column-scoped grants included."""
+    from layer_apache_hive_spark.server import free_port
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = _run(
+            _GRANT_WIRE_SERVER.format(
+                ms=f"{tmp}/metastore",
+                wh=f"{tmp}/warehouse",
+                sf=SF_DIR,
+                port=free_port(),
+            ),
+            timeout=900,
+        )
+        assert "GRANT_WIRE_OK" in out
+        assert "REVOKE_WIRE_OK" in out

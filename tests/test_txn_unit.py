@@ -158,3 +158,78 @@ def test_split_top_level_respects_parens_and_quotes():
         "x = concat('a''b', ',')",
         "y = 1",
     ]
+
+
+# --- GRANT/REVOKE/SHOW GRANTS (r8: SQL-std auth statements served) ---------
+
+
+@pytest.fixture()
+def acl_env(tmp_path, monkeypatch):
+    acl = tmp_path / "acl.txt"
+    acl.write_text("admin=*;intern=customer\n")
+    monkeypatch.setenv("SPARK_GRAFT_HS2_ACL_FILE", str(acl))
+    return acl
+
+
+def test_grant_revoke_show_over_the_bridge(mgr, acl_env):
+    """3-arg bridge form: an admin ('*'-granted) wire user GRANTs,
+    REVOKEs, and SHOWs; the file store reflects each immediately."""
+    out = mgr.handle("s1", "admin", "GRANT SELECT ON nation TO intern")
+    assert out.startswith("DONE:Granted SELECT on 'nation' to 'intern'")
+    assert "nation" in acl_env.read_text()
+    out = mgr.handle("s1", "admin", "SHOW GRANTS FOR intern")
+    assert out == "DONE:grants for 'intern': customer, nation"
+    out = mgr.handle(
+        "s1", "admin", "REVOKE SELECT ON nation FROM intern"
+    )
+    assert out.startswith("DONE:Revoked 'nation'")
+    assert "nation" not in acl_env.read_text()
+
+
+def test_column_scoped_grant_statement(mgr, acl_env):
+    """GRANT SELECT(c1, c2) ON t TO u writes the obj:c1|c2 column
+    token authz.py's rule enforces."""
+    out = mgr.handle(
+        "s1", "admin",
+        "GRANT SELECT(n_name, n_nationkey) ON TABLE nation TO USER intern",
+    )
+    assert "'nation:n_name|n_nationkey'" in out
+    assert "nation:n_name|n_nationkey" in acl_env.read_text()
+
+
+def test_grant_admin_gating(mgr, acl_env):
+    """Non-admin wire users cannot GRANT/REVOKE; anyone may SHOW
+    GRANTS for themselves but not for others; the in-process session
+    (empty user) is admin."""
+    out = mgr.handle("s1", "intern", "GRANT SELECT ON nation TO intern")
+    assert out.startswith("ERR_ENDED:") and "admin" in out
+    assert mgr.handle("s1", "intern", "SHOW GRANTS") == (
+        "DONE:grants for 'intern': customer"
+    )
+    out = mgr.handle("s1", "intern", "SHOW GRANTS FOR admin")
+    assert out.startswith("ERR_ENDED:")
+    # 2-arg unit form = in-process = admin
+    out = mgr.handle("s1", "GRANT SELECT ON region TO intern")
+    assert out.startswith("DONE:Granted")
+
+
+def test_grant_refused_inside_transaction(mgr, acl_env):
+    """Auth statements are not transactional: refused inside an open
+    BEGIN, transaction stays open (ERR_ACTIVE)."""
+    mgr.handle("s1", "admin", "BEGIN")
+    out = mgr.handle("s1", "admin", "GRANT SELECT ON nation TO intern")
+    assert out.startswith("ERR_ACTIVE:")
+    assert mgr.handle("s1", "admin", "ROLLBACK").startswith("DONE:")
+
+
+def test_grant_without_policy_store(mgr, monkeypatch):
+    """No SPARK_GRAFT_HS2_ACL_FILE -> served GRANT fails loudly (the
+    env ACL cannot be mutated after JVM start)."""
+    monkeypatch.delenv("SPARK_GRAFT_HS2_ACL_FILE", raising=False)
+    out = mgr.handle("s1", "admin", "GRANT SELECT ON nation TO intern")
+    assert out.startswith("ERR_ENDED:") and "policy store" in out
+
+
+def test_malformed_grant_statement(mgr, acl_env):
+    out = mgr.handle("s1", "admin", "GRANT INSERT ON nation TO intern")
+    assert out.startswith("ERR_ENDED:unsupported authorization")
