@@ -43,6 +43,7 @@ FIXTURE_PREPASS = [
     "scan_sequencefile",
     "scan_partition_prune",
     "scan_parquet_evolution",
+    "scan_hive_acid",
     "ddl_export_import",
     "sink_matview",
     "join_bucket_smb",

@@ -52,10 +52,13 @@ Statements touching no catalog table (SET, SHOW DATABASES, SELECT 1,
 connection chrome) always pass, so JDBC clients can negotiate
 sessions. Two stores: ``SPARK_GRAFT_HS2_ACL`` (env — static, frozen
 at JVM start) or ``SPARK_GRAFT_HS2_ACL_FILE`` (file — re-read per
-statement, so :func:`grant` / :func:`revoke` — the GRANT/REVOKE SQL
-statements' analog — take effect on the next statement with NO
-server restart; an unreadable configured file fails CLOSED, an empty
-one means zero grants).
+statement, so :func:`grant` / :func:`revoke` take effect on the next
+statement with NO server restart; an unreadable configured file
+fails CLOSED, an empty one means zero grants). With the txn.py
+interceptor installed, GRANT/REVOKE/SHOW GRANTS are also SERVED as
+SQL statements against the file store (admin-gated on the wire
+identity — txn.py ``_acl_statement``), so a beeline client speaks
+the actual HS2 SQL-std spellings.
 
 Scope: the object surface is catalog TABLES and VIEWS — what HS2
 SQL-std auth governs for SELECT. Views key on the VIEW's own grant
