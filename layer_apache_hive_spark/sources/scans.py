@@ -785,6 +785,11 @@ def _build_hive_acid_fixture(sf_dir: str, root: str) -> None:
     from pyarrow import orc as pa_orc
 
     src = f"{sf_dir}/orders.parquet"
+    # testdata ships single-file tables; derived fixtures (the stress
+    # harness's replicated dirs) are Spark-written DIRECTORIES of
+    # part files — glob them for DuckDB
+    if os.path.isdir(src):
+        src = f"{src}/*.parquet"
     con = duckdb.connect()
 
     def fetch(where: str):
