@@ -228,11 +228,10 @@ def ext_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: promote from a stress-harness aside into a tested, oracled query.
 _IVF_NPROBE = 2
 
-
-@register(
-    "ext_sim_ivf_nprobe",
-    oracle=f"""
-WITH {_SQL_NORMS},
+# Shared label-centroid CTEs (exact decimal math, module docstring):
+# per-dim FLOOR-scaled mean per label + centroid norms. Used by the
+# nprobe-IVF and SemDeDup oracles.
+_SQL_CENTROIDS = """
 dims AS (
   SELECT vec_id, label,
          generate_subscripts(embedding, 1) AS pos,
@@ -250,7 +249,43 @@ cnorm AS (
          sqrt(CAST(SUM(CAST(FLOOR(cval * cval * 1e12) AS BIGINT)) AS DOUBLE)
               / 1e12) AS cnrm
   FROM cent GROUP BY label
-),
+)
+"""
+
+
+def _centroid_frames(emb: DataFrame):
+    """(dims, cent, cnorm) — the Spark twins of _SQL_CENTROIDS.
+    dims is the exploded (vec_id, label, pos, x) relation; cent the
+    per-(label, pos) FLOOR-scaled mean; cnorm the per-label centroid
+    norm. One keyed shuffle over n·d rows (map-side sum-combined);
+    cent/cnorm are K·d / K rows — broadcast-sized by construction."""
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "xf"),
+    ).select(
+        "vec_id", "label", "pos", F.col("xf").cast("double").alias("x")
+    )
+    cent = dims.groupBy("label", "pos").agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+            " / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("cval")
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.expr(
+            "sqrt(CAST(SUM(CAST(FLOOR(cval * cval * 1e12) AS BIGINT))"
+            " AS DOUBLE) / 1e12)"
+        ).alias("cnrm")
+    )
+    return dims, cent, cnorm
+
+
+@register(
+    "ext_sim_ivf_nprobe",
+    oracle=f"""
+WITH {_SQL_NORMS},
+{_SQL_CENTROIDS.strip().rstrip()},
 qc AS (
   SELECT d.vec_id AS query_id, c.label,
          CAST(SUM(CAST(FLOOR(d.x * c.cval * 1e12) AS BIGINT)) AS DOUBLE)
@@ -318,25 +353,7 @@ def ext_sim_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines are bit-identical to the DuckDB oracle.
     """
     emb = _with_norm(read_table(spark, sf_dir, "embeddings"))
-    dims = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding")).alias("pos", "xf"),
-    ).select(
-        "vec_id", "label", "pos", F.col("xf").cast("double").alias("x")
-    )
-    cent = dims.groupBy("label", "pos").agg(
-        F.expr(
-            "CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
-            " / CAST(COUNT(*) AS DOUBLE)"
-        ).alias("cval")
-    )
-    cnorm = cent.groupBy("label").agg(
-        F.expr(
-            "sqrt(CAST(SUM(CAST(FLOOR(cval * cval * 1e12) AS BIGINT))"
-            " AS DOUBLE) / 1e12)"
-        ).alias("cnrm")
-    )
+    dims, cent, cnorm = _centroid_frames(emb)
     qd = dims.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "pos", F.col("x").alias("qx")
     )
@@ -383,6 +400,177 @@ def ext_sim_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 5
+    )
+
+
+#: SemDeDup within-cluster similarity threshold (the paper sweeps
+#: this dial; 0.35 puts the fixture's within-cluster pair tail — max
+#: cosine ≈ 0.47 — on both sides of the cut, so the keep-policy and
+#: the threshold are BOTH exercised at every tested sf).
+_SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "ext_dedup_semantic",
+    oracle=f"""
+WITH {_SQL_NORMS},
+{_SQL_CENTROIDS.strip()},
+c2c AS (
+  SELECT d.vec_id,
+         CAST(SUM(CAST(FLOOR(d.x * c.cval * 1e12) AS BIGINT)) AS DOUBLE)
+           / 1e12 AS cdot
+  FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+  GROUP BY d.vec_id
+),
+cc AS (
+  SELECT e.vec_id, e.label,
+         c2c.cdot / (n.nrm * cn.cnrm) AS cent_cos
+  FROM embeddings e
+  JOIN c2c ON e.vec_id = c2c.vec_id
+  JOIN norms n ON e.vec_id = n.vec_id
+  JOIN cnorm cn ON e.label = cn.label
+),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         a.embedding AS qe, b.embedding AS ce
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+),
+pdots AS (
+  SELECT ia, ib,
+         CAST(SUM(CAST(FLOOR(x * y * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM (SELECT ia, ib,
+               unnest(qe)::DOUBLE AS x, unnest(ce)::DOUBLE AS y
+        FROM pairs)
+  GROUP BY ia, ib
+),
+psim AS (
+  SELECT ia, ib
+  FROM pdots
+  JOIN norms na ON pdots.ia = na.vec_id
+  JOIN norms nb ON pdots.ib = nb.vec_id
+  WHERE dot / (na.nrm * nb.nrm) >= {_SEMDEDUP_TAU}
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN ca.cent_cos > cb.cent_cos THEN p.ia
+                       WHEN cb.cent_cos > ca.cent_cos THEN p.ib
+                       ELSE greatest(p.ia, p.ib) END AS vec_id
+  FROM psim p
+  JOIN cc ca ON p.ia = ca.vec_id
+  JOIN cc cb ON p.ib = cb.vec_id
+),
+ndups AS (
+  SELECT vec_id, COUNT(*) AS n
+  FROM (SELECT ia AS vec_id FROM psim
+        UNION ALL SELECT ib AS vec_id FROM psim)
+  GROUP BY vec_id
+)
+SELECT cc.vec_id, cc.label, cc.cent_cos,
+       COALESCE(ndups.n, 0) AS n_dups,
+       losers.vec_id IS NULL AS kept
+FROM cc
+LEFT JOIN ndups ON cc.vec_id = ndups.vec_id
+LEFT JOIN losers ON cc.vec_id = losers.vec_id
+""",
+)
+def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication bounded by clustering — pairwise cosine is computed
+    ONLY within a cluster (the coarse cells, here the label column),
+    and within any pair above tau the member CLOSER to the cluster
+    centroid is dropped (the paper's keep-policy: redundancy lives
+    near the centroid; the survivor is the more marginal, more
+    informative point). Emits the full per-vector audit relation:
+    centroid cosine, duplicate-pair degree, and the kept verdict.
+
+    vs ext_dedup_embedding (the all-pairs block kernel): this is the
+    100 TB SHAPE — candidate generation is an equi-join on the
+    cluster key, so per-task work is O(cluster²) with cluster size
+    a k-means dial (the paper uses k ≈ √n · c), never O(corpus²).
+    The centroid pass is the shared _centroid_frames kernel (one
+    keyed shuffle over exploded dims); centroid-cosine ranking uses
+    the same FLOOR-scaled decimal dot as every similarity oracle, so
+    the drop decision — a strict comparison between two derived
+    doubles — is bit-identical in both engines (ties: identical
+    centroid cosines drop the higher vec_id).
+    """
+    emb = _with_norm(read_table(spark, sf_dir, "embeddings"))
+    dims, cent, cnorm = _centroid_frames(emb)
+    c2c = (
+        dims.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(x * cval * 1e12) AS BIGINT))"
+                " AS DOUBLE) / 1e12"
+            ).alias("cdot")
+        )
+    )
+    cc = (
+        emb.select("vec_id", "label", "nrm")
+        .join(c2c, "vec_id")
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "vec_id",
+            "label",
+            (F.col("cdot") / (F.col("nrm") * F.col("cnrm"))).alias(
+                "cent_cos"
+            ),
+        )
+    )
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("label").alias("pl"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("label").alias("pl"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    psim = (
+        a.join(b, "pl")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(_pair_cosine() >= _SEMDEDUP_TAU)
+        .select("ia", "ib")
+    )
+    ca = cc.select(
+        F.col("vec_id").alias("ia"), F.col("cent_cos").alias("cc_a")
+    )
+    cb = cc.select(
+        F.col("vec_id").alias("ib"), F.col("cent_cos").alias("cc_b")
+    )
+    losers = (
+        psim.join(ca, "ia")
+        .join(cb, "ib")
+        .select(
+            F.when(F.col("cc_a") > F.col("cc_b"), F.col("ia"))
+            .when(F.col("cc_b") > F.col("cc_a"), F.col("ib"))
+            .otherwise(F.greatest("ia", "ib"))
+            .alias("vec_id")
+        )
+        .distinct()
+    )
+    ndups = (
+        psim.select(F.col("ia").alias("vec_id"))
+        .unionAll(psim.select(F.col("ib").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cc.join(ndups, "vec_id", "left")
+        .join(
+            losers.withColumn("is_loser", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "label",
+            "cent_cos",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_dups"),
+            F.coalesce(~F.col("is_loser"), F.lit(True)).alias("kept"),
+        )
     )
 
 

@@ -210,3 +210,38 @@ def test_stateful_streaming_on_rocksdb_state_store(spark):
             f"{qid}: RocksDB state store diverges from default provider"
         )
         assert default_rows, f"{qid}: empty result"
+
+
+def test_semdedup_collapses_clusters_to_one_marginal_survivor(
+    spark, clustered_dirs
+):
+    """SemDeDup keep-policy pinned on the clustered fixture: with
+    every within-cluster pair above tau (same-cluster cosine ~0.85),
+    each cluster must collapse to EXACTLY ONE survivor, and that
+    survivor must be the cluster's most marginal vector (minimal
+    centroid cosine) — dropping the outlier instead would invert the
+    paper's policy. The isotropic driver fixture pins the other side:
+    most vectors survive (threshold actually discriminates)."""
+    pos, _ = clustered_dirs
+    df = (
+        all_queries()["ext_dedup_semantic"](spark, pos)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    kept = df[df.kept]
+    assert len(kept) == df.label.nunique(), (
+        f"expected one survivor per cluster, got {len(kept)}"
+    )
+    for lab, grp in df.groupby("label"):
+        surv = grp[grp.kept]
+        assert len(surv) == 1
+        assert surv.iloc[0].cent_cos == grp.cent_cos.min(), (
+            f"cluster {lab}: survivor is not the most marginal vector"
+        )
+    iso = all_queries()["ext_dedup_semantic"](spark, SF_DIR).toPandas()
+    assert iso.kept.mean() > 0.9, (
+        "isotropic fixture: threshold must keep most vectors"
+    )
+    assert (~iso.kept).sum() > 0, (
+        "isotropic fixture: some near-dups must still drop"
+    )
