@@ -53,11 +53,18 @@ Semantics (documented contract):
   completes. Catalog-API readers (``TransactionCatalog.read``) see
   the flip atomically at the marker create itself; the served VIEW
   re-point is a metadata-only projection refreshed inside COMMIT.
-* The buffered DML is interpreted BEFORE analysis, so the authz rule
-  never sees it; transactional tables are therefore published under
-  their own namespace and gated at that level (table-grant the
-  published names), with per-statement column gating inside open
-  transactions a documented non-goal this round.
+* The buffered DML is interpreted BEFORE analysis and executes at
+  COMMIT as the in-process service identity, so the compiled authz
+  rule never sees it — the manager therefore enforces grants ITSELF
+  (``_authorize_op``): under the wire identity captured at BEGIN,
+  the target table and every table referenced by an INSERT body
+  (analyzed-plan leaf walk, the rule's visit() in Python) require a
+  FULL grant; column-scoped tokens, path reads, and unknown relation
+  kinds are refused. View bodies inline to base relations here, so
+  transactional reads resolve against base-table grants (no definer
+  views inside transactions — conservative). Without this, a scoped
+  user could launder reads of ungranted tables through
+  ``BEGIN; INSERT ... SELECT * FROM secret; COMMIT``.
 
 Scale: parsing/buffering is O(statement) driver-side work; COMMIT
 costs exactly what the equivalent TransactionCatalog.commit costs
@@ -453,6 +460,12 @@ class TxnSessionManager:
         self._publish_lock = threading.Lock()
         #: sessionId -> list[(table, kind, payload...)] buffered ops
         self._open: dict[str, list[tuple]] = {}
+        #: sessionId -> wire identity captured at BEGIN. Buffered DML
+        #: executes at COMMIT as the in-process service (the analyzer
+        #: ACL rule skips empty identities), so the TXN surface must
+        #: enforce grants ITSELF or a scoped user could launder reads
+        #: of ungranted tables through an INSERT body (r8).
+        self._txn_user: dict[str, str] = {}
         if publish:
             spark.sql(
                 f"CREATE DATABASE IF NOT EXISTS `"
@@ -473,6 +486,7 @@ class TxnSessionManager:
             return self._handle(session_id, sql_text, user)
         except Exception as e:  # never leak a raw traceback to the wire
             self._open.pop(session_id, None)
+            self._txn_user.pop(session_id, None)
             return f"ERR_ENDED:{_sanitize(e)}"
 
     def _handle(self, session_id: str, sql_text: str, user: str = "") -> str:
@@ -485,6 +499,7 @@ class TxnSessionManager:
                     "open on this session"
                 )
             self._open[session_id] = []
+            self._txn_user[session_id] = user
             base = self.catalog.current_version()
             return f"ACTIVE:Transaction started (catalog v{base})"
         ops = self._open.get(session_id)
@@ -495,6 +510,7 @@ class TxnSessionManager:
         if _ROLLBACK_RE.match(sql_text):
             n = len(ops)
             self._open.pop(session_id, None)
+            self._txn_user.pop(session_id, None)
             return f"DONE:Transaction rolled back ({n} buffered statements discarded)"
         m = _INSERT_RE.match(sql_text)
         if m:
@@ -599,6 +615,100 @@ class TxnSessionManager:
             "SHOW GRANTS [FOR name]"
         )
 
+    # -- transaction-surface authorization ---------------------------------
+
+    def _full_grants(self, user: str) -> set[str] | None:
+        """The user's FULL-grant tokens (column-scoped tokens do NOT
+        authorize transactional DML), or None when the surface is
+        ungated: no ACL configured anywhere, an in-process identity,
+        or a '*' grant. Mirrors the analyzer rule's policy sources —
+        file store (fresh read) over env — because buffered DML
+        executes at COMMIT as the in-process service and the rule
+        therefore never sees it (the r8 laundering fix)."""
+        from layer_apache_hive_spark import authz
+
+        if user == "":
+            return None
+        path = os.environ.get("SPARK_GRAFT_HS2_ACL_FILE", "")
+        if path:
+            acl = open(path).read().strip() if os.path.exists(path) else ""
+        else:
+            acl = os.environ.get("SPARK_GRAFT_HS2_ACL", "")
+            if not acl:
+                return None  # no policy configured: authz inert
+        grants = authz.parse_acl(acl).get(user, set())
+        if "*" in grants:
+            return None
+        return {t for t in grants if ":" not in t}
+
+    @staticmethod
+    def _granted(full: set[str], bare: str, qual: str | None) -> bool:
+        return bare in full or (qual is not None and qual in full)
+
+    def _referenced_tables(self, body: str) -> list[tuple[str | None, str]]:
+        """(bare, qualified-or-kind) for every leaf relation of the
+        analyzed plan of ``body`` — the Python twin of the compiled
+        rule's visit(), used where that rule cannot run. View bodies
+        inline to their base relations here, so inside transactions
+        reads resolve against BASE-table grants (no definer views —
+        conservative, documented)."""
+        plan = self.spark.sql(body)._jdf.queryExecution().analyzed()
+        leaves = plan.collectLeaves()
+        out: list[tuple[str | None, str]] = []
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            cls = leaf.getClass().getSimpleName()
+            ident = None
+            if cls == "HiveTableRelation":
+                ident = leaf.tableMeta().identifier()
+            elif cls == "LogicalRelation":
+                ct = leaf.catalogTable()
+                if ct.isDefined():
+                    ident = ct.get().identifier()
+                else:
+                    out.append((None, "path-based relation"))
+                    continue
+            elif cls in ("LocalRelation", "OneRowRelation", "Range"):
+                continue  # literal rows (VALUES/SELECT 1): no object
+            else:
+                # unknown relation kinds fail CLOSED for scoped users
+                out.append((None, cls))
+                continue
+            bare = ident.table().lower()
+            qual = ident.unquotedString().lower()
+            seg = qual.split(".")
+            if len(seg) > 2:
+                qual = ".".join(seg[-2:])
+            out.append((bare, qual))
+        return out
+
+    def _authorize_op(self, user: str, table: str, op: tuple) -> str | None:
+        """Grant check for one buffered statement under the BEGIN-time
+        wire identity; returns the refusal message or None."""
+        full = self._full_grants(user)
+        if full is None:
+            return None
+        if not any(
+            t == table or t.endswith("." + table) for t in full
+        ):
+            return (
+                f"user '{user}' lacks a full grant on transactional "
+                f"table '{table}'"
+            )
+        if op[0] == "insert":
+            for bare, qual in self._referenced_tables(op[2]):
+                if bare is None:
+                    return (
+                        f"user '{user}' may not reference ungoverned "
+                        f"relations in a transaction ({qual})"
+                    )
+                if not self._granted(full, bare, qual):
+                    return (
+                        f"user '{user}' lacks a full grant on "
+                        f"'{qual}' referenced by the INSERT body"
+                    )
+        return None
+
     # -- buffering + commit ------------------------------------------------
 
     def _buffer(self, session_id: str, name: str, op: tuple) -> str:
@@ -609,12 +719,18 @@ class TxnSessionManager:
                 "transaction catalog; transactional DML is only atomic "
                 "for enrolled tables"
             )
+        denial = self._authorize_op(
+            self._txn_user.get(session_id, ""), table, op
+        )
+        if denial is not None:
+            return f"ERR_ACTIVE:Authorization error: {denial}"
         self._open[session_id].append((table, op))
         n = len(self._open[session_id])
         return f"ACTIVE:Buffered statement {n} for table '{table}'"
 
     def _commit(self, session_id: str, ops: list[tuple]) -> str:
         self._open.pop(session_id, None)  # closed whatever happens next
+        self._txn_user.pop(session_id, None)
         if not ops:
             return "DONE:Nothing to commit (empty transaction)"
         # compose per-table transforms in statement order; evaluation

@@ -233,3 +233,67 @@ def test_grant_without_policy_store(mgr, monkeypatch):
 def test_malformed_grant_statement(mgr, acl_env):
     out = mgr.handle("s1", "admin", "GRANT INSERT ON nation TO intern")
     assert out.startswith("ERR_ENDED:unsupported authorization")
+
+
+def test_txn_dml_enforces_wire_user_grants(mgr, spark, monkeypatch):
+    """r8 laundering fix: buffered DML executes at COMMIT as the
+    in-process service, so the MANAGER must enforce the BEGIN-time
+    wire identity's grants — target tables and every table referenced
+    by an INSERT body need a FULL grant; column-scoped tokens do not
+    authorize transactional DML."""
+    monkeypatch.delenv("SPARK_GRAFT_HS2_ACL_FILE", raising=False)
+    monkeypatch.setenv(
+        "SPARK_GRAFT_HS2_ACL", "intern=inv;clerk=inv:qty;etl=*"
+    )
+    spark.sql("DROP TABLE IF EXISTS secret_txn_probe")
+    spark.sql(
+        "CREATE TABLE secret_txn_probe USING parquet AS "
+        "SELECT 'w' AS item, 99 AS qty, 9.9 AS price"
+    )
+    try:
+        assert mgr.handle("s1", "intern", "BEGIN").startswith("ACTIVE:")
+        # INSERT body reading an ungranted catalog table: refused
+        out = mgr.handle(
+            "s1", "intern",
+            "INSERT INTO inv SELECT item, qty, price FROM secret_txn_probe",
+        )
+        assert out.startswith("ERR_ACTIVE:Authorization error") and (
+            "secret_txn_probe" in out
+        ), out
+        # ungranted TARGET refused even with a literal body
+        out = mgr.handle(
+            "s1", "intern", "INSERT INTO log VALUES (1, 'x')"
+        )
+        assert out.startswith("ERR_ACTIVE:Authorization error"), out
+        # granted target + literal rows / UPDATE / DELETE: allowed
+        assert mgr.handle(
+            "s1", "intern", "INSERT INTO inv VALUES ('n', 1, 1.0)"
+        ).startswith("ACTIVE:Buffered")
+        assert mgr.handle(
+            "s1", "intern", "UPDATE inv SET qty = 0 WHERE item = 'w'"
+        ).startswith("ACTIVE:Buffered")
+        assert mgr.handle("s1", "intern", "COMMIT").startswith(
+            "DONE:Committed"
+        )
+        # column-scoped token does NOT authorize transactional DML
+        assert mgr.handle("s2", "clerk", "BEGIN").startswith("ACTIVE:")
+        out = mgr.handle(
+            "s2", "clerk", "INSERT INTO inv VALUES ('n', 1, 1.0)"
+        )
+        assert out.startswith("ERR_ACTIVE:Authorization error"), out
+        assert mgr.handle("s2", "clerk", "ROLLBACK").startswith("DONE:")
+        # '*' user and the in-process identity stay unrestricted
+        assert mgr.handle("s3", "etl", "BEGIN").startswith("ACTIVE:")
+        assert mgr.handle(
+            "s3", "etl",
+            "INSERT INTO inv SELECT item, qty, price FROM secret_txn_probe",
+        ).startswith("ACTIVE:Buffered")
+        assert mgr.handle("s3", "etl", "ROLLBACK").startswith("DONE:")
+        assert mgr.handle("s4", "BEGIN").startswith("ACTIVE:")
+        assert mgr.handle(
+            "s4",
+            "INSERT INTO inv SELECT item, qty, price FROM secret_txn_probe",
+        ).startswith("ACTIVE:Buffered")
+        assert mgr.handle("s4", "ROLLBACK").startswith("DONE:")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS secret_txn_probe")
