@@ -160,7 +160,21 @@ def validate_credentials(creds: str) -> None:
 
 def _service_principal() -> str:
     """The JVM's ``user.name`` — the identity authz.py's rule treats
-    as in-process. Matches Java's default (the OS user)."""
+    as in-process. When a live session exists, read the property FROM
+    the JVM (it diverges from the OS user under ``-Duser.name`` or a
+    shifted ``HADOOP_USER_NAME`` — r8 advisor: the Python-side
+    getuser() approximation left the bypass refusal guarding the
+    wrong name); fall back to the OS user only pre-session."""
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            name = s._jvm.System.getProperty("user.name")
+            if name:
+                return name
+    except Exception:
+        pass
     import getpass
 
     try:

@@ -283,6 +283,24 @@ public class SparkGraftAuthz
     // arrives pre-expanded, so star reads reference every column
     final Set<Long> refs = new HashSet<Long>();
     collectRefs(plan, refs);
+    // the query's OUTPUT columns are served to the client even when
+    // no operator references them - a bare-relation statement
+    // (TABLE t) has no Project/Filter node, so without this seed a
+    // column-scoped user would receive every column (r8 advisor
+    // finding). Treat root output as referenced.
+    try {
+      Iterator<Attribute> rootOut =
+          ((scala.collection.Seq<Attribute>) plan.output()).iterator();
+      while (rootOut.hasNext()) {
+        Attribute a = rootOut.next();
+        if (a.resolved()) {
+          refs.add(a.exprId().id());
+        }
+      }
+    } catch (Exception ignored) {
+      // some command nodes throw on output() pre-execution; they
+      // carry no servable columns
+    }
     final List<String> denied = new ArrayList<String>();
     visit(plan, allow, colAllow, refs, denied);
     if (!denied.isEmpty()) {

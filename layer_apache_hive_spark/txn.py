@@ -653,34 +653,59 @@ class TxnSessionManager:
         reads resolve against BASE-table grants (no definer views —
         conservative, documented)."""
         plan = self.spark.sql(body)._jdf.queryExecution().analyzed()
-        leaves = plan.collectLeaves()
+        return self._relations_of_plan(plan)
+
+    def _relations_of_plan(
+        self, plan, include_root_leaves: bool = True
+    ) -> list[tuple[str | None, str]]:
+        """Classify every leaf relation reachable from ``plan`` —
+        its own tree AND every subquery-expression plan. Subquery
+        plans are NOT tree children (collectLeaves alone misses
+        them; r8 advisor finding: a scalar subquery in an INSERT
+        body bypassed the walk), so subqueriesAll() — which is
+        transitive through nested subqueries — is walked too.
+        ``include_root_leaves=False`` is used for UPDATE/DELETE
+        expression probes, whose outer leaf is the pinned target
+        table's own (path-based) snapshot read."""
+        leaf_seqs = []
+        if include_root_leaves:
+            leaf_seqs.append(plan.collectLeaves())
+        subs = plan.subqueriesAll()
+        for i in range(subs.size()):
+            leaf_seqs.append(subs.apply(i).collectLeaves())
         out: list[tuple[str | None, str]] = []
-        for i in range(leaves.size()):
-            leaf = leaves.apply(i)
-            cls = leaf.getClass().getSimpleName()
-            ident = None
-            if cls == "HiveTableRelation":
-                ident = leaf.tableMeta().identifier()
-            elif cls == "LogicalRelation":
-                ct = leaf.catalogTable()
-                if ct.isDefined():
-                    ident = ct.get().identifier()
-                else:
-                    out.append((None, "path-based relation"))
-                    continue
-            elif cls in ("LocalRelation", "OneRowRelation", "Range"):
-                continue  # literal rows (VALUES/SELECT 1): no object
-            else:
-                # unknown relation kinds fail CLOSED for scoped users
-                out.append((None, cls))
-                continue
-            bare = ident.table().lower()
-            qual = ident.unquotedString().lower()
-            seg = qual.split(".")
-            if len(seg) > 2:
-                qual = ".".join(seg[-2:])
-            out.append((bare, qual))
+        for leaves in leaf_seqs:
+            for i in range(leaves.size()):
+                rel = self._classify_leaf(leaves.apply(i))
+                if rel is not None:
+                    out.append(rel)
         return out
+
+    @staticmethod
+    def _classify_leaf(leaf) -> tuple[str | None, str] | None:
+        """One leaf → (bare, qualified) for catalog tables, (None,
+        kind) for ungoverned/unknown relations (fail closed), or
+        None for literal-row leaves that name no object."""
+        cls = leaf.getClass().getSimpleName()
+        if cls == "HiveTableRelation":
+            ident = leaf.tableMeta().identifier()
+        elif cls == "LogicalRelation":
+            ct = leaf.catalogTable()
+            if ct.isDefined():
+                ident = ct.get().identifier()
+            else:
+                return (None, "path-based relation")
+        elif cls in ("LocalRelation", "OneRowRelation", "Range"):
+            return None  # literal rows (VALUES/SELECT 1): no object
+        else:
+            # unknown relation kinds fail CLOSED for scoped users
+            return (None, cls)
+        bare = ident.table().lower()
+        qual = ident.unquotedString().lower()
+        seg = qual.split(".")
+        if len(seg) > 2:
+            qual = ".".join(seg[-2:])
+        return (bare, qual)
 
     def _authorize_op(self, user: str, table: str, op: tuple) -> str | None:
         """Grant check for one buffered statement under the BEGIN-time
@@ -696,18 +721,60 @@ class TxnSessionManager:
                 f"table '{table}'"
             )
         if op[0] == "insert":
-            for bare, qual in self._referenced_tables(op[2]):
-                if bare is None:
-                    return (
-                        f"user '{user}' may not reference ungoverned "
-                        f"relations in a transaction ({qual})"
-                    )
-                if not self._granted(full, bare, qual):
-                    return (
-                        f"user '{user}' lacks a full grant on "
-                        f"'{qual}' referenced by the INSERT body"
-                    )
+            refs = self._referenced_tables(op[2])
+            via = "the INSERT body"
+        else:
+            # UPDATE SET right-hand sides and UPDATE/DELETE WHERE
+            # predicates also execute at COMMIT as the in-process
+            # service (F.expr over the pinned snapshot) and may carry
+            # scalar subqueries over other tables — authorize their
+            # analyzed plans too (r8 advisor finding: a scoped user
+            # laundered an ungranted read through an UPDATE SET
+            # subquery)
+            refs = self._expr_references(table, op)
+            via = f"a buffered {op[0].upper()} expression"
+        for bare, qual in refs:
+            if bare is None:
+                return (
+                    f"user '{user}' may not reference ungoverned "
+                    f"relations in a transaction ({qual})"
+                )
+            if not self._granted(full, bare, qual):
+                return (
+                    f"user '{user}' lacks a full grant on "
+                    f"'{qual}' referenced by {via}"
+                )
         return None
+
+    def _expr_references(
+        self, table: str, op: tuple
+    ) -> list[tuple[str | None, str]]:
+        """Leaf relations referenced by a buffered UPDATE/DELETE's
+        expressions. Each expression is wrapped in a SELECT over the
+        pinned target-table snapshot (so target columns resolve and
+        subquery expressions analyze exactly as they will at COMMIT),
+        then the plan is walked WITHOUT its root leaves — the outer
+        leaf is the target's own snapshot read, already authorized by
+        the caller's full-grant check on ``table``."""
+        exprs: list[str] = []
+        if op[0] == "delete":
+            if op[1] is not None:
+                exprs.append(op[1])
+        elif op[0] == "update":
+            exprs.extend(e for _, e in op[1])
+            if op[2] is not None:
+                exprs.append(op[2])
+        if not exprs:
+            return []
+        pinned = self.catalog.table(table).read(self.spark)
+        out: list[tuple[str | None, str]] = []
+        for e in exprs:
+            probe = pinned.select(F.expr(e).alias("__authz_probe__"))
+            plan = probe._jdf.queryExecution().analyzed()
+            out.extend(
+                self._relations_of_plan(plan, include_root_leaves=False)
+            )
+        return out
 
     # -- buffering + commit ------------------------------------------------
 
@@ -719,9 +786,21 @@ class TxnSessionManager:
                 "transaction catalog; transactional DML is only atomic "
                 "for enrolled tables"
             )
-        denial = self._authorize_op(
-            self._txn_user.get(session_id, ""), table, op
-        )
+        try:
+            denial = self._authorize_op(
+                self._txn_user.get(session_id, ""), table, op
+            )
+        except Exception as e:
+            # an analysis error in ONE statement (typo'd table in an
+            # INSERT body, malformed expression) refuses that
+            # statement but keeps the transaction open — previously
+            # the handle() catch-all dropped the whole buffer with
+            # ERR_ENDED, inconsistent with the ERR_ACTIVE posture of
+            # every other statement-level refusal (r8 advisor)
+            return (
+                f"ERR_ACTIVE:statement rejected (analysis error): "
+                f"{_sanitize(e)}"
+            )
         if denial is not None:
             return f"ERR_ACTIVE:Authorization error: {denial}"
         self._open[session_id].append((table, op))

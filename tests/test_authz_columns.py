@@ -102,6 +102,10 @@ assert denied("intern", "readonly",
               f"SELECT * FROM {{db}}.nation", "n_regionkey"), (
     "SELECT * expansion must hit the column gate")
 assert denied("intern", "readonly",
+              f"TABLE {{db}}.nation", "n_regionkey"), (
+    "bare-relation statement has no referencing node; the root "
+    "output seed must still hit the column gate (r9 advisor)")
+assert denied("intern", "readonly",
               f"SELECT n_name FROM {{db}}.nation "
               "WHERE n_regionkey = 0", "n_regionkey"), (
     "WHERE reference must hit the column gate")

@@ -297,3 +297,119 @@ def test_txn_dml_enforces_wire_user_grants(mgr, spark, monkeypatch):
         assert mgr.handle("s4", "ROLLBACK").startswith("DONE:")
     finally:
         spark.sql("DROP TABLE IF EXISTS secret_txn_probe")
+
+
+# --- r9: expression-level authorization (advisor-confirmed bypasses) -------
+
+
+@pytest.fixture()
+def scoped_mgr(mgr, spark, monkeypatch):
+    """An ACL-scoped manager plus an ungranted catalog table holding a
+    'secret' value — the advisor's laundering target."""
+    monkeypatch.delenv("SPARK_GRAFT_HS2_ACL_FILE", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_HS2_ACL", "intern=inv;etl=*")
+    spark.sql("DROP TABLE IF EXISTS secret_probe_r9")
+    spark.sql(
+        "CREATE TABLE secret_probe_r9 USING parquet AS "
+        "SELECT 777 AS sq"
+    )
+    yield mgr
+    spark.sql("DROP TABLE IF EXISTS secret_probe_r9")
+
+
+def test_update_set_subquery_laundering_denied(scoped_mgr):
+    """Advisor exploit 1: 'UPDATE inv SET qty = (SELECT max(sq) FROM
+    secret_probe)' buffered and committed under a scoped user,
+    copying the secret into the granted table. SET right-hand sides
+    now walk the analyzed plan including subquery expressions."""
+    m = scoped_mgr
+    assert m.handle("s1", "intern", "BEGIN").startswith("ACTIVE:")
+    out = m.handle(
+        "s1", "intern",
+        "UPDATE inv SET qty = (SELECT max(sq) FROM secret_probe_r9)",
+    )
+    assert out.startswith("ERR_ACTIVE:Authorization error") and (
+        "secret_probe_r9" in out
+    ), out
+    # the transaction survives the refusal and granted DML still works
+    assert m.handle(
+        "s1", "intern", "UPDATE inv SET qty = qty + 1"
+    ).startswith("ACTIVE:Buffered")
+    assert m.handle("s1", "intern", "ROLLBACK").startswith("DONE:")
+
+
+def test_where_predicate_subquery_denied(scoped_mgr):
+    """UPDATE/DELETE WHERE predicates execute at COMMIT too — a
+    subquery there is the same laundering channel (existence oracle
+    even without copying values)."""
+    m = scoped_mgr
+    assert m.handle("s1", "intern", "BEGIN").startswith("ACTIVE:")
+    out = m.handle(
+        "s1", "intern",
+        "DELETE FROM inv WHERE qty = (SELECT max(sq) FROM secret_probe_r9)",
+    )
+    assert out.startswith("ERR_ACTIVE:Authorization error"), out
+    out = m.handle(
+        "s1", "intern",
+        "UPDATE inv SET qty = 0 "
+        "WHERE EXISTS (SELECT 1 FROM secret_probe_r9)",
+    )
+    assert out.startswith("ERR_ACTIVE:Authorization error"), out
+    assert m.handle("s1", "intern", "ROLLBACK").startswith("DONE:")
+
+
+def test_insert_body_scalar_subquery_denied(scoped_mgr):
+    """Advisor exploit 2: collectLeaves does not descend into
+    subquery-expression plans, so 'INSERT INTO inv SELECT x,
+    (SELECT max(sq) FROM secret_probe), 1.0' passed authorization.
+    The walk now includes plan.subqueriesAll()."""
+    m = scoped_mgr
+    assert m.handle("s1", "intern", "BEGIN").startswith("ACTIVE:")
+    out = m.handle(
+        "s1", "intern",
+        "INSERT INTO inv SELECT 'x', "
+        "(SELECT max(sq) FROM secret_probe_r9), 1.0",
+    )
+    assert out.startswith("ERR_ACTIVE:Authorization error") and (
+        "secret_probe_r9" in out
+    ), out
+    assert m.handle("s1", "intern", "ROLLBACK").startswith("DONE:")
+
+
+def test_star_user_expression_subqueries_allowed(scoped_mgr, spark):
+    """The '*' user and the in-process identity keep full expression
+    power — and the committed result proves the subquery executed."""
+    m = scoped_mgr
+    assert m.handle("s1", "etl", "BEGIN").startswith("ACTIVE:")
+    assert m.handle(
+        "s1", "etl",
+        "UPDATE inv SET qty = (SELECT max(sq) FROM secret_probe_r9) "
+        "WHERE item = 'w'",
+    ).startswith("ACTIVE:Buffered")
+    assert m.handle("s1", "etl", "COMMIT").startswith("DONE:Committed")
+    rows = {
+        (r.item, r.qty) for r in m.catalog.read(spark, "inv").collect()
+    }
+    assert ("w", 777) in rows, rows
+
+
+def test_analysis_error_keeps_transaction_open(scoped_mgr):
+    """Advisor medium: a typo'd table in ONE statement must refuse
+    that statement (ERR_ACTIVE) without discarding the buffer —
+    previously the catch-all popped the whole transaction."""
+    m = scoped_mgr
+    assert m.handle("s1", "intern", "BEGIN").startswith("ACTIVE:")
+    assert m.handle(
+        "s1", "intern", "INSERT INTO inv VALUES ('a', 1, 1.0)"
+    ).startswith("ACTIVE:Buffered statement 1")
+    out = m.handle(
+        "s1", "intern",
+        "INSERT INTO inv SELECT * FROM no_such_table_xyz",
+    )
+    assert out.startswith("ERR_ACTIVE:statement rejected"), out
+    # buffer intact: the next buffered statement is #2, and COMMIT
+    # applies statement 1
+    assert m.handle(
+        "s1", "intern", "UPDATE inv SET qty = 2 WHERE item = 'a'"
+    ).startswith("ACTIVE:Buffered statement 2")
+    assert m.handle("s1", "intern", "COMMIT").startswith("DONE:Committed")
