@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
     import layer_apache_hive_spark.operators.windows  # noqa: F401
     import layer_apache_hive_spark.functions.scalar_groups  # noqa: F401
     import layer_apache_hive_spark.functions.udx  # noqa: F401
+    import layer_apache_hive_spark.sources.hive_acid  # noqa: F401
     import layer_apache_hive_spark.sources.scans  # noqa: F401
     import layer_apache_hive_spark.sources.sinks  # noqa: F401
     import layer_apache_hive_spark.streaming.events  # noqa: F401

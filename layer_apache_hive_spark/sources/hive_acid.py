@@ -1,0 +1,400 @@
+"""Hive full-ACID ORC write-back (round-8 verdict task 1): export a
+VersionedTable's committed version chain as the base/delta/
+delete_delta directory layout AcidUtils-compliant readers elect —
+the interop seam a user migrating off a charm-deployed Hive
+warehouse needs in BOTH directions (scans.py:scan_hive_acid reads
+the layout; this module writes it).
+
+Hive locus (public layout; the local reference checkout is empty):
+ql/io/AcidUtils.java directory election (base_N + delta_minW_maxW +
+delete_delta_minW_maxW of bucket_NNNNN ORC files), OrcRecordUpdater's
+ACID struct (operation, originalTransaction, bucket, rowId,
+currentTransaction, row), and HIVE-14035 split-update semantics:
+UPDATE = a delete_delta event on the OLD row identity plus an insert
+delta carrying the new image under the updating writeid.
+
+Layout faithfulness notes (same deltas the read fixture documents):
+bucket ids are stored raw (Hive's BucketCodec bit-packs
+version/bucket/statement into the field; a migration reader decodes
+it first); insert files are sorted by rowId and delete_delta files by
+(originalTransaction, rowId) within their bucket, matching the
+sorted-run contract Hive's merger relies on.
+
+Scale: every step is a keyed DataFrame op — the version diff is one
+full-outer join per version on the primary key, identity assignment
+is a per-bucket window (partition count == bucket count, Hive's own
+parallelism model), and file emission is one applyInPandas task per
+(writeid, bucket). Nothing corpus-sized touches the driver; the
+collect()s below are per-bucket manifest rows (O(n_buckets)).
+Executors write through the filesystem at ``root`` — a shared DFS
+path in a real deployment, local disk under local[*].
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from layer_apache_hive_spark.catalog import read_table
+from layer_apache_hive_spark.registry import register
+
+TMP_ROOT = "/root/repo/.tmp"
+
+#: ACID operation codes (OrcRecordUpdater)
+_OP_INSERT, _OP_DELETE = 0, 2
+
+
+def _acid_arrow_table(pdf, payload_fields, deletes: bool):
+    """One bucket's rows → the ACID-struct Arrow table. For insert
+    events ``row`` carries the payload; delete events carry only the
+    identity triple (the delete_delta shape the read path consumes)."""
+    import pyarrow as pa
+
+    n = len(pdf)
+    cols = {
+        "operation": pa.array(pdf["__op"], pa.int32()),
+        "originalTransaction": pa.array(pdf["__otid"], pa.int64()),
+        "bucket": pa.array(pdf["__bucket"], pa.int32()),
+        "rowId": pa.array(pdf["__rid"], pa.int64()),
+        "currentTransaction": pa.array(pdf["__ctid"], pa.int64()),
+    }
+    if not deletes:
+        cols["row"] = pa.StructArray.from_arrays(
+            [
+                pa.array(pdf[name], pa_type)
+                for name, pa_type in payload_fields
+            ],
+            names=[name for name, _ in payload_fields],
+        )
+    return pa.table(cols)
+
+
+def _write_bucket_dir(
+    df: DataFrame, dirname: str, payload_fields, deletes: bool
+) -> int:
+    """Emit one ACID directory: one task per bucket writes
+    ``dirname/bucket_NNNNN`` via pyarrow.orc (PROBE_hive_acid.json:
+    Spark's own ORC writer cannot produce the ACID struct layout —
+    transactional DDL through the hive jars writes FLAT directories).
+    Returns the number of rows written; removes the directory again
+    when the delta turned out empty (AcidUtils tolerates empty dirs,
+    but Hive never emits them)."""
+    os.makedirs(dirname, exist_ok=True)
+    sort_keys = ["__otid", "__rid"] if deletes else ["__rid"]
+
+    def write_one(key, pdf):
+        import pandas as pd
+        from pyarrow import orc as pa_orc
+
+        b = int(key[0])
+        pdf = pdf.sort_values(sort_keys)
+        pa_orc.write_table(
+            _acid_arrow_table(pdf, payload_fields, deletes),
+            os.path.join(dirname, f"bucket_{b:05d}"),
+        )
+        return pd.DataFrame({"bucket": [b], "rows": [len(pdf)]})
+
+    manifest = (
+        df.groupBy("__bucket")
+        .applyInPandas(write_one, "bucket int, rows long")
+        .collect()
+    )
+    total = sum(r["rows"] for r in manifest)
+    if total == 0:
+        shutil.rmtree(dirname, ignore_errors=True)
+    return total
+
+
+def export_hive_acid(
+    spark: SparkSession,
+    read_version,
+    versions: list[int],
+    out_root: str,
+    pk: str,
+    payload_cols: list[str],
+    payload_fields,
+    n_buckets: int = 4,
+) -> str:
+    """Replay a version chain as ACID write events. ``read_version(v)``
+    returns the full snapshot of version ``v``; consecutive snapshots
+    are diffed on ``pk`` (one full-outer join each): missing keys
+    become delete events on the row's ORIGINAL identity, new keys
+    become inserts under the current writeid, and changed payloads
+    become both (split-update). Payload change detection uses
+    xxhash64 over the non-key columns (64-bit; a collision would skip
+    an update — negligible and documented, the Iceberg manifest-diff
+    trade).
+
+    Identity assignment is Hive's: bucket = hash(pk) mod n_buckets,
+    rowId = write-order ordinal within (writeid, bucket) — a
+    row_number window per bucket partition."""
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+    nonpk = [c for c in payload_cols if c != pk]
+    live: DataFrame | None = None  # payload + __otid/__bucket/__rid
+    kept = None
+    for writeid, v in enumerate(versions, start=1):
+        snap = read_version(v).select(*payload_cols)
+        new_side = snap.withColumn("__nh", F.xxhash64(*nonpk))
+        if live is None:
+            ins, dels = snap, None
+        else:
+            old_side = live.select(
+                F.col(pk).alias("__k"),
+                "__otid",
+                "__bucket",
+                "__rid",
+                F.xxhash64(*nonpk).alias("__oh"),
+            )
+            # the diff feeds THREE consumers (delete events, insert
+            # events, surviving-identity carry-forward) and each
+            # write triggers its own job — persist it once per
+            # version instead of re-running the join
+            j = old_side.join(
+                new_side, old_side["__k"] == new_side[pk], "full_outer"
+            ).persist()
+            gone_or_changed = F.col(pk).isNull() | (
+                F.col("__oh") != F.col("__nh")
+            )
+            dels = (
+                j.filter(F.col("__k").isNotNull() & gone_or_changed)
+                .select("__otid", "__bucket", "__rid")
+                .withColumn("__op", F.lit(_OP_DELETE))
+                .withColumn("__ctid", F.lit(writeid))
+            )
+            ins = j.filter(
+                F.col(pk).isNotNull()
+                & (F.col("__k").isNull() | (F.col("__oh") != F.col("__nh")))
+            ).select(*payload_cols)
+            kept = j.filter(
+                F.col("__k").isNotNull()
+                & F.col(pk).isNotNull()
+                & (F.col("__oh") == F.col("__nh"))
+            ).select(*payload_cols, "__otid", "__bucket", "__rid")
+        ins = (
+            ins.withColumn(
+                "__bucket", F.pmod(F.hash(pk), F.lit(n_buckets)).cast("int")
+            )
+            .withColumn(
+                "__rid",
+                (
+                    F.row_number().over(
+                        Window.partitionBy("__bucket").orderBy(pk)
+                    )
+                    - 1
+                ).cast("long"),
+            )
+            .withColumn("__otid", F.lit(writeid).cast("long"))
+            .persist()  # consumed by the delta write AND the ledger
+        )
+        events = ins.withColumn("__op", F.lit(_OP_INSERT)).withColumn(
+            "__ctid", F.col("__otid")
+        )
+        if writeid == 1:
+            dirname = os.path.join(out_root, f"base_{writeid:07d}")
+        else:
+            dirname = os.path.join(
+                out_root, f"delta_{writeid:07d}_{writeid:07d}"
+            )
+        _write_bucket_dir(events, dirname, payload_fields, deletes=False)
+        if dels is not None:
+            _write_bucket_dir(
+                dels,
+                os.path.join(
+                    out_root, f"delete_delta_{writeid:07d}_{writeid:07d}"
+                ),
+                payload_fields,
+                deletes=True,
+            )
+        prev = live
+        live = (
+            ins.select(*payload_cols, "__otid", "__bucket", "__rid")
+            if writeid == 1
+            else kept.unionByName(
+                ins.select(*payload_cols, "__otid", "__bucket", "__rid")
+            )
+        )
+        # truncate lineage: without this the ledger's plan re-runs
+        # every prior version's diff on each subsequent action (the
+        # export is a chain, not a DAG Spark can share)
+        live = live.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+            j.unpersist()
+        ins.unpersist()
+    return out_root
+
+
+def read_hive_acid(
+    spark: SparkSession, root: str, payload_schema: list[tuple[str, str]]
+) -> DataFrame:
+    """AcidUtils directory election + distributed per-file Arrow
+    decode + the delete anti-join on (originalTransaction, bucket,
+    rowId) — the generalized core of scans.scan_hive_acid (round-7
+    verdict task 8), parameterized on the payload schema so it reads
+    BOTH the hand-built fixture and layouts export_hive_acid emits.
+
+    Election is driver-side METADATA only (dir entries, never rows):
+    highest base_N wins; delta/delete_delta dirs with writeids above
+    it apply on top. One decode task per ORC file; delete deltas are
+    tiny by nature → broadcast anti-join."""
+    import glob as _glob
+
+    base_n = 0
+    data_dirs: list[str] = []
+    delete_dirs: list[str] = []
+    for e in sorted(os.listdir(root)):
+        if e.startswith("base_"):
+            base_n = max(base_n, int(e.split("_")[1]))
+    for e in sorted(os.listdir(root)):
+        p = os.path.join(root, e)
+        if e.startswith("base_") and int(e.split("_")[1]) == base_n:
+            data_dirs.append(p)
+        elif e.startswith("delete_delta_"):
+            if int(e.split("_")[2]) > base_n:
+                delete_dirs.append(p)
+        elif e.startswith("delta_"):
+            if int(e.split("_")[1]) > base_n:
+                data_dirs.append(p)
+
+    def files_df(dirs: list[str]) -> DataFrame:
+        paths = [
+            (f,)
+            for d in dirs
+            for f in sorted(_glob.glob(os.path.join(d, "bucket_*")))
+        ]
+        return spark.createDataFrame(paths, "path string").repartition(
+            max(len(paths), 1)
+        )
+
+    names = [n for n, _ in payload_schema]
+
+    def read_data(it):
+        import pandas as pd
+        from pyarrow import orc as pa_orc
+
+        for pdf in it:
+            for path in pdf["path"]:
+                t = pa_orc.ORCFile(path).read()
+                flat = t.flatten().to_pandas()
+                out = {
+                    "otid": flat["originalTransaction"],
+                    "bucket": flat["bucket"],
+                    "rid": flat["rowId"],
+                }
+                for n in names:
+                    out[n] = flat[f"row.{n}"]
+                yield pd.DataFrame(out)
+
+    def read_deletes(it):
+        import pandas as pd
+        from pyarrow import orc as pa_orc
+
+        for pdf in it:
+            for path in pdf["path"]:
+                t = pa_orc.ORCFile(path).read().to_pandas()
+                yield pd.DataFrame(
+                    {
+                        "otid": t["originalTransaction"],
+                        "bucket": t["bucket"],
+                        "rid": t["rowId"],
+                    }
+                )
+
+    payload_ddl = ", ".join(f"{n} {t}" for n, t in payload_schema)
+    live = files_df(data_dirs).mapInPandas(
+        read_data,
+        f"otid long, bucket int, rid long, {payload_ddl}",
+    )
+    dels = files_df(delete_dirs).mapInPandas(
+        read_deletes, "otid long, bucket int, rid long"
+    )
+    return live.join(
+        F.broadcast(dels), ["otid", "bucket", "rid"], "left_anti"
+    ).select(*names)
+
+
+# --- registered round-trip query --------------------------------------------
+
+
+_ORDERS_PAYLOAD = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+_ORDERS_SCHEMA = [
+    ("o_orderkey", "long"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+]
+
+
+def _orders_arrow_fields():
+    import pyarrow as pa
+
+    return [
+        ("o_orderkey", pa.int64()),
+        ("o_orderstatus", pa.string()),
+        ("o_totalprice", pa.float64()),
+    ]
+
+
+@register(
+    "sink_hive_acid",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 3
+            THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE ((o_orderkey % 3 = 0)
+       OR (o_orderkey % 3 = 1 AND o_orderkey % 7 = 0))
+  AND o_orderkey % 5 <> 0
+""",
+)
+def sink_hive_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full write→read ACID interop round trip: commit a 3-version
+    chain into a VersionedTable (base load, insert batch, then a
+    mixed delete+update transaction), EXPORT it as the Hive layout,
+    and read the result back through the AcidUtils election path —
+    so the oracle (which replays the same change algebra over the
+    orders view) breaks if the exporter mis-assigns an identity,
+    drops a delete, or writes an update as a bare insert.
+
+    The v3 deletes hit rows from BOTH the base (otid=1) and the v2
+    insert delta (otid=2), and the v3 updates produce split-update
+    pairs — delete_delta events on otid-1 identities plus otid-3
+    re-inserts — the exact event mix a Hive reader must merge.
+
+    Change algebra over orders:
+      v1 (base_0000001):        o_orderkey % 3 = 0
+      v2 (delta_0000002):       + (% 3 = 1 AND % 7 = 0)
+      v3 (delete_delta/delta_0000003):
+          DELETE % 5 = 0; UPDATE price += 1 WHERE % 3 = 0 AND % 7 = 3
+    """
+    from layer_apache_hive_spark.acid import VersionedTable
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    work = f"{TMP_ROOT}/sinks/{label}/hive_acid_export"
+    shutil.rmtree(work, ignore_errors=True)
+    vt = VersionedTable(os.path.join(work, "vt"))
+    orders = read_table(spark, sf_dir, "orders").select(*_ORDERS_PAYLOAD)
+    k = F.col("o_orderkey")
+    v1 = orders.filter(k % 3 == 0)
+    v2 = v1.unionByName(orders.filter((k % 3 == 1) & (k % 7 == 0)))
+    v3 = v2.filter(k % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            (k % 3 == 0) & (k % 7 == 3), F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    for i, df in enumerate((v1, v2, v3)):
+        vt.commit(df, base_version=i)
+    layout = export_hive_acid(
+        spark,
+        lambda v: vt.read(spark, v),
+        versions=[1, 2, 3],
+        out_root=os.path.join(work, "acid_table"),
+        pk="o_orderkey",
+        payload_cols=_ORDERS_PAYLOAD,
+        payload_fields=_orders_arrow_fields(),
+    )
+    return read_hive_acid(spark, layout, _ORDERS_SCHEMA)

@@ -913,80 +913,18 @@ def scan_hive_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver (the listing is dir entries, not rows). The oracle replays
     the fixture's change algebra over the orders view, so a missed
     delete, double-applied delta, or mis-parsed writeid breaks the
-    value hash.
+    value hash. The election + decode core lives in
+    sources/hive_acid.py (r9: shared with the write-back exporter's
+    round trip, sink_hive_acid).
     """
-    import glob as _glob
+    from layer_apache_hive_spark.sources.hive_acid import read_hive_acid
 
-    root = _hive_acid_fixture(sf_dir)
-    base_n = 0
-    data_dirs: list[str] = []
-    delete_dirs: list[str] = []
-    for e in sorted(os.listdir(root)):
-        if e.startswith("base_"):
-            base_n = max(base_n, int(e.split("_")[1]))
-    for e in sorted(os.listdir(root)):
-        p = os.path.join(root, e)
-        if e.startswith("base_") and int(e.split("_")[1]) == base_n:
-            data_dirs.append(p)
-        elif e.startswith("delete_delta_"):
-            if int(e.split("_")[2]) > base_n:
-                delete_dirs.append(p)
-        elif e.startswith("delta_"):
-            if int(e.split("_")[1]) > base_n:
-                data_dirs.append(p)
-
-    def files_df(dirs: list[str]) -> DataFrame:
-        paths = [
-            (f,)
-            for d in dirs
-            for f in sorted(_glob.glob(os.path.join(d, "bucket_*")))
-        ]
-        return spark.createDataFrame(paths, "path string").repartition(
-            max(len(paths), 1)
-        )
-
-    def read_data(it):
-        import pandas as pd
-        from pyarrow import orc as pa_orc
-
-        for pdf in it:
-            for path in pdf["path"]:
-                t = pa_orc.ORCFile(path).read()
-                flat = t.flatten().to_pandas()
-                yield pd.DataFrame(
-                    {
-                        "otid": flat["originalTransaction"],
-                        "bucket": flat["bucket"],
-                        "rid": flat["rowId"],
-                        "o_orderkey": flat["row.o_orderkey"],
-                        "o_orderstatus": flat["row.o_orderstatus"],
-                        "o_totalprice": flat["row.o_totalprice"],
-                    }
-                )
-
-    def read_deletes(it):
-        import pandas as pd
-        from pyarrow import orc as pa_orc
-
-        for pdf in it:
-            for path in pdf["path"]:
-                t = pa_orc.ORCFile(path).read().to_pandas()
-                yield pd.DataFrame(
-                    {
-                        "otid": t["originalTransaction"],
-                        "bucket": t["bucket"],
-                        "rid": t["rowId"],
-                    }
-                )
-
-    live = files_df(data_dirs).mapInPandas(
-        read_data,
-        "otid long, bucket int, rid long, o_orderkey long,"
-        " o_orderstatus string, o_totalprice double",
+    return read_hive_acid(
+        spark,
+        _hive_acid_fixture(sf_dir),
+        [
+            ("o_orderkey", "long"),
+            ("o_orderstatus", "string"),
+            ("o_totalprice", "double"),
+        ],
     )
-    dels = files_df(delete_dirs).mapInPandas(
-        read_deletes, "otid long, bucket int, rid long"
-    )
-    return live.join(
-        F.broadcast(dels), ["otid", "bucket", "rid"], "left_anti"
-    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
