@@ -1303,36 +1303,13 @@ def ext_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cumulative count runs over the DISTINCT-score histogram (a
     grouped table far smaller than the corpus — micro-score space
     collapses ties), so the one single-partition window touches
-    histogram rows, never doc rows. At 100 TB swap the histogram
-    order-statistic for approx_percentile(score, p, 10000) (one
-    sketch, bounded error) and keep the rest of the plan; the exact
-    form here is what makes the oracle bit-checkable.
+    histogram rows, never doc rows. The 100 TB production swap IS
+    registered: ext_text_perplexity_filter_approx replaces the
+    histogram order-statistic with one percentile_approx sketch
+    (bounded rank error, no window) and keeps the rest of this plan;
+    the exact form here is what makes the oracle bit-checkable.
     """
-    d = read_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
-    )
-    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).alias("n"))
-    scored = (
-        toks.join(F.broadcast(corpus), "token")
-        .join(F.broadcast(total))
-        .select(
-            "doc_id",
-            F.round(F.log(F.col("c").cast("double") / F.col("n")), 6).alias(
-                "logp"
-            ),
-        )
-    )
-    doc = scored.groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.col("logp").cast("decimal(38,6)")).cast("double")
-            / F.count(F.lit(1))
-            * 1e6
-        )
-        .cast("bigint")
-        .alias("score_micro")
-    )
+    doc = _perplexity_doc_scores(spark, sf_dir)
     hist = doc.groupBy("score_micro").agg(F.count(F.lit(1)).alias("c"))
     # n derives from the histogram (sum of bucket counts), not from a
     # third full evaluation of the doc pipeline
@@ -1363,6 +1340,116 @@ def ext_text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
         (F.col("score_micro") >= F.col("c1")).cast("int").alias("kept"),
+    )
+
+
+def _perplexity_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_micro): the integer micro-logprob unigram-LM
+    document score shared by the exact and approx perplexity tiers."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        toks.join(F.broadcast(corpus), "token")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c").cast("double") / F.col("n")), 6).alias(
+                "logp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("logp").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("score_micro")
+    )
+
+
+#: percentile_approx accuracy for the production cutoff tier
+_PPLX_ACC = 10000
+
+
+@register(
+    "ext_text_perplexity_filter_approx",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS cuts_ordered, TRUE AS c1_in_bound, TRUE AS c2_in_bound
+FROM documents
+""",
+)
+def ext_text_perplexity_filter_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION tier of the CCNet perplexity cut (r8 verdict
+    task 2): identical document scoring, but the head/middle/tail
+    cutoffs come from ONE ``percentile_approx`` sketch (Greenwald-
+    Khanna, accuracy 10000 → rank error ≤ n·1e-4) instead of the
+    exact query's cumulative window over the score histogram — at
+    100 TB the histogram is ~O(docs) rows through a single task,
+    while the sketch is a map-side-combining aggregate with bounded
+    state. No window anywhere in this plan (PLAN_AUDIT pins it).
+
+    Derived-bound oracle (the agg_approx_ndv precedent — DuckDB
+    cannot replay Spark's sketch, so the query asserts the sketch's
+    own guarantee and the oracle pins the assertion): for each
+    returned cutoff c, the GK summary guarantees an element whose
+    rank interval [count_lt(c)+1, count_leq(c)] overlaps the target
+    rank within ±εn. The query recomputes both counts distributively
+    and returns the containment booleans plus the exact corpus count;
+    a sketch bug, a wrong accuracy, or a mis-wired percentile array
+    flips a boolean and breaks the value hash.
+    """
+    doc = _perplexity_doc_scores(spark, sf_dir)
+    cuts = doc.agg(
+        F.percentile_approx(
+            "score_micro", [1.0 / 3.0, 2.0 / 3.0], _PPLX_ACC
+        ).alias("cs")
+    ).select(
+        F.col("cs")[0].alias("c1"), F.col("cs")[1].alias("c2")
+    )
+    j = doc.crossJoin(F.broadcast(cuts))
+    stats = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("c1").alias("c1"),
+        F.max("c2").alias("c2"),
+        F.sum((F.col("score_micro") < F.col("c1")).cast("long")).alias(
+            "lt1"
+        ),
+        F.sum((F.col("score_micro") <= F.col("c1")).cast("long")).alias(
+            "le1"
+        ),
+        F.sum((F.col("score_micro") < F.col("c2")).cast("long")).alias(
+            "lt2"
+        ),
+        F.sum((F.col("score_micro") <= F.col("c2")).cast("long")).alias(
+            "le2"
+        ),
+    )
+    # target order statistics (the exact query's k-th-smallest) and
+    # the GK rank-error margin; +2 absorbs the sketch's target-rank
+    # convention (1 + (n-1)p) vs the DIV-based order statistic
+    t1 = F.expr("n DIV 3 + 1")
+    t2 = F.expr("(2 * n) DIV 3 + 1")
+    m = F.greatest(
+        F.ceil(F.col("n") / F.lit(float(_PPLX_ACC))), F.lit(1)
+    ) + F.lit(2)
+    return stats.select(
+        F.col("n").alias("n_docs"),
+        (F.col("c1") <= F.col("c2")).alias("cuts_ordered"),
+        (
+            (F.col("lt1") + 1 - m <= t1) & (t1 <= F.col("le1") + m)
+        ).alias("c1_in_bound"),
+        (
+            (F.col("lt2") + 1 - m <= t2) & (t2 <= F.col("le2") + m)
+        ).alias("c2_in_bound"),
     )
 
 

@@ -289,6 +289,172 @@ def ext_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_ITERS = 5  # bounded multi-iteration composition (r9 verdict task 8)
+
+
+def _kmeans_train_oracle(iters: int = _KM_ITERS) -> str:
+    """DuckDB twin of the bounded Lloyd loop: one CTE pair
+    (distances → argmin assignment) per iteration plus the
+    integer-grid M-step centroids feeding the next, generated
+    programmatically so the SQL and the Spark loop share iteration
+    structure by construction."""
+    parts = [
+        f"""ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(FLOOR(embedding[i]::DOUBLE * {_KM_SCALE}) AS BIGINT) AS xi
+  FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)
+),
+vs AS (SELECT vec_id, CAST(SUM(xi) AS BIGINT) AS vsum FROM ex GROUP BY 1),
+cent1 AS (SELECT vec_id AS cluster_id, dim, xi AS ci
+          FROM ex WHERE vec_id < {_KM_K})"""
+    ]
+    selects = []
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+d{it} AS (
+  SELECT e.vec_id, c.cluster_id,
+         SUM((e.xi - c.ci) * (e.xi - c.ci)) AS d2
+  FROM ex e JOIN cent{it} c USING (dim) GROUP BY 1, 2
+),
+a{it} AS (
+  SELECT vec_id, cluster_id, d2 FROM (
+    SELECT vec_id, cluster_id, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster_id) AS rn
+    FROM d{it}) WHERE rn = 1
+)"""
+        )
+        if it < iters:
+            parts.append(
+                f""",
+cent{it + 1} AS (
+  SELECT a.cluster_id, e.dim,
+         CAST(FLOOR(CAST(SUM(e.xi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ci
+  FROM a{it} a JOIN ex e USING (vec_id) GROUP BY 1, 2
+)"""
+            )
+        selects.append(
+            f"""SELECT {it} AS iteration, a.cluster_id,
+       COUNT(*) AS n_members,
+       CAST(SUM(v.vsum) AS BIGINT) AS centroid_checksum,
+       CAST(SUM(a.d2) AS DOUBLE) / 1e12 AS wcss
+FROM a{it} a JOIN vs v USING (vec_id) GROUP BY 1, 2"""
+        )
+    return "WITH " + "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _kmeans_train_frame(
+    spark: SparkSession, sf_dir: str, iters: int
+) -> DataFrame:
+    """The Spark Lloyd loop: iteration state (centroids) stays a k-row
+    DataFrame broadcast back into the next assignment — no
+    driver-side data movement, no collect; the Python loop only
+    COMPOSES plans. Centroids re-quantize to the integer grid after
+    every M-step (FLOOR of the exact integer sum / count, computed in
+    double — sums stay far below 2^53, so the one division is
+    correctly rounded and engine-identical), which is what keeps
+    every iteration's assignment pure-BIGINT and the whole 5-deep
+    composition value-replayable in DuckDB."""
+    scale = f"CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)"
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> {scale})").alias("sv"),
+    )
+    vec = emb.withColumn(
+        "vsum", F.expr("aggregate(sv, 0L, (acc, v) -> acc + v)")
+    )
+    cent = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("sv").alias("sc")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sv, sc, (x, c) -> x - c), 0L,"
+        " (acc, dx) -> acc + dx * dx)"
+    )
+    stats: list[DataFrame] = []
+    for it in range(1, iters + 1):
+        win = (
+            vec.crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cluster_id")).alias("b"))
+            .select(
+                "vec_id",
+                F.col("b.cluster_id").alias("cluster_id"),
+                F.col("b.d2").alias("d2"),
+            )
+        )
+        # truncate lineage at the iteration boundary: the assignment
+        # feeds THREE consumers (audit row, M-step, and transitively
+        # every later iteration), and without this each union branch
+        # re-contains all prior iterations' subplans — exchange count
+        # grows QUADRATICALLY in depth (caught by the r9 flatness
+        # test). The lazy localCheckpoint stays executor-side (no
+        # driver data movement): one shared RDD per iteration,
+        # computed once inside the single action.
+        asg = win.join(vec, "vec_id").localCheckpoint(eager=False)
+        stats.append(
+            asg.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.sum("vsum").alias("centroid_checksum"),
+                (F.sum("d2").cast("double") / 1e12).alias("wcss"),
+            ).select(
+                F.lit(it).alias("iteration"),
+                "cluster_id",
+                "n_members",
+                "centroid_checksum",
+                "wcss",
+            )
+        )
+        if it < iters:
+            dimsums = (
+                asg.select(
+                    "cluster_id", F.posexplode("sv").alias("pos", "xi")
+                )
+                .groupBy("cluster_id", "pos")
+                .agg(
+                    F.floor(
+                        F.sum("xi").cast("double") / F.count(F.lit(1))
+                    )
+                    .cast("long")
+                    .alias("ci")
+                )
+            )
+            cent = dimsums.groupBy("cluster_id").agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, ci))),"
+                    " s -> s.ci)"
+                ).alias("sc")
+            )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+@register("ext_emb_kmeans_train", oracle=_kmeans_train_oracle())
+def ext_emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded iterate-to-convergence k-means (r9 verdict task 8):
+    FIVE full Lloyd iterations composed from the ext_emb_kmeans_step
+    kernel — per-iteration audit relation (iteration, cluster_id,
+    membership count, centroid checksum, wcss), every row
+    value-oracled against a DuckDB replay of the same 5-deep CTE
+    chain. Proves the step queries compose into a training loop with
+    the model state (k×dim centroids) living entirely in broadcast
+    DataFrames — the driver never touches a data row.
+
+    Scale: per-iteration cost is the step query's (k-way map fan-out
+    + one slim groupBy(vec_id) + the M-step's two keyed reductions);
+    the exchange count per added iteration is CONSTANT
+    (plan-audited in tests/test_round9_properties.py) because each
+    iteration's assignment truncates lineage with a lazy
+    executor-side localCheckpoint — the per-iteration persist a
+    production loop does anyway; wcss is the monotone convergence
+    metric a driver would watch.
+    """
+    return _kmeans_train_frame(spark, sf_dir, _KM_ITERS)
+
+
 @register(
     "ext_sample_temperature",
     oracle="""

@@ -13,3 +13,161 @@ def test_service_principal_reads_jvm_user_name(spark):
     or a shifted HADOOP_USER_NAME (r9 advisor, low)."""
     jvm_name = spark._jvm.System.getProperty("user.name")
     assert auth._service_principal() == jvm_name
+
+
+# --- r9: SemDeDup at production k (learned coarse cells) --------------------
+
+
+def _clustered_pos():
+    from layer_apache_hive_spark.extensions.fixtures import (
+        build_clustered_embeddings,
+    )
+
+    return build_clustered_embeddings(
+        "/root/testdata/sf0.001", "/root/repo/.tmp/clustered/pos"
+    )
+
+
+def test_semdedup_learned_collapses_clustered_keeps_isotropic(spark):
+    """The learned-quantizer tier must keep the paper's behavior at
+    both geometry extremes: a strongly clustered corpus collapses
+    hard (most vectors are semantic dups of a cell-mate), while the
+    near-isotropic driver fixture keeps most vectors."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from layer_apache_hive_spark.extensions.similarity import _SEMDEDUP_TAU
+    from layer_apache_hive_spark.registry import all_queries
+
+    q = all_queries()["ext_dedup_semantic_learned"]
+    pos = _clustered_pos()
+    df = q(spark, pos).toPandas().sort_values("vec_id")
+    n = len(df)
+    k = int(np.ceil(np.sqrt(n)))
+    assert set(df.label) <= set(range(k)), "cell ids must be seed ids"
+    assert df.kept.sum() < 0.5 * n, (
+        f"clustered corpus must collapse: kept {df.kept.sum()}/{n}"
+    )
+
+    # per-cell invariant, ground-truthed in numpy: any learned cell
+    # whose EVERY pair clears tau must keep exactly one survivor —
+    # the most marginal member (min centroid cosine)
+    t = pq.read_table(f"{pos}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    M = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    M = M[np.argsort(ids)]
+    nrm = np.linalg.norm(M, axis=1)
+    dense_cells = 0
+    for cell, grp in df.groupby("label"):
+        vids = grp.vec_id.to_numpy()
+        if len(vids) < 2:
+            continue
+        X = M[vids]
+        C = (X @ X.T) / np.outer(nrm[vids], nrm[vids])
+        iu = np.triu_indices(len(vids), 1)
+        if C[iu].min() >= _SEMDEDUP_TAU:
+            dense_cells += 1
+            kept = grp[grp.kept]
+            assert len(kept) == 1, (cell, len(kept))
+            assert (
+                kept.iloc[0].cent_cos == grp.cent_cos.min()
+            ), f"cell {cell}: survivor is not the most marginal member"
+    assert dense_cells > 0, "pin is vacuous: no fully-dense learned cell"
+
+    iso = q(spark, "/root/testdata/sf0.001").toPandas()
+    assert iso.kept.mean() > 0.9, "isotropic fixture must keep most"
+    assert (~iso.kept).sum() > 0, "some near-dups must still drop"
+
+
+# --- r9: bounded k-means training loop ---------------------------------------
+
+
+def test_kmeans_train_exchange_count_flat_per_iteration(spark):
+    """Each added Lloyd iteration must add a CONSTANT number of
+    Exchange nodes (r9 verdict task 8: 'per-iteration exchange count
+    flat') — a superlinear shuffle count would mean iterations
+    re-shuffle previous iterations' state."""
+    from layer_apache_hive_spark.extensions.training import (
+        _kmeans_train_frame,
+    )
+
+    def exchanges(iters: int) -> int:
+        df = _kmeans_train_frame(spark, "/root/testdata/sf0.001", iters)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    e1, e2, e3 = exchanges(1), exchanges(2), exchanges(3)
+    assert e2 - e1 == e3 - e2, (
+        f"exchange growth not flat: {e1}, {e2}, {e3}"
+    )
+
+
+def test_kmeans_train_wcss_monotone_and_step_consistent(spark):
+    """Lloyd convergence pin: total WCSS is non-increasing across the
+    five audited iterations, and iteration 1 reproduces the step
+    query's audit rows exactly (the loop IS the composed step)."""
+    from layer_apache_hive_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["ext_emb_kmeans_train"](spark, sf).collect()
+    by_iter = {}
+    for r in rows:
+        by_iter.setdefault(r.iteration, []).append(r)
+    wcss = [
+        sum(r.wcss for r in by_iter[i]) for i in sorted(by_iter)
+    ]
+    assert len(wcss) == 5
+    for a, b in zip(wcss, wcss[1:]):
+        assert b <= a + 1e-9, f"WCSS increased: {wcss}"
+    step = {
+        (r.cluster_id, r.n_members, r.centroid_checksum, r.wcss)
+        for r in all_queries()["ext_emb_kmeans_step"](spark, sf).collect()
+    }
+    it1 = {
+        (r.cluster_id, r.n_members, r.centroid_checksum, r.wcss)
+        for r in by_iter[1]
+    }
+    assert it1 == step, "iteration 1 must equal the registered step"
+
+
+# --- r9: real hash-determinism pin (replaces the vacuous in-row check) -------
+
+
+def test_engine_hash_determinism_across_evaluation_contexts(spark):
+    """fn_misc_rows_only's determinism claim, made real (r8 judge:
+    the in-row self-equality column constant-folded to true): hashes
+    computed per-row over parquet data must equal (a) the same
+    function evaluated on LITERALS in a separate job — a different
+    evaluation path — and (b) frozen known-answer values, so a seed
+    or algorithm change in a Spark upgrade is caught loudly."""
+    from pyspark.sql import functions as F
+
+    from layer_apache_hive_spark.catalog import read_table
+
+    name = "Customer#000000001"
+    row = (
+        read_table(spark, "/root/testdata/sf0.001", "customer")
+        .filter(F.col("c_name") == name)
+        .select(
+            F.hash("c_name").alias("h32"),
+            F.xxhash64("c_name").alias("h64"),
+            F.crc32(F.col("c_name").cast("binary")).alias("c32"),
+        )
+        .collect()[0]
+    )
+    lit = (
+        spark.range(1)
+        .select(
+            F.hash(F.lit(name)).alias("h32"),
+            F.xxhash64(F.lit(name)).alias("h64"),
+            F.crc32(F.lit(name).cast("binary")).alias("c32"),
+        )
+        .collect()[0]
+    )
+    assert (row.h32, row.h64, row.c32) == (lit.h32, lit.h64, lit.c32)
+    # frozen known answers (Spark 4.1, seed-42 Murmur3 / XXH64 / CRC32)
+    assert (row.h32, row.h64, row.c32) == (
+        -947655689,
+        5289279398613631133,
+        14390204,
+    )

@@ -140,6 +140,29 @@ try:
 except RuntimeError as e:
     assert "nested BEGIN" in str(e), str(e)[:800]
 print("TXN_GUARDS_OK")
+
+# --- READ-COMMITTED / no-read-your-own-writes, pinned on the SAME
+# table over the wire (r9 verdict task 7): an INSERT buffered inside
+# an open BEGIN must be INVISIBLE to a SELECT on that table from the
+# same connection until COMMIT returns, and visible right after —
+# the documented Hive-ACID read posture for open transactions
+# (txn.py: reads pass through at statement-level READ COMMITTED
+# against the published catalog state).
+out = beeline_script(
+    "BEGIN; "
+    "INSERT INTO orders VALUES (99, 'ryow-probe'); "
+    "SELECT 'RYOW' AS tag, (SELECT COUNT(*) FROM txn.orders "
+    "                       WHERE order_id = 99) AS n; "
+    "COMMIT", port)
+assert "RYOW,0" in out, (
+    "SELECT inside the open transaction must see the OLD state "
+    "(no read-your-own-writes)", out[-1500:])
+assert "Committed catalog v3" in out, out[-1500:]
+assert served(
+    "SELECT COUNT(*) AS n FROM txn.orders WHERE order_id = 99"
+) == [["1"]], "the committed insert must be visible after COMMIT"
+assert cat.current_version() == 3
+print("TXN_RYOW_OK")
 server.stop()
 spark.stop()
 """
@@ -165,6 +188,7 @@ def test_thrift_server_multi_statement_transactions():
         )
         assert "TXN_COMMIT_OK" in out
         assert "TXN_GUARDS_OK" in out
+        assert "TXN_RYOW_OK" in out
 
 
 _TXN_RACE = """
