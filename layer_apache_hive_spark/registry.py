@@ -69,6 +69,7 @@ def _load_all_modules() -> None:
     import layer_apache_hive_spark.extensions.text_analysis  # noqa: F401
     import layer_apache_hive_spark.extensions.multimodal  # noqa: F401
     import layer_apache_hive_spark.extensions.training  # noqa: F401
+    import layer_apache_hive_spark.repl  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
