@@ -40,6 +40,13 @@ NL_OK = {
     # k-seed fan-out: crossJoin against the k-row broadcast centroid
     # set (k=8) — the map-side assignment plan, not a data-data NL
     "ext_emb_kmeans_step",
+    # the same k-seed fan-out, once per Lloyd iteration (r9)
+    "ext_emb_kmeans_train",
+    # Lloyd coarse-quantizer fan-out against ⌈√n⌉ broadcast seeds (r9)
+    "ext_dedup_semantic_learned",
+    # 1-row percentile_approx cutoff aggregate crossJoined onto doc
+    # scores — the approx twin of ext_text_perplexity_filter (r9)
+    "ext_text_perplexity_filter_approx",
     # 1-row broadcast corpus stats (N, avg_dl) attached by crossJoin
     "ext_text_bm25",
     # exact-baseline tier: 20 broadcast query vectors cross-scored

@@ -72,40 +72,70 @@ def _acid_arrow_table(pdf, payload_fields, deletes: bool):
     return pa.table(cols)
 
 
-def _write_bucket_dir(
-    df: DataFrame, dirname: str, payload_fields, deletes: bool
-) -> int:
-    """Emit one ACID directory: one task per bucket writes
-    ``dirname/bucket_NNNNN`` via pyarrow.orc (PROBE_hive_acid.json:
-    Spark's own ORC writer cannot produce the ACID struct layout —
-    transactional DDL through the hive jars writes FLAT directories).
-    Returns the number of rows written; removes the directory again
-    when the delta turned out empty (AcidUtils tolerates empty dirs,
-    but Hive never emits them)."""
-    os.makedirs(dirname, exist_ok=True)
-    sort_keys = ["__otid", "__rid"] if deletes else ["__rid"]
+def _write_version_dirs(
+    events: DataFrame,
+    dels: DataFrame | None,
+    data_dir: str,
+    delete_dir: str | None,
+    payload_fields,
+) -> None:
+    """Emit one writeid's directories in ONE job: the insert events
+    and (when present) the delete events union into a single frame
+    flagged by ``__del``, and one applyInPandas task per
+    (kind, bucket) group writes ``<dir>/bucket_NNNNN`` via
+    pyarrow.orc (PROBE_hive_acid.json: Spark's own ORC writer cannot
+    produce the ACID struct layout — transactional DDL through the
+    hive jars writes FLAT directories). Insert files sort by rowId,
+    delete files by (originalTransaction, rowId) — the sorted-run
+    contract Hive's merger relies on. Empty dirs are removed again
+    (AcidUtils tolerates them, Hive never emits them)."""
+    os.makedirs(data_dir, exist_ok=True)
+    names = [n for n, _ in payload_fields]
+    if dels is None:
+        unioned = events.withColumn("__del", F.lit(False))
+    else:
+        os.makedirs(delete_dir, exist_ok=True)
+        types = dict(events.dtypes)
+        meta = ["__op", "__otid", "__bucket", "__rid", "__ctid"]
+        unioned = events.select(
+            *meta, *names, F.lit(False).alias("__del")
+        ).unionByName(
+            dels.select(
+                *meta,
+                *[
+                    F.lit(None).cast(types[n]).alias(n)
+                    for n in names
+                ],
+                F.lit(True).alias("__del"),
+            )
+        )
 
     def write_one(key, pdf):
         import pandas as pd
         from pyarrow import orc as pa_orc
 
-        b = int(key[0])
-        pdf = pdf.sort_values(sort_keys)
+        is_del, b = bool(key[0]), int(key[1])
+        pdf = pdf.sort_values(["__otid", "__rid"] if is_del else ["__rid"])
         pa_orc.write_table(
-            _acid_arrow_table(pdf, payload_fields, deletes),
-            os.path.join(dirname, f"bucket_{b:05d}"),
+            _acid_arrow_table(pdf, payload_fields, is_del),
+            os.path.join(
+                delete_dir if is_del else data_dir, f"bucket_{b:05d}"
+            ),
         )
-        return pd.DataFrame({"bucket": [b], "rows": [len(pdf)]})
+        return pd.DataFrame(
+            {"is_del": [is_del], "bucket": [b], "rows": [len(pdf)]}
+        )
 
     manifest = (
-        df.groupBy("__bucket")
-        .applyInPandas(write_one, "bucket int, rows long")
+        unioned.groupBy("__del", "__bucket")
+        .applyInPandas(write_one, "is_del boolean, bucket int, rows long")
         .collect()
     )
-    total = sum(r["rows"] for r in manifest)
-    if total == 0:
-        shutil.rmtree(dirname, ignore_errors=True)
-    return total
+    for is_del, d in ((False, data_dir), (True, delete_dir)):
+        if d is not None and not any(
+            r["rows"] and r["is_del"] == is_del for r in manifest
+        ):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def export_hive_acid(
@@ -199,28 +229,33 @@ def export_hive_acid(
             dirname = os.path.join(
                 out_root, f"delta_{writeid:07d}_{writeid:07d}"
             )
-        _write_bucket_dir(events, dirname, payload_fields, deletes=False)
-        if dels is not None:
-            _write_bucket_dir(
-                dels,
-                os.path.join(
-                    out_root, f"delete_delta_{writeid:07d}_{writeid:07d}"
-                ),
-                payload_fields,
-                deletes=True,
-            )
-        prev = live
-        live = (
-            ins.select(*payload_cols, "__otid", "__bucket", "__rid")
-            if writeid == 1
-            else kept.unionByName(
-                ins.select(*payload_cols, "__otid", "__bucket", "__rid")
-            )
+        _write_version_dirs(
+            events,
+            dels,
+            dirname,
+            None
+            if dels is None
+            else os.path.join(
+                out_root, f"delete_delta_{writeid:07d}_{writeid:07d}"
+            ),
+            payload_fields,
         )
-        # truncate lineage: without this the ledger's plan re-runs
-        # every prior version's diff on each subsequent action (the
-        # export is a chain, not a DAG Spark can share)
-        live = live.localCheckpoint(eager=True)
+        last = writeid == len(versions)
+        prev = live
+        if not last:  # the final version's ledger has no consumer
+            live = (
+                ins.select(*payload_cols, "__otid", "__bucket", "__rid")
+                if writeid == 1
+                else kept.unionByName(
+                    ins.select(
+                        *payload_cols, "__otid", "__bucket", "__rid"
+                    )
+                )
+            )
+            # truncate lineage: without this the ledger's plan re-runs
+            # every prior version's diff on each subsequent action
+            # (the export is a chain, not a DAG Spark can share)
+            live = live.localCheckpoint(eager=True)
         if prev is not None:
             prev.unpersist()
             j.unpersist()
