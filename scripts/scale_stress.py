@@ -81,6 +81,10 @@ _CORE_SLICE = [
     "join_interval_overlap",
     "composite_dashboard",
     "sink_zorder",
+    # r9: the write-back and replication paths scale with CHANGED
+    # rows — measure them like the rest of the sink family
+    "sink_hive_acid",
+    "ddl_repl_dump_load",
 ]
 
 
