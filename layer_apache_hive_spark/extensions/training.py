@@ -1341,3 +1341,436 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_train_dups"),
         )
     )
+
+
+# --- learned quality filter: linear probe trained against the LM teacher ----
+
+_LP_ITERS = 4  # bounded gradient-descent depth (fixed, both engines)
+_LP_LR_DEN = 8  # learning rate = 1/_LP_LR_DEN
+
+#: feature expressions in MILLI units, all in [0, 1000] so the GD
+#: step size has a data-independent stability bound (λmax of the
+#: normalized Gram matrix ≤ n_features, so lr = 1/8 < 2/4 converges)
+_LP_NFEAT = 4
+
+
+def _lp_fdiv_sql(a: str, b: str) -> str:
+    """FLOOR division for any-sign numerator, positive divisor —
+    DuckDB spelling. `(a - posmod(a, b))` is exactly divisible, so
+    `//`'s rounding convention is irrelevant."""
+    return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
+
+
+def _lp_oracle(iters: int = _LP_ITERS) -> str:
+    """DuckDB twin of the probe-training loop: the teacher-score CTE
+    (the perplexity queries' scoring, text_analysis.py), the milli-
+    scaled surface features, then one (pred → grad → weights) CTE
+    triple per GD iteration — generated programmatically so the SQL
+    and the Spark loop share iteration structure by construction."""
+    f = _lp_fdiv_sql
+    dot = "w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3"
+    parts = [
+        f"""toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), corpus AS (
+  SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+), total AS (
+  SELECT COUNT(*) AS n FROM toks
+), scored AS (
+  SELECT t.doc_id,
+         ROUND(ln(CAST(c.c AS DOUBLE) / total.n), 6) AS logp
+  FROM toks t JOIN corpus c ON t.token = c.token, total
+), teacher AS (
+  SELECT doc_id,
+         CAST(ROUND(
+           CAST(SUM(CAST(logp AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) * 1e6
+         ) AS BIGINT) AS score_micro
+  FROM scored GROUP BY doc_id
+), surf AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndt,
+         n_chars
+  FROM documents
+), feat AS (
+  SELECT t.doc_id,
+         {f("t.score_micro", "1000")} AS y,
+         CAST(1000 AS BIGINT) AS x0,
+         LEAST(s.nt * 10, 1000) AS x1,
+         LEAST((s.n_chars * 100) // s.nt, 1000) AS x2,
+         (s.ndt * 1000) // s.nt AS x3
+  FROM teacher t JOIN surf s USING (doc_id)
+), w0_ AS (
+  SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3
+)"""
+    ]
+    prev = "w0_"
+    for it in range(1, iters + 1):
+        pred = f(dot, "1000")
+        grads = ", ".join(
+            f"CAST(SUM((pred - y) * x{j}) AS BIGINT) AS s{j}"
+            for j in range(_LP_NFEAT)
+        )
+        step = ", ".join(
+            f"w{j} - {f(f's{j}', f'{1000 * _LP_LR_DEN} * n')} AS w{j}"
+            for j in range(_LP_NFEAT)
+        )
+        parts.append(
+            f""",
+p{it} AS (
+  SELECT fx.*, {pred} AS pred FROM feat fx CROSS JOIN {prev}
+),
+g{it} AS (
+  SELECT {grads}, COUNT(*) AS n FROM p{it}
+),
+w{it} AS (
+  SELECT {step} FROM {prev} CROSS JOIN g{it}
+)"""
+        )
+        prev = f"w{it}"
+    parts.append(
+        f""",
+pf AS (
+  SELECT fx.doc_id, {f(dot, "1000")} AS pred FROM feat fx CROSS JOIN {prev}
+),
+mn AS (
+  SELECT {f("CAST(SUM(pred) AS BIGINT)", "COUNT(*)")} AS m FROM pf
+)
+SELECT doc_id, pred, CAST(pred >= m AS INT) AS kept FROM pf, mn"""
+    )
+    return "WITH " + "".join(parts)
+
+
+def _lp_fdiv(a, b):
+    """FLOOR division (Column): (a - pmod(a, b)) is exactly divisible
+    by b, and every operand here stays far below 2^53, so the double
+    division is exact and engine-identical."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def _lp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from layer_apache_hive_spark.extensions.text_analysis import (
+        _perplexity_doc_scores,
+    )
+
+    teacher = _perplexity_doc_scores(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    surf = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.array_distinct(toks)).cast("long").alias("ndt"),
+        "n_chars",
+    )
+    return teacher.join(surf, "doc_id").select(
+        "doc_id",
+        _lp_fdiv(F.col("score_micro"), F.lit(1000)).alias("y"),
+        F.lit(1000).cast("long").alias("x0"),
+        F.least(F.col("nt") * 10, F.lit(1000).cast("long")).alias("x1"),
+        F.least(
+            (F.col("n_chars") * 100) / F.col("nt"),
+            F.lit(1000.0),
+        )
+        .cast("long")
+        .alias("x2"),
+        ((F.col("ndt") * 1000) / F.col("nt")).cast("long").alias("x3"),
+    )
+
+
+@register("ext_quality_linear_probe", oracle=_lp_oracle())
+def ext_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter — the CCNet/DCLM pattern: train a CHEAP
+    linear probe (surface features: length, mean token length,
+    type-token ratio, bias) against the EXPENSIVE teacher signal (the
+    unigram-LM document score shared with the perplexity tiers), then
+    filter with the probe. At 100 TB the teacher runs once on a
+    sample to fit the probe; the probe itself is four scalar-function
+    features and a dot product — a map-only pass over the corpus.
+
+    The trainer is _LP_ITERS (4) full-batch gradient-descent steps on
+    squared loss in FIXED-POINT arithmetic: features and weights in
+    milli units, every update FLOOR-divided (exact pmod identity), so
+    the whole loop is BIGINT-exact and DuckDB replays it via the
+    generated CTE chain (_lp_oracle — the ext_emb_kmeans_train
+    oracle-generation idiom). lr = 1/_LP_LR_DEN (1/8) is stable by
+    construction: features are normalized into [0, 1000] so the Gram
+    matrix's spectral bound is data-independent.
+
+    Scale/loop shape (the kmeans_train contract): model state (one
+    4-weight row) lives in a broadcast DataFrame; each iteration adds
+    ONE aggregation over the feature relation (map-side partials →
+    scalar), the feature relation itself is computed once behind a
+    lazy executor-side localCheckpoint, and the driver never touches
+    a data row. Gradient sums stay < 2^62 here; at corpus scale the
+    same sums move to DECIMAL(38,0) accumulation unchanged.
+    """
+    feat = _lp_features(spark, sf_dir).localCheckpoint(eager=False)
+    w = _lp_train(spark, feat, _LP_ITERS)
+    dot = _lp_dot()
+    pf = feat.crossJoin(F.broadcast(w)).select(
+        "doc_id", _lp_fdiv(dot, F.lit(1000)).alias("pred")
+    )
+    mn = pf.agg(
+        _lp_fdiv(
+            F.sum("pred"), F.count(F.lit(1))
+        ).alias("m")
+    )
+    return pf.crossJoin(F.broadcast(mn)).select(
+        "doc_id",
+        "pred",
+        (F.col("pred") >= F.col("m")).cast("int").alias("kept"),
+    )
+
+
+def _lp_dot():
+    return sum(F.col(f"w{j}") * F.col(f"x{j}") for j in range(_LP_NFEAT))
+
+
+def _lp_train(spark: SparkSession, feat: DataFrame, iters: int) -> DataFrame:
+    """Run ``iters`` GD steps over the feature relation; returns the
+    1-row weight DataFrame (model state never touches the driver)."""
+    w = spark.range(1).select(
+        *[F.lit(0).cast("long").alias(f"w{j}") for j in range(_LP_NFEAT)]
+    )
+    dot = _lp_dot()
+    for _ in range(iters):
+        p = feat.crossJoin(F.broadcast(w)).withColumn(
+            "pred", _lp_fdiv(dot, F.lit(1000))
+        )
+        g = p.agg(
+            *[
+                F.sum((F.col("pred") - F.col("y")) * F.col(f"x{j}")).alias(
+                    f"s{j}"
+                )
+                for j in range(_LP_NFEAT)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                *[
+                    (
+                        F.col(f"w{j}")
+                        - _lp_fdiv(
+                            F.col(f"s{j}"),
+                            F.lit(1000 * _LP_LR_DEN) * F.col("n"),
+                        )
+                    ).alias(f"w{j}")
+                    for j in range(_LP_NFEAT)
+                ]
+            )
+            .localCheckpoint(eager=False)
+        )
+    return w
+
+
+# --- trained-quantizer IVF: the training loop feeding the ANN index ---------
+
+_IVT_ITERS = 3  # Lloyd M-steps before the index freeze
+_IVT_NPROBE = 2
+_IVT_TOPK = 5
+_IVT_NQ = 20  # query set: vec_id < 20 (the sim-family convention)
+
+
+def _kmeans_centroids_after(
+    spark: SparkSession, sf_dir: str, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """(vec, cent): the FLOOR-scaled integer vector relation and the
+    centroid table after ``iters`` Lloyd M-steps from the
+    deterministic vec_id < _KM_K seeds — the ext_emb_kmeans_train
+    kernel re-exposed as (state in, state out) so downstream
+    consumers (the trained-quantizer IVF index) can freeze the model.
+    Same loop contract: centroids stay k-row broadcast DataFrames,
+    per-iteration lineage truncated by a lazy executor-side
+    localCheckpoint, integer-grid re-quantization keeps every step
+    BIGINT-exact."""
+    scale = f"CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)"
+    vec = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> {scale})").alias("sv"),
+    )
+    cent = vec.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("sv").alias("sc")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sv, sc, (x, c) -> x - c), 0L,"
+        " (acc, dx) -> acc + dx * dx)"
+    )
+    for _ in range(iters):
+        asg = (
+            vec.crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cluster_id")).alias("b"))
+            .select("vec_id", F.col("b.cluster_id").alias("cluster_id"))
+            .join(vec, "vec_id")
+            .localCheckpoint(eager=False)
+        )
+        dimsums = (
+            asg.select("cluster_id", F.posexplode("sv").alias("pos", "xi"))
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.floor(F.sum("xi").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("ci")
+            )
+        )
+        cent = dimsums.groupBy("cluster_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, ci))),"
+                " s -> s.ci)"
+            ).alias("sc")
+        )
+    return vec, cent
+
+
+def _ivf_trained_oracle(iters: int = _IVT_ITERS) -> str:
+    """DuckDB twin of the trained-quantizer IVF: the Lloyd CTE chain
+    (the _kmeans_train_oracle generator shape) up to cent{iters+1},
+    then index assignment, probe ranking, candidate join, and exact
+    integer-L2 top-k — every stage BIGINT, so the whole
+    train-then-search composition is value-replayable."""
+    parts = [
+        f"""ex AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(FLOOR(embedding[i]::DOUBLE * {_KM_SCALE}) AS BIGINT) AS xi
+  FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)
+),
+cent1 AS (SELECT vec_id AS cluster_id, dim, xi AS ci
+          FROM ex WHERE vec_id < {_KM_K})"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+d{it} AS (
+  SELECT e.vec_id, c.cluster_id,
+         SUM((e.xi - c.ci) * (e.xi - c.ci)) AS d2
+  FROM ex e JOIN cent{it} c USING (dim) GROUP BY 1, 2
+),
+a{it} AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster_id) AS rn
+    FROM d{it}) WHERE rn = 1
+),
+cent{it + 1} AS (
+  SELECT a.cluster_id, e.dim,
+         CAST(FLOOR(CAST(SUM(e.xi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ci
+  FROM a{it} a JOIN ex e USING (vec_id) GROUP BY 1, 2
+)"""
+        )
+    cf = f"cent{iters + 1}"
+    parts.append(
+        f""",
+didx AS (
+  SELECT e.vec_id, c.cluster_id,
+         SUM((e.xi - c.ci) * (e.xi - c.ci)) AS d2
+  FROM ex e JOIN {cf} c USING (dim) GROUP BY 1, 2
+),
+aidx AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster_id) AS rn
+    FROM didx) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster_id) AS pr
+    FROM didx WHERE vec_id < {_IVT_NQ}) WHERE pr <= {_IVT_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN aidx a USING (cluster_id)
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(SUM((q.xi - n.xi) * (q.xi - n.xi)) AS BIGINT) AS d2
+  FROM cand c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex n ON n.vec_id = c.neighbor_id AND n.dim = q.dim
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, d2, rank FROM (
+  SELECT query_id, neighbor_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2, neighbor_id) AS rank
+  FROM dots) WHERE rank <= {_IVT_TOPK}"""
+    )
+    return "WITH " + "".join(parts)
+
+
+@register("ext_sim_ivf_trained", oracle=_ivf_trained_oracle())
+def ext_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer — the training loop
+    (ext_emb_kmeans_train's Lloyd kernel, 3 M-steps) feeding the
+    similarity index (ext_sim_ivf_nprobe's probe protocol), i.e. the
+    actual FAISS/IVF build pipeline: train centroids on the corpus,
+    freeze them, assign every vector to its cell, then serve queries
+    by ranking centroids and exactly scoring only the nprobe=2 probed
+    cells. Distance is the SAME integer-grid L2 the trainer uses, so
+    the entire train→index→search composition is BIGINT-exact and
+    DuckDB replays it end to end (generated CTE chain).
+
+    100 TB shape: training cost is _IVT_ITERS × the Lloyd step (k-way
+    map fan-out + two keyed reductions, constant exchanges per
+    iteration); the frozen centroid table is K×d rows (broadcast by
+    construction); index assignment is one map pass; the candidate
+    join shuffles on the cell key so per-query work is nprobe/K of
+    the corpus. The untrained tiers (ext_sim_ivf / _nprobe, label
+    cells) stay registered as the recall baseline — STRESS.json's
+    clustered gate measures what training buys.
+    """
+    vec, cent = _kmeans_centroids_after(spark, sf_dir, _IVT_ITERS)
+    d2 = F.expr(
+        "aggregate(zip_with(sv, sc, (x, c) -> x - c), 0L,"
+        " (acc, dx) -> acc + dx * dx)"
+    )
+    scored = vec.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+    aidx = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster_id")).alias("b"))
+        .select("vec_id", F.col("b.cluster_id").alias("cluster_id"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cluster_id").asc()
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < _IVT_NQ)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= _IVT_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cluster_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(aidx, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qv = vec.select(
+        F.col("vec_id").alias("query_id"), F.col("sv").alias("qv")
+    ).filter(F.col("query_id") < _IVT_NQ)
+    nv = vec.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("sv").alias("nv")
+    )
+    pair_d2 = F.expr(
+        "aggregate(zip_with(qv, nv, (x, c) -> x - c), 0L,"
+        " (acc, dx) -> acc + dx * dx)"
+    )
+    dots = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", pair_d2.alias("d2"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return dots.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= _IVT_TOPK
+    )

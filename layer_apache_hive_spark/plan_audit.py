@@ -54,6 +54,13 @@ NL_OK = {
     "ext_sim_recall_eval",
     # two 1-row count aggregates crossJoined into the summary row
     "ext_dedup_recall_eval",
+    # GD model state: the 1-row weight relation (and the 1-row mean
+    # cutoff) crossJoined onto the feature relation each step — BNLJ
+    # against one broadcast row is the wanted plan (r9)
+    "ext_quality_linear_probe",
+    # trained-quantizer fan-out: crossJoin against the k-row (k=8)
+    # broadcast centroid table for assignment + probe ranking (r9)
+    "ext_sim_ivf_trained",
     # 1-row top-type relation attached to the 1-row wide aggregate
     "composite_dashboard",
 }

@@ -115,7 +115,11 @@ def _write_version_dirs(
         from pyarrow import orc as pa_orc
 
         is_del, b = bool(key[0]), int(key[1])
-        pdf = pdf.sort_values(["__otid", "__rid"] if is_del else ["__rid"])
+        # insert runs sort by (originalTransaction, rowId): within a
+        # single-writeid delta that equals the rowId order, and a
+        # COMPACTED base (mixed otids, compact_hive_acid) keeps the
+        # sorted-run contract Hive's merger expects
+        pdf = pdf.sort_values(["__otid", "__rid"])
         pa_orc.write_table(
             _acid_arrow_table(pdf, payload_fields, is_del),
             os.path.join(
@@ -263,29 +267,33 @@ def export_hive_acid(
     return out_root
 
 
-def read_hive_acid(
-    spark: SparkSession, root: str, payload_schema: list[tuple[str, str]]
-) -> DataFrame:
-    """AcidUtils directory election + distributed per-file Arrow
-    decode + the delete anti-join on (originalTransaction, bucket,
-    rowId) — the generalized core of scans.scan_hive_acid (round-7
-    verdict task 8), parameterized on the payload schema so it reads
-    BOTH the hand-built fixture and layouts export_hive_acid emits.
-
-    Election is driver-side METADATA only (dir entries, never rows):
-    highest base_N wins; delta/delete_delta dirs with writeids above
-    it apply on top. One decode task per ORC file; delete deltas are
-    tiny by nature → broadcast anti-join."""
-    import glob as _glob
-
+def _elect_dirs(
+    root: str, max_writeid: int | None = None
+) -> tuple[list[str], list[str]]:
+    """AcidUtils directory election — driver-side METADATA only (dir
+    entries, never rows): highest base_N wins; delta/delete_delta
+    dirs with writeids above it apply on top. ``max_writeid`` bounds
+    the election to writeids ≤ it (the compactor's watermark —
+    Hive's ValidWriteIdList high-water mark), so a compaction can
+    fold a PREFIX of the chain while later transactions stay live."""
     base_n = 0
     data_dirs: list[str] = []
     delete_dirs: list[str] = []
+
+    def _hi(entry: str) -> int:
+        # base_N → N; delta_/delete_delta_minW_maxW → maxW
+        parts = entry.split("_")
+        return int(parts[-1])
+
     for e in sorted(os.listdir(root)):
-        if e.startswith("base_"):
+        if e.startswith("base_") and (
+            max_writeid is None or _hi(e) <= max_writeid
+        ):
             base_n = max(base_n, int(e.split("_")[1]))
     for e in sorted(os.listdir(root)):
         p = os.path.join(root, e)
+        if max_writeid is not None and _hi(e) > max_writeid:
+            continue
         if e.startswith("base_") and int(e.split("_")[1]) == base_n:
             data_dirs.append(p)
         elif e.startswith("delete_delta_"):
@@ -294,6 +302,30 @@ def read_hive_acid(
         elif e.startswith("delta_"):
             if int(e.split("_")[1]) > base_n:
                 data_dirs.append(p)
+    return data_dirs, delete_dirs
+
+
+def read_hive_acid(
+    spark: SparkSession,
+    root: str,
+    payload_schema: list[tuple[str, str]],
+    keep_identity: bool = False,
+    max_writeid: int | None = None,
+) -> DataFrame:
+    """AcidUtils directory election + distributed per-file Arrow
+    decode + the delete anti-join on (originalTransaction, bucket,
+    rowId) — the generalized core of scans.scan_hive_acid (round-7
+    verdict task 8), parameterized on the payload schema so it reads
+    BOTH the hand-built fixture and layouts export_hive_acid emits.
+
+    One decode task per ORC file; delete deltas are tiny by nature →
+    broadcast anti-join. ``keep_identity`` surfaces the row-id triple
+    alongside the payload (the compactor needs it to PRESERVE
+    identities — Hive's invariant that delete events committed after
+    a compaction still find their rows)."""
+    import glob as _glob
+
+    data_dirs, delete_dirs = _elect_dirs(root, max_writeid)
 
     def files_df(dirs: list[str]) -> DataFrame:
         paths = [
@@ -347,9 +379,88 @@ def read_hive_acid(
     dels = files_df(delete_dirs).mapInPandas(
         read_deletes, "otid long, bucket int, rid long"
     )
-    return live.join(
+    merged = live.join(
         F.broadcast(dels), ["otid", "bucket", "rid"], "left_anti"
-    ).select(*names)
+    )
+    return merged if keep_identity else merged.select(*names)
+
+
+def compact_hive_acid(
+    spark: SparkSession,
+    root: str,
+    payload_schema: list[tuple[str, str]],
+    payload_fields,
+    max_writeid: int | None = None,
+) -> int:
+    """MAJOR compaction of an ACID layout we (or Hive) wrote: fold
+    every elected directory with writeid ≤ ``max_writeid`` into one
+    new ``base_W`` (W = the watermark), exactly what Hive's
+    CompactorMR Worker emits `[upstream: Hive ql/txn/compactor/
+    Worker, CompactorMR]`. Two invariants carried from Hive:
+
+    * **row identities are PRESERVED** — each surviving row keeps its
+      (originalTransaction, bucket, rowId) triple and
+      currentTransaction = originalTransaction, so delete_delta
+      events committed AFTER the watermark still find their rows in
+      the compacted base (test_hive_acid_export pins this with a
+      post-watermark delete);
+    * **the merge applies in-watermark delete events and drops
+      them** — the new base is the anti-joined survivor set, so the
+      folded delete_delta dirs carry no information the base lacks.
+
+    Scale: the fold is the election read (one Arrow decode task per
+    file, broadcast anti-join) plus one applyInPandas write task per
+    bucket — no shuffle beyond the per-bucket grouping, and the
+    driver only sees per-bucket manifest rows. Returns W."""
+    data_dirs, _ = _elect_dirs(root, max_writeid)
+    if not data_dirs:
+        # empty table / empty chain: Hive's Initiator never queues a
+        # compaction for a directory with no deltas — no-op, not an
+        # error (the empty-corpus sweep exercises this)
+        return 0
+    w = max(int(os.path.basename(d).split("_")[-1]) for d in data_dirs)
+    merged = read_hive_acid(
+        spark, root, payload_schema, keep_identity=True, max_writeid=w
+    )
+    events = (
+        merged.withColumnRenamed("otid", "__otid")
+        .withColumnRenamed("bucket", "__bucket")
+        .withColumnRenamed("rid", "__rid")
+        .withColumn("__op", F.lit(_OP_INSERT))
+        .withColumn("__ctid", F.col("__otid"))
+    )
+    _write_version_dirs(
+        events,
+        None,
+        os.path.join(root, f"base_{w:07d}"),
+        None,
+        payload_fields,
+    )
+    return w
+
+
+def clean_hive_acid(root: str) -> list[str]:
+    """Hive's Cleaner: drop directories the highest base supersedes
+    (any base_N' < base_N and any delta/delete_delta whose max
+    writeid ≤ N). Driver-side metadata-only, idempotent; in Hive it
+    runs only after open readers drain (ValidTxnList watermark) —
+    under test we call it synchronously. Returns removed entries."""
+    base_n = 0
+    for e in os.listdir(root):
+        if e.startswith("base_"):
+            base_n = max(base_n, int(e.split("_")[1]))
+    removed = []
+    for e in sorted(os.listdir(root)):
+        parts = e.split("_")
+        if e.startswith("base_") and int(parts[1]) < base_n:
+            removed.append(e)
+        elif e.startswith(("delta_", "delete_delta_")) and int(
+            parts[-1]
+        ) <= base_n:
+            removed.append(e)
+    for e in removed:
+        shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+    return removed
 
 
 # --- registered round-trip query --------------------------------------------
@@ -405,10 +516,18 @@ def sink_hive_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
       v3 (delete_delta/delta_0000003):
           DELETE % 5 = 0; UPDATE price += 1 WHERE % 3 = 0 AND % 7 = 3
     """
+    layout = _orders_chain_layout(spark, sf_dir, "hive_acid_export")
+    return read_hive_acid(spark, layout, _ORDERS_SCHEMA)
+
+
+def _orders_chain_layout(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Commit sink_hive_acid's 3-version change algebra over orders
+    into a VersionedTable and export it as the ACID layout (shared by
+    the round-trip and compaction queries)."""
     from layer_apache_hive_spark.acid import VersionedTable
 
     label = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    work = f"{TMP_ROOT}/sinks/{label}/hive_acid_export"
+    work = f"{TMP_ROOT}/sinks/{label}/{tag}"
     shutil.rmtree(work, ignore_errors=True)
     vt = VersionedTable(os.path.join(work, "vt"))
     orders = read_table(spark, sf_dir, "orders").select(*_ORDERS_PAYLOAD)
@@ -423,7 +542,7 @@ def sink_hive_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i, df in enumerate((v1, v2, v3)):
         vt.commit(df, base_version=i)
-    layout = export_hive_acid(
+    return export_hive_acid(
         spark,
         lambda v: vt.read(spark, v),
         versions=[1, 2, 3],
@@ -432,4 +551,41 @@ def sink_hive_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=_ORDERS_PAYLOAD,
         payload_fields=_orders_arrow_fields(),
     )
+
+
+@register(
+    "sink_hive_acid_compact",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 3
+            THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE ((o_orderkey % 3 = 0)
+       OR (o_orderkey % 3 = 1 AND o_orderkey % 7 = 0))
+  AND o_orderkey % 5 <> 0
+""",
+)
+def sink_hive_acid_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAJOR compaction of our own ACID layout, mid-chain — the third
+    leg of the write/read/compact lifecycle `[upstream: Hive
+    ql/txn/compactor/Worker + Cleaner]`. Build sink_hive_acid's
+    3-writeid layout, compact at WATERMARK 2 (folding base_1 +
+    delta_2 into base_0000002 while transaction 3 stays live), run
+    the Cleaner, and read the result through the ordinary election
+    path.
+
+    The oracle is the SAME final change algebra as sink_hive_acid —
+    which is exactly the point: the value hash breaks unless the
+    compactor PRESERVES row identities, because writeid 3's
+    delete_delta events reference (otid 1/2, bucket, rowId) triples
+    that must still name the same rows inside the compacted base,
+    and its update re-inserts must not collide with them. A
+    compactor that renumbered rows, applied post-watermark deletes,
+    or dropped the delete events' targets returns different rows.
+    """
+    layout = _orders_chain_layout(spark, sf_dir, "hive_acid_compact")
+    compact_hive_acid(
+        spark, layout, _ORDERS_SCHEMA, _orders_arrow_fields(), max_writeid=2
+    )
+    clean_hive_acid(layout)
     return read_hive_acid(spark, layout, _ORDERS_SCHEMA)

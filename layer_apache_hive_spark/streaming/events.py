@@ -1389,9 +1389,11 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two tiny per-series aggregations (percentile per
     event_type → |series| rows, broadcast back onto the events scan),
     all row work map-side. Exact percentile is a full-sort-per-key
-    aggregate internally — at 100 TB swap to approx_percentile with
-    a pinned accuracy and keep this exact form as the oracle gate;
-    the plan shape (agg → broadcast join → filter) is unchanged.
+    aggregate internally — the 100 TB swap IS registered:
+    evt_anomaly_mad_approx computes both order statistics with
+    grouped percentile_approx sketches (bounded state, derived-bound
+    oracle) and keeps this exact form as the bit-checkable gate; the
+    plan shape (agg → broadcast join → filter) is unchanged.
     """
     v = read_table(spark, sf_dir, "events").select(
         "event_id",
@@ -1413,6 +1415,96 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             (F.col("adev") / F.col("mad")).alias("dev_ratio"),
         )
+    )
+
+
+#: percentile_approx accuracy for the production MAD tier (rank error
+#: per group ≤ n_g / _MAD_ACC)
+_MAD_ACC = 10000
+
+
+@register(
+    "evt_anomaly_mad_approx",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS med_in_bound, TRUE AS mad_in_bound
+FROM events
+GROUP BY event_type
+""",
+)
+def evt_anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION tier of evt_anomaly_mad's per-series robust
+    statistics: both order statistics (per-type median and MAD) come
+    from grouped ``percentile_approx`` sketches (Greenwald-Khanna,
+    accuracy 10000 → per-group rank error ≤ n_g·1e-4) instead of the
+    exact ``percentile``, which is a full-sort-per-key aggregate
+    internally. The sketch is a map-side-combining aggregate with
+    bounded state per (partition, group) — the 100 TB swap the exact
+    query's docstring names; the exact form stays registered as the
+    bit-checkable gate (the perplexity exact/approx pairing,
+    text_analysis.py).
+
+    Derived-bound oracle (the ext_text_perplexity_filter_approx
+    precedent — DuckDB cannot replay Spark's sketch, so the query
+    asserts the sketch's own guarantee and the oracle pins the
+    assertion): for each series, the returned approx median m must
+    satisfy rank_lt(m)+1-ε ≤ target ≤ rank_le(m)+ε with
+    ε = ⌈n_g/ACC⌉+2 (the +2 absorbs the target-rank convention),
+    and the approx MAD must satisfy the same bound over the
+    |vi − m| deviations it was sketched from (self-consistent by
+    construction — the deviations are relative to the APPROX median,
+    exactly what a production MAD pipeline computes). The query
+    recomputes all four rank counts distributively; a sketch bug, a
+    wrong accuracy, or a swapped percentile flips a boolean and
+    breaks the value hash.
+    """
+    v = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * _MAD_SCALE).cast("bigint").alias("vi"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.percentile_approx("vi", 0.5, _MAD_ACC).alias("med_a")
+    )
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("vi") - F.col("med_a"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile_approx("adev", 0.5, _MAD_ACC).alias("mad_a")
+    )
+    stats = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("vi") < F.col("med_a")).cast("long")).alias(
+                "lt_med"
+            ),
+            F.sum((F.col("vi") <= F.col("med_a")).cast("long")).alias(
+                "le_med"
+            ),
+            F.sum((F.col("adev") < F.col("mad_a")).cast("long")).alias(
+                "lt_mad"
+            ),
+            F.sum((F.col("adev") <= F.col("mad_a")).cast("long")).alias(
+                "le_mad"
+            ),
+        )
+    )
+    # the sketch's target rank for p=0.5 is 1 + (n-1)/2; the margin is
+    # the GK guarantee plus the convention slack
+    t = (F.lit(1.0) + (F.col("n") - 1) / 2.0).alias("t")
+    m = F.greatest(
+        F.ceil(F.col("n") / F.lit(float(_MAD_ACC))), F.lit(1)
+    ) + F.lit(2)
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        (
+            (F.col("lt_med") + 1 - m <= t) & (t <= F.col("le_med") + m)
+        ).alias("med_in_bound"),
+        (
+            (F.col("lt_mad") + 1 - m <= t) & (t <= F.col("le_mad") + m)
+        ).alias("mad_in_bound"),
     )
 
 

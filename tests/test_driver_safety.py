@@ -199,8 +199,10 @@ def test_fn_misc_engine_specific_columns_match_independent_references(spark):
     for r in rows:
         name, bal = src[r["c_custkey"]]
         h = hash_rows[r["c_custkey"]]
+        # (r9: the vacuous in-row hash_deterministic column is gone —
+        # the real cross-context determinism pin lives in
+        # tests/test_round9_properties.py)
         assert h["name_crc32"] == zlib.crc32(name.encode())
-        assert h["hash_deterministic"] is True
         assert r["name_soundex"] == soundex_ref(name)
         assert r["key_hex"] == format(r["c_custkey"], "X")
         assert r["name_hexenc"] == name.encode().hex().upper()

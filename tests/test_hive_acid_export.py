@@ -11,6 +11,8 @@ import os
 import pytest
 
 from layer_apache_hive_spark.sources.hive_acid import (
+    clean_hive_acid,
+    compact_hive_acid,
     export_hive_acid,
     read_hive_acid,
 )
@@ -156,6 +158,99 @@ def test_round_trip_matches_change_algebra(spark, layout):
         (i, "A", float(i)) for i in (4, 5, 6, 7, 8)
     }
     assert got == expect, got
+
+
+def _snapshot(spark, root):
+    return {
+        (r.k, r.status, r.price)
+        for r in read_hive_acid(spark, root, SCHEMA).collect()
+    }
+
+
+def test_compact_full_chain_is_lossless(spark, layout):
+    """Major compaction over the whole chain: one base_0000003 holds
+    the merged survivors, the Cleaner drops everything else, and the
+    read is unchanged."""
+    before = _snapshot(spark, layout)
+    w = compact_hive_acid(spark, layout, SCHEMA, _fields())
+    assert w == 3
+    removed = clean_hive_acid(layout)
+    assert sorted(os.listdir(layout)) == ["base_0000003"]
+    assert set(removed) == {
+        "base_0000001",
+        "delta_0000002_0000002",
+        "delta_0000003_0000003",
+        "delete_delta_0000003_0000003",
+    }
+    assert _snapshot(spark, layout) == before
+
+
+def test_compact_preserves_row_identities(spark, layout):
+    """Hive's compaction invariant: rows in the compacted base keep
+    their ORIGINAL (otid, bucket, rowId) triple and
+    currentTransaction == originalTransaction — a renumbering
+    compactor would orphan post-watermark delete events."""
+    from pyarrow import orc as pa_orc
+
+    ids_before = {}
+    for d in sorted(os.listdir(layout)):
+        if d.startswith("delete_delta_"):
+            continue
+        for f in os.listdir(os.path.join(layout, d)):
+            t = pa_orc.ORCFile(os.path.join(layout, d, f)).read().flatten()
+            for otid, b, rid, k in zip(
+                t["originalTransaction"].to_pylist(),
+                t["bucket"].to_pylist(),
+                t["rowId"].to_pylist(),
+                t["row.k"].to_pylist(),
+            ):
+                ids_before[k] = (otid, b, rid)
+    compact_hive_acid(spark, layout, SCHEMA, _fields())
+    d = os.path.join(layout, "base_0000003")
+    seen = {}
+    for f in os.listdir(d):
+        t = pa_orc.ORCFile(os.path.join(d, f)).read().flatten()
+        for otid, b, rid, ctid, k in zip(
+            t["originalTransaction"].to_pylist(),
+            t["bucket"].to_pylist(),
+            t["rowId"].to_pylist(),
+            t["currentTransaction"].to_pylist(),
+            t["row.k"].to_pylist(),
+        ):
+            assert ctid == otid, (k, otid, ctid)
+            seen[k] = (otid, b, rid)
+    # survivors keep the identity they were WRITTEN with (key 3's
+    # surviving image is the txn-3 re-insert, so its triple is the
+    # delta_3 one — still present in ids_before via the later file)
+    for k, triple in seen.items():
+        assert ids_before[k] == triple, (k, ids_before[k], triple)
+
+
+def test_compact_at_watermark_leaves_later_txns_live(spark, layout):
+    """Compact writeids ≤ 2 only: base_0000002 folds base_1 + delta_2,
+    the Cleaner keeps txn 3's delta/delete_delta, and the election
+    read still applies them — which requires the preserved identities
+    (delete events reference otid 1/2 rows inside the new base)."""
+    before = _snapshot(spark, layout)
+    w = compact_hive_acid(spark, layout, SCHEMA, _fields(), max_writeid=2)
+    assert w == 2
+    removed = clean_hive_acid(layout)
+    assert set(removed) == {"base_0000001", "delta_0000002_0000002"}
+    assert sorted(os.listdir(layout)) == [
+        "base_0000002",
+        "delete_delta_0000003_0000003",
+        "delta_0000003_0000003",
+    ]
+    # the compacted base is the v2 snapshot (all 10 keys, old prices)
+    from pyarrow import orc as pa_orc
+
+    base_rows = 0
+    for f in os.listdir(os.path.join(layout, "base_0000002")):
+        base_rows += pa_orc.ORCFile(
+            os.path.join(layout, "base_0000002", f)
+        ).read().num_rows
+    assert base_rows == 10
+    assert _snapshot(spark, layout) == before
 
 
 def test_unchanged_version_emits_no_delta(spark, tmp_path):

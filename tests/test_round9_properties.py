@@ -171,3 +171,131 @@ def test_engine_hash_determinism_across_evaluation_contexts(spark):
         5289279398613631133,
         14390204,
     )
+
+
+# --- r9: learned quality filter (linear probe vs the LM teacher) ------------
+
+
+def test_linear_probe_loss_monotone(spark):
+    """GD convergence pin: the squared loss against the teacher score
+    is strictly decreasing over the four training steps (lr = 1/8 is
+    inside the stability bound by construction — a diverging or
+    mis-scaled update flips this)."""
+    from pyspark.sql import functions as F
+
+    from layer_apache_hive_spark.extensions.training import (
+        _LP_ITERS,
+        _lp_dot,
+        _lp_fdiv,
+        _lp_features,
+        _lp_train,
+    )
+
+    feat = _lp_features(spark, "/root/testdata/sf0.001").localCheckpoint()
+
+    def sse(iters: int) -> float:
+        w = _lp_train(spark, feat, iters)
+        p = feat.crossJoin(F.broadcast(w)).withColumn(
+            "pred", _lp_fdiv(_lp_dot(), F.lit(1000))
+        )
+        return p.agg(
+            F.sum(
+                ((F.col("pred") - F.col("y")) ** 2).cast("double")
+            ).alias("s")
+        ).collect()[0].s
+
+    losses = [sse(i) for i in range(_LP_ITERS + 1)]
+    for a, b in zip(losses, losses[1:]):
+        assert b < a, f"loss not strictly decreasing: {losses}"
+    # and the probe actually learned something: ≥60% loss reduction
+    assert losses[-1] < 0.4 * losses[0], losses
+
+
+def test_linear_probe_exchange_count_flat_per_iteration(spark):
+    """Each added GD step must add a CONSTANT number of Exchange
+    nodes (the kmeans_train loop contract): one aggregation per
+    iteration, never a re-shuffle of prior state."""
+    from layer_apache_hive_spark.extensions.training import (
+        _lp_features,
+        _lp_train,
+    )
+
+    feat = _lp_features(spark, "/root/testdata/sf0.001").localCheckpoint()
+
+    def exchanges(iters: int) -> int:
+        w = _lp_train(spark, feat, iters)
+        plan = w._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    e1, e2, e3 = exchanges(1), exchanges(2), exchanges(3)
+    assert e2 - e1 == e3 - e2, (
+        f"exchange growth not flat: {e1}, {e2}, {e3}"
+    )
+
+
+def test_linear_probe_kept_split_is_mean_threshold(spark):
+    """The filter keeps exactly the docs with above-mean predicted
+    quality, and both classes are non-empty at sf0.001 (a degenerate
+    probe that predicts one constant would keep everything)."""
+    from layer_apache_hive_spark.registry import all_queries
+
+    rows = all_queries()["ext_quality_linear_probe"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    preds = [r.pred for r in rows]
+    # Python // floors like the query's pmod identity
+    m = sum(preds) // len(preds)
+    kept = {r.doc_id for r in rows if r.kept == 1}
+    expect = {r.doc_id for r in rows if r.pred >= m}
+    assert kept == expect
+    assert 0 < len(kept) < len(rows)
+
+
+# --- r9: trained-quantizer IVF (training loop feeds the index) --------------
+
+
+def test_ivf_trained_full_recall_on_scrambled_labels(spark):
+    """The trained quantizer never reads the label column, so on the
+    SCRAMBLED-label control twin — where label-cell IVF collapses to
+    ~1/K (the STRESS clustered gate) — ext_sim_ivf_trained must still
+    recover the planted geometry: recall@5 vs the exact integer-L2
+    ground truth = 1.0 on BOTH the clustered fixture and its
+    scrambled control. Training is what buys back the recall broken
+    metadata loses."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from layer_apache_hive_spark.extensions.fixtures import (
+        build_clustered_embeddings,
+    )
+    from layer_apache_hive_spark.extensions.training import (
+        _IVT_NQ,
+        _IVT_TOPK,
+        _KM_SCALE,
+        ext_sim_ivf_trained,
+    )
+
+    for scramble in (False, True):
+        d = build_clustered_embeddings(
+            "/root/testdata/sf0.001",
+            f"/root/repo/.tmp/clustered/{'neg' if scramble else 'pos'}",
+            scramble_labels=scramble,
+        )
+        t = pq.read_table(f"{d}/embeddings.parquet").to_pandas()
+        V = np.floor(
+            np.stack(t["embedding"].values).astype("float64") * _KM_SCALE
+        )
+        ids = t["vec_id"].values
+        order = np.argsort(ids)
+        V, ids = V[order], ids[order]
+        got = {}
+        for r in ext_sim_ivf_trained(spark, d).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = tot = 0
+        for q in range(_IVT_NQ):
+            dv = ((V - V[q]) ** 2).sum(axis=1)
+            dv[q] = np.inf
+            truth = set(ids[np.lexsort((ids, dv))[:_IVT_TOPK]])
+            hits += len(truth & got.get(q, set()))
+            tot += _IVT_TOPK
+        assert hits / tot == 1.0, (scramble, hits / tot)
