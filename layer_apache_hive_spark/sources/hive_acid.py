@@ -267,6 +267,13 @@ def export_hive_acid(
     return out_root
 
 
+import re as _re
+
+#: Hive "original file" name shape (pre-conversion flat bucket files
+#: at the table root): 000000_0, 000001_0_copy_1, ...
+_ORIGINAL_RE = _re.compile(r"^(\d{6})_\d+(_copy_\d+)?$")
+
+
 def _elect_dirs(
     root: str, max_writeid: int | None = None
 ) -> tuple[list[str], list[str]]:
@@ -279,6 +286,7 @@ def _elect_dirs(
     base_n = 0
     data_dirs: list[str] = []
     delete_dirs: list[str] = []
+    original_files: list[str] = []
 
     def _hi(entry: str) -> int:
         # base_N → N; delta_/delete_delta_minW_maxW → maxW
@@ -292,17 +300,24 @@ def _elect_dirs(
             base_n = max(base_n, int(e.split("_")[1]))
     for e in sorted(os.listdir(root)):
         p = os.path.join(root, e)
-        if max_writeid is not None and _hi(e) > max_writeid:
-            continue
         if e.startswith("base_") and int(e.split("_")[1]) == base_n:
             data_dirs.append(p)
-        elif e.startswith("delete_delta_"):
+        elif _ORIGINAL_RE.match(e) and base_n == 0:
+            # pre-conversion flat bucket files (ALTER TABLE SET
+            # transactional=true never rewrites data): valid ONLY
+            # until the first compaction folds them into a base —
+            # AcidUtils' getAcidState original-files rule
+            original_files.append(p)
+            continue
+        if max_writeid is not None and _hi(e) > max_writeid:
+            continue
+        if e.startswith("delete_delta_"):
             if int(e.split("_")[2]) > base_n:
                 delete_dirs.append(p)
-        elif e.startswith("delta_"):
+        elif e.startswith("delta_") and not e.startswith("delete_delta_"):
             if int(e.split("_")[1]) > base_n:
                 data_dirs.append(p)
-    return data_dirs, delete_dirs
+    return data_dirs, delete_dirs, original_files
 
 
 def read_hive_acid(
@@ -322,10 +337,18 @@ def read_hive_acid(
     broadcast anti-join. ``keep_identity`` surfaces the row-id triple
     alongside the payload (the compactor needs it to PRESERVE
     identities — Hive's invariant that delete events committed after
-    a compaction still find their rows)."""
+    a compaction still find their rows).
+
+    ORIGINAL files (flat pre-conversion bucket files at the table
+    root — the ALTER TABLE SET transactional=true upgrade-in-place
+    path) read with SYNTHESIZED identities, Hive's rule for rows that
+    predate the ACID struct: originalTransaction 0, bucket from the
+    filename (000000_0 → 0), rowId = the row's ordinal within its
+    bucket file — so post-conversion delete_delta events can target
+    rows Hive never rewrote."""
     import glob as _glob
 
-    data_dirs, delete_dirs = _elect_dirs(root, max_writeid)
+    data_dirs, delete_dirs, original_files = _elect_dirs(root, max_writeid)
 
     def files_df(dirs: list[str]) -> DataFrame:
         paths = [
@@ -371,11 +394,46 @@ def read_hive_acid(
                     }
                 )
 
+    def read_originals(it):
+        import pandas as pd
+        from pyarrow import orc as pa_orc
+
+        for pdf in it:
+            for path in pdf["path"]:
+                t = pa_orc.ORCFile(path).read().to_pandas()
+                out = {
+                    "otid": [0] * len(t),
+                    "bucket": [
+                        int(os.path.basename(path).split("_")[0])
+                    ]
+                    * len(t),
+                    "rid": list(range(len(t))),
+                }
+                for n in names:
+                    out[n] = t[n]
+                yield pd.DataFrame(out)
+
     payload_ddl = ", ".join(f"{n} {t}" for n, t in payload_schema)
-    live = files_df(data_dirs).mapInPandas(
-        read_data,
-        f"otid long, bucket int, rid long, {payload_ddl}",
-    )
+    acid_ddl = f"otid long, bucket int, rid long, {payload_ddl}"
+    live = files_df(data_dirs).mapInPandas(read_data, acid_ddl)
+    if original_files:
+        buckets = [
+            os.path.basename(p).split("_")[0] for p in original_files
+        ]
+        if len(set(buckets)) != len(buckets):
+            # _copy_N files need cumulative row-count offsets per
+            # bucket (Hive's OriginalReaderPair rule); refuse loudly
+            # rather than synthesize colliding rowIds
+            raise ValueError(
+                "multiple original files per bucket not supported: "
+                f"{sorted(os.path.basename(p) for p in original_files)}"
+            )
+        orig = spark.createDataFrame(
+            [(p,) for p in original_files], "path string"
+        ).repartition(len(original_files)).mapInPandas(
+            read_originals, acid_ddl
+        )
+        live = live.unionByName(orig)
     dels = files_df(delete_dirs).mapInPandas(
         read_deletes, "otid long, bucket int, rid long"
     )
@@ -412,11 +470,13 @@ def compact_hive_acid(
     file, broadcast anti-join) plus one applyInPandas write task per
     bucket — no shuffle beyond the per-bucket grouping, and the
     driver only sees per-bucket manifest rows. Returns W."""
-    data_dirs, _ = _elect_dirs(root, max_writeid)
+    data_dirs, _, _originals = _elect_dirs(root, max_writeid)
     if not data_dirs:
-        # empty table / empty chain: Hive's Initiator never queues a
-        # compaction for a directory with no deltas — no-op, not an
-        # error (the empty-corpus sweep exercises this)
+        # empty table / empty chain / originals-only: Hive's
+        # Initiator never queues a compaction for a directory with no
+        # base or deltas — no-op, not an error (the empty-corpus
+        # sweep exercises this). Originals fold only when at least
+        # one transactional dir exists to anchor the watermark.
         return 0
     w = max(int(os.path.basename(d).split("_")[-1]) for d in data_dirs)
     merged = read_hive_acid(
@@ -458,8 +518,16 @@ def clean_hive_acid(root: str) -> list[str]:
             parts[-1]
         ) <= base_n:
             removed.append(e)
+        elif _ORIGINAL_RE.match(e) and base_n > 0:
+            # pre-conversion originals are folded into the first
+            # compacted base (writeid 0 < any base_N)
+            removed.append(e)
     for e in removed:
-        shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+        p = os.path.join(root, e)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            os.remove(p)
     return removed
 
 
@@ -589,3 +657,110 @@ def sink_hive_acid_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean_hive_acid(layout)
     return read_hive_acid(spark, layout, _ORDERS_SCHEMA)
+
+
+@register(
+    "scan_hive_acid_original",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE ((o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0)
+    OR (o_orderkey % 3 = 1 AND o_orderkey % 7 = 0
+        AND o_orderkey % 14 <> 0))
+""",
+)
+def scan_hive_acid_original(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upgrade-in-place read: ``ALTER TABLE SET
+    transactional=true`` converts a flat table WITHOUT rewriting its
+    data `[upstream: Hive ql/io/AcidUtils getAcidState original-files
+    rule, OrcRawRecordMerger OriginalReaderPair]` — the old bucket
+    files stay at the table root ("original files") and every
+    post-conversion transaction layers deltas over them. Readers
+    SYNTHESIZE identities for original rows (originalTransaction 0,
+    bucket from the filename, rowId = ordinal within the bucket file)
+    so delete_delta events can target rows that predate the ACID
+    struct.
+
+    The fixture is built in-query from orders: two root-level flat
+    ORC bucket files (o_orderkey % 3 = 0, bucketed by key % 2, sorted
+    by key — the sort is what makes the synthetic rowIds
+    deterministic and oracle-replayable), one post-conversion insert
+    delta (key % 3 = 1 AND % 7 = 0, writeid 1), then a writeid-2
+    delete_delta whose events span BOTH identity regimes: synthetic
+    (otid 0) for originals with key % 5 = 0 and assigned (otid 1) for
+    delta rows with key % 14 = 0. A reader that renumbered original
+    rows, ignored root-level files, or misparsed the bucket from the
+    filename returns the wrong survivor set and breaks the value
+    hash. Compaction folds originals into base_W with their synthetic
+    identities preserved (tests), after which the Cleaner may drop
+    them — Hive's exact conversion lifecycle.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = f"{TMP_ROOT}/sinks/{label}/hive_acid_original/table"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    orders = read_table(spark, sf_dir, "orders").select(*_ORDERS_PAYLOAD)
+    k = F.col("o_orderkey")
+    fields = _orders_arrow_fields()
+
+    # 1. pre-conversion originals: flat bucket files, sorted by key
+    originals = orders.filter(k % 3 == 0).withColumn(
+        "__bucket", (k % 2).cast("int")
+    )
+
+    def write_orig(key, pdf):
+        from pyarrow import orc as pa_orc
+
+        b = int(key[0])
+        pdf = pdf.sort_values("o_orderkey")
+        pa_orc.write_table(
+            pa.table(
+                {n: pa.array(pdf[n], t) for n, t in fields}
+            ),
+            os.path.join(root, f"{b:06d}_0"),
+        )
+        return pd.DataFrame({"bucket": [b], "rows": [len(pdf)]})
+
+    originals.groupBy("__bucket").applyInPandas(
+        write_orig, "bucket int, rows long"
+    ).collect()
+
+    # 2. writeid 1: post-conversion insert delta (key-derived
+    # identity so the oracle can replay the delete targets)
+    wb = Window.partitionBy("__bucket").orderBy("o_orderkey")
+    ins = (
+        orders.filter((k % 3 == 1) & (k % 7 == 0))
+        .withColumn("__bucket", (k % 2).cast("int"))
+        .withColumn("__rid", (F.row_number().over(wb) - 1).cast("long"))
+        .withColumn("__otid", F.lit(1).cast("long"))
+        .withColumn("__ctid", F.lit(1).cast("long"))
+        .withColumn("__op", F.lit(_OP_INSERT))
+    )
+    _write_version_dirs(
+        ins, None, os.path.join(root, "delta_0000001_0000001"), None, fields
+    )
+
+    # 3. writeid 2: delete events across BOTH identity regimes
+    orig_ids = originals.withColumn(
+        "__rid", (F.row_number().over(wb) - 1).cast("long")
+    )
+    del_orig = orig_ids.filter(k % 5 == 0).select(
+        F.lit(0).cast("long").alias("__otid"), "__bucket", "__rid"
+    )
+    del_delta = ins.filter(k % 14 == 0).select("__otid", "__bucket", "__rid")
+    dels = (
+        del_orig.unionByName(del_delta)
+        .withColumn("__op", F.lit(_OP_DELETE))
+        .withColumn("__ctid", F.lit(2).cast("long"))
+    )
+    _write_version_dirs(
+        ins.limit(0),
+        dels,
+        os.path.join(root, "delta_0000002_0000002"),
+        os.path.join(root, "delete_delta_0000002_0000002"),
+        fields,
+    )
+    return read_hive_acid(spark, root, _ORDERS_SCHEMA)

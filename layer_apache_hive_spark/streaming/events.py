@@ -2690,3 +2690,135 @@ def evt_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("day", "rk", "user_id", "revenue", "n_purchases")
     )
+
+
+@register(
+    "evt_stream_hive_acid_ingest",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value,
+       2 AS n_deltas
+FROM events
+GROUP BY event_type
+""",
+)
+def evt_stream_hive_acid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO THE HIVE-ACID LAYOUT — the Hive
+    Streaming API analog `[upstream: hive-streaming ingest,
+    HiveStreamingConnection transaction batches]`, closing the last
+    leg of the r8 verdict's interop gap: each micro-batch commits as
+    one ``delta_W_W`` directory of bucket ORC files (W = batch id + 1,
+    the per-transaction writeid), exactly what a Hive streaming
+    writer emits, and the result is readable by ANY AcidUtils
+    election reader — including scan_hive_acid's — with no
+    engine-private manifest.
+
+    Exactly-once on an at-least-once harness: the delta directory is
+    written to a scratch path and RENAMED into place (one atomic
+    filesystem op — the same visibility primitive Hive's
+    OrcRecordUpdater relies on), so a replayed batch finds its
+    delta_W_W already present and drops itself before writing; a
+    crash mid-write leaves only an invisible scratch dir. The stream
+    runs two real micro-batches (maxFilesPerTrigger=1 over a 2-file
+    source), then batch 0 is re-delivered on purpose; ``n_deltas``
+    pins exactly 2 delta dirs — a double-commit (3) or a dropped
+    batch (1) breaks the value hash, as does any lost/duplicated row
+    via the per-type count + decimal-exact sum over the election
+    read.
+
+    Scale: per-batch cost is O(batch rows) + one rename — identity
+    assignment is the exporter's per-bucket window INSIDE the batch
+    (bucket count = write parallelism), never a scan of prior deltas;
+    table size only affects the later read/compaction, which is
+    sink_hive_acid_compact's job (fold the delta chain once it's
+    long). This is Hive's own ingest shape: writers append deltas,
+    the compactor amortizes them.
+    """
+    import pyarrow as pa
+
+    from layer_apache_hive_spark.sources.hive_acid import (
+        _OP_INSERT,
+        _write_version_dirs,
+        read_hive_acid,
+    )
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = f"/root/repo/.tmp/stream_hive_acid/{label}"
+    shutil.rmtree(root, ignore_errors=True)  # reseed: idempotent per run
+    os.makedirs(root, exist_ok=True)
+    payload = ["event_id", "event_type", "value"]
+    fields = [
+        ("event_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+    ]
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = int(batch_id) + 1
+        final = os.path.join(root, f"delta_{w:07d}_{w:07d}")
+        if os.path.exists(final):
+            return  # replayed batch: its transaction already landed
+        events = (
+            batch_df.select(*payload)
+            .withColumn(
+                "__bucket",
+                F.pmod(F.hash("event_id"), F.lit(4)).cast("int"),
+            )
+            .withColumn(
+                "__rid",
+                (
+                    F.row_number().over(
+                        Window.partitionBy("__bucket").orderBy("event_id")
+                    )
+                    - 1
+                ).cast("long"),
+            )
+            .withColumn("__otid", F.lit(w).cast("long"))
+            .withColumn("__ctid", F.lit(w).cast("long"))
+            .withColumn("__op", F.lit(_OP_INSERT))
+        )
+        scratch = os.path.join(root, f".scratch_delta_{w:07d}")
+        shutil.rmtree(scratch, ignore_errors=True)
+        _write_version_dirs(events, None, scratch, None, fields)
+        if os.path.exists(scratch):  # empty batches emit no dir
+            os.rename(scratch, final)
+
+    src = _stream_source_parts(spark, sf_dir, n_parts=2)
+    with _stream_partitions(spark):
+        q = (
+            src.writeStream.foreachBatch(commit_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # at-least-once delivery simulated: replay batch 0 after success —
+    # the rename guard must drop it without a third delta
+    commit_batch(
+        _normalize_ts(
+            spark.read.parquet(
+                f"/root/repo/.tmp/stream_src_parts/{label}"
+            )
+        ),
+        0,
+    )
+
+    n_deltas = len(
+        [d for d in os.listdir(root) if d.startswith("delta_")]
+    )
+    schema = [
+        ("event_id", "long"),
+        ("event_type", "string"),
+        ("value", "double"),
+    ]
+    return (
+        read_hive_acid(spark, root, schema)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .withColumn("n_deltas", F.lit(n_deltas))
+    )

@@ -273,3 +273,118 @@ def test_unchanged_version_emits_no_delta(spark, tmp_path):
     assert sorted(os.listdir(root)) == ["base_0000001"]
     got = read_hive_acid(spark, root, SCHEMA).collect()
     assert [(r.k, r.status, r.price) for r in got] == [(1, "A", 1.0)]
+
+
+# --- original files (upgrade-in-place: flat table converted to ACID) --------
+
+
+def _write_flat_orc(path, rows):
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    ks, ss, ps = zip(*rows)
+    pa_orc.write_table(
+        pa.table(
+            {
+                "k": pa.array(ks, pa.int64()),
+                "status": pa.array(ss, pa.string()),
+                "price": pa.array(ps, pa.float64()),
+            }
+        ),
+        path,
+    )
+
+
+@pytest.fixture()
+def original_layout(spark, tmp_path):
+    """Converted-table layout: two root-level flat bucket files
+    (originals, keys 1-4 / 5-8), one post-conversion insert delta
+    (keys 9-10, writeid 1), one delete_delta (writeid 2) whose events
+    target BOTH identity regimes — synthetic (otid 0: key 2 = file 0
+    ordinal 1, key 5 = file 1 ordinal 0) and assigned (otid 1: key 9
+    = delta bucket 0 ordinal 0)."""
+    from pyspark.sql import functions as F
+
+    from layer_apache_hive_spark.sources.hive_acid import (
+        _OP_DELETE,
+        _OP_INSERT,
+        _write_version_dirs,
+    )
+
+    root = str(tmp_path / "converted")
+    os.makedirs(root)
+    _write_flat_orc(
+        os.path.join(root, "000000_0"),
+        [(i, "A", float(i)) for i in (1, 2, 3, 4)],
+    )
+    _write_flat_orc(
+        os.path.join(root, "000001_0"),
+        [(i, "A", float(i)) for i in (5, 6, 7, 8)],
+    )
+    ins = spark.createDataFrame(
+        [(9, "B", 9.0, 0, 0), (10, "B", 10.0, 1, 0)],
+        "k long, status string, price double, __bucket int, __rid long",
+    ).select(
+        "k", "status", "price", "__bucket",
+        F.col("__rid").cast("long").alias("__rid"),
+        F.lit(1).cast("long").alias("__otid"),
+        F.lit(1).cast("long").alias("__ctid"),
+        F.lit(_OP_INSERT).alias("__op"),
+    )
+    _write_version_dirs(
+        ins, None, os.path.join(root, "delta_0000001_0000001"), None,
+        _fields(),
+    )
+    dels = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 0), (1, 0, 0)],
+        "__otid long, __bucket int, __rid long",
+    ).select(
+        "__otid", "__bucket", "__rid",
+        F.lit(_OP_DELETE).alias("__op"),
+        F.lit(2).cast("long").alias("__ctid"),
+    )
+    _write_version_dirs(
+        ins.limit(0), dels,
+        os.path.join(root, "delta_0000002_0000002"),
+        os.path.join(root, "delete_delta_0000002_0000002"),
+        _fields(),
+    )
+    return root
+
+
+_ORIG_EXPECT = {(1, "A", 1.0), (3, "A", 3.0), (4, "A", 4.0),
+                (6, "A", 6.0), (7, "A", 7.0), (8, "A", 8.0),
+                (10, "B", 10.0)}  # deleted: 2 (orig), 5 (orig), 9 (delta)
+
+
+def test_original_files_read_with_synthetic_identities(spark, original_layout):
+    assert _snapshot(spark, original_layout) == _ORIG_EXPECT
+
+
+def test_original_files_survive_compaction_with_identities(
+    spark, original_layout
+):
+    """Compact at watermark 1: originals + the insert delta fold into
+    base_0000001 with identities preserved, so writeid 2's delete
+    events (both regimes) still find their rows; the Cleaner then
+    drops the originals and the folded delta."""
+    w = compact_hive_acid(
+        spark, original_layout, SCHEMA, _fields(), max_writeid=1
+    )
+    assert w == 1
+    removed = clean_hive_acid(original_layout)
+    assert set(removed) == {"000000_0", "000001_0", "delta_0000001_0000001"}
+    assert sorted(os.listdir(original_layout)) == [
+        "base_0000001",
+        "delete_delta_0000002_0000002",
+    ]
+    assert _snapshot(spark, original_layout) == _ORIG_EXPECT
+
+
+def test_multiple_original_files_per_bucket_refused(spark, original_layout):
+    _write_flat_orc(
+        os.path.join(original_layout, "000000_0_copy_1"),
+        [(99, "C", 99.0)],
+    )
+    with pytest.raises(ValueError, match="original files per bucket"):
+        read_hive_acid(spark, original_layout, SCHEMA).collect()
