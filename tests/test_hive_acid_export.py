@@ -388,3 +388,15 @@ def test_multiple_original_files_per_bucket_refused(spark, original_layout):
     )
     with pytest.raises(ValueError, match="original files per bucket"):
         read_hive_acid(spark, original_layout, SCHEMA).collect()
+
+
+def test_compact_is_idempotent(spark, layout):
+    """Running the compactor twice (Hive's Initiator can race a
+    manual ALTER TABLE COMPACT) rewrites the same base in place —
+    same watermark, same survivors, nothing lost or doubled."""
+    before = _snapshot(spark, layout)
+    assert compact_hive_acid(spark, layout, SCHEMA, _fields()) == 3
+    assert compact_hive_acid(spark, layout, SCHEMA, _fields()) == 3
+    clean_hive_acid(layout)
+    assert sorted(os.listdir(layout)) == ["base_0000003"]
+    assert _snapshot(spark, layout) == before

@@ -216,3 +216,101 @@ def test_cdc_apply_exactly_once_across_kill_and_restart(spark):
     )
     want = expect.agg(F.count(F.lit(1)).alias("n"), dsum("p").alias("s"))
     assert got.collect() == want.collect()
+
+
+def test_hive_acid_ingest_exactly_once_across_kill_and_restart(spark):
+    """The Hive-layout streaming ingest (r9,
+    evt_stream_hive_acid_ingest's commit protocol): crash AFTER the
+    delta_W_W rename of batch 1, BEFORE its checkpoint advance. The
+    restarted query replays batch 1; the rename guard must drop it
+    (its delta already exists) and batches 2..3 must land as exactly
+    one delta each — the final election read hash-equals the raw
+    source aggregate and the delta count is exactly 4."""
+    import pyarrow as pa
+
+    from layer_apache_hive_spark.sources.hive_acid import (
+        _OP_INSERT,
+        _write_version_dirs,
+        read_hive_acid,
+    )
+    from pyspark.sql import Window
+
+    name = "hive_ingest"
+    shutil.rmtree(f"{ROOT}/{name}", ignore_errors=True)
+    src = _four_file_source(spark, name)
+    checkpoint = f"{ROOT}/{name}/ckpt"
+    table = f"{ROOT}/{name}/table"
+    os.makedirs(table)
+    fields = [
+        ("event_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+    ]
+    crashed = {"done": False}
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        w = int(batch_id) + 1
+        final = os.path.join(table, f"delta_{w:07d}_{w:07d}")
+        if not os.path.exists(final):
+            events = (
+                batch_df.select("event_id", "event_type", "value")
+                .withColumn(
+                    "__bucket",
+                    F.pmod(F.hash("event_id"), F.lit(4)).cast("int"),
+                )
+                .withColumn(
+                    "__rid",
+                    (
+                        F.row_number().over(
+                            Window.partitionBy("__bucket").orderBy(
+                                "event_id"
+                            )
+                        )
+                        - 1
+                    ).cast("long"),
+                )
+                .withColumn("__otid", F.lit(w).cast("long"))
+                .withColumn("__ctid", F.lit(w).cast("long"))
+                .withColumn("__op", F.lit(_OP_INSERT))
+            )
+            scratch = os.path.join(table, f".scratch_{w:07d}")
+            shutil.rmtree(scratch, ignore_errors=True)
+            _write_version_dirs(events, None, scratch, None, fields)
+            if os.path.exists(scratch):
+                os.rename(scratch, final)
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after delta rename of batch 1")
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        _run_stream(spark, src, checkpoint, commit_batch)
+    deltas = sorted(
+        d for d in os.listdir(table) if d.startswith("delta_")
+    )
+    assert deltas == ["delta_0000001_0000001", "delta_0000002_0000002"], (
+        "batches 0,1 landed before the crash"
+    )
+
+    _run_stream(spark, src, checkpoint, commit_batch)
+
+    deltas = sorted(
+        d for d in os.listdir(table) if d.startswith("delta_")
+    )
+    assert len(deltas) == 4, f"exactly one delta per batch: {deltas}"
+    schema = [
+        ("event_id", "long"),
+        ("event_type", "string"),
+        ("value", "double"),
+    ]
+    got = (
+        read_hive_acid(spark, table, schema)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("s"))
+    )
+    want = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("s"))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
