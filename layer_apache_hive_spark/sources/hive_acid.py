@@ -317,7 +317,38 @@ def _elect_dirs(
         elif e.startswith("delta_") and not e.startswith("delete_delta_"):
             if int(e.split("_")[1]) > base_n:
                 data_dirs.append(p)
-    return data_dirs, delete_dirs, original_files
+    return (
+        _drop_subsumed(data_dirs),
+        _drop_subsumed(delete_dirs),
+        original_files,
+    )
+
+
+def _drop_subsumed(dirs: list[str]) -> list[str]:
+    """AcidUtils range election among same-kind delta dirs: a
+    MINOR-compacted delta_minW_maxW subsumes every dir of the same
+    kind whose [min, max] writeid range it strictly contains — both
+    coexist until the Cleaner runs, and reading both would
+    double-count events."""
+
+    def rng(p: str) -> tuple[int, int]:
+        parts = os.path.basename(p).split("_")
+        if parts[0] == "base":  # base_N covers everything ≤ N
+            return 0, int(parts[1])
+        return int(parts[-2]), int(parts[-1])
+
+    out = []
+    for p in dirs:
+        lo, hi = rng(p)
+        if not any(
+            q is not p
+            and rng(q)[0] <= lo
+            and hi <= rng(q)[1]
+            and rng(q) != (lo, hi)
+            for q in dirs
+        ):
+            out.append(p)
+    return out
 
 
 def read_hive_acid(
@@ -499,6 +530,126 @@ def compact_hive_acid(
     return w
 
 
+def minor_compact_hive_acid(
+    spark: SparkSession,
+    root: str,
+    payload_schema: list[tuple[str, str]],
+    payload_fields,
+    max_writeid: int | None = None,
+) -> tuple[int, int] | None:
+    """MINOR compaction: merge the elected delta directories into one
+    ``delta_minW_maxW`` (and the delete_delta dirs into one
+    ``delete_delta_minW_maxW``) WITHOUT applying deletes or touching
+    the base — Hive's cheap compaction mode `[upstream: Hive
+    ql/txn/compactor/CompactorMR minor]`, the one a streaming-ingest
+    table needs most (many small per-transaction deltas → one merged
+    run). Events are copied VERBATIM: identities, operation codes,
+    and currentTransaction all survive, so the merged dirs are
+    event-equivalent to the originals; only the file layout changes.
+    Readers prefer the widest range (_drop_subsumed), so the merged
+    dirs take effect immediately and the Cleaner drops the subsumed
+    ones later. Returns the merged (minW, maxW), or None when there
+    is nothing to merge (fewer than two elected dirs, or a merge
+    that would not widen any range)."""
+    import glob as _glob
+
+    data_dirs, delete_dirs, _ = _elect_dirs(root, max_writeid)
+    deltas = [
+        d for d in data_dirs if os.path.basename(d).startswith("delta_")
+    ]
+    if len(deltas) + len(delete_dirs) < 2:
+        return None
+
+    def rng(p: str) -> tuple[int, int]:
+        parts = os.path.basename(p).split("_")
+        return int(parts[-2]), int(parts[-1])
+
+    rngs = [rng(d) for d in deltas + delete_dirs]
+    lo, hi = min(r[0] for r in rngs), max(r[1] for r in rngs)
+    if all(r == (lo, hi) for r in rngs):
+        return None  # already merged: a rewrite would shadow nothing
+
+    def paths_df(dirs: list[str]) -> DataFrame:
+        paths = [
+            (f,)
+            for d in dirs
+            for f in sorted(_glob.glob(os.path.join(d, "bucket_*")))
+        ]
+        return spark.createDataFrame(paths, "path string").repartition(
+            max(len(paths), 1)
+        )
+
+    names = [n for n, _ in payload_schema]
+    payload_ddl = ", ".join(f"{n} {t}" for n, t in payload_schema)
+
+    def read_raw_inserts(it):
+        import pandas as pd
+        from pyarrow import orc as pa_orc
+
+        for pdf in it:
+            for path in pdf["path"]:
+                flat = pa_orc.ORCFile(path).read().flatten().to_pandas()
+                out = {
+                    "__op": flat["operation"],
+                    "__otid": flat["originalTransaction"],
+                    "__bucket": flat["bucket"],
+                    "__rid": flat["rowId"],
+                    "__ctid": flat["currentTransaction"],
+                }
+                for n in names:
+                    out[n] = flat[f"row.{n}"]
+                yield pd.DataFrame(out)
+
+    def read_raw_deletes(it):
+        import pandas as pd
+        from pyarrow import orc as pa_orc
+
+        for pdf in it:
+            for path in pdf["path"]:
+                t = pa_orc.ORCFile(path).read().to_pandas()
+                yield pd.DataFrame(
+                    {
+                        "__op": t["operation"],
+                        "__otid": t["originalTransaction"],
+                        "__bucket": t["bucket"],
+                        "__rid": t["rowId"],
+                        "__ctid": t["currentTransaction"],
+                    }
+                )
+
+    meta_ddl = (
+        "__op int, __otid long, __bucket int, __rid long, __ctid long"
+    )
+    if deltas:
+        ins = paths_df(deltas).mapInPandas(
+            read_raw_inserts, f"{meta_ddl}, {payload_ddl}"
+        )
+        _write_version_dirs(
+            ins,
+            None,
+            os.path.join(root, f"delta_{lo:07d}_{hi:07d}"),
+            None,
+            payload_fields,
+        )
+    if delete_dirs:
+        dels = paths_df(delete_dirs).mapInPandas(read_raw_deletes, meta_ddl)
+        empty = (
+            spark.createDataFrame([], f"{meta_ddl}, {payload_ddl}")
+            if not deltas
+            else ins.limit(0)
+        )
+        scratch = os.path.join(root, ".minor_scratch")
+        _write_version_dirs(
+            empty,
+            dels,
+            scratch,
+            os.path.join(root, f"delete_delta_{lo:07d}_{hi:07d}"),
+            payload_fields,
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+    return lo, hi
+
+
 def clean_hive_acid(root: str) -> list[str]:
     """Hive's Cleaner: drop directories the highest base supersedes
     (any base_N' < base_N and any delta/delete_delta whose max
@@ -522,6 +673,24 @@ def clean_hive_acid(root: str) -> list[str]:
             # pre-conversion originals are folded into the first
             # compacted base (writeid 0 < any base_N)
             removed.append(e)
+    # range-subsumed dirs (a MINOR-compacted delta_minW_maxW covers
+    # its inputs): drop same-kind dirs whose range another survivor
+    # strictly contains
+    survivors = [
+        e
+        for e in os.listdir(root)
+        if e not in removed
+        and e.startswith(("delta_", "delete_delta_"))
+    ]
+    for kind in ("delta_", "delete_delta_"):
+        same = [
+            e
+            for e in survivors
+            if e.startswith(kind)
+            and (kind != "delta_" or not e.startswith("delete_delta_"))
+        ]
+        kept = {os.path.basename(p) for p in _drop_subsumed(same)}
+        removed.extend(e for e in same if e not in kept)
     for e in removed:
         p = os.path.join(root, e)
         if os.path.isdir(p):
@@ -764,3 +933,43 @@ def scan_hive_acid_original(spark: SparkSession, sf_dir: str) -> DataFrame:
         fields,
     )
     return read_hive_acid(spark, root, _ORDERS_SCHEMA)
+
+
+@register(
+    "sink_hive_acid_minor_compact",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 3
+            THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE ((o_orderkey % 3 = 0)
+       OR (o_orderkey % 3 = 1 AND o_orderkey % 7 = 0))
+  AND o_orderkey % 5 <> 0
+""",
+)
+def sink_hive_acid_minor_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MINOR compaction end to end `[upstream: Hive
+    ql/txn/compactor/CompactorMR minor + AcidUtils range election]`:
+    build sink_hive_acid's 3-writeid layout, merge its two insert
+    deltas into delta_0000002_0000003 and the delete delta into
+    delete_delta_0000002_0000003 — events copied verbatim, deletes
+    NOT applied, base untouched — run the Cleaner (which drops the
+    range-subsumed inputs), and read through the ordinary election.
+
+    The oracle is the same final change algebra: the value hash
+    breaks if the merger drops or doubles an event, loses an
+    identity or a currentTransaction, or if the range election
+    double-reads a subsumed input dir alongside its merged cover.
+    This is the compaction mode a streaming-ingest table
+    (evt_stream_hive_acid_ingest) runs continuously: many small
+    per-transaction deltas folded into one run without the
+    delete-application cost of a major compaction.
+    """
+    layout = _orders_chain_layout(spark, sf_dir, "hive_acid_minor")
+    minor_compact_hive_acid(
+        spark, layout, _ORDERS_SCHEMA, _orders_arrow_fields()
+    )
+    clean_hive_acid(layout)
+    return read_hive_acid(spark, layout, _ORDERS_SCHEMA)

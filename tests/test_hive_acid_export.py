@@ -400,3 +400,92 @@ def test_compact_is_idempotent(spark, layout):
     clean_hive_acid(layout)
     assert sorted(os.listdir(layout)) == ["base_0000003"]
     assert _snapshot(spark, layout) == before
+
+
+# --- minor compaction (merge deltas, keep deletes unapplied) -----------------
+
+
+def test_minor_compact_merges_ranges_events_verbatim(spark, layout):
+    """Minor compaction merges delta_2 + delta_3 into
+    delta_0000002_0000003 and the delete delta into
+    delete_delta_0000002_0000003, copying events VERBATIM — mixed
+    otids sorted per the run contract, delete events keeping their
+    currentTransaction — and the base is untouched."""
+    from pyarrow import orc as pa_orc
+
+    from layer_apache_hive_spark.sources.hive_acid import (
+        minor_compact_hive_acid,
+    )
+
+    before = _snapshot(spark, layout)
+    assert minor_compact_hive_acid(spark, layout, SCHEMA, _fields()) == (
+        2,
+        3,
+    )
+    entries = sorted(os.listdir(layout))
+    assert "delta_0000002_0000003" in entries
+    assert "delete_delta_0000002_0000003" in entries
+    assert "base_0000001" in entries
+    # election must prefer the merged ranges (no double counting)
+    assert _snapshot(spark, layout) == before
+    # merged insert run: mixed otids {2, 3}, sorted (otid, rid)
+    otids = set()
+    for f in os.listdir(os.path.join(layout, "delta_0000002_0000003")):
+        t = pa_orc.ORCFile(
+            os.path.join(layout, "delta_0000002_0000003", f)
+        ).read()
+        run = list(
+            zip(
+                t["originalTransaction"].to_pylist(),
+                t["rowId"].to_pylist(),
+            )
+        )
+        assert run == sorted(run), (f, run)
+        otids |= {o for o, _ in run}
+    assert otids == {2, 3}, otids
+    # merged delete events keep ctid=3 (the deleting transaction)
+    ctids = set()
+    d = os.path.join(layout, "delete_delta_0000002_0000003")
+    for f in os.listdir(d):
+        t = pa_orc.ORCFile(os.path.join(d, f)).read()
+        ctids |= set(t["currentTransaction"].to_pylist())
+    assert ctids == {3}, ctids
+    # Cleaner drops the subsumed inputs, read unchanged
+    removed = clean_hive_acid(layout)
+    assert set(removed) == {
+        "delta_0000002_0000002",
+        "delta_0000003_0000003",
+        "delete_delta_0000003_0000003",
+    }, removed
+    assert _snapshot(spark, layout) == before
+
+
+def test_minor_then_major_compaction_compose(spark, layout):
+    """The lifecycle a streaming table actually runs: minor merges
+    the delta chain, major later folds everything into one base."""
+    from layer_apache_hive_spark.sources.hive_acid import (
+        minor_compact_hive_acid,
+    )
+
+    before = _snapshot(spark, layout)
+    minor_compact_hive_acid(spark, layout, SCHEMA, _fields())
+    clean_hive_acid(layout)
+    assert compact_hive_acid(spark, layout, SCHEMA, _fields()) == 3
+    clean_hive_acid(layout)
+    assert sorted(os.listdir(layout)) == ["base_0000003"]
+    assert _snapshot(spark, layout) == before
+
+
+def test_minor_compact_noop_when_already_merged(spark, layout):
+    from layer_apache_hive_spark.sources.hive_acid import (
+        minor_compact_hive_acid,
+    )
+
+    assert minor_compact_hive_acid(spark, layout, SCHEMA, _fields()) == (
+        2,
+        3,
+    )
+    clean_hive_acid(layout)
+    assert (
+        minor_compact_hive_acid(spark, layout, SCHEMA, _fields()) is None
+    )

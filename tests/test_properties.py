@@ -602,3 +602,27 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     write_file("b2", [5, 80])
     out2 = run() - out1
     assert out2 == {(key(60), 1)}
+
+
+def test_guarded_try_cast_equals_plain_try_cast(spark):
+    """expr_cast's digit-guard fast path (r9 perf fix): the guard
+    accepts a SUPERSET of every int-parseable string, so
+    when(guard, s).try_cast('int') must equal s.try_cast('int') on
+    every edge shape — signs, padding, decimals, exponents, unicode
+    digits, overflow, empties."""
+    from pyspark.sql import functions as F
+
+    edge = [
+        "O", "F", "P", "12", " 12 ", "+12", "-12", "12.5", "12.",
+        "1e3", "", " ", "+-1", "1 2", "٣", "12a", None,
+        "2147483648", "  -000042", ".5", "-", "+", "0",
+    ]
+    df = spark.createDataFrame([(e,) for e in edge], "s string")
+    guard = F.col("s").rlike(r"^[\s+\-.0-9]*[0-9][\s+\-.0-9]*$")
+    rows = df.select(
+        "s",
+        F.col("s").try_cast("int").alias("plain"),
+        F.when(guard, F.col("s")).try_cast("int").alias("guarded"),
+    ).collect()
+    for r in rows:
+        assert r.plain == r.guarded, (repr(r.s), r.plain, r.guarded)
