@@ -1444,10 +1444,18 @@ SELECT doc_id, pred, CAST(pred >= m AS INT) AS kept FROM pf, mn"""
 
 
 def _lp_fdiv(a, b):
-    """FLOOR division (Column): (a - pmod(a, b)) is exactly divisible
-    by b, and every operand here stays far below 2^53, so the double
-    division is exact and engine-identical."""
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    """FLOOR division (Column), exact over the FULL documented 2^62
+    operand bound: (a - pmod(a, b)) is exactly divisible by b, and
+    the division runs in DECIMAL(38,0) — not double, whose rounding
+    is exact only below 2^53 (round-10 advisor item) — so the result
+    is the true floor quotient bit-for-bit at any BIGINT scale, the
+    same all-integer arithmetic as the DuckDB twin's `//` on the
+    pre-subtracted numerator (_lp_fdiv_sql). The exact quotient has
+    no fractional part, so the decimal result's scale-6 rounding
+    never engages; pmod keeps the subtraction within |a| + |b| ≤
+    2^63 for the documented bound."""
+    num = (a - F.pmod(a, b)).cast("decimal(38,0)")
+    return (num / b.cast("decimal(38,0)")).cast("long")
 
 
 def _lp_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -163,14 +163,19 @@ def expr_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1.58 s vs 0.14 s for this all-failing column). The digit guard
     pre-nulls strings that cannot possibly parse (the guard accepts a
     SUPERSET of every int-parseable string: at least one digit, only
-    sign/dot/whitespace/digit characters — so it never rejects a row
-    try_cast would accept, equivalence pinned on edge cases in
-    tests/test_properties.py), keeping the exception path for rare
-    near-numeric strings only. At 100 TB a mostly-failing try_cast is
-    a real hot-spot; this is the production rewrite.
+    sign/dot/digit characters and bytes ≤ 0x20 — Spark's string→int
+    parse trims ALL leading/trailing control/space bytes ≤ 0x20, a
+    wider class than regex \\s, so the class is spelled [\\x00-\\x20]
+    to never reject a row try_cast would accept; round-10 advisor
+    item, equivalence pinned on edge cases incl. control-char
+    padding in tests/test_properties.py), keeping the exception path
+    for rare near-numeric strings only. At 100 TB a mostly-failing
+    try_cast is a real hot-spot; this is the production rewrite.
     """
     o = read_table(spark, sf_dir, "orders")
-    digitish = F.col("o_orderstatus").rlike(r"^[\s+\-.0-9]*[0-9][\s+\-.0-9]*$")
+    digitish = F.col("o_orderstatus").rlike(
+        r"^[\x00-\x20+\-.0-9]*[0-9][\x00-\x20+\-.0-9]*$"
+    )
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),

@@ -276,51 +276,75 @@ _ORIGINAL_RE = _re.compile(r"^(\d{6})_\d+(_copy_\d+)?$")
 
 def _elect_dirs(
     root: str, max_writeid: int | None = None
-) -> tuple[list[str], list[str]]:
+) -> tuple[list[str], list[str], list[str], dict[str, int]]:
     """AcidUtils directory election — driver-side METADATA only (dir
     entries, never rows): highest base_N wins; delta/delete_delta
-    dirs with writeids above it apply on top. ``max_writeid`` bounds
+    dirs whose MAX writeid exceeds it apply on top (Hive keeps a
+    delta on its max, not its min — a merged delta_minW_maxW
+    STRADDLING the base watermark, min ≤ N < max, still carries
+    above-base events; round-10 advisor item). ``max_writeid`` bounds
     the election to writeids ≤ it (the compactor's watermark —
     Hive's ValidWriteIdList high-water mark), so a compaction can
-    fold a PREFIX of the chain while later transactions stay live."""
+    fold a PREFIX of the chain while later transactions stay live.
+
+    Returns (data_dirs, delete_dirs, original_files, min_valid):
+    ``min_valid`` maps each STRADDLING elected dir to the lowest
+    writeid NOT already folded into the base (base_n + 1) — the
+    reader's per-event ValidWriteIdList twin: events with
+    currentTransaction below it are already represented in the base
+    and replaying them would double-count. Entries that are neither
+    base/delta/delete_delta nor original files (compactor scratch
+    dirs, stray files) are ignored entirely — the crash-recovery
+    tolerance the scratch-then-rename design needs (round-10
+    advisor item: a leftover .minor_scratch must never break the
+    watermark parse)."""
     base_n = 0
     data_dirs: list[str] = []
     delete_dirs: list[str] = []
     original_files: list[str] = []
+    min_valid: dict[str, int] = {}
 
-    def _hi(entry: str) -> int:
-        # base_N → N; delta_/delete_delta_minW_maxW → maxW
+    def _rng(entry: str) -> tuple[int, int]:
+        # base_N → (N, N); delta_/delete_delta_minW_maxW → (minW, maxW)
         parts = entry.split("_")
-        return int(parts[-1])
+        if parts[0] == "base":
+            return int(parts[1]), int(parts[1])
+        return int(parts[-2]), int(parts[-1])
 
     for e in sorted(os.listdir(root)):
         if e.startswith("base_") and (
-            max_writeid is None or _hi(e) <= max_writeid
+            max_writeid is None or _rng(e)[1] <= max_writeid
         ):
             base_n = max(base_n, int(e.split("_")[1]))
     for e in sorted(os.listdir(root)):
         p = os.path.join(root, e)
-        if e.startswith("base_") and int(e.split("_")[1]) == base_n:
-            data_dirs.append(p)
-        elif _ORIGINAL_RE.match(e) and base_n == 0:
-            # pre-conversion flat bucket files (ALTER TABLE SET
-            # transactional=true never rewrites data): valid ONLY
-            # until the first compaction folds them into a base —
-            # AcidUtils' getAcidState original-files rule
-            original_files.append(p)
-            continue
-        if max_writeid is not None and _hi(e) > max_writeid:
-            continue
-        if e.startswith("delete_delta_"):
-            if int(e.split("_")[2]) > base_n:
-                delete_dirs.append(p)
-        elif e.startswith("delta_") and not e.startswith("delete_delta_"):
-            if int(e.split("_")[1]) > base_n:
+        if e.startswith("base_"):
+            if base_n and int(e.split("_")[1]) == base_n:
                 data_dirs.append(p)
+            continue
+        if _ORIGINAL_RE.match(e):
+            if base_n == 0:
+                # pre-conversion flat bucket files (ALTER TABLE SET
+                # transactional=true never rewrites data): valid ONLY
+                # until the first compaction folds them into a base —
+                # AcidUtils' getAcidState original-files rule
+                original_files.append(p)
+            continue
+        is_del = e.startswith("delete_delta_")
+        if not is_del and not e.startswith("delta_"):
+            continue  # scratch dirs / stray files: not ACID entries
+        lo, hi = _rng(e)
+        if max_writeid is not None and hi > max_writeid:
+            continue
+        if hi > base_n:
+            (delete_dirs if is_del else data_dirs).append(p)
+            if lo <= base_n:
+                min_valid[p] = base_n + 1
     return (
         _drop_subsumed(data_dirs),
         _drop_subsumed(delete_dirs),
         original_files,
+        min_valid,
     )
 
 
@@ -379,17 +403,23 @@ def read_hive_acid(
     rows Hive never rewrote."""
     import glob as _glob
 
-    data_dirs, delete_dirs, original_files = _elect_dirs(root, max_writeid)
+    data_dirs, delete_dirs, original_files, min_valid = _elect_dirs(
+        root, max_writeid
+    )
 
     def files_df(dirs: list[str]) -> DataFrame:
+        # each file carries its dir's lowest VALID writeid (base_n + 1
+        # for a base-straddling merged delta, 0 otherwise) so the
+        # decode task can drop events the base already represents —
+        # the per-event half of AcidUtils' ValidWriteIdList
         paths = [
-            (f,)
+            (f, min_valid.get(d, 0))
             for d in dirs
             for f in sorted(_glob.glob(os.path.join(d, "bucket_*")))
         ]
-        return spark.createDataFrame(paths, "path string").repartition(
-            max(len(paths), 1)
-        )
+        return spark.createDataFrame(
+            paths, "path string, min_ctid long"
+        ).repartition(max(len(paths), 1))
 
     names = [n for n, _ in payload_schema]
 
@@ -398,9 +428,11 @@ def read_hive_acid(
         from pyarrow import orc as pa_orc
 
         for pdf in it:
-            for path in pdf["path"]:
+            for path, min_ctid in zip(pdf["path"], pdf["min_ctid"]):
                 t = pa_orc.ORCFile(path).read()
                 flat = t.flatten().to_pandas()
+                if min_ctid:
+                    flat = flat[flat["currentTransaction"] >= min_ctid]
                 out = {
                     "otid": flat["originalTransaction"],
                     "bucket": flat["bucket"],
@@ -415,8 +447,10 @@ def read_hive_acid(
         from pyarrow import orc as pa_orc
 
         for pdf in it:
-            for path in pdf["path"]:
+            for path, min_ctid in zip(pdf["path"], pdf["min_ctid"]):
                 t = pa_orc.ORCFile(path).read().to_pandas()
+                if min_ctid:
+                    t = t[t["currentTransaction"] >= min_ctid]
                 yield pd.DataFrame(
                     {
                         "otid": t["originalTransaction"],
@@ -430,7 +464,7 @@ def read_hive_acid(
         from pyarrow import orc as pa_orc
 
         for pdf in it:
-            for path in pdf["path"]:
+            for path, off in zip(pdf["path"], pdf["rid_offset"]):
                 t = pa_orc.ORCFile(path).read().to_pandas()
                 out = {
                     "otid": [0] * len(t),
@@ -438,7 +472,7 @@ def read_hive_acid(
                         int(os.path.basename(path).split("_")[0])
                     ]
                     * len(t),
-                    "rid": list(range(len(t))),
+                    "rid": list(range(off, off + len(t))),
                 }
                 for n in names:
                     out[n] = t[n]
@@ -448,19 +482,45 @@ def read_hive_acid(
     acid_ddl = f"otid long, bucket int, rid long, {payload_ddl}"
     live = files_df(data_dirs).mapInPandas(read_data, acid_ddl)
     if original_files:
-        buckets = [
-            os.path.basename(p).split("_")[0] for p in original_files
-        ]
-        if len(set(buckets)) != len(buckets):
-            # _copy_N files need cumulative row-count offsets per
-            # bucket (Hive's OriginalReaderPair rule); refuse loudly
-            # rather than synthesize colliding rowIds
-            raise ValueError(
-                "multiple original files per bucket not supported: "
-                f"{sorted(os.path.basename(p) for p in original_files)}"
+        # _copy_N: a bucket may hold SEVERAL flat files (each
+        # pre-conversion INSERT appended bucket_N_copy_M); Hive
+        # synthesizes rowIds that CONTINUE across a bucket's files in
+        # filename order `[upstream: Hive ql/io/AcidUtils
+        # getAcidState originals, OrcRawRecordMerger
+        # OriginalReaderPair]`. Offsets need each file's row count —
+        # footer nrows only, read distributedly (one metadata task
+        # per file) and collected as O(n_files) manifest rows, the
+        # same metadata-sized collect class as the bucket manifests.
+        def footer_counts(it):
+            import pandas as pd
+            from pyarrow import orc as pa_orc
+
+            for pdf in it:
+                for path in pdf["path"]:
+                    yield pd.DataFrame(
+                        {
+                            "path": [path],
+                            "n": [pa_orc.ORCFile(path).nrows],
+                        }
+                    )
+
+        counts = {
+            r["path"]: r["n"]
+            for r in spark.createDataFrame(
+                [(p,) for p in original_files], "path string"
             )
+            .repartition(len(original_files))
+            .mapInPandas(footer_counts, "path string, n long")
+            .collect()
+        }
+        offsets: list[tuple[str, int]] = []
+        next_rid: dict[int, int] = {}
+        for p in sorted(original_files, key=os.path.basename):
+            b = int(os.path.basename(p).split("_")[0])
+            offsets.append((p, next_rid.get(b, 0)))
+            next_rid[b] = next_rid.get(b, 0) + counts[p]
         orig = spark.createDataFrame(
-            [(p,) for p in original_files], "path string"
+            offsets, "path string, rid_offset long"
         ).repartition(len(original_files)).mapInPandas(
             read_originals, acid_ddl
         )
@@ -501,7 +561,7 @@ def compact_hive_acid(
     file, broadcast anti-join) plus one applyInPandas write task per
     bucket — no shuffle beyond the per-bucket grouping, and the
     driver only sees per-bucket manifest rows. Returns W."""
-    data_dirs, _, _originals = _elect_dirs(root, max_writeid)
+    data_dirs, _, _originals, _ = _elect_dirs(root, max_writeid)
     if not data_dirs:
         # empty table / empty chain / originals-only: Hive's
         # Initiator never queues a compaction for a directory with no
@@ -553,7 +613,7 @@ def minor_compact_hive_acid(
     that would not widen any range)."""
     import glob as _glob
 
-    data_dirs, delete_dirs, _ = _elect_dirs(root, max_writeid)
+    data_dirs, delete_dirs, _, _mv = _elect_dirs(root, max_writeid)
     deltas = [
         d for d in data_dirs if os.path.basename(d).startswith("delta_")
     ]
@@ -915,6 +975,124 @@ def scan_hive_acid_original(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3. writeid 2: delete events across BOTH identity regimes
     orig_ids = originals.withColumn(
         "__rid", (F.row_number().over(wb) - 1).cast("long")
+    )
+    del_orig = orig_ids.filter(k % 5 == 0).select(
+        F.lit(0).cast("long").alias("__otid"), "__bucket", "__rid"
+    )
+    del_delta = ins.filter(k % 14 == 0).select("__otid", "__bucket", "__rid")
+    dels = (
+        del_orig.unionByName(del_delta)
+        .withColumn("__op", F.lit(_OP_DELETE))
+        .withColumn("__ctid", F.lit(2).cast("long"))
+    )
+    _write_version_dirs(
+        ins.limit(0),
+        dels,
+        os.path.join(root, "delta_0000002_0000002"),
+        os.path.join(root, "delete_delta_0000002_0000002"),
+        fields,
+    )
+    return read_hive_acid(spark, root, _ORDERS_SCHEMA)
+
+
+@register(
+    "scan_hive_acid_original_multi",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE ((o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0)
+    OR (o_orderkey % 3 = 1 AND o_orderkey % 7 = 0
+        AND o_orderkey % 14 <> 0))
+""",
+)
+def scan_hive_acid_original_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-file-per-bucket originals — the `_copy_N` seam a real
+    warehouse migration hits on day one: every INSERT into a flat
+    table before its ``ALTER TABLE SET transactional=true``
+    conversion appended another ``bucket_N_copy_M`` file, so
+    converted tables routinely hold SEVERAL flat files per bucket.
+    Hive synthesizes rowIds that CONTINUE across a bucket's files in
+    filename order `[upstream: Hive ql/io/AcidUtils getAcidState
+    originals, OrcRawRecordMerger OriginalReaderPair]` — the rowId
+    offset of file M is the total row count of files 0..M-1 of the
+    same bucket (footer metadata only).
+
+    The fixture splits scan_hive_acid_original's originals (orders
+    with key % 3 = 0, bucketed by key % 2, sorted by key per file)
+    into TWO files per bucket — ``{b}_0`` holds keys with
+    key % 9 = 0, ``{b}_0_copy_1`` the rest — then layers the same
+    post-conversion transactions: a writeid-1 insert delta
+    (key % 3 = 1 AND % 7 = 0) and a writeid-2 delete_delta whose
+    synthetic-identity events (key % 5 = 0, otid 0) target rows in
+    BOTH files of a bucket, computed with the continued-rowId rule
+    the reader must reproduce. A reader that restarted rowIds per
+    file, mis-ordered the copies, or read only the first file
+    deletes the wrong rows (or returns extras) and breaks the value
+    hash. The oracle is the same survivor algebra as
+    scan_hive_acid_original — identical answers over a physically
+    different (and historically far more common) layout.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = f"{TMP_ROOT}/sinks/{label}/hive_acid_original_multi/table"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    orders = read_table(spark, sf_dir, "orders").select(*_ORDERS_PAYLOAD)
+    k = F.col("o_orderkey")
+    fields = _orders_arrow_fields()
+
+    # 1. pre-conversion originals: two flat files per bucket, each
+    # sorted by key; file 0 = key % 9 = 0, copy_1 = the rest
+    originals = (
+        orders.filter(k % 3 == 0)
+        .withColumn("__bucket", (k % 2).cast("int"))
+        .withColumn(
+            "__fidx", F.when(k % 9 == 0, F.lit(0)).otherwise(F.lit(1))
+        )
+    )
+
+    def write_orig(key, pdf):
+        from pyarrow import orc as pa_orc
+
+        b, fi = int(key[0]), int(key[1])
+        pdf = pdf.sort_values("o_orderkey")
+        suffix = "" if fi == 0 else f"_copy_{fi}"
+        pa_orc.write_table(
+            pa.table({n: pa.array(pdf[n], t) for n, t in fields}),
+            os.path.join(root, f"{b:06d}_0{suffix}"),
+        )
+        return pd.DataFrame({"bucket": [b], "rows": [len(pdf)]})
+
+    originals.groupBy("__bucket", "__fidx").applyInPandas(
+        write_orig, "bucket int, rows long"
+    ).collect()
+
+    # 2. writeid 1: post-conversion insert delta (as in the
+    # single-file query)
+    wb = Window.partitionBy("__bucket").orderBy("o_orderkey")
+    ins = (
+        orders.filter((k % 3 == 1) & (k % 7 == 0))
+        .withColumn("__bucket", (k % 2).cast("int"))
+        .withColumn("__rid", (F.row_number().over(wb) - 1).cast("long"))
+        .withColumn("__otid", F.lit(1).cast("long"))
+        .withColumn("__ctid", F.lit(1).cast("long"))
+        .withColumn("__op", F.lit(_OP_INSERT))
+    )
+    _write_version_dirs(
+        ins, None, os.path.join(root, "delta_0000001_0000001"), None, fields
+    )
+
+    # 3. writeid 2: deletes on synthetic identities computed with the
+    # CONTINUED-rowId rule (ordinal over the bucket's files in
+    # filename order — file 0 first, then copy_1), plus assigned-
+    # identity deletes on the delta
+    wmulti = Window.partitionBy("__bucket").orderBy("__fidx", "o_orderkey")
+    orig_ids = originals.withColumn(
+        "__rid", (F.row_number().over(wmulti) - 1).cast("long")
     )
     del_orig = orig_ids.filter(k % 5 == 0).select(
         F.lit(0).cast("long").alias("__otid"), "__bucket", "__rid"

@@ -381,13 +381,81 @@ def test_original_files_survive_compaction_with_identities(
     assert _snapshot(spark, original_layout) == _ORIG_EXPECT
 
 
-def test_multiple_original_files_per_bucket_refused(spark, original_layout):
+def test_multiple_original_files_per_bucket_continue_rowids(
+    spark, original_layout
+):
+    """_copy_N (r10): rowIds CONTINUE across a bucket's flat files in
+    filename order (OriginalReaderPair) — bucket 0's copy_1 rows get
+    rids starting at 4 (after 000000_0's 4 rows), so the existing
+    delete events (rids 0/1) still hit the FIRST file's rows only."""
     _write_flat_orc(
         os.path.join(original_layout, "000000_0_copy_1"),
-        [(99, "C", 99.0)],
+        [(99, "C", 99.0), (100, "C", 100.0)],
     )
-    with pytest.raises(ValueError, match="original files per bucket"):
-        read_hive_acid(spark, original_layout, SCHEMA).collect()
+    got = _snapshot(spark, original_layout)
+    assert got == _ORIG_EXPECT | {(99, "C", 99.0), (100, "C", 100.0)}
+
+
+def test_delete_targeting_second_copy_file_lands_on_right_rows(
+    spark, original_layout
+):
+    """A post-conversion delete_delta aimed at the SECOND file of a
+    bucket (continued rid 5 = copy_1's second row) must delete
+    exactly that row: a reader that restarted rids per file would
+    instead shadow the first file's rid-5 (nonexistent here) and
+    leave key 100 alive, or mis-delete an early row."""
+    from pyspark.sql import functions as F
+
+    from layer_apache_hive_spark.sources.hive_acid import (
+        _OP_DELETE,
+        _write_version_dirs,
+    )
+
+    _write_flat_orc(
+        os.path.join(original_layout, "000000_0_copy_1"),
+        [(99, "C", 99.0), (100, "C", 100.0)],
+    )
+    dels = spark.createDataFrame(
+        [(0, 0, 5)], "__otid long, __bucket int, __rid long"
+    ).select(
+        "__otid", "__bucket", "__rid",
+        F.lit(_OP_DELETE).alias("__op"),
+        F.lit(3).cast("long").alias("__ctid"),
+    )
+    empty = spark.createDataFrame(
+        [],
+        "__op int, __otid long, __bucket int, __rid long, __ctid long,"
+        " k long, status string, price double",
+    )
+    _write_version_dirs(
+        empty, dels,
+        os.path.join(original_layout, "delta_0000003_0000003"),
+        os.path.join(original_layout, "delete_delta_0000003_0000003"),
+        _fields(),
+    )
+    got = _snapshot(spark, original_layout)
+    assert got == _ORIG_EXPECT | {(99, "C", 99.0)}  # 100 gone, 1 alive
+
+
+def test_multi_copy_originals_survive_compaction(spark, original_layout):
+    """Compaction folds ALL of a bucket's flat files into the base
+    with their continued synthetic identities preserved, so the
+    writeid-2 deletes (first file's rids) still find their rows and
+    the copy rows survive with their continued rids intact."""
+    _write_flat_orc(
+        os.path.join(original_layout, "000000_0_copy_1"),
+        [(99, "C", 99.0), (100, "C", 100.0)],
+    )
+    expect = _ORIG_EXPECT | {(99, "C", 99.0), (100, "C", 100.0)}
+    w = compact_hive_acid(
+        spark, original_layout, SCHEMA, _fields(), max_writeid=1
+    )
+    assert w == 1
+    removed = clean_hive_acid(original_layout)
+    assert set(removed) == {
+        "000000_0", "000000_0_copy_1", "000001_0", "delta_0000001_0000001",
+    }
+    assert _snapshot(spark, original_layout) == expect
 
 
 def test_compact_is_idempotent(spark, layout):

@@ -609,16 +609,24 @@ def test_guarded_try_cast_equals_plain_try_cast(spark):
     accepts a SUPERSET of every int-parseable string, so
     when(guard, s).try_cast('int') must equal s.try_cast('int') on
     every edge shape — signs, padding, decimals, exponents, unicode
-    digits, overflow, empties."""
+    digits, overflow, empties, and CONTROL-CHAR padding: Spark's
+    string→int parse trims all leading/trailing bytes ≤ 0x20 (wider
+    than regex \\s, which misses e.g. \\x01) — the round-10 advisor
+    item, so the guard class is [\\x00-\\x20]."""
     from pyspark.sql import functions as F
 
     edge = [
         "O", "F", "P", "12", " 12 ", "+12", "-12", "12.5", "12.",
         "1e3", "", " ", "+-1", "1 2", "٣", "12a", None,
         "2147483648", "  -000042", ".5", "-", "+", "0",
+        # bytes ≤ 0x20 that \s does NOT cover but Spark's parse trims
+        "\x0112", "\x1f42\x01", "\x00 7", "12\x02", "\x0b\x0c13\x1e",
+        "\x01a2",  # control char + non-digit: both sides NULL
     ]
     df = spark.createDataFrame([(e,) for e in edge], "s string")
-    guard = F.col("s").rlike(r"^[\s+\-.0-9]*[0-9][\s+\-.0-9]*$")
+    guard = F.col("s").rlike(
+        r"^[\x00-\x20+\-.0-9]*[0-9][\x00-\x20+\-.0-9]*$"
+    )
     rows = df.select(
         "s",
         F.col("s").try_cast("int").alias("plain"),
