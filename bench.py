@@ -58,6 +58,10 @@ FIXTURE_PREPASS = [
     # write-once ACID seeds of their own (kind-keyed tables)
     "sink_cdc_feed",
     "sink_acid_add_column",
+    # builds the write-once shared 3-txn chain layout (r10: one
+    # export reused by all three hive-acid chain queries — the
+    # compaction ids copy it per call, the round trip reads it)
+    "sink_hive_acid",
     # first user of the 2-file stream-source copy in registry order
     "evt_stream_acid_sink",
 ]

@@ -1622,6 +1622,199 @@ def ext_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- composed BPE training loop (r10 verdict task 8) -------------------------
+
+_BPE_TRAIN_ITERS = 5
+_BPE_TRAIN_TOP = 3  # audited contenders per iteration
+
+
+def _bpe_train_oracle(iters: int = _BPE_TRAIN_ITERS) -> str:
+    """DuckDB twin of the bounded BPE merge loop: one (pair-count →
+    rank) CTE pair per iteration plus the merge application feeding
+    the next — generated programmatically so the SQL and the Spark
+    loop share iteration structure by construction (the
+    ext_emb_kmeans_train oracle-generation idiom, training.py).
+
+    The vocabulary state is a symbol string with a DOUBLED chr(31)
+    boundary between symbols; merge application is a string replace
+    whose pattern consumes only the INNER half of each boundary
+    (``␟a␟␟b␟`` → ``␟ab␟``), leaving the outer halves in place so
+    replace()'s non-overlapping left-to-right scan implements
+    exactly BPE's single-pass greedy merge INCLUDING adjacent
+    merges: 'aaaa' + merge(a,a) → [aa, aa], where a single-separator
+    pattern would consume the shared boundary and skip the second
+    pair (caught by the Python-reference pin in
+    tests/test_round10_properties.py). Both boundary halves anchor
+    the pattern, so a symbol whose text merely starts or ends with
+    the merge pair's characters can never false-match."""
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    parts = [
+        f"""toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, COUNT(*) AS wc FROM toks
+  WHERE len(w) >= 2 AND strpos(w, {sep}) = 0 GROUP BY w
+),
+v1 AS (
+  SELECT array_to_string(string_split(w, ''), {sep2}) AS s, wc FROM vocab
+)"""
+    ]
+    selects = []
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+p{it} AS (
+  SELECT sy[i] AS left_sym, sy[i + 1] AS right_sym,
+         CAST(SUM(wc) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(s, {sep2}) AS sy, wc FROM v{it}) t
+  CROSS JOIN UNNEST(generate_series(1, len(sy) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+r{it} AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC,
+                               left_sym, right_sym) AS pair_rank
+  FROM p{it}
+)"""
+        )
+        if it < iters:
+            parts.append(
+                f""",
+v{it + 1} AS (
+  SELECT trim(replace({sep2} || s || {sep2},
+               {sep} || left_sym || {sep2} || right_sym || {sep},
+               {sep} || left_sym || right_sym || {sep}), {sep}) AS s, wc
+  FROM v{it} CROSS JOIN (SELECT left_sym, right_sym FROM r{it}
+                         WHERE pair_rank = 1) m
+)"""
+            )
+        selects.append(
+            f"SELECT {it} AS iteration, pair_rank, left_sym, right_sym,"
+            f" pair_count FROM r{it} WHERE pair_rank <= {_BPE_TRAIN_TOP}"
+        )
+    return "WITH " + "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_train_frame(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
+    """The Spark BPE training loop: tokenizer state (the vocabulary's
+    symbol arrays + word weights) stays a DataFrame; the elected merge
+    is a 1-row broadcast crossJoined into a string-replace merge
+    application — the driver only COMPOSES plans, never touches a
+    data row. Per-iteration lineage truncated by lazy executor-side
+    localCheckpoints (the _kmeans_train_frame contract) so the
+    exchange count per added iteration is constant."""
+    sep = "chr(31)"
+    d = read_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 2) & (F.expr(f"instr(w, {sep})") == 0))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    state = vocab.select(
+        F.split("w", "").alias("sy"), "wc"
+    ).localCheckpoint(eager=False)
+    audits: list[DataFrame] = []
+    for it in range(1, iters + 1):
+        pairs = state.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(sy, 1, size(sy) - 1),"
+                    " slice(sy, 2, size(sy) - 1),"
+                    " (x, y) -> struct(x AS left_sym, y AS right_sym))"
+                )
+            ).alias("p"),
+        )
+        pc = pairs.groupBy("p.left_sym", "p.right_sym").agg(
+            F.sum("wc").alias("pair_count")
+        )
+        # UNPARTITIONED window over the aggregated pair table —
+        # O(alphabet² · merge growth) rows, scale-invariant in corpus
+        # size (the ext_bpe_merge_step justification); checkpointed
+        # because it feeds BOTH the audit union and the next state
+        w = Window.orderBy(
+            F.col("pair_count").desc(), "left_sym", "right_sym"
+        )
+        ranked = (
+            pc.withColumn("pair_rank", F.row_number().over(w))
+            .filter(F.col("pair_rank") <= _BPE_TRAIN_TOP)
+            .localCheckpoint(eager=False)
+        )
+        audits.append(
+            ranked.select(
+                F.lit(it).alias("iteration"),
+                "pair_rank",
+                "left_sym",
+                "right_sym",
+                "pair_count",
+            )
+        )
+        if it < iters:
+            winner = ranked.filter(F.col("pair_rank") == 1).select(
+                "left_sym", "right_sym"
+            )
+            # doubled boundary: the pattern consumes only the INNER
+            # half (␟a␟␟b␟ → ␟ab␟), so adjacent pairs keep their
+            # outer halves and merge in the same pass — see
+            # _bpe_train_oracle's docstring
+            sep2 = f"{sep}, {sep}"
+            state = (
+                state.crossJoin(F.broadcast(winner))
+                .select(
+                    F.expr(
+                        f"split(trim(BOTH {sep} FROM replace("
+                        f"concat({sep2}, array_join(sy, concat({sep2})),"
+                        f" {sep2}),"
+                        f" concat({sep}, left_sym, {sep2}, right_sym,"
+                        f" {sep}),"
+                        f" concat({sep}, left_sym, right_sym, {sep})))"
+                        f", concat({sep2}))"
+                    ).alias("sy"),
+                    "wc",
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+@register("ext_bpe_train", oracle=_bpe_train_oracle())
+def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BPE tokenizer TRAINING (Sennrich et al. 2016) — five
+    sequential merge elections composed from the ext_bpe_merge_step
+    kernel, each applied to the vocabulary before the next count
+    (r10 verdict task 8: the second iterative kernel proven to
+    compose without driver-side data movement, after
+    ext_emb_kmeans_train). Emits a per-iteration audit relation
+    (iteration, pair_rank ≤ 3, left_sym, right_sym, pair_count):
+    winner AND contenders, so the value oracle pins each iteration's
+    full election, not just the argmax.
+
+    Merge application is a doubled-boundary string replace over each
+    word's symbol sequence (``␟a␟␟b␟`` → ``␟ab␟``): the pattern
+    consumes only the inner half of each symbol boundary, so
+    replace()'s non-overlapping left-to-right scan — shared by both
+    engines — is exactly BPE's single-pass greedy merge, adjacent
+    merges included ('aaaa' + merge(a,a) → [aa, aa]; pinned against
+    a Python reference in tests/test_round10_properties.py). Later
+    iterations merge MULTI-character symbols, which is what
+    distinguishes training from ext_bpe_merge_step's single step.
+
+    Scale/loop shape (the kmeans_train contract): per-iteration cost
+    is two keyed aggregates over the WORD VOCABULARY (not the
+    corpus — the corpus is touched once, by the vocab count), the
+    elected merge is a 1-row broadcast, the rank window runs over
+    the scale-invariant aggregated pair table, and per-iteration
+    lineage is truncated by lazy executor-side localCheckpoints so
+    the exchange count per added iteration is constant
+    (plan-audited in tests/test_round10_properties.py)."""
+    return _bpe_train_frame(spark, sf_dir, _BPE_TRAIN_ITERS)
+
+
 # entropy quality gate: keep docs with token entropy >= 2.5 nats,
 # expressed in integer MICRO-nats (the perplexity-filter convention:
 # FLOOR-scaled integers have no rounding tie for engines to disagree

@@ -1,14 +1,18 @@
 """Physical-plan red-flag audit (the SURVEY §4 scale posture, made
 mechanical).
 
-Flags the three plan shapes that silently kill a 100 TB run:
+Flags the four plan shapes that silently kill a 100 TB run:
   - CartesianProduct / BroadcastNestedLoopJoin outside the whitelist
     of queries where a nested-loop against a tiny broadcast side IS
     the declared design;
   - BatchEvalPython — a row-at-a-time Python UDF in the plan (all
     Python kernels here must be Arrow-batched pandas_udf/mapInPandas);
   - a global range-partitioned Sort that is not a top-k
-    (TakeOrderedAndProject) and not a declared ORDER BY query.
+    (TakeOrderedAndProject) and not a declared ORDER BY query;
+  - a Window with NO partition spec (r10 verdict task 5: WindowExec
+    moves ALL input to one partition) outside the whitelist of
+    queries whose window input is provably scale-INVARIANT
+    (aggregated histograms / pair tables, never the corpus).
 
 Used by scripts/explain_audit.py (ad-hoc, verbose) and
 tests/test_explain_audit.py (regression gate over every registered
@@ -42,6 +46,9 @@ NL_OK = {
     "ext_emb_kmeans_step",
     # the same k-seed fan-out, once per Lloyd iteration (r9)
     "ext_emb_kmeans_train",
+    # 1-row elected-merge broadcast crossJoined into the vocabulary's
+    # merge application, once per BPE training iteration (r10)
+    "ext_bpe_train",
     # Lloyd coarse-quantizer fan-out against ⌈√n⌉ broadcast seeds (r9)
     "ext_dedup_semantic_learned",
     # 1-row percentile_approx cutoff aggregate crossJoined onto doc
@@ -68,6 +75,26 @@ NL_OK = {
 # Queries whose contract IS a global ordered result.
 GLOBAL_SORT_OK = {"sort_order_by", "sort_cluster_by"}
 
+# Queries where an UNPARTITIONED window is the declared design
+# because its input is scale-INVARIANT in corpus size — every entry
+# documents why (r10 verdict task 5). Anything else with a
+# no-partition-spec Window is flagged: WindowExec moves all input to
+# ONE partition, a silent 100 TB killer when the input is data-sized.
+GLOBAL_WINDOW_OK = {
+    # rank over the DISTINCT-score histogram (an aggregated relation
+    # bounded by the score grid, not the corpus) — the exact
+    # perplexity tier; the registered production swap is the GK-
+    # sketch _approx twin with no single-partition stage
+    "ext_text_perplexity_filter",
+    # row_number over the aggregated symbol-pair table —
+    # O(alphabet²) rows at any corpus size. (ext_bpe_train runs the
+    # same election per iteration but needs no entry: its per-
+    # iteration windows sit behind localCheckpoint barriers, which
+    # explain() renders as Scan ExistingRDD — the whitelist-liveness
+    # test would reject a stale entry.)
+    "ext_bpe_merge_step",
+}
+
 
 def explain_formatted(spark, df) -> str:
     """The .explain("formatted") text, captured instead of printed."""
@@ -76,6 +103,43 @@ def explain_formatted(spark, df) -> str:
             "formatted"
         )
     )
+
+
+def _has_global_window(plan: str) -> bool:
+    """True iff any windowspecdefinition in the plan has ZERO
+    partition columns. Inside ``windowspecdefinition(args…)`` the
+    partition columns come first as bare expressions, order columns
+    carry an ASC/DESC direction, and the frame is the trailing
+    ``specifiedwindowframe(…)`` — so a spec whose every non-frame
+    argument has a sort direction (or that has no non-frame argument
+    at all) is unpartitioned. Balanced-paren parse: expression
+    arguments may nest parens and commas."""
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        depth, cur, args = 1, m.end(), []
+        i = m.end()
+        while i < len(plan) and depth:
+            c = plan[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(plan[cur:i])
+            elif c == "," and depth == 1:
+                args.append(plan[cur:i])
+                cur = i + 1
+            i += 1
+        elems = [
+            a.strip()
+            for a in args
+            if not a.strip().startswith("specifiedwindowframe")
+        ]
+        partition_cols = [
+            a for a in elems if " ASC" not in a and " DESC" not in a
+        ]
+        if not partition_cols:
+            return True
+    return False
 
 
 def audit(qid: str, plan: str) -> list[str]:
@@ -95,4 +159,6 @@ def audit(qid: str, plan: str) -> list[str]:
         and qid not in GLOBAL_SORT_OK
     ):
         flags.append("global sort (range exchange) without top-k")
+    if qid not in GLOBAL_WINDOW_OK and _has_global_window(plan):
+        flags.append("unpartitioned window (single-partition input)")
     return flags

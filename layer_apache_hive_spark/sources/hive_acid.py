@@ -813,41 +813,63 @@ def sink_hive_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
       v3 (delete_delta/delta_0000003):
           DELETE % 5 = 0; UPDATE price += 1 WHERE % 3 = 0 AND % 7 = 3
     """
-    layout = _orders_chain_layout(spark, sf_dir, "hive_acid_export")
+    layout = _orders_chain_layout(spark, sf_dir, "hive_acid_export")  # read-only: shared
     return read_hive_acid(spark, layout, _ORDERS_SCHEMA)
 
 
-def _orders_chain_layout(spark: SparkSession, sf_dir: str, tag: str) -> str:
-    """Commit sink_hive_acid's 3-version change algebra over orders
-    into a VersionedTable and export it as the ACID layout (shared by
-    the round-trip and compaction queries)."""
+def _orders_chain_layout(
+    spark: SparkSession, sf_dir: str, tag: str, mutate: bool = False
+) -> str:
+    """sink_hive_acid's 3-version chain as an ACID layout. The chain
+    is IMMUTABLE and identical for every consumer, so it is exported
+    ONCE per (sf, session-independent path) and reused — the
+    bucketed-orders write-once precedent (r10 verdict task 9: three
+    queries each rebuilt the identical layout, ~10 s of the bench
+    map). Read-only consumers get the shared layout directly;
+    ``mutate=True`` consumers (the compaction queries, which add/
+    remove directories) get a FRESH private copy under ``tag`` each
+    call, so repeated invocations stay idempotent and never corrupt
+    the shared fixture."""
     from layer_apache_hive_spark.acid import VersionedTable
 
     label = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    work = f"{TMP_ROOT}/sinks/{label}/{tag}"
+    shared_root = f"{TMP_ROOT}/sinks/{label}/hive_acid_chain_shared"
+    layout = os.path.join(shared_root, "acid_table")
+    done = os.path.join(shared_root, "_CHAIN_READY")
+    if not os.path.exists(done):
+        shutil.rmtree(shared_root, ignore_errors=True)
+        vt = VersionedTable(os.path.join(shared_root, "vt"))
+        orders = read_table(spark, sf_dir, "orders").select(
+            *_ORDERS_PAYLOAD
+        )
+        k = F.col("o_orderkey")
+        v1 = orders.filter(k % 3 == 0)
+        v2 = v1.unionByName(orders.filter((k % 3 == 1) & (k % 7 == 0)))
+        v3 = v2.filter(k % 5 != 0).withColumn(
+            "o_totalprice",
+            F.when(
+                (k % 3 == 0) & (k % 7 == 3),
+                F.col("o_totalprice") + F.lit(1.0),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        for i, df in enumerate((v1, v2, v3)):
+            vt.commit(df, base_version=i)
+        export_hive_acid(
+            spark,
+            lambda v: vt.read(spark, v),
+            versions=[1, 2, 3],
+            out_root=layout,
+            pk="o_orderkey",
+            payload_cols=_ORDERS_PAYLOAD,
+            payload_fields=_orders_arrow_fields(),
+        )
+        open(done, "w").close()
+    if not mutate:
+        return layout
+    work = f"{TMP_ROOT}/sinks/{label}/{tag}/acid_table"
     shutil.rmtree(work, ignore_errors=True)
-    vt = VersionedTable(os.path.join(work, "vt"))
-    orders = read_table(spark, sf_dir, "orders").select(*_ORDERS_PAYLOAD)
-    k = F.col("o_orderkey")
-    v1 = orders.filter(k % 3 == 0)
-    v2 = v1.unionByName(orders.filter((k % 3 == 1) & (k % 7 == 0)))
-    v3 = v2.filter(k % 5 != 0).withColumn(
-        "o_totalprice",
-        F.when(
-            (k % 3 == 0) & (k % 7 == 3), F.col("o_totalprice") + F.lit(1.0)
-        ).otherwise(F.col("o_totalprice")),
-    )
-    for i, df in enumerate((v1, v2, v3)):
-        vt.commit(df, base_version=i)
-    return export_hive_acid(
-        spark,
-        lambda v: vt.read(spark, v),
-        versions=[1, 2, 3],
-        out_root=os.path.join(work, "acid_table"),
-        pk="o_orderkey",
-        payload_cols=_ORDERS_PAYLOAD,
-        payload_fields=_orders_arrow_fields(),
-    )
+    shutil.copytree(layout, work)
+    return work
 
 
 @register(
@@ -880,7 +902,9 @@ def sink_hive_acid_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     compactor that renumbered rows, applied post-watermark deletes,
     or dropped the delete events' targets returns different rows.
     """
-    layout = _orders_chain_layout(spark, sf_dir, "hive_acid_compact")
+    layout = _orders_chain_layout(
+        spark, sf_dir, "hive_acid_compact", mutate=True
+    )
     compact_hive_acid(
         spark, layout, _ORDERS_SCHEMA, _orders_arrow_fields(), max_writeid=2
     )
@@ -1145,9 +1169,236 @@ def sink_hive_acid_minor_compact(
     per-transaction deltas folded into one run without the
     delete-application cost of a major compaction.
     """
-    layout = _orders_chain_layout(spark, sf_dir, "hive_acid_minor")
+    layout = _orders_chain_layout(
+        spark, sf_dir, "hive_acid_minor", mutate=True
+    )
     minor_compact_hive_acid(
         spark, layout, _ORDERS_SCHEMA, _orders_arrow_fields()
     )
     clean_hive_acid(layout)
     return read_hive_acid(spark, layout, _ORDERS_SCHEMA)
+
+
+# --- serving + threshold-driven compaction (r10 verdict tasks 3/4) ----------
+
+
+def publish_hive_acid(
+    spark: SparkSession,
+    root: str,
+    payload_schema: list[tuple[str, str]],
+    name: str,
+) -> str:
+    """Serve an AcidUtils base/delta/delete_delta layout BY NAME over
+    the wire: the election read (directory election + distributed
+    Arrow decode + delete anti-join) publishes as a GLOBAL temp view,
+    the cross-session namespace HiveServer2 connections resolve — so
+    a beeline user of the charm-era warehouse can ``SELECT … FROM
+    global_temp.<name>`` against a live ACID directory (r10 verdict
+    task 3; the publish_to_catalog precedent in acid.py).
+
+    The election is evaluated at PUBLISH time (the view's plan pins
+    the elected files), so a compaction that swaps the elected dirs
+    must re-publish — exactly Hive's model, where getAcidState runs
+    per-query against the current directory state and the metastore's
+    compaction queue owns visibility of the fold. HiveAcidInitiator
+    re-publishes automatically after each fold it performs (its
+    ``serve_as`` enrollment), making the swap invisible to wire
+    clients: same name, new election. Returns the qualified name."""
+    df = read_hive_acid(spark, root, payload_schema)
+    df.createOrReplaceGlobalTempView(name)
+    return f"global_temp.{name}"
+
+
+class HiveAcidInitiator:
+    """Threshold-driven compaction initiator for AcidUtils layouts —
+    the Hive-layout sibling of acid.CompactionDaemon `[upstream: Hive
+    ql/txn/compactor/Initiator; hive.compactor.delta.num.threshold,
+    hive.compactor.delta.pct.threshold — public-knowledge
+    reconstruction, SURVEY.md §0]` (r10 verdict task 4).
+
+    Election per enrolled layout, all metadata-only (directory
+    listings + file sizes, never rows):
+
+    * **MAJOR** when the elected delta bytes reach
+      ``delta_pct_threshold`` of the elected base bytes (Hive's
+      size-ratio rule) — the fold that applies deletes and rewrites
+      the base;
+    * **MINOR** when the elected delta + delete_delta directory count
+      reaches ``delta_num_threshold`` (Hive's count rule) — the cheap
+      merge a streaming-ingest table needs continuously;
+    * nothing otherwise.
+
+    Hive-compactor semantics kept:
+
+    * **Non-blocking.** Compaction writes NEW directories
+      (scratch-then-rename inside the workers); writers appending
+      later deltas are never blocked, readers keep electing.
+    * **The Cleaner defers for pinned readers.** A reader's plan pins
+      the elected FILES at construction; dropping subsumed dirs under
+      it is Hive's ValidTxnList violation. ``pin(root)`` registers an
+      open reader (token; release() when done) — run_once() still
+      COMPACTS under pins (new dirs are additive) but defers the
+      Cleaner until the last pin drains, retrying each cycle (the
+      pending-clean queue).
+    * **Served views re-elect.** An enrollment with ``serve_as``
+      re-publishes the global-temp view after every fold/clean, so
+      wire clients see the swap atomically under the same name.
+
+    ``run_once()`` is the deterministic test/cron entry; ``start()``
+    spawns the daemon thread (the CompactionDaemon posture).
+
+    Scale: the initiator pass is O(dirs) stat calls per table per
+    cycle; worker cost is the distributed fold itself, which is
+    exactly the per-read merge cost every future query would
+    otherwise pay — amortized, compaction is I/O-negative."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        delta_num_threshold: int = 10,
+        delta_pct_threshold: float = 0.1,
+        interval: float = 5.0,
+    ):
+        import itertools
+        import threading
+
+        self.spark = spark
+        self.delta_num_threshold = delta_num_threshold
+        self.delta_pct_threshold = delta_pct_threshold
+        self.interval = interval
+        self.tables: list[dict] = []
+        self._pins: dict[str, set[int]] = {}
+        self._pin_ids = itertools.count(1)
+        self._pending_clean: set[str] = set()
+        self._stop = threading.Event()
+        self._thread: "threading.Thread | None" = None
+        #: (root, kind, watermark-or-range) log — SHOW COMPACTIONS
+        self.compactions: list[tuple[str, str, object]] = []
+
+    def enroll(
+        self,
+        root: str,
+        payload_schema: list[tuple[str, str]],
+        payload_fields,
+        serve_as: str | None = None,
+    ) -> None:
+        self.tables.append(
+            {
+                "root": root,
+                "schema": payload_schema,
+                "fields": payload_fields,
+                "serve_as": serve_as,
+            }
+        )
+        if serve_as:
+            publish_hive_acid(self.spark, root, payload_schema, serve_as)
+
+    # -- reader pins (the ValidTxnList watermark analog) ----------------
+    def pin(self, root: str) -> int:
+        """Register an open reader over ``root``; the Cleaner defers
+        until every pin on the root is released."""
+        token = next(self._pin_ids)
+        self._pins.setdefault(root, set()).add(token)
+        return token
+
+    def release(self, root: str, token: int) -> None:
+        self._pins.get(root, set()).discard(token)
+
+    # -- election ---------------------------------------------------------
+    def _du(self, dirs: list[str]) -> int:
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d in dirs
+            if os.path.isdir(d)
+            for f in os.listdir(d)
+        )
+
+    def _elect_kind(self, root: str) -> str | None:
+        data_dirs, delete_dirs, originals, _ = _elect_dirs(root)
+        deltas = [
+            d
+            for d in data_dirs
+            if os.path.basename(d).startswith("delta_")
+        ]
+        bases = [
+            d
+            for d in data_dirs
+            if os.path.basename(d).startswith("base_")
+        ]
+        if not deltas and not delete_dirs:
+            return None
+        base_bytes = self._du(bases) + sum(
+            os.path.getsize(p) for p in originals
+        )
+        delta_bytes = self._du(deltas) + self._du(delete_dirs)
+        if base_bytes and delta_bytes / base_bytes >= self.delta_pct_threshold:
+            return "major"
+        if len(deltas) + len(delete_dirs) >= self.delta_num_threshold:
+            return "minor"
+        return None
+
+    def run_once(self) -> list[tuple[str, str, object]]:
+        """One initiator pass: elect + fold every enrolled layout over
+        threshold, retry deferred cleans, re-publish served views.
+        Returns this pass's (root, kind, detail) compactions."""
+        done: list[tuple[str, str, object]] = []
+        for t in self.tables:
+            root = t["root"]
+            kind = self._elect_kind(root)
+            changed = False
+            if kind == "major":
+                w = compact_hive_acid(
+                    self.spark, root, t["schema"], t["fields"]
+                )
+                done.append((root, "major", w))
+                changed = True
+            elif kind == "minor":
+                rng = minor_compact_hive_acid(
+                    self.spark, root, t["schema"], t["fields"]
+                )
+                if rng is not None:
+                    done.append((root, "minor", rng))
+                    changed = True
+            if changed or root in self._pending_clean:
+                if self._pins.get(root):
+                    self._pending_clean.add(root)  # defer: open readers
+                else:
+                    clean_hive_acid(root)
+                    self._pending_clean.discard(root)
+                    changed = True
+            if changed and t["serve_as"]:
+                publish_hive_acid(
+                    self.spark, root, t["schema"], t["serve_as"]
+                )
+        self.compactions.extend(done)
+        return done
+
+    def start(self) -> "HiveAcidInitiator":
+        import threading
+
+        if self._thread is not None:
+            return self
+        self._stop.clear()
+
+        def loop() -> None:
+            while not self._stop.wait(self.interval):
+                try:
+                    self.run_once()
+                except Exception:  # daemon must survive transient errors
+                    import logging
+
+                    logging.getLogger(__name__).exception(
+                        "hive-acid initiator pass failed"
+                    )
+
+        self._thread = threading.Thread(
+            target=loop, name="sparkgraft-hive-acid-initiator", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None

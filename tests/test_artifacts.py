@@ -207,3 +207,60 @@ def test_committed_coverage_covers_registry():
     assert m and int(m.group(1)) == len(_REGISTRY), (
         "COVERAGE.md headline count disagrees with the registry"
     )
+
+
+def test_survey_section2_names_every_registry_id():
+    """SURVEY §2 is the implementation contract: every live registry
+    id must appear (backticked) somewhere in the §2 region, so an
+    operator can never ship without its inventory row (r9 judge
+    finding: ext_sim_ivf_trained was registered and green but had no
+    §2.14 row — this makes the drift un-committable)."""
+    import re
+
+    from layer_apache_hive_spark.registry import _load_all_modules, _REGISTRY
+
+    _load_all_modules()
+    text = open(os.path.join(REPO, "SURVEY.md")).read()
+    start = text.index("## §2 ")
+    end = text.index("## §3 ")
+    ids = set(re.findall(r"`([a-z0-9_]+)`", text[start:end]))
+    missing = sorted(set(_REGISTRY) - ids)
+    assert not missing, (
+        f"SURVEY §2 missing rows for registered ids: {missing}"
+    )
+
+
+def test_committed_stress_covers_registry():
+    """STRESS.json's per-query superlinearity rows must cover EXACTLY
+    the live registry (r10 verdict task 1: the r9 regen silently
+    narrowed 255 → 120 rows and nothing caught it — unlike
+    PLAN_AUDIT/EMPTYCHECK/COVERAGE, which all gate set-equality).
+    A slice can never ship silently again."""
+    from layer_apache_hive_spark.registry import _load_all_modules, _REGISTRY
+
+    _load_all_modules()
+    d = _rows("STRESS.json")
+    ids = set(d["queries"])
+    missing = sorted(set(_REGISTRY) - ids)
+    extra = sorted(ids - set(_REGISTRY))
+    assert not missing and not extra, (
+        f"STRESS.json stale vs registry: missing={len(missing)} "
+        f"{missing[:8]}… extra={extra} — regenerate with "
+        "`python scripts/scale_stress.py` then re-run the appenders "
+        "(stress_recall.py, lsh_law_check.py, semdedup_law_check.py)"
+    )
+
+
+def test_committed_semdedup_law_holds_n15():
+    """STRESS.json `semdedup_law` (r10 verdict task 10): the
+    O(n^1.5) SemDeDup pair-work claim must be PAIR-COUNTED, not just
+    stress-timed — fitted log-log exponent of measured within-cell
+    pairs vs n over 1x/8x/32x stays ≤ 1.6 (theory 1.5 for balanced
+    ⌈√n⌉ cells; 2.0 would be the all-pairs kernel)."""
+    d = _rows("STRESS.json")
+    law = d.get("semdedup_law")
+    assert law, "semdedup_law section missing from STRESS.json"
+    assert law["ok"] and law["fitted_exponent"] <= law["exponent_cut"], law
+    assert len(law["points"]) >= 3, law["points"].keys()
+    for key, p in law["points"].items():
+        assert p["within_cell_pairs"] > 0, (key, p)

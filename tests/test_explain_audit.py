@@ -33,3 +33,52 @@ def test_plan_has_no_scale_red_flags(spark, qid):
     assert not flags, (
         f"{qid} plan regressed: {flags}\n--- plan head ---\n{plan[:3000]}"
     )
+
+
+def test_global_window_detector_separates_partitioned(spark):
+    """The r10 unpartitioned-Window rule: a no-partition-spec window
+    is detected, a partitioned one is not, and expression order keys
+    (nested parens/commas inside windowspecdefinition) don't confuse
+    the balanced-paren parse."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from layer_apache_hive_spark.plan_audit import _has_global_window
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    glob = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy((F.col("id") + 1).desc()))
+    )
+    part = df.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("g").orderBy("id")),
+    )
+    both = part.withColumn(
+        "rt", F.sum("id").over(Window.orderBy("id"))
+    )
+    assert _has_global_window(explain_formatted(spark, glob))
+    assert not _has_global_window(explain_formatted(spark, part))
+    assert _has_global_window(explain_formatted(spark, both))
+    # and the audit flags it for a non-whitelisted id
+    assert audit("some_new_query", explain_formatted(spark, glob)) == [
+        "unpartitioned window (single-partition input)"
+    ]
+
+
+def test_global_window_whitelist_entries_are_live(spark):
+    """Every GLOBAL_WINDOW_OK entry must actually HAVE a global
+    window in its current plan — a stale whitelist row would let the
+    next contributor hide a new corpus-sized global window behind an
+    id that no longer needs the exemption."""
+    from layer_apache_hive_spark.plan_audit import (
+        GLOBAL_WINDOW_OK,
+        _has_global_window,
+    )
+
+    for qid in sorted(GLOBAL_WINDOW_OK):
+        df = _REGISTRY[qid].fn(spark, SF_DIR)
+        plan = explain_formatted(spark, df)
+        assert _has_global_window(plan), (
+            f"{qid} is whitelisted but has no unpartitioned window — "
+            "remove the stale GLOBAL_WINDOW_OK entry"
+        )

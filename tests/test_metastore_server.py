@@ -681,3 +681,91 @@ def test_thrift_server_live_grant_revoke():
             timeout=420,
         )
         assert "GRANT_WIRE_OK" in out
+
+
+_ACID_SERVER = """
+import os, sys
+sys.path.insert(0, "/root/repo")
+import pyarrow as pa
+from pyspark.sql import functions as F
+from layer_apache_hive_spark.metastore import hive_session
+from layer_apache_hive_spark.server import (
+    start_thrift_server, wait_for_port, beeline_query)
+from layer_apache_hive_spark.sources.hive_acid import (
+    HiveAcidInitiator, export_hive_acid, publish_hive_acid,
+    read_hive_acid)
+
+port = {port}
+spark = hive_session(
+    app_name="thrift-acid", master="local[4]",
+    metastore_dir={ms!r}, warehouse_dir={wh!r},
+    extra_conf={{"spark.hadoop.hive.server2.thrift.port": str(port)}})
+
+SCHEMA = [("k", "long"), ("status", "string"), ("price", "double")]
+FIELDS = [("k", pa.int64()), ("status", pa.string()),
+          ("price", pa.float64())]
+v1 = spark.createDataFrame([(i, "A", float(i)) for i in range(1, 9)],
+                           "k long, status string, price double")
+v2 = v1.unionByName(spark.createDataFrame(
+    [(9, "B", 9.0), (10, "B", 10.0)],
+    "k long, status string, price double"))
+v3 = v2.filter("k NOT IN (2, 9)").withColumn(
+    "price", F.expr("CASE WHEN k = 3 THEN price + 100.0 ELSE price END"))
+snaps = {{1: v1, 2: v2, 3: v3}}
+root = {root!r}
+export_hive_acid(spark, lambda v: snaps[v], versions=[1, 2, 3],
+                 out_root=root, pk="k",
+                 payload_cols=["k", "status", "price"],
+                 payload_fields=FIELDS, n_buckets=2)
+
+qual = publish_hive_acid(spark, root, SCHEMA, "acid_orders")
+server = start_thrift_server(spark, port)
+wait_for_port(port)
+
+local = sorted((r.k, r.status, r.price)
+               for r in read_hive_acid(spark, root, SCHEMA).collect())
+sql = f"SELECT k, status, price FROM {{qual}} ORDER BY k"
+_, rows1 = beeline_query(sql, port)
+wire1 = sorted((int(a), b, float(c)) for a, b, c in rows1)
+assert len(wire1) > 0 and wire1 == local, (wire1, local)
+
+# a compaction swaps the elected dirs: the initiator folds, cleans,
+# and RE-PUBLISHES under the same name (its serve_as enrollment)
+before = sorted(os.listdir(root))
+init = HiveAcidInitiator(spark, delta_num_threshold=2,
+                         delta_pct_threshold=0.01)
+init.enroll(root, SCHEMA, FIELDS, serve_as="acid_orders")
+done = init.run_once()
+assert done and done[0][1] == "major", done
+after = sorted(os.listdir(root))
+assert after == ["base_0000003"], (before, after)
+
+_, rows2 = beeline_query(sql, port)
+wire2 = sorted((int(a), b, float(c)) for a, b, c in rows2)
+assert wire2 == local, (wire2, local)
+print("ACID_WIRE_OK", len(wire2))
+server.stop()
+spark.stop()
+"""
+
+
+def test_thrift_server_serves_hive_acid_layout_by_name():
+    """A base/delta/delete_delta directory readable by read_hive_acid
+    must be queryable BY NAME over JDBC/Thrift (r10 verdict task 3) —
+    the first surface a beeline user of the charm-era warehouse
+    expects — with the wire result hash-matching the in-process
+    election read, INCLUDING after a major compaction swaps the
+    elected dirs (the initiator re-publishes the served view)."""
+    from layer_apache_hive_spark.server import free_port
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = _run(
+            _ACID_SERVER.format(
+                ms=f"{tmp}/metastore",
+                wh=f"{tmp}/warehouse",
+                root=f"{tmp}/acid_table",
+                port=free_port(),
+            ),
+            timeout=420,
+        )
+        assert "ACID_WIRE_OK" in out

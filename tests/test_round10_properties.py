@@ -144,6 +144,225 @@ def test_stray_scratch_entries_tolerated_under_watermark(spark, tmp_path):
     assert compact_hive_acid(spark, root, SCHEMA, _fields(), max_writeid=2) == 2
 
 
+# --- HiveAcidInitiator: threshold-driven compaction (r10 task 4) ------------
+
+
+def _export_chain4(spark, root: str) -> None:
+    """_export_chain plus a v4 that inserts keys 11-12 — three deltas
+    over the base, enough to cross a num-threshold of 3."""
+    v1 = spark.createDataFrame(
+        [(i, "A", float(i)) for i in range(1, 9)],
+        "k long, status string, price double",
+    )
+    v2 = v1.unionByName(
+        spark.createDataFrame(
+            [(9, "B", 9.0), (10, "B", 10.0)],
+            "k long, status string, price double",
+        )
+    )
+    v3 = v2.filter("k NOT IN (2, 9)").withColumn(
+        "price", F.expr("CASE WHEN k = 3 THEN price + 100.0 ELSE price END")
+    )
+    v4 = v3.unionByName(
+        spark.createDataFrame(
+            [(11, "C", 11.0), (12, "C", 12.0)],
+            "k long, status string, price double",
+        )
+    )
+    snaps = {1: v1, 2: v2, 3: v3, 4: v4}
+    export_hive_acid(
+        spark,
+        lambda v: snaps[v],
+        versions=[1, 2, 3, 4],
+        out_root=root,
+        pk="k",
+        payload_cols=PAYLOAD,
+        payload_fields=_fields(),
+        n_buckets=2,
+    )
+
+
+_V4 = _V3 | {(11, "C", 11.0), (12, "C", 12.0)}
+
+
+def test_initiator_elects_minor_and_defers_cleaner_for_pins(
+    spark, tmp_path
+):
+    """The Hive-layout Initiator: 3 live deltas cross the
+    num-threshold and elect MINOR (pct threshold set high); a PINNED
+    reader built before the fold stays consistent — the Cleaner
+    defers while the pin is open (the subsumed input dirs survive on
+    disk) and runs on the first pass after release."""
+    from layer_apache_hive_spark.sources.hive_acid import (
+        HiveAcidInitiator,
+    )
+
+    root = str(tmp_path / "acid")
+    _export_chain4(spark, root)
+    init = HiveAcidInitiator(
+        spark, delta_num_threshold=3, delta_pct_threshold=10.0
+    )
+    init.enroll(root, SCHEMA, _fields())
+    tok = init.pin(root)
+    pinned = read_hive_acid(spark, root, SCHEMA)  # plan pins the files
+
+    done = init.run_once()
+    assert done == [(root, "minor", (2, 4))], done
+    entries = sorted(os.listdir(root))
+    # merged dirs exist AND the subsumed inputs survive (clean deferred)
+    assert "delta_0000002_0000004" in entries
+    assert "delta_0000002_0000002" in entries, entries
+    got = {(r.k, r.status, r.price) for r in pinned.collect()}
+    assert got == _V4  # the pinned reader still merges its own files
+
+    init.release(root, tok)
+    assert init.run_once() == []  # nothing newly compactable...
+    entries = sorted(os.listdir(root))  # ...but the deferred clean ran
+    assert "delta_0000002_0000002" not in entries, entries
+    assert "delta_0000002_0000004" in entries
+    assert _snap(spark, root) == _V4
+    # steady state: nothing to do
+    assert init.run_once() == []
+
+
+def test_initiator_elects_major_on_size_ratio(spark, tmp_path):
+    """Hive's pct rule: when elected delta bytes reach the threshold
+    fraction of the base, the initiator elects MAJOR — one fold to
+    base_0000004, Cleaner leaves only it, read unchanged."""
+    from layer_apache_hive_spark.sources.hive_acid import (
+        HiveAcidInitiator,
+    )
+
+    root = str(tmp_path / "acid")
+    _export_chain4(spark, root)
+    init = HiveAcidInitiator(
+        spark, delta_num_threshold=100, delta_pct_threshold=0.05
+    )
+    init.enroll(root, SCHEMA, _fields())
+    done = init.run_once()
+    assert done == [(root, "major", 4)], done
+    assert sorted(os.listdir(root)) == ["base_0000004"]
+    assert _snap(spark, root) == _V4
+    assert init.run_once() == []
+
+
+# --- ext_bpe_train: the composed BPE training loop (r10 task 8) -------------
+
+
+def _ref_bpe(words: dict[str, int], iters: int, top: int):
+    """Arbitrary-precision Python reference of the bounded BPE loop:
+    greedy single-pass left-to-right merge application, argmax merge
+    election with lexicographic tiebreak."""
+    state: dict[tuple[str, ...], int] = {}
+    for w, c in words.items():
+        k = tuple(w)
+        state[k] = state.get(k, 0) + c
+    rows = []
+    for it in range(1, iters + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in state.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] = pc.get((x, y), 0) + c
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, ((a, b), n) in enumerate(ranked[:top], 1):
+            rows.append((it, rank, a, b, n))
+        if not ranked:
+            break
+        (a, b), _ = ranked[0]
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, c in state.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            nxt[k] = nxt.get(k, 0) + c
+        state = nxt
+    return rows
+
+
+def test_bpe_train_matches_reference_implementation(spark, tmp_path):
+    """The 5-iteration loop over a crafted corpus — multi-char merges
+    by iteration 2, overlapping runs ('aaaa'), weight-driven ties —
+    must equal the Python reference exactly: election order, merge
+    application (greedy single pass), and contender counts."""
+    from layer_apache_hive_spark.extensions.text_analysis import (
+        _bpe_train_frame,
+    )
+
+    words = {
+        "aaab": 3,
+        "abab": 2,
+        "banana": 1,
+        "aaaa": 2,
+        "ccca": 5,
+        "cc": 4,  # len-2 word, single pair
+        "x": 9,  # len-1: excluded by the len >= 2 vocab filter
+    }
+    docs = []
+    i = 0
+    for w, c in words.items():
+        for _ in range(c):
+            docs.append((i, w))
+            i += 1
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = sorted(
+        (r.iteration, r.pair_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in _bpe_train_frame(spark, str(tmp_path), 5).collect()
+    )
+    expect = sorted(
+        _ref_bpe({w: c for w, c in words.items() if len(w) >= 2}, 5, 3)
+    )
+    assert got == expect, (got, expect)
+
+
+def test_bpe_train_iteration1_matches_merge_step(spark):
+    """Iteration 1 of the loop IS the registered single step: the
+    top-3 election rows must coincide with ext_bpe_merge_step's
+    first three ranks on the same corpus."""
+    from layer_apache_hive_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    train = {
+        (r.pair_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in qs["ext_bpe_train"](spark, sf).collect()
+        if r.iteration == 1
+    }
+    step = {
+        (r.pair_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in qs["ext_bpe_merge_step"](spark, sf).collect()
+        if r.pair_rank <= 3
+    }
+    assert train == step, (train, step)
+
+
+def test_bpe_train_exchange_count_flat_per_iteration(spark):
+    """Each added merge iteration must add a CONSTANT number of
+    Exchange nodes (the kmeans_train contract) — superlinear growth
+    would mean iterations re-shuffle previous iterations' state."""
+    from layer_apache_hive_spark.extensions.text_analysis import (
+        _bpe_train_frame,
+    )
+
+    def exchanges(iters: int) -> int:
+        df = _bpe_train_frame(spark, "/root/testdata/sf0.001", iters)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    e1, e2, e3 = exchanges(1), exchanges(2), exchanges(3)
+    assert e2 - e1 == e3 - e2, (
+        f"exchange growth not flat: {e1}, {e2}, {e3}"
+    )
+
+
 @pytest.mark.parametrize(
     "a,b",
     [
