@@ -504,21 +504,29 @@ def read_hive_acid(
                         }
                     )
 
-        counts = {
-            r["path"]: r["n"]
-            for r in spark.createDataFrame(
-                [(p,) for p in original_files], "path string"
-            )
-            .repartition(len(original_files))
-            .mapInPandas(footer_counts, "path string, n long")
-            .collect()
-        }
-        offsets: list[tuple[str, int]] = []
-        next_rid: dict[int, int] = {}
-        for p in sorted(original_files, key=os.path.basename):
-            b = int(os.path.basename(p).split("_")[0])
-            offsets.append((p, next_rid.get(b, 0)))
-            next_rid[b] = next_rid.get(b, 0) + counts[p]
+        buckets = [
+            int(os.path.basename(p).split("_")[0]) for p in original_files
+        ]
+        if len(set(buckets)) == len(buckets):
+            # one file per bucket (the common converted-table shape):
+            # every offset is 0 — skip the footer-count job entirely
+            offsets = [(p, 0) for p in original_files]
+        else:
+            counts = {
+                r["path"]: r["n"]
+                for r in spark.createDataFrame(
+                    [(p,) for p in original_files], "path string"
+                )
+                .repartition(len(original_files))
+                .mapInPandas(footer_counts, "path string, n long")
+                .collect()
+            }
+            offsets = []
+            next_rid: dict[int, int] = {}
+            for p in sorted(original_files, key=os.path.basename):
+                b = int(os.path.basename(p).split("_")[0])
+                offsets.append((p, next_rid.get(b, 0)))
+                next_rid[b] = next_rid.get(b, 0) + counts[p]
         orig = spark.createDataFrame(
             offsets, "path string, rid_offset long"
         ).repartition(len(original_files)).mapInPandas(

@@ -63,36 +63,17 @@ _KEY_SHIFTS = {
 }
 _OFFSET = 10_000_000
 
-# Round 4 (VERDICT r3 item 4): the slice is now the ENTIRE ext_* and
-# evt_* tier — every dedup/similarity/text/training/multimodal/
-# event-analytics id — plus a curated core of scan/agg/join/window/
-# composite shapes. Computed from the registry at runtime so a new
-# extension operator is stress-covered by default (no silent cap).
-_CORE_SLICE = [
-    "agg_hash_groupby",
-    "agg_count_distinct",
-    "agg_hll_portable",
-    "agg_count_min",
-    "join_inner_equi",
-    "join_broadcast",
-    "composite_market_share",
-    "win_running_total",
-    "topk",
-    "join_interval_overlap",
-    "composite_dashboard",
-    "sink_zorder",
-    # r9: the write-back and replication paths scale with CHANGED
-    # rows — measure them like the rest of the sink family
-    "sink_hive_acid",
-    "ddl_repl_dump_load",
-]
+# Round 10 (VERDICT r9 item 1): the default slice is the ENTIRE
+# registry — r9's narrowing to an ext_/evt_ "core slice" silently
+# dropped 147 ids' superlinearity evidence, and
+# tests/test_artifacts.py::test_committed_stress_covers_registry now
+# gates STRESS.json's id set == the live registry, so a subset can
+# never ship as the committed artifact again (subset runs remain
+# available via explicit ids, which UPDATE rows in place).
 
 
 def stress_queries(qs: dict) -> list[str]:
-    tier = sorted(
-        q for q in qs if q.startswith("ext_") or q.startswith("evt_")
-    )
-    return tier + [q for q in _CORE_SLICE if q not in tier]
+    return sorted(qs)
 
 
 def build_corpus(spark, src_dir: str, dst_dir: str, k: int) -> None:

@@ -683,7 +683,7 @@ def test_thrift_server_live_grant_revoke():
         assert "GRANT_WIRE_OK" in out
 
 
-_ACID_SERVER = """
+_HIVE_LAYOUT_SERVER = """
 import os, sys
 sys.path.insert(0, "/root/repo")
 import pyarrow as pa
@@ -743,7 +743,7 @@ assert after == ["base_0000003"], (before, after)
 _, rows2 = beeline_query(sql, port)
 wire2 = sorted((int(a), b, float(c)) for a, b, c in rows2)
 assert wire2 == local, (wire2, local)
-print("ACID_WIRE_OK", len(wire2))
+print("HIVE_LAYOUT_WIRE_OK", len(wire2))
 server.stop()
 spark.stop()
 """
@@ -760,7 +760,7 @@ def test_thrift_server_serves_hive_acid_layout_by_name():
 
     with tempfile.TemporaryDirectory() as tmp:
         out = _run(
-            _ACID_SERVER.format(
+            _HIVE_LAYOUT_SERVER.format(
                 ms=f"{tmp}/metastore",
                 wh=f"{tmp}/warehouse",
                 root=f"{tmp}/acid_table",
@@ -768,4 +768,4 @@ def test_thrift_server_serves_hive_acid_layout_by_name():
             ),
             timeout=420,
         )
-        assert "ACID_WIRE_OK" in out
+        assert "HIVE_LAYOUT_WIRE_OK" in out

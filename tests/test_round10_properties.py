@@ -225,6 +225,94 @@ def test_initiator_elects_minor_and_defers_cleaner_for_pins(
     assert init.run_once() == []
 
 
+def test_initiator_folds_live_streaming_chain(spark, tmp_path):
+    """The streaming-ingest × initiator composition (the r9 'Hive
+    ingest shape: writers append deltas, the compactor amortizes
+    them' claim, now exercised LIVE): a per-transaction delta writer
+    (the evt_stream_hive_acid_ingest commit protocol — scratch write
+    + atomic rename) appends batches while the initiator folds the
+    chain between them. A reader pinned mid-stream stays consistent
+    across two later folds (Cleaner deferred), and the final read is
+    the union of every batch."""
+    from pyspark.sql import Window
+
+    from layer_apache_hive_spark.sources.hive_acid import (
+        _OP_INSERT,
+        HiveAcidInitiator,
+        _write_version_dirs,
+    )
+
+    root = str(tmp_path / "live")
+    os.makedirs(root)
+
+    def commit_batch(w: int) -> None:
+        rows = [(w * 10 + i, "S", float(w * 10 + i)) for i in range(5)]
+        final = os.path.join(root, f"delta_{w:07d}_{w:07d}")
+        if os.path.exists(final):
+            return
+        events = (
+            spark.createDataFrame(
+                rows, "k long, status string, price double"
+            )
+            .withColumn(
+                "__bucket", F.pmod(F.hash("k"), F.lit(2)).cast("int")
+            )
+            .withColumn(
+                "__rid",
+                (
+                    F.row_number().over(
+                        Window.partitionBy("__bucket").orderBy("k")
+                    )
+                    - 1
+                ).cast("long"),
+            )
+            .withColumn("__otid", F.lit(w).cast("long"))
+            .withColumn("__ctid", F.lit(w).cast("long"))
+            .withColumn("__op", F.lit(_OP_INSERT))
+        )
+        scratch = os.path.join(root, f".scratch_delta_{w:07d}")
+        _write_version_dirs(events, None, scratch, None, _fields())
+        os.rename(scratch, final)
+
+    def batch_rows(ws):
+        return {
+            (w * 10 + i, "S", float(w * 10 + i))
+            for w in ws
+            for i in range(5)
+        }
+
+    init = HiveAcidInitiator(
+        spark, delta_num_threshold=2, delta_pct_threshold=10.0
+    )
+    init.enroll(root, SCHEMA, _fields())
+
+    commit_batch(1)
+    assert init.run_once() == []  # one delta: under threshold
+    commit_batch(2)
+    assert init.run_once() == [(root, "minor", (1, 2))]
+    assert sorted(os.listdir(root)) == ["delta_0000001_0000002"]
+    assert _snap(spark, root) == batch_rows([1, 2])
+
+    tok = init.pin(root)
+    pinned = read_hive_acid(spark, root, SCHEMA)  # elects delta_1_2
+    commit_batch(3)
+    assert init.run_once() == [(root, "minor", (1, 3))]
+    commit_batch(4)
+    assert init.run_once() == [(root, "minor", (1, 4))]
+    # Cleaner deferred: the pinned reader's input dirs still on disk
+    entries = sorted(os.listdir(root))
+    assert "delta_0000001_0000002" in entries, entries
+    got = {(r.k, r.status, r.price) for r in pinned.collect()}
+    assert got == batch_rows([1, 2])  # snapshot-consistent mid-folds
+    # a FRESH election sees everything through the widest merged run
+    assert _snap(spark, root) == batch_rows([1, 2, 3, 4])
+
+    init.release(root, tok)
+    assert init.run_once() == []  # deferred clean drains
+    assert sorted(os.listdir(root)) == ["delta_0000001_0000004"]
+    assert _snap(spark, root) == batch_rows([1, 2, 3, 4])
+
+
 def test_initiator_elects_major_on_size_ratio(spark, tmp_path):
     """Hive's pct rule: when elected delta bytes reach the threshold
     fraction of the base, the initiator elects MAJOR — one fold to
