@@ -375,6 +375,38 @@ def _drop_subsumed(dirs: list[str]) -> list[str]:
     return out
 
 
+def _decode_units(
+    paths: list[tuple[str, int]], min_parallelism: int
+) -> list[tuple[str, int, int]]:
+    """(path, min_ctid) → (path, min_ctid, stripe) decode units.
+    stripe = -1 reads the whole file. When the elected FILE count
+    already covers the session's parallelism, files stay whole; when
+    it starves it (few large files — the post-compaction steady
+    state at scale: one multi-GB base file per bucket), each file
+    splits into per-STRIPE units, Hive's own ACID split granularity
+    `[upstream: Hive ql/io/orc OrcInputFormat ACID splits — stripes
+    are independently decodable and the ACID struct carries every
+    row's identity, so decode order is irrelevant]`. The stripe
+    enumeration is footer-only metadata, driver-side, O(n_files) —
+    the same metadata class as AcidUtils' getAcidState directory
+    scan. Original files are NOT stripe-split (their synthesized
+    rowIds are in-file ordinals, and pyarrow exposes no per-stripe
+    row offsets; originals are a transitional state the first
+    compaction folds anyway)."""
+    if min_parallelism <= 0 or len(paths) >= min_parallelism:
+        return [(p, m, -1) for p, m in paths]
+    from pyarrow import orc as pa_orc
+
+    units: list[tuple[str, int, int]] = []
+    for p, m in paths:
+        ns = pa_orc.ORCFile(p).nstripes
+        if ns <= 1:
+            units.append((p, m, -1))
+        else:
+            units.extend((p, m, i) for i in range(ns))
+    return units
+
+
 def read_hive_acid(
     spark: SparkSession,
     root: str,
@@ -388,7 +420,11 @@ def read_hive_acid(
     verdict task 8), parameterized on the payload schema so it reads
     BOTH the hand-built fixture and layouts export_hive_acid emits.
 
-    One decode task per ORC file; delete deltas are tiny by nature →
+    One decode task per ORC file — or per ORC STRIPE when the
+    elected file count starves the session's parallelism
+    (_decode_units: the post-compaction steady state at scale is one
+    multi-GB base file per bucket, and stripes are Hive's own ACID
+    split granularity); delete deltas are tiny by nature →
     broadcast anti-join. ``keep_identity`` surfaces the row-id triple
     alongside the payload (the compactor needs it to PRESERVE
     identities — Hive's invariant that delete events committed after
@@ -407,7 +443,7 @@ def read_hive_acid(
         root, max_writeid
     )
 
-    def files_df(dirs: list[str]) -> DataFrame:
+    def files_df(dirs: list[str], split_stripes: bool = False) -> DataFrame:
         # each file carries its dir's lowest VALID writeid (base_n + 1
         # for a base-straddling merged delta, 0 otherwise) so the
         # decode task can drop events the base already represents —
@@ -417,19 +453,31 @@ def read_hive_acid(
             for d in dirs
             for f in sorted(_glob.glob(os.path.join(d, "bucket_*")))
         ]
+        units = _decode_units(
+            paths,
+            spark.sparkContext.defaultParallelism if split_stripes else 0,
+        )
         return spark.createDataFrame(
-            paths, "path string, min_ctid long"
-        ).repartition(max(len(paths), 1))
+            units, "path string, min_ctid long, stripe int"
+        ).repartition(max(len(units), 1))
 
     names = [n for n, _ in payload_schema]
 
     def read_data(it):
         import pandas as pd
+        import pyarrow as pa
         from pyarrow import orc as pa_orc
 
         for pdf in it:
-            for path, min_ctid in zip(pdf["path"], pdf["min_ctid"]):
-                t = pa_orc.ORCFile(path).read()
+            for path, min_ctid, stripe in zip(
+                pdf["path"], pdf["min_ctid"], pdf["stripe"]
+            ):
+                f = pa_orc.ORCFile(path)
+                t = (
+                    f.read()
+                    if stripe < 0
+                    else pa.Table.from_batches([f.read_stripe(stripe)])
+                )
                 flat = t.flatten().to_pandas()
                 if min_ctid:
                     flat = flat[flat["currentTransaction"] >= min_ctid]
@@ -480,7 +528,9 @@ def read_hive_acid(
 
     payload_ddl = ", ".join(f"{n} {t}" for n, t in payload_schema)
     acid_ddl = f"otid long, bucket int, rid long, {payload_ddl}"
-    live = files_df(data_dirs).mapInPandas(read_data, acid_ddl)
+    live = files_df(data_dirs, split_stripes=True).mapInPandas(
+        read_data, acid_ddl
+    )
     if original_files:
         # _copy_N: a bucket may hold SEVERAL flat files (each
         # pre-conversion INSERT appended bucket_N_copy_M); Hive
@@ -1266,6 +1316,7 @@ class HiveAcidInitiator:
         delta_num_threshold: int = 10,
         delta_pct_threshold: float = 0.1,
         interval: float = 5.0,
+        serve_compactions_as: str | None = None,
     ):
         import itertools
         import threading
@@ -1274,6 +1325,12 @@ class HiveAcidInitiator:
         self.delta_num_threshold = delta_num_threshold
         self.delta_pct_threshold = delta_pct_threshold
         self.interval = interval
+        #: SHOW COMPACTIONS analog: when set, the compaction log is
+        #: published (and re-published after every pass) as a
+        #: global-temp view of this name, so a beeline user sees the
+        #: queue history over the wire `[upstream: Hive SHOW
+        #: COMPACTIONS — metastore COMPACTION_QUEUE]`
+        self.serve_compactions_as = serve_compactions_as
         self.tables: list[dict] = []
         self._pins: dict[str, set[int]] = {}
         self._pin_ids = itertools.count(1)
@@ -1379,6 +1436,15 @@ class HiveAcidInitiator:
                     self.spark, root, t["schema"], t["serve_as"]
                 )
         self.compactions.extend(done)
+        if self.serve_compactions_as is not None:
+            rows = [
+                (i, r, kind, str(detail))
+                for i, (r, kind, detail) in enumerate(self.compactions, 1)
+            ]
+            self.spark.createDataFrame(
+                rows,
+                "seq int, table_root string, kind string, detail string",
+            ).createOrReplaceGlobalTempView(self.serve_compactions_as)
         return done
 
     def start(self) -> "HiveAcidInitiator":

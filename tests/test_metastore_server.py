@@ -733,7 +733,8 @@ assert len(wire1) > 0 and wire1 == local, (wire1, local)
 # and RE-PUBLISHES under the same name (its serve_as enrollment)
 before = sorted(os.listdir(root))
 init = HiveAcidInitiator(spark, delta_num_threshold=2,
-                         delta_pct_threshold=0.01)
+                         delta_pct_threshold=0.01,
+                         serve_compactions_as="compactions")
 init.enroll(root, SCHEMA, FIELDS, serve_as="acid_orders")
 done = init.run_once()
 assert done and done[0][1] == "major", done
@@ -743,6 +744,12 @@ assert after == ["base_0000003"], (before, after)
 _, rows2 = beeline_query(sql, port)
 wire2 = sorted((int(a), b, float(c)) for a, b, c in rows2)
 assert wire2 == local, (wire2, local)
+
+# SHOW COMPACTIONS analog: the initiator's queue history served
+# under a stable name (Hive's metastore COMPACTION_QUEUE view)
+_, crows = beeline_query(
+    "SELECT seq, kind FROM global_temp.compactions", port)
+assert crows == [["1", "major"]], crows
 print("HIVE_LAYOUT_WIRE_OK", len(wire2))
 server.stop()
 spark.stop()

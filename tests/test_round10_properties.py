@@ -474,3 +474,109 @@ def test_lp_fdiv_exact_above_2_53(spark, a, b):
         _lp_fdiv(F.col("a"), F.col("b")).alias("q")
     ).collect()[0].q
     assert got == a // b, (a, b, got, a // b)
+
+
+# --- stripe-split decode units (r10: 100 TB posture of the ACID read) --------
+
+
+def _write_acid_file(path, ks, otid=1, stripe_size=None):
+    """One ACID-struct bucket file: insert events for keys ``ks``
+    (bucket 0, rid = ordinal), optionally with a tiny stripe size so
+    the file holds many stripes."""
+    import pyarrow as pa
+    from pyarrow import orc as pa_orc
+
+    n = len(ks)
+    t = pa.table(
+        {
+            "operation": pa.array([0] * n, pa.int32()),
+            "originalTransaction": pa.array([otid] * n, pa.int64()),
+            "bucket": pa.array([0] * n, pa.int32()),
+            "rowId": pa.array(list(range(n)), pa.int64()),
+            "currentTransaction": pa.array([otid] * n, pa.int64()),
+            "row": pa.StructArray.from_arrays(
+                [
+                    pa.array(ks, pa.int64()),
+                    pa.array(["S"] * n, pa.string()),
+                    pa.array([float(k) for k in ks], pa.float64()),
+                ],
+                names=["k", "status", "price"],
+            ),
+        }
+    )
+    kw = {"stripe_size": stripe_size} if stripe_size else {}
+    pa_orc.write_table(t, path, **kw)
+
+
+def test_decode_units_split_only_when_starved(tmp_path):
+    """Few large files split into per-stripe units; enough files (or
+    split_stripes off) stay whole; single-stripe files stay whole
+    either way."""
+    from pyarrow import orc as pa_orc
+
+    from layer_apache_hive_spark.sources.hive_acid import _decode_units
+
+    big = str(tmp_path / "big.orc")
+    _write_acid_file(big, list(range(20000)), stripe_size=64 * 1024)
+    small = str(tmp_path / "small.orc")
+    _write_acid_file(small, [1, 2, 3])
+    ns = pa_orc.ORCFile(big).nstripes
+    assert ns > 1
+
+    units = _decode_units([(big, 0), (small, 7)], min_parallelism=32)
+    assert [u for u in units if u[0] == small] == [(small, 7, -1)]
+    big_units = [u for u in units if u[0] == big]
+    assert big_units == [(big, 0, i) for i in range(ns)]
+    # enough files already → whole-file units
+    many = [(big, 0)] * 40
+    assert _decode_units(many, 32) == [(big, 0, -1)] * 40
+    # split disabled (min_parallelism 0 → the delete-delta path)
+    assert _decode_units([(big, 0)], 0) == [(big, 0, -1)]
+
+
+def test_stripe_split_read_matches_whole_file(spark, tmp_path):
+    """A single multi-stripe base file decodes per-stripe (the
+    parallelism-starved case) with NO row lost or doubled, and a
+    delete_delta event targeting a row deep in a LATE stripe still
+    lands — the ACID struct carries identity per row, so stripe
+    decode order is irrelevant (Hive's OrcInputFormat split rule)."""
+    from pyspark.sql import functions as F
+
+    from layer_apache_hive_spark.sources.hive_acid import (
+        _OP_DELETE,
+        _write_version_dirs,
+    )
+
+    root = str(tmp_path / "acid")
+    base = os.path.join(root, "base_0000001")
+    os.makedirs(base)
+    n = 20000
+    _write_acid_file(
+        os.path.join(base, "bucket_00000"),
+        list(range(n)),
+        stripe_size=64 * 1024,
+    )
+    dels = spark.createDataFrame(
+        [(1, 0, n - 10)], "__otid long, __bucket int, __rid long"
+    ).select(
+        "__otid", "__bucket", "__rid",
+        F.lit(_OP_DELETE).alias("__op"),
+        F.lit(2).cast("long").alias("__ctid"),
+    )
+    empty = spark.createDataFrame(
+        [],
+        "__op int, __otid long, __bucket int, __rid long, __ctid long,"
+        " k long, status string, price double",
+    )
+    _write_version_dirs(
+        empty, dels,
+        os.path.join(root, "delta_0000002_0000002"),
+        os.path.join(root, "delete_delta_0000002_0000002"),
+        _fields(),
+    )
+    got = read_hive_acid(spark, root, SCHEMA)
+    ks = [r.k for r in got.select("k").collect()]
+    assert len(ks) == n - 1 == len(set(ks))
+    assert (n - 10) not in set(ks)
+    # the plan really fans out: more than one decode partition
+    assert got.rdd.getNumPartitions() > 1
