@@ -1347,16 +1347,19 @@ class HiveAcidInitiator:
         payload_fields,
         serve_as: str | None = None,
     ) -> None:
-        self.tables.append(
-            {
-                "root": root,
-                "schema": payload_schema,
-                "fields": payload_fields,
-                "serve_as": serve_as,
-            }
-        )
+        t = {
+            "root": root,
+            "schema": payload_schema,
+            "fields": payload_fields,
+            "serve_as": serve_as,
+        }
+        self.tables.append(t)
         if serve_as:
             publish_hive_acid(self.spark, root, payload_schema, serve_as)
+            d2, dd2, og2, _ = _elect_dirs(root)
+            t["last_elected"] = tuple(
+                sorted(os.path.basename(p) for p in d2 + dd2 + og2)
+            )
 
     # -- reader pins (the ValidTxnList watermark analog) ----------------
     def pin(self, root: str) -> int:
@@ -1431,10 +1434,21 @@ class HiveAcidInitiator:
                     clean_hive_acid(root)
                     self._pending_clean.discard(root)
                     changed = True
-            if changed and t["serve_as"]:
-                publish_hive_acid(
-                    self.spark, root, t["schema"], t["serve_as"]
+            if t["serve_as"]:
+                # re-publish whenever the ELECTION changed — after a
+                # fold/clean, but also when a writer appended a new
+                # delta below threshold (Hive re-runs getAcidState per
+                # query; the daemon cadence is our freshness bound for
+                # the served name)
+                d2, dd2, og2, _ = _elect_dirs(root)
+                elected = tuple(
+                    sorted(os.path.basename(p) for p in d2 + dd2 + og2)
                 )
+                if changed or elected != t.get("last_elected"):
+                    publish_hive_acid(
+                        self.spark, root, t["schema"], t["serve_as"]
+                    )
+                    t["last_elected"] = elected
         self.compactions.extend(done)
         if self.serve_compactions_as is not None:
             rows = [

@@ -580,3 +580,65 @@ def test_stripe_split_read_matches_whole_file(spark, tmp_path):
     assert (n - 10) not in set(ks)
     # the plan really fans out: more than one decode partition
     assert got.rdd.getNumPartitions() > 1
+
+
+def test_initiator_republishes_served_view_on_plain_ingest(
+    spark, tmp_path
+):
+    """A served name must track PLAIN ingest too, not just folds:
+    a writer appending a delta below every compaction threshold
+    changes the election, and the next initiator pass re-publishes
+    the view (Hive re-runs getAcidState per query; the daemon
+    cadence is the served name's freshness bound)."""
+    from layer_apache_hive_spark.sources.hive_acid import (
+        HiveAcidInitiator,
+        _OP_INSERT,
+        _write_version_dirs,
+    )
+    from pyspark.sql import Window
+
+    root = str(tmp_path / "served")
+    os.makedirs(root)
+
+    def commit_batch(w, keys):
+        events = (
+            spark.createDataFrame(
+                [(k, "S", float(k)) for k in keys],
+                "k long, status string, price double",
+            )
+            .withColumn("__bucket", F.lit(0).cast("int"))
+            .withColumn(
+                "__rid",
+                (
+                    F.row_number().over(
+                        Window.partitionBy("__bucket").orderBy("k")
+                    )
+                    - 1
+                ).cast("long"),
+            )
+            .withColumn("__otid", F.lit(w).cast("long"))
+            .withColumn("__ctid", F.lit(w).cast("long"))
+            .withColumn("__op", F.lit(_OP_INSERT))
+        )
+        _write_version_dirs(
+            events, None, os.path.join(root, f"delta_{w:07d}_{w:07d}"),
+            None, _fields(),
+        )
+
+    commit_batch(1, [1, 2])
+    init = HiveAcidInitiator(
+        spark, delta_num_threshold=100, delta_pct_threshold=100.0
+    )
+    init.enroll(root, SCHEMA, _fields(), serve_as="served_acid")
+    served = lambda: {  # noqa: E731
+        r.k for r in spark.table("global_temp.served_acid").collect()
+    }
+    assert served() == {1, 2}
+
+    commit_batch(2, [3])  # below every threshold: no fold
+    assert init.run_once() == []  # nothing compacted...
+    assert served() == {1, 2, 3}  # ...but the served name re-elected
+    # steady state: no election change → publish not needed (the
+    # pass is metadata-only); the view still serves correctly
+    assert init.run_once() == []
+    assert served() == {1, 2, 3}
