@@ -231,9 +231,13 @@ def test_initiator_folds_live_streaming_chain(spark, tmp_path):
     them' claim, now exercised LIVE): a per-transaction delta writer
     (the evt_stream_hive_acid_ingest commit protocol — scratch write
     + atomic rename) appends batches while the initiator folds the
-    chain between them. A reader pinned mid-stream stays consistent
-    across two later folds (Cleaner deferred), and the final read is
-    the union of every batch."""
+    chain between them. The FIRST threshold crossing on the
+    deltas-only table elects MAJOR and builds the table's first base
+    (Hive's Initiator no-base rule — r10 advisor item: a streaming
+    table must not minor-compact forever); later crossings, with the
+    base in place, elect MINOR. A reader pinned mid-stream stays
+    consistent across later folds (Cleaner deferred), and the final
+    read is the union of every batch."""
     from pyspark.sql import Window
 
     from layer_apache_hive_spark.sources.hive_acid import (
@@ -289,27 +293,34 @@ def test_initiator_folds_live_streaming_chain(spark, tmp_path):
     commit_batch(1)
     assert init.run_once() == []  # one delta: under threshold
     commit_batch(2)
-    assert init.run_once() == [(root, "minor", (1, 2))]
-    assert sorted(os.listdir(root)) == ["delta_0000001_0000002"]
+    # 2 deltas, NO base: the count threshold elects MAJOR — the fold
+    # that builds the streaming table's first base
+    assert init.run_once() == [(root, "major", 2)]
+    assert sorted(os.listdir(root)) == ["base_0000002"]
     assert _snap(spark, root) == batch_rows([1, 2])
 
     tok = init.pin(root)
-    pinned = read_hive_acid(spark, root, SCHEMA)  # elects delta_1_2
+    pinned = read_hive_acid(spark, root, SCHEMA)  # elects base_2
     commit_batch(3)
-    assert init.run_once() == [(root, "minor", (1, 3))]
+    assert init.run_once() == []  # one delta over a base: under both
     commit_batch(4)
-    assert init.run_once() == [(root, "minor", (1, 4))]
+    # with the base in place the same threshold elects MINOR (the
+    # delta bytes stay under the 10.0 pct ratio)
+    assert init.run_once() == [(root, "minor", (3, 4))]
     # Cleaner deferred: the pinned reader's input dirs still on disk
     entries = sorted(os.listdir(root))
-    assert "delta_0000001_0000002" in entries, entries
+    assert "delta_0000003_0000003" in entries, entries
     got = {(r.k, r.status, r.price) for r in pinned.collect()}
     assert got == batch_rows([1, 2])  # snapshot-consistent mid-folds
-    # a FRESH election sees everything through the widest merged run
+    # a FRESH election sees everything through the merged run
     assert _snap(spark, root) == batch_rows([1, 2, 3, 4])
 
     init.release(root, tok)
     assert init.run_once() == []  # deferred clean drains
-    assert sorted(os.listdir(root)) == ["delta_0000001_0000004"]
+    assert sorted(os.listdir(root)) == [
+        "base_0000002",
+        "delta_0000003_0000004",
+    ]
     assert _snap(spark, root) == batch_rows([1, 2, 3, 4])
 
 

@@ -286,3 +286,133 @@ def test_thrift_server_concurrent_transaction_rebases():
             timeout=900,
         )
         assert "TXN_RACE_OK" in out
+
+
+_ACID_DML_SERVER = """
+import os, sys
+sys.path.insert(0, "/root/repo")
+import pyarrow as pa
+from layer_apache_hive_spark.metastore import hive_session
+from layer_apache_hive_spark.server import (
+    start_thrift_server, wait_for_port, beeline_query, beeline_script)
+from layer_apache_hive_spark.txn import (
+    TxnSessionManager, install_txn_handler, txn_session_conf)
+from layer_apache_hive_spark.acid import TransactionCatalog
+from layer_apache_hive_spark.sources.hive_acid import (
+    HiveAcidInitiator, append_delta, read_hive_acid)
+
+port = {port}
+conf = txn_session_conf()
+conf["spark.hadoop.hive.server2.thrift.port"] = str(port)
+spark = hive_session(
+    app_name="thrift-acid-dml", master="local[4]",
+    metastore_dir={ms!r}, warehouse_dir={wh!r}, extra_conf=conf)
+
+SCHEMA = [("k", "long"), ("status", "string"), ("price", "double")]
+FIELDS = [("k", pa.int64()), ("status", pa.string()),
+          ("price", pa.float64())]
+root = {root!r}
+os.makedirs(root)
+seed = spark.createDataFrame(
+    [(1, "A", 1.0), (2, "A", 2.0)], "k long, status string, price double")
+append_delta(spark, root, seed, SCHEMA, FIELDS, 1, n_buckets=2)
+
+init = HiveAcidInitiator(
+    spark, delta_num_threshold=100, delta_pct_threshold=100.0,
+    serve_compactions_as="compactions")
+cat = TransactionCatalog({wh!r} + "/txn_cat")
+mgr = install_txn_handler(
+    spark, TxnSessionManager(spark, cat, publish=False, initiator=init))
+mgr.enroll_hive_acid("acid_orders", root, SCHEMA, FIELDS, n_buckets=2)
+server = start_thrift_server(spark, port)
+wait_for_port(port)
+
+def served(sql):
+    _, rows = beeline_query(sql, port)
+    return rows
+
+q = "SELECT k FROM global_temp.acid_orders ORDER BY k"
+assert served(q) == [["1"], ["2"]]
+
+# 1. bare INSERT INTO the served acid view: a single-statement
+# auto-commit transaction appends delta_0000002_0000002 and the
+# served name re-elects immediately
+out = beeline_script("INSERT INTO acid_orders SELECT 3, 'B', 3.0", port)
+assert "Committed writeid 2" in out, out[-1500:]
+assert "delta_0000002_0000002" in sorted(os.listdir(root))
+wire = sorted(int(r[0]) for r in served(q))
+local = sorted(r.k for r in read_hive_acid(spark, root, SCHEMA).collect())
+assert wire == local == [1, 2, 3], (wire, local)
+print("ACID_DML_INSERT_OK")
+
+# 2. BEGIN; INSERT; INSERT; COMMIT over one connection -> ONE writeid,
+# one delta_W_W_ssss dir per statement (Hive's multi-statement layout)
+out = beeline_script(
+    "BEGIN; "
+    "INSERT INTO acid_orders SELECT 10, 'C', 1.0; "
+    "INSERT INTO acid_orders SELECT 11, 'C', 1.0; "
+    "COMMIT", port)
+assert "Transaction started" in out, out[-1500:]
+assert "Committed 2 statements" in out, out[-1500:]
+entries = sorted(os.listdir(root))
+assert "delta_0000003_0000003_0000" in entries, entries
+assert "delta_0000003_0000003_0001" in entries, entries
+assert [int(r[0]) for r in served(q)] == [1, 2, 3, 10, 11]
+print("ACID_DML_TXN_OK")
+
+# 3. ROLLBACK leaves no dir and no visible rows
+before = sorted(os.listdir(root))
+out = beeline_script(
+    "BEGIN; INSERT INTO acid_orders SELECT 99, 'X', 0.0; ROLLBACK", port)
+assert "rolled back" in out, out[-1500:]
+assert sorted(os.listdir(root)) == before
+assert [int(r[0]) for r in served(q)] == [1, 2, 3, 10, 11]
+print("ACID_DML_ROLLBACK_OK")
+
+# 4. ALTER TABLE ... COMPACT 'major' over the wire: request enters the
+# served SHOW COMPACTIONS view as 'initiated', the initiator pass
+# folds it to a base, the state flips to 'succeeded', and the served
+# view re-publishes with identical rows
+out = beeline_script("ALTER TABLE acid_orders COMPACT 'major'", port)
+assert "Compaction request queued" in out, out[-1500:]
+assert served("SELECT kind, state FROM global_temp.compactions") == [
+    ["major", "initiated"]]
+done = init.run_once()
+assert done and done[0][1] == "major", done
+assert served("SELECT kind, state FROM global_temp.compactions") == [
+    ["major", "succeeded"]]
+assert sorted(os.listdir(root)) == ["base_0000003"]
+assert [int(r[0]) for r in served(q)] == [1, 2, 3, 10, 11]
+print("ACID_COMPACT_WIRE_OK")
+
+server.stop()
+spark.stop()
+"""
+
+
+def test_thrift_server_acid_dml_and_compact():
+    """Wire DML into a served hive-ACID view (r10 verdict task 3) and
+    ALTER TABLE ... COMPACT routed to the initiator queue (task 8):
+    a bare beeline INSERT INTO appends one delta and the SELECT
+    hash-matches the in-process election read; a BEGIN/INSERT x2/
+    COMMIT block writes per-STATEMENT delta dirs under one writeid;
+    ROLLBACK leaves no directory; the COMPACT statement shows the
+    initiated -> succeeded lifecycle in the served SHOW COMPACTIONS
+    view and the fold re-publishes the same rows under the same
+    name."""
+    from layer_apache_hive_spark.server import free_port
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = _run(
+            _ACID_DML_SERVER.format(
+                ms=f"{tmp}/metastore",
+                wh=f"{tmp}/warehouse",
+                root=f"{tmp}/acid_orders",
+                port=free_port(),
+            ),
+            timeout=900,
+        )
+        assert "ACID_DML_INSERT_OK" in out
+        assert "ACID_DML_TXN_OK" in out
+        assert "ACID_DML_ROLLBACK_OK" in out
+        assert "ACID_COMPACT_WIRE_OK" in out
