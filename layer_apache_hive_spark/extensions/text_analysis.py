@@ -1622,13 +1622,24 @@ def ext_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- composed BPE training loop (r10 verdict task 8) -------------------------
+# --- composed BPE training loop (r10 verdict task 8; stop rule r11) ---------
 
 _BPE_TRAIN_ITERS = 5
 _BPE_TRAIN_TOP = 3  # audited contenders per iteration
+#: stopping rule (Sennrich et al. 2016 §3: training stops when the
+#: most frequent pair's count falls below a floor — production
+#: tokenizers stop on vocab size OR this frequency cutoff). The
+#: iteration whose argmax count is below the floor is emitted with
+#: stopped=1 and its merge is NOT applied; later iterations emit
+#: nothing. 2 never triggers on the driver fixtures (the bounded
+#: 5-iteration audit stays complete there) but DOES trigger on
+#: crafted corpora — the shared-predicate tests drive both paths.
+_BPE_MIN_PAIR_COUNT = 2
 
 
-def _bpe_train_oracle(iters: int = _BPE_TRAIN_ITERS) -> str:
+def _bpe_train_oracle(
+    iters: int = _BPE_TRAIN_ITERS, min_count: int = _BPE_MIN_PAIR_COUNT
+) -> str:
     """DuckDB twin of the bounded BPE merge loop: one (pair-count →
     rank) CTE pair per iteration plus the merge application feeding
     the next — generated programmatically so the SQL and the Spark
@@ -1646,7 +1657,15 @@ def _bpe_train_oracle(iters: int = _BPE_TRAIN_ITERS) -> str:
     pair (caught by the Python-reference pin in
     tests/test_round10_properties.py). Both boundary halves anchor
     the pattern, so a symbol whose text merely starts or ends with
-    the merge pair's characters can never false-match."""
+    the merge pair's characters can never false-match.
+
+    The STOP predicate (winner count < ``min_count``) is shared with
+    the Spark loop by construction: per iteration, ``w{it}`` carries
+    the winner plus its ``go`` flag, the state transition applies the
+    merge only under ``go``, and iteration t's audit rows are gated
+    on bool_and(go) over iterations 1..t-1 — so the stopping
+    iteration is emitted once (stopped=1, merge unapplied) and later
+    iterations emit nothing."""
     sep = "chr(31)"
     sep2 = f"{sep} || {sep}"
     parts = [
@@ -1676,34 +1695,66 @@ r{it} AS (
   SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC,
                                left_sym, right_sym) AS pair_rank
   FROM p{it}
+),
+w{it} AS (
+  SELECT left_sym, right_sym, pair_count >= {min_count} AS go
+  FROM r{it} WHERE pair_rank = 1
 )"""
         )
         if it < iters:
             parts.append(
                 f""",
 v{it + 1} AS (
-  SELECT trim(replace({sep2} || s || {sep2},
-               {sep} || left_sym || {sep2} || right_sym || {sep},
-               {sep} || left_sym || right_sym || {sep}), {sep}) AS s, wc
-  FROM v{it} CROSS JOIN (SELECT left_sym, right_sym FROM r{it}
-                         WHERE pair_rank = 1) m
+  SELECT CASE WHEN m.go THEN
+           trim(replace({sep2} || s || {sep2},
+                {sep} || left_sym || {sep2} || right_sym || {sep},
+                {sep} || left_sym || right_sym || {sep}), {sep})
+         ELSE s END AS s, wc
+  FROM v{it} CROSS JOIN w{it} m
 )"""
             )
+        alive = (
+            "TRUE"
+            if it == 1
+            else "(SELECT COALESCE(bool_and(go), TRUE) FROM ("
+            + " UNION ALL ".join(
+                f"SELECT go FROM w{j}" for j in range(1, it)
+            )
+            + "))"
+        )
         selects.append(
             f"SELECT {it} AS iteration, pair_rank, left_sym, right_sym,"
-            f" pair_count FROM r{it} WHERE pair_rank <= {_BPE_TRAIN_TOP}"
+            f" pair_count,"
+            f" CASE WHEN pair_rank = 1 AND pair_count < {min_count}"
+            f" THEN 1 ELSE 0 END AS stopped"
+            f" FROM r{it} WHERE pair_rank <= {_BPE_TRAIN_TOP} AND {alive}"
         )
     return "WITH " + "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
-def _bpe_train_frame(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
+def _bpe_train_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int,
+    min_count: int = _BPE_MIN_PAIR_COUNT,
+) -> DataFrame:
     """The Spark BPE training loop: tokenizer state (the vocabulary's
     symbol arrays + word weights) stays a DataFrame; the elected merge
     is a 1-row broadcast crossJoined into a string-replace merge
     application — the driver only COMPOSES plans, never touches a
     data row. Per-iteration lineage truncated by lazy executor-side
     localCheckpoints (the _kmeans_train_frame contract) so the
-    exchange count per added iteration is constant."""
+    exchange count per added iteration is constant.
+
+    STOP RULE (r11): the loop is declarative, so the data-dependent
+    stop cannot branch the plan — instead each iteration's winner
+    carries a 1-row ``go`` flag (count ≥ min_count), the merge
+    application is conditional on it (CASE WHEN go THEN replaced ELSE
+    unchanged), a running 1-row ``alive`` frame ANDs the flags, and
+    each iteration's audit rows are gated on the PREVIOUS iterations'
+    alive — so the stopping iteration is emitted once with stopped=1
+    (its merge unapplied) and later iterations emit nothing, exactly
+    the oracle's bool_and gate."""
     sep = "chr(31)"
     d = read_table(spark, sf_dir, "documents")
     vocab = (
@@ -1715,6 +1766,7 @@ def _bpe_train_frame(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
     state = vocab.select(
         F.split("w", "").alias("sy"), "wc"
     ).localCheckpoint(eager=False)
+    alive = spark.range(1).select(F.lit(True).alias("alive"))
     audits: list[DataFrame] = []
     for it in range(1, iters + 1):
         pairs = state.select(
@@ -1743,17 +1795,28 @@ def _bpe_train_frame(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         audits.append(
-            ranked.select(
+            ranked.crossJoin(F.broadcast(alive))
+            .filter(F.col("alive"))
+            .select(
                 F.lit(it).alias("iteration"),
                 "pair_rank",
                 "left_sym",
                 "right_sym",
                 "pair_count",
+                F.when(
+                    (F.col("pair_rank") == 1)
+                    & (F.col("pair_count") < min_count),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .alias("stopped"),
             )
         )
         if it < iters:
             winner = ranked.filter(F.col("pair_rank") == 1).select(
-                "left_sym", "right_sym"
+                "left_sym",
+                "right_sym",
+                (F.col("pair_count") >= min_count).alias("go"),
             )
             # doubled boundary: the pattern consumes only the INNER
             # half (␟a␟␟b␟ → ␟ab␟), so adjacent pairs keep their
@@ -1763,17 +1826,28 @@ def _bpe_train_frame(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
             state = (
                 state.crossJoin(F.broadcast(winner))
                 .select(
-                    F.expr(
-                        f"split(trim(BOTH {sep} FROM replace("
-                        f"concat({sep2}, array_join(sy, concat({sep2})),"
-                        f" {sep2}),"
-                        f" concat({sep}, left_sym, {sep2}, right_sym,"
-                        f" {sep}),"
-                        f" concat({sep}, left_sym, right_sym, {sep})))"
-                        f", concat({sep2}))"
-                    ).alias("sy"),
+                    F.when(
+                        F.col("go"),
+                        F.expr(
+                            f"split(trim(BOTH {sep} FROM replace("
+                            f"concat({sep2}, array_join(sy,"
+                            f" concat({sep2})), {sep2}),"
+                            f" concat({sep}, left_sym, {sep2},"
+                            f" right_sym, {sep}),"
+                            f" concat({sep}, left_sym, right_sym,"
+                            f" {sep})))"
+                            f", concat({sep2}))"
+                        ),
+                    )
+                    .otherwise(F.col("sy"))
+                    .alias("sy"),
                     "wc",
                 )
+                .localCheckpoint(eager=False)
+            )
+            alive = (
+                alive.crossJoin(F.broadcast(winner.select("go")))
+                .select((F.col("alive") & F.col("go")).alias("alive"))
                 .localCheckpoint(eager=False)
             )
     out = audits[0]
@@ -1793,6 +1867,15 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (iteration, pair_rank ≤ 3, left_sym, right_sym, pair_count):
     winner AND contenders, so the value oracle pins each iteration's
     full election, not just the argmax.
+
+    STOPPING RULE (r11, Sennrich §3): training stops when the argmax
+    pair count falls below _BPE_MIN_PAIR_COUNT — the stopping
+    iteration is emitted once with stopped=1 and its merge is NOT
+    applied; later iterations emit nothing. The predicate is shared
+    with the oracle by construction (the CTE chain carries the same
+    per-iteration go flags and bool_and gate the Spark loop carries
+    as 1-row broadcast frames), and the crafted-corpus tests drive
+    both the stop and no-stop paths against a Python reference.
 
     Merge application is a doubled-boundary string replace over each
     word's symbol sequence (``␟a␟␟b␟`` → ``␟ab␟``): the pattern

@@ -624,3 +624,94 @@ def test_pq_training_beats_untrained_codebook_on_clustered(spark):
     exact_i = exact_pairs("/root/testdata/sf0.001")
     r_iso = recall("/root/testdata/sf0.001", _PQT_ITERS, exact_i)
     assert r_iso >= 0.55, r_iso
+
+
+# --- 10. the BPE stopping rule (r10 verdict next-round task 7) ----------------
+
+
+def test_bpe_stop_rule_shared_by_spark_oracle_and_reference(
+    spark, tmp_path
+):
+    """A corpus whose second iteration's argmax count falls below the
+    floor: the stopping iteration is emitted once with stopped=1, its
+    merge is NOT applied, later iterations emit nothing — and all
+    three implementations (the Spark loop, the generated DuckDB CTE
+    chain, a Python reference with the same stop) agree row for
+    row."""
+    import duckdb
+
+    from layer_apache_hive_spark.extensions.text_analysis import (
+        _BPE_TRAIN_TOP,
+        _bpe_train_frame,
+        _bpe_train_oracle,
+    )
+
+    words = {"aab": 1, "xy": 5}  # iter1: (x,y)=5 >= 2; iter2: max 1 < 2
+    docs, i = [], 0
+    for w, c in words.items():
+        for _ in range(c):
+            docs.append((i, w))
+            i += 1
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    def ref(iters, top, min_count):
+        state = {tuple(w): c for w, c in words.items() if len(w) >= 2}
+        rows = []
+        for it in range(1, iters + 1):
+            pc = {}
+            for syms, c in state.items():
+                for x, y in zip(syms, syms[1:]):
+                    pc[(x, y)] = pc.get((x, y), 0) + c
+            ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if not ranked:
+                break
+            for rank, ((a, b), n) in enumerate(ranked[:top], 1):
+                rows.append(
+                    (it, rank, a, b, n,
+                     1 if rank == 1 and n < min_count else 0)
+                )
+            (a, b), n = ranked[0]
+            if n < min_count:
+                break  # the stop: merge unapplied, loop ends
+            nxt = {}
+            for syms, c in state.items():
+                out, j = [], 0
+                while j < len(syms):
+                    if (
+                        j + 1 < len(syms)
+                        and syms[j] == a
+                        and syms[j + 1] == b
+                    ):
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+            state = nxt
+        return sorted(rows)
+
+    expect = ref(4, _BPE_TRAIN_TOP, 2)
+    assert any(r[5] == 1 for r in expect), "fixture must trigger the stop"
+    assert max(r[0] for r in expect) == 2, "no rows after the stop"
+
+    got_spark = sorted(
+        (r.iteration, r.pair_rank, r.left_sym, r.right_sym,
+         r.pair_count, r.stopped)
+        for r in _bpe_train_frame(
+            spark, str(tmp_path), 4, min_count=2
+        ).collect()
+    )
+    assert got_spark == expect, (got_spark, expect)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    got_oracle = sorted(
+        tuple(r) for r in con.execute(_bpe_train_oracle(4, 2)).fetchall()
+    )
+    assert got_oracle == expect, (got_oracle, expect)
