@@ -2058,10 +2058,11 @@ class HiveAcidInitiator:
     def _publish_compactions(self) -> None:
         if self.serve_compactions_as is None:
             return
-        rows = [
-            (i, c["root"], c["kind"], str(c["detail"]), c["state"])
-            for i, c in enumerate(self.compactions, 1)
-        ]
+        with self._lock:  # re-entrant: also called under run_once
+            rows = [
+                (i, c["root"], c["kind"], str(c["detail"]), c["state"])
+                for i, c in enumerate(self.compactions, 1)
+            ]
         self.spark.createDataFrame(
             rows,
             "seq int, table_root string, kind string, detail string,"

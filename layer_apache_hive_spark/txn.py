@@ -103,6 +103,10 @@ package sparkgraft;
  * GRANT/REVOKE surface gates admin on it. Return protocol (one
  * line, no newlines):
  *   "PASS"          - not an intercepted statement: delegate-parse it
+ *   "SQL:<stmt>"    - handled as a REWRITE: delegate-parse <stmt>
+ *                     instead (txn state unchanged) - how statements
+ *                     Spark cannot parse (SHOW COMPACTIONS) resolve
+ *                     to served relations
  *   "ACTIVE:<msg>"  - handled; transaction now OPEN on this session
  *   "DONE:<msg>"    - handled; transaction now CLOSED (commit/rollback
  *                     or a non-transactional GRANT/REVOKE/SHOW GRANTS)
@@ -174,7 +178,8 @@ public class SparkGraftTxn
   // Spark's own writer; SELECTs never cross the bridge.
   private static final Pattern ACID_LIKE = Pattern.compile(
       "(?is)^\\\\s*(INSERT\\\\s+INTO\\\\b.*"
-      + "|ALTER\\\\s+TABLE\\\\s+\\\\S+\\\\s+COMPACT\\\\b.*)$");
+      + "|ALTER\\\\s+TABLE\\\\s+\\\\S+\\\\s+COMPACT\\\\b.*"
+      + "|SHOW\\\\s+COMPACTIONS\\\\s*;?\\\\s*)$");
 
   @Override
   public BoxedUnit apply(SparkSessionExtensions ext) {
@@ -215,6 +220,9 @@ public class SparkGraftTxn
           sqlText);
       if (out == null || out.equals("PASS")) {
         return delegate.parsePlan(sqlText);
+      }
+      if (out.startsWith("SQL:")) {
+        return delegate.parsePlan(out.substring(4));
       }
       if (out.startsWith("ERR_ACTIVE:")) {
         active = true;
@@ -364,6 +372,9 @@ _UPDATE_RE = re.compile(
 _ALTER_COMPACT_RE = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+COMPACT\s+"
     r"'(?P<kind>\w+)'\s*;?\s*$"
+)
+_SHOW_COMPACTIONS_STMT_RE = re.compile(
+    r"(?is)^\s*SHOW\s+COMPACTIONS\s*;?\s*$"
 )
 
 # --- GRANT/REVOKE/SHOW GRANTS over the wire (HS2 SQL-std auth) -------------
@@ -518,6 +529,27 @@ class TxnSessionManager:
         m = _ALTER_COMPACT_RE.match(sql_text)
         if m:
             return self._compact_statement(session_id, user, m)
+        if _SHOW_COMPACTIONS_STMT_RE.match(sql_text):
+            # Hive's literal statement, rewritten onto the served
+            # queue view (SQL: protocol) — a plain read, legal inside
+            # or outside a transaction
+            if (
+                self.initiator is None
+                or self.initiator.serve_compactions_as is None
+            ):
+                prefix = (
+                    "ERR_ACTIVE" if session_id in self._open else "ERR_ENDED"
+                )
+                return (
+                    f"{prefix}:no compaction queue is served on this "
+                    "session (attach a HiveAcidInitiator with "
+                    "serve_compactions_as)"
+                )
+            self.initiator._publish_compactions()  # fresh snapshot
+            return (
+                "SQL:SELECT seq, table_root, kind, detail, state "
+                f"FROM global_temp.{self.initiator.serve_compactions_as}"
+            )
         if _BEGIN_RE.match(sql_text):
             if session_id in self._open:
                 return (

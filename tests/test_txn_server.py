@@ -385,6 +385,13 @@ assert sorted(os.listdir(root)) == ["base_0000003"]
 assert [int(r[0]) for r in served(q)] == [1, 2, 3, 10, 11]
 print("ACID_COMPACT_WIRE_OK")
 
+# 5. the literal Hive statement: SHOW COMPACTIONS rewrites onto the
+# served queue view (the interceptor's SQL: protocol branch) — the
+# exact spelling a charm-era beeline user types
+assert served("SHOW COMPACTIONS") == [
+    ["1", root, "major", "3", "succeeded"]]
+print("SHOW_COMPACTIONS_WIRE_OK")
+
 server.stop()
 spark.stop()
 """
@@ -416,3 +423,4 @@ def test_thrift_server_acid_dml_and_compact():
         assert "ACID_DML_TXN_OK" in out
         assert "ACID_DML_ROLLBACK_OK" in out
         assert "ACID_COMPACT_WIRE_OK" in out
+        assert "SHOW_COMPACTIONS_WIRE_OK" in out
