@@ -1087,6 +1087,7 @@ def _fixture_done(shared_root: str, key: str) -> None:
 
 
 _ORDERS_PAYLOAD = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+_ORDERS_DDL = "o_orderkey long, o_orderstatus string, o_totalprice double"
 _ORDERS_SCHEMA = [
     ("o_orderkey", "long"),
     ("o_orderstatus", "string"),
@@ -1758,6 +1759,221 @@ def append_delta(
         return None  # empty statement: _write_version_dirs wrote nothing
     os.rename(scratch, final)
     return final
+
+
+# --- insert-only (micromanaged / MM) transactional tables (r11) -------------
+
+
+def read_hive_mm(
+    spark: SparkSession,
+    root: str,
+    fmt: str = "parquet",
+    max_writeid: int | None = None,
+    valid_writeids: "ValidWriteIdList | None" = None,
+    empty_schema: str | None = None,
+) -> DataFrame:
+    """Hive 3 INSERT-ONLY transactional tables (micromanaged / "MM"
+    tables, ``transactional_properties='insert_only'`` — the DEFAULT
+    managed-table type for non-ORC formats in Hive 3) `[upstream:
+    hive ql/io/AcidUtils insert-only paths, HIVE-14535 MM tables]`:
+    the same base_N/delta_x_y directory grammar as full ACID, but the
+    files inside are PLAIN format files with no ACID struct — inserts
+    append whole delta dirs, there are no row-level deletes, and
+    compaction just rewrites elected files into a new base.
+
+    The read is therefore fully NATIVE: directory election
+    (_parse_acid_name / _elect_dirs — visibility suffixes, statement
+    dirs, watermark, ValidWriteIdList) is driver-side metadata, and
+    the elected files feed ``spark.read.<fmt>`` directly — predicate
+    pushdown, column pruning and whole-stage codegen all apply, which
+    is exactly why Hive made MM the default: transactional semantics
+    at flat-table scan speed. Aborted/open writeids drop at DIR
+    granularity (an insert-only delta is a single transaction's
+    output; there is no per-event ctid to filter) — so a merged delta
+    straddling the watermark is dropped wholesale here, unlike the
+    full-ACID reader's per-event window, and Hive's MM compactor
+    likewise only merges fully-committed dirs."""
+    max_writeid, invalid = _effective_bounds(max_writeid, valid_writeids)
+    data_dirs, _dels, originals, bounds = _elect_dirs(
+        root, max_writeid, invalid
+    )
+    # no per-event filtering exists for raw files: only fully-valid
+    # dirs are readable (bounds marks base/watermark straddlers)
+    files = [p for p in originals] + [
+        os.path.join(d, f)
+        for d in data_dirs
+        if d not in bounds
+        for f in sorted(os.listdir(d))
+        if not f.startswith((".", "_"))
+    ]
+    if not files:
+        # empty table (or every dir excluded): the layout carries no
+        # schema to infer, so the caller supplies one — mirrors
+        # Hive's empty-MM-table DESCRIBE-from-metastore behavior
+        if empty_schema is None:
+            raise ValueError(
+                f"no committed files elected under {root!r} and no "
+                "empty_schema provided"
+            )
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.format(fmt).load(files)
+
+
+def compact_hive_mm(
+    spark: SparkSession,
+    root: str,
+    fmt: str = "parquet",
+    max_writeid: int | None = None,
+    valid_writeids: "ValidWriteIdList | None" = None,
+    empty_schema: str | None = None,
+) -> int:
+    """MAJOR compaction of an insert-only table: rewrite the elected
+    files into ``base_W`` `[upstream: hive ql/txn/compactor MM major
+    — a file merge, no event algebra]`. Scratch-write + atomic rename
+    (the delta-commit protocol); the Cleaner then drops superseded
+    dirs. Returns W (0 = nothing elected)."""
+    max_writeid, invalid = _effective_bounds(max_writeid, valid_writeids)
+    data_dirs, _dels, _orig, bounds = _elect_dirs(
+        root, max_writeid, invalid
+    )
+    data_dirs = [d for d in data_dirs if d not in bounds]
+    if not data_dirs:
+        return 0
+    w = max(
+        _parse_acid_name(os.path.basename(d))[2] for d in data_dirs
+    )
+    df = read_hive_mm(
+        spark,
+        root,
+        fmt,
+        max_writeid=w,
+        valid_writeids=valid_writeids,
+        empty_schema=empty_schema,
+    )
+    scratch = os.path.join(root, f".mm_compact_{w:07d}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    df.write.format(fmt).save(scratch)
+    final = os.path.join(root, f"base_{w:07d}")
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(scratch, final)
+    return w
+
+
+def append_mm_delta(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    writeid: int,
+    fmt: str = "parquet",
+    stmt: int | None = None,
+) -> str:
+    """One committed INSERT into an MM table: the batch lands as a
+    whole ``delta_W_W[_ssss]`` dir of plain format files —
+    scratch-write + atomic rename, same commit protocol as the ACID
+    writer but with NO identity assignment (insert-only rows carry no
+    ACID struct)."""
+    os.makedirs(root, exist_ok=True)
+    suffix = f"_{stmt:04d}" if stmt is not None else ""
+    final = os.path.join(root, f"delta_{writeid:07d}_{writeid:07d}{suffix}")
+    scratch = os.path.join(root, f".mm_scratch_{writeid:07d}{suffix}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    df.write.format(fmt).save(scratch)
+    os.rename(scratch, final)
+    return final
+
+
+@register(
+    "scan_hive_mm",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey % 3 = 0
+   OR (o_orderkey % 3 = 1 AND o_orderkey % 7 = 0)
+""",
+)
+def scan_hive_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only (MM) transactional table read end to end: a
+    ``base_0000001`` of plain parquet, a committed
+    ``delta_0000002_0000002``, and an ABORTED orphan
+    ``delta_0000003_0000003`` read under
+    ``ValidWriteIdList('orders', hwm=3, aborted={3})`` — the Hive-3
+    default managed-table layout for parquet, sharing the full-ACID
+    election (suffix grammar, watermark, aborted exclusion) while the
+    scan itself stays Spark-native parquet (pushdown + codegen; the
+    plan audit sees an ordinary columnar scan, not a Python stage).
+    A reader that trusted the listing returns the orphan's rows and
+    breaks the value hash. Fixture is write-once per sf."""
+    root = _mm_layout(spark, sf_dir)
+    vwil = ValidWriteIdList.from_string("orders:3:::3")
+    return read_hive_mm(
+        spark, root, valid_writeids=vwil, empty_schema=_ORDERS_DDL
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def _mm_layout(spark: SparkSession, sf_dir: str) -> str:
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    shared_root = f"{TMP_ROOT}/sinks/{label}/hive_mm_shared"
+    root = os.path.join(shared_root, "table")
+    key = _fixture_key(
+        "mm",
+        _ORDERS_PAYLOAD,
+        "base k%3==0; d2 k%3==1&k%7==0; d3(aborted) k%3==2&k%7==0",
+    )
+    if _fixture_ready(shared_root, key):
+        return root
+    orders = read_table(spark, sf_dir, "orders").select(*_ORDERS_PAYLOAD)
+    k = F.col("o_orderkey")
+    append_mm_delta(spark, root, orders.filter(k % 3 == 0), 1)
+    # rename the writeid-1 delta to a base (the initial-load shape a
+    # CTAS into an MM table produces)
+    os.rename(
+        os.path.join(root, "delta_0000001_0000001"),
+        os.path.join(root, "base_0000001"),
+    )
+    append_mm_delta(
+        spark, root, orders.filter((k % 3 == 1) & (k % 7 == 0)), 2
+    )
+    append_mm_delta(
+        spark, root, orders.filter((k % 3 == 2) & (k % 7 == 0)), 3
+    )  # the aborted orphan
+    _fixture_done(shared_root, key)
+    return root
+
+
+@register(
+    "sink_hive_mm_compact",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey % 3 = 0
+   OR (o_orderkey % 3 = 1 AND o_orderkey % 7 = 0)
+""",
+)
+def sink_hive_mm_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM major compaction end to end: fold scan_hive_mm's layout
+    (committed dirs only — the aborted orphan is excluded by the
+    same ValidWriteIdList) into ``base_0000002``, run the Cleaner,
+    and read the result through the ordinary election. The oracle is
+    the same committed-state algebra: a compactor that folded the
+    aborted dir, dropped a committed one, or double-counted after
+    cleaning breaks the value hash. Mutating consumer → private copy
+    of the shared fixture per call (the _orders_chain_layout
+    precedent)."""
+    src = _mm_layout(spark, sf_dir)
+    label = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    work = f"{TMP_ROOT}/sinks/{label}/hive_mm_compact/table"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(src, work)
+    vwil = ValidWriteIdList.from_string("orders:3:::3")
+    w = compact_hive_mm(
+        spark, work, valid_writeids=vwil, empty_schema=_ORDERS_DDL
+    )
+    assert w == 2, w
+    clean_hive_acid(work)
+    vwil2 = ValidWriteIdList.from_string("orders:3:::3")
+    return read_hive_mm(
+        spark, work, valid_writeids=vwil2, empty_schema=_ORDERS_DDL
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 # --- serving + threshold-driven compaction (r10 verdict tasks 3/4) ----------

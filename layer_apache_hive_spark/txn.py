@@ -179,7 +179,8 @@ public class SparkGraftTxn
   private static final Pattern ACID_LIKE = Pattern.compile(
       "(?is)^\\\\s*(INSERT\\\\s+INTO\\\\b.*"
       + "|ALTER\\\\s+TABLE\\\\s+\\\\S+\\\\s+COMPACT\\\\b.*"
-      + "|SHOW\\\\s+COMPACTIONS\\\\s*;?\\\\s*)$");
+      + "|SHOW\\\\s+COMPACTIONS\\\\s*;?\\\\s*"
+      + "|SHOW\\\\s+TRANSACTIONS\\\\s*;?\\\\s*)$");
 
   @Override
   public BoxedUnit apply(SparkSessionExtensions ext) {
@@ -376,6 +377,9 @@ _ALTER_COMPACT_RE = re.compile(
 _SHOW_COMPACTIONS_STMT_RE = re.compile(
     r"(?is)^\s*SHOW\s+COMPACTIONS\s*;?\s*$"
 )
+_SHOW_TXNS_STMT_RE = re.compile(
+    r"(?is)^\s*SHOW\s+TRANSACTIONS\s*;?\s*$"
+)
 
 # --- GRANT/REVOKE/SHOW GRANTS over the wire (HS2 SQL-std auth) -------------
 
@@ -549,6 +553,23 @@ class TxnSessionManager:
             return (
                 "SQL:SELECT seq, table_root, kind, detail, state "
                 f"FROM global_temp.{self.initiator.serve_compactions_as}"
+            )
+        if _SHOW_TXNS_STMT_RE.match(sql_text):
+            # Hive's SHOW TRANSACTIONS (metastore TXNS) — here the
+            # live per-connection buffers ARE the transaction table;
+            # published fresh and rewritten onto the served view
+            rows = [
+                (sid, "OPEN", self._txn_user.get(sid, ""), len(ops_))
+                for sid, ops_ in sorted(self._open.items())
+            ]
+            self.spark.createDataFrame(
+                rows,
+                "txn_session string, state string, txn_user string,"
+                " n_buffered int",
+            ).createOrReplaceGlobalTempView("sparkgraft_transactions")
+            return (
+                "SQL:SELECT txn_session, state, txn_user, n_buffered "
+                "FROM global_temp.sparkgraft_transactions"
             )
         if _BEGIN_RE.match(sql_text):
             if session_id in self._open:

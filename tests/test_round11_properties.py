@@ -715,3 +715,77 @@ def test_bpe_stop_rule_shared_by_spark_oracle_and_reference(
         tuple(r) for r in con.execute(_bpe_train_oracle(4, 2)).fetchall()
     )
     assert got_oracle == expect, (got_oracle, expect)
+
+
+# --- 11. insert-only (MM) transactional tables --------------------------------
+
+
+def test_mm_table_lifecycle(spark, tmp_path):
+    """The Hive-3 default managed layout for parquet: plain-file
+    delta dirs under the ACID name grammar. Aborted dirs drop
+    wholesale, statement dirs union, the watermark bounds reads,
+    compaction folds committed dirs into a base and the Cleaner
+    drops the inputs — all at native parquet scan speed."""
+    from layer_apache_hive_spark.sources.hive_acid import (
+        ValidWriteIdList,
+        append_mm_delta,
+        clean_hive_acid,
+        compact_hive_mm,
+        read_hive_mm,
+    )
+
+    root = str(tmp_path / "mm")
+
+    def batch(ks):
+        return spark.createDataFrame([(k,) for k in ks], "k long")
+
+    append_mm_delta(spark, root, batch([1, 2]), 1)
+    # statement dirs of one multi-statement txn
+    append_mm_delta(spark, root, batch([3]), 2, stmt=0)
+    append_mm_delta(spark, root, batch([4]), 2, stmt=1)
+    append_mm_delta(spark, root, batch([99]), 3)  # aborted orphan
+    append_mm_delta(spark, root, batch([5]), 4)
+
+    def ks(**kw):
+        return {
+            r.k for r in read_hive_mm(spark, root, **kw).collect()
+        }
+
+    vwil = ValidWriteIdList.from_string("t:4:::3")
+    assert ks(valid_writeids=vwil) == {1, 2, 3, 4, 5}
+    assert ks() == {1, 2, 3, 4, 5, 99}  # no list: listing trusted
+    assert ks(max_writeid=2) == {1, 2, 3, 4}
+
+    w = compact_hive_mm(spark, root, valid_writeids=vwil)
+    assert w == 4
+    clean_hive_acid(root)
+    entries = sorted(os.listdir(root))
+    assert "base_0000004" in entries
+    assert "delta_0000002_0000002_0000" not in entries
+    # the aborted orphan (writeid 3 <= base 4) is cleaned too — safe:
+    # its rows were excluded from the fold, so dropping the dir
+    # removes them permanently (Hive's aborted-cleanup end state)
+    assert "delta_0000003_0000003" not in entries
+    assert ks(valid_writeids=vwil) == {1, 2, 3, 4, 5}
+
+
+def test_show_transactions_rewrites_to_served_view(spark, acid_mgr):
+    mgr, root = acid_mgr
+    mgr.handle("s1", "BEGIN")
+    mgr.handle(
+        "s1", "INSERT INTO acid_orders SELECT 7 AS k, 'Z' AS s, 0.0 AS p"
+    )
+    out = mgr.handle("s2", "SHOW TRANSACTIONS")
+    assert out.startswith("SQL:SELECT"), out
+    rows = [
+        (r.txn_session, r.state, r.n_buffered)
+        for r in spark.table(
+            "global_temp.sparkgraft_transactions"
+        ).collect()
+    ]
+    assert rows == [("s1", "OPEN", 1)], rows
+    mgr.handle("s1", "ROLLBACK")
+    mgr.handle("s2", "SHOW TRANSACTIONS")
+    assert (
+        spark.table("global_temp.sparkgraft_transactions").count() == 0
+    )

@@ -392,6 +392,12 @@ assert served("SHOW COMPACTIONS") == [
     ["1", root, "major", "3", "succeeded"]]
 print("SHOW_COMPACTIONS_WIRE_OK")
 
+# 6. SHOW TRANSACTIONS parses over the wire too (no open wire txn at
+# this instant -> zero rows; the statement itself is the test: vanilla
+# Spark cannot parse it)
+assert served("SHOW TRANSACTIONS") == []
+print("SHOW_TRANSACTIONS_WIRE_OK")
+
 server.stop()
 spark.stop()
 """
@@ -424,3 +430,4 @@ def test_thrift_server_acid_dml_and_compact():
         assert "ACID_DML_ROLLBACK_OK" in out
         assert "ACID_COMPACT_WIRE_OK" in out
         assert "SHOW_COMPACTIONS_WIRE_OK" in out
+        assert "SHOW_TRANSACTIONS_WIRE_OK" in out
