@@ -1819,6 +1819,77 @@ def read_hive_mm(
     return spark.read.format(fmt).load(files)
 
 
+def minor_compact_hive_mm(
+    spark: SparkSession,
+    root: str,
+    fmt: str = "parquet",
+    valid_writeids: "ValidWriteIdList | None" = None,
+    empty_schema: str | None = None,
+) -> tuple[int, int] | None:
+    """MM MINOR compaction: merge the elected committed delta dirs
+    into one ``delta_minW_maxW`` of plain files — a distributed read
+    + write of just the delta rows, base untouched (the streaming MM
+    table's steady-state maintenance). Returns the merged range, or
+    None when fewer than two committed deltas are elected."""
+    max_writeid, invalid = _effective_bounds(None, valid_writeids)
+    data_dirs, _dels, _orig, bounds = _elect_dirs(
+        root, max_writeid, invalid
+    )
+    deltas = [
+        d
+        for d in data_dirs
+        if os.path.basename(d).startswith("delta_") and d not in bounds
+    ]
+    if len(deltas) < 2:
+        return None
+    rngs = [
+        _parse_acid_name(os.path.basename(d))[1:3] for d in deltas
+    ]
+    lo, hi = min(r[0] for r in rngs), max(r[1] for r in rngs)
+    files = [
+        os.path.join(d, f)
+        for d in deltas
+        for f in sorted(os.listdir(d))
+        if not f.startswith((".", "_"))
+    ]
+    scratch = os.path.join(root, f".mm_minor_{lo:07d}_{hi:07d}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    if files:
+        spark.read.format(fmt).load(files).write.format(fmt).save(scratch)
+    else:
+        if empty_schema is None:
+            return None
+        spark.createDataFrame([], empty_schema).write.format(fmt).save(
+            scratch
+        )
+    final = os.path.join(root, f"delta_{lo:07d}_{hi:07d}")
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(scratch, final)
+    return lo, hi
+
+
+def publish_hive_mm(
+    spark: SparkSession,
+    root: str,
+    fmt: str = "parquet",
+    name: str = "mm_table",
+    empty_schema: str | None = None,
+    valid_writeids: "ValidWriteIdList | None" = None,
+) -> str:
+    """Serve an insert-only layout by name (the publish_hive_acid
+    sibling): the elected committed files publish as a global temp
+    view; a fold or a new delta re-publishes (the initiator's
+    enrollment cadence)."""
+    read_hive_mm(
+        spark,
+        root,
+        fmt,
+        valid_writeids=valid_writeids,
+        empty_schema=empty_schema,
+    ).createOrReplaceGlobalTempView(name)
+    return f"global_temp.{name}"
+
+
 def compact_hive_mm(
     spark: SparkSession,
     root: str,
@@ -2096,25 +2167,49 @@ class HiveAcidInitiator:
         self,
         root: str,
         payload_schema: list[tuple[str, str]],
-        payload_fields,
+        payload_fields=None,
         serve_as: str | None = None,
+        insert_only: bool = False,
+        fmt: str = "parquet",
     ) -> None:
+        """Enroll a layout. ``insert_only=True`` enrolls an MM table
+        (HIVE-14535): same thresholds and Cleaner, but folds route to
+        the plain-file compactors (compact_hive_mm /
+        minor_compact_hive_mm) and the served view is the native
+        format read — payload_fields is unused there (no ACID
+        struct to write)."""
         with self._lock:
             t = {
                 "root": root,
                 "schema": payload_schema,
                 "fields": payload_fields,
                 "serve_as": serve_as,
+                "insert_only": insert_only,
+                "fmt": fmt,
             }
             self.tables.append(t)
             if serve_as:
-                publish_hive_acid(
-                    self.spark, root, payload_schema, serve_as
-                )
+                self._publish_table(t)
                 d2, dd2, og2, _ = _elect_dirs(root)
                 t["last_elected"] = tuple(
                     sorted(os.path.basename(p) for p in d2 + dd2 + og2)
                 )
+
+    def _publish_table(self, t: dict) -> None:
+        if t.get("insert_only"):
+            publish_hive_mm(
+                self.spark,
+                t["root"],
+                t["fmt"],
+                t["serve_as"],
+                empty_schema=", ".join(
+                    f"{n} {typ}" for n, typ in t["schema"]
+                ),
+            )
+        else:
+            publish_hive_acid(
+                self.spark, t["root"], t["schema"], t["serve_as"]
+            )
 
     def lookup(self, serve_as: str) -> dict | None:
         """Enrollment by served name (the wire surface's handle)."""
@@ -2217,14 +2312,30 @@ class HiveAcidInitiator:
             kind = req["kind"] if req else self._elect_kind(root)
             changed = False
             detail: object = None
+            mm = t.get("insert_only")
+            mm_schema = ", ".join(
+                f"{n} {typ}" for n, typ in t["schema"]
+            )
             if kind == "major":
-                detail = compact_hive_acid(
-                    self.spark, root, t["schema"], t["fields"]
+                detail = (
+                    compact_hive_mm(
+                        self.spark, root, t["fmt"], empty_schema=mm_schema
+                    )
+                    if mm
+                    else compact_hive_acid(
+                        self.spark, root, t["schema"], t["fields"]
+                    )
                 )
                 changed = True
             elif kind == "minor":
-                detail = minor_compact_hive_acid(
-                    self.spark, root, t["schema"], t["fields"]
+                detail = (
+                    minor_compact_hive_mm(
+                        self.spark, root, t["fmt"], empty_schema=mm_schema
+                    )
+                    if mm
+                    else minor_compact_hive_acid(
+                        self.spark, root, t["schema"], t["fields"]
+                    )
                 )
                 changed = detail is not None
             if changed:
@@ -2264,9 +2375,7 @@ class HiveAcidInitiator:
                     sorted(os.path.basename(p) for p in d2 + dd2 + og2)
                 )
                 if changed or elected != t.get("last_elected"):
-                    publish_hive_acid(
-                        self.spark, root, t["schema"], t["serve_as"]
-                    )
+                    self._publish_table(t)
                     t["last_elected"] = elected
         self._publish_compactions()
         return done

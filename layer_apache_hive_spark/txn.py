@@ -709,10 +709,12 @@ class TxnSessionManager:
         name: str,
         root: str,
         payload_schema: list[tuple[str, str]],
-        payload_fields,
+        payload_fields=None,
         n_buckets: int = 4,
         bucket_col: str | None = None,
         serve: bool = True,
+        insert_only: bool = False,
+        fmt: str = "parquet",
     ) -> str:
         """Make an AcidUtils layout DML-addressable over the wire:
         ``INSERT INTO <name> …`` appends ``delta_W_W`` dirs (one
@@ -723,11 +725,9 @@ class TxnSessionManager:
         routed DML to VersionedTable targets only. When the manager
         holds an initiator, the layout is enrolled there too (under
         the same served name) so threshold folds and ``ALTER TABLE …
-        COMPACT`` keep the view fresh."""
-        from layer_apache_hive_spark.sources.hive_acid import (
-            publish_hive_acid,
-        )
-
+        COMPACT`` keep the view fresh. ``insert_only=True`` enrolls
+        an MM table (HIVE-14535): INSERTs land as whole plain-file
+        delta dirs with no identity assignment."""
         ent = {
             "root": root,
             "schema": payload_schema,
@@ -735,6 +735,8 @@ class TxnSessionManager:
             "n_buckets": n_buckets,
             "bucket_col": bucket_col,
             "name": _bare_name(name),
+            "insert_only": insert_only,
+            "fmt": fmt,
         }
         self._acid[ent["name"]] = ent
         if self.initiator is not None:
@@ -743,18 +745,55 @@ class TxnSessionManager:
                 payload_schema,
                 payload_fields,
                 serve_as=ent["name"] if serve else None,
+                insert_only=insert_only,
+                fmt=fmt,
             )
         elif serve:
-            publish_hive_acid(self.spark, root, payload_schema, ent["name"])
+            self._republish_acid(ent)
         return f"global_temp.{ent['name']}"
 
     def _republish_acid(self, ent: dict) -> None:
         from layer_apache_hive_spark.sources.hive_acid import (
             publish_hive_acid,
+            publish_hive_mm,
         )
 
-        publish_hive_acid(
-            self.spark, ent["root"], ent["schema"], ent["name"]
+        if ent.get("insert_only"):
+            publish_hive_mm(
+                self.spark,
+                ent["root"],
+                ent["fmt"],
+                ent["name"],
+                empty_schema=", ".join(
+                    f"{n} {t}" for n, t in ent["schema"]
+                ),
+            )
+        else:
+            publish_hive_acid(
+                self.spark, ent["root"], ent["schema"], ent["name"]
+            )
+
+    def _append_one(self, ent: dict, df, w: int, stmt=None):
+        """One statement's delta append, routed by table kind."""
+        from layer_apache_hive_spark.sources.hive_acid import (
+            append_delta,
+            append_mm_delta,
+        )
+
+        if ent.get("insert_only"):
+            return append_mm_delta(
+                self.spark, ent["root"], df, w, fmt=ent["fmt"], stmt=stmt
+            )
+        return append_delta(
+            self.spark,
+            ent["root"],
+            df,
+            ent["schema"],
+            ent["fields"],
+            w,
+            stmt=stmt,
+            n_buckets=ent["n_buckets"],
+            bucket_col=ent["bucket_col"],
         )
 
     def _acid_insert_df(self, ent: dict, body: str) -> DataFrame:
@@ -772,7 +811,6 @@ class TxnSessionManager:
         single-statement transaction — allocate the next writeid,
         append one delta, re-publish the served view."""
         from layer_apache_hive_spark.sources.hive_acid import (
-            append_delta,
             next_writeid,
         )
 
@@ -790,16 +828,7 @@ class TxnSessionManager:
             return f"ERR_ENDED:Authorization error: {denial}"
         df = self._acid_insert_df(ent, m.group("body"))
         w = next_writeid(ent["root"])
-        path = append_delta(
-            self.spark,
-            ent["root"],
-            df,
-            ent["schema"],
-            ent["fields"],
-            w,
-            n_buckets=ent["n_buckets"],
-            bucket_col=ent["bucket_col"],
-        )
+        path = self._append_one(ent, df, w)
         self._republish_acid(ent)
         if path is None:
             return f"DONE:Committed writeid {w} (empty statement, no delta)"
@@ -820,7 +849,6 @@ class TxnSessionManager:
         stores, no metastore TXNS table) — documented boundary, the
         crash window is between renames only."""
         from layer_apache_hive_spark.sources.hive_acid import (
-            append_delta,
             next_writeid,
         )
 
@@ -833,16 +861,8 @@ class TxnSessionManager:
             w = next_writeid(ent["root"])
             for i, op in enumerate(t_ops):
                 df = self._acid_insert_df(ent, op[2])
-                path = append_delta(
-                    self.spark,
-                    ent["root"],
-                    df,
-                    ent["schema"],
-                    ent["fields"],
-                    w,
-                    stmt=i if len(t_ops) > 1 else None,
-                    n_buckets=ent["n_buckets"],
-                    bucket_col=ent["bucket_col"],
+                path = self._append_one(
+                    ent, df, w, stmt=i if len(t_ops) > 1 else None
                 )
                 if path is not None:
                     written.append(os.path.basename(path))

@@ -789,3 +789,69 @@ def test_show_transactions_rewrites_to_served_view(spark, acid_mgr):
     assert (
         spark.table("global_temp.sparkgraft_transactions").count() == 0
     )
+
+
+def test_mm_enrollment_wire_dml_and_initiator(spark, tmp_path):
+    """The charm-era user story for Hive 3's DEFAULT managed layout:
+    an insert-only enrollment takes wire INSERTs as plain-file delta
+    dirs (no identity assignment), the served view re-elects, the
+    initiator folds MM layouts with the plain-file compactors, and
+    ALTER TABLE ... COMPACT routes the same way."""
+    from layer_apache_hive_spark.acid import TransactionCatalog
+    from layer_apache_hive_spark.sources.hive_acid import (
+        HiveAcidInitiator,
+        append_mm_delta,
+    )
+    from layer_apache_hive_spark.txn import TxnSessionManager
+
+    init = HiveAcidInitiator(
+        spark, delta_num_threshold=100, delta_pct_threshold=100.0
+    )
+    cat = TransactionCatalog(str(tmp_path / "cat"))
+    mgr = TxnSessionManager(spark, cat, publish=False, initiator=init)
+    root = str(tmp_path / "mm_orders")
+    seed = spark.createDataFrame(
+        [(1, "A", 1.0)], "k long, status string, price double"
+    )
+    append_mm_delta(spark, root, seed, 1)
+    mgr.enroll_hive_acid(
+        "mm_orders",
+        root,
+        [("k", "long"), ("status", "string"), ("price", "double")],
+        insert_only=True,
+    )
+    served = lambda: {  # noqa: E731
+        r.k for r in spark.table("global_temp.mm_orders").collect()
+    }
+    assert served() == {1}
+
+    out = mgr.handle(
+        "s1", "INSERT INTO mm_orders SELECT 2 AS k, 'B' AS s, 2.0 AS p"
+    )
+    assert out.startswith("DONE:Committed writeid 2"), out
+    entries = sorted(os.listdir(root))
+    assert "delta_0000002_0000002" in entries, entries
+    # plain files inside — no bucket_N ACID files
+    inner = os.listdir(os.path.join(root, "delta_0000002_0000002"))
+    assert not any(f.startswith("bucket_") for f in inner), inner
+    assert served() == {1, 2}
+
+    # multi-statement txn -> per-statement plain-file dirs
+    mgr.handle("s1", "BEGIN")
+    mgr.handle("s1", "INSERT INTO mm_orders SELECT 3, 'C', 3.0")
+    mgr.handle("s1", "INSERT INTO mm_orders SELECT 4, 'C', 4.0")
+    out = mgr.handle("s1", "COMMIT")
+    assert out.startswith("DONE:Committed 2 statements"), out
+    entries = sorted(os.listdir(root))
+    assert "delta_0000003_0000003_0000" in entries, entries
+    assert "delta_0000003_0000003_0001" in entries, entries
+    assert served() == {1, 2, 3, 4}
+
+    # explicit COMPACT on the MM enrollment folds with the MM
+    # compactor (plain file rewrite) and republishes
+    out = mgr.handle("s1", "ALTER TABLE mm_orders COMPACT 'major'")
+    assert out.startswith("DONE:Compaction request queued"), out
+    done = init.run_once()
+    assert done and done[0][1] == "major" and done[0][2] == 3, done
+    assert sorted(os.listdir(root)) == ["base_0000003"]
+    assert served() == {1, 2, 3, 4}
