@@ -22,6 +22,14 @@ engine did not write itself, plus the wire DML/COMPACT surface.
    enqueues on the initiator with the initiated→succeeded lifecycle.
 8. Write-once fixture markers carry a content key: a recipe change
    rebuilds instead of serving the stale layout (r10 advisor item 4).
+9. Trained PQ recall gate: the trained codebooks recover at least as
+   much of the exact integer-L2 top-10 as the untrained init codebook
+   on the clustered fixture (r10 verdict next-round task 6).
+10. The BPE stopping rule is shared three ways — Spark loop, generated
+    DuckDB CTE, Python reference — on a stop-triggering corpus (task 7).
+11. Insert-only (MM) tables: lifecycle (aborted exclusion, statement
+    dirs, watermark, compaction, Cleaner), initiator routing, wire DML
+    and SHOW TRANSACTIONS.
 """
 
 from __future__ import annotations
