@@ -1978,6 +1978,360 @@ def _pq_trained_frame(
     )
 
 
+# --- IVF × PQ on residuals (r12 — the FAISS IVFADC composition) -------------
+
+_IVFR_NPROBE = 2  # coarse cells probed per query
+_IVFR_ITERS = 2  # Lloyd iterations on the residual codebooks
+
+_IVFR_D2 = (
+    "aggregate(zip_with(subv, sc, (x, c) -> x - c), 0L,"
+    " (acc, dx) -> acc + dx * dx)"
+)
+
+
+def _ivfpq_residual_state(spark: SparkSession, sf_dir: str, iters: int):
+    """Shared state of the residual-PQ pipeline: integer vectors with
+    their coarse cell, integer cell centroids, residual subvector
+    relation, and the residual codebook after ``iters`` Lloyd steps.
+
+    Coarse tier: cell = the corpus cluster key (embeddings.label, the
+    ext_sim_ivf convention) with centroids as FLOOR-scaled integer
+    cell means — the same centroid-update rule the PQ training uses,
+    so every residual lands exactly on the BIGINT grid. Returns
+    (vec, coarse_arr, rsx, cent)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    scale = f"CAST(FLOOR(CAST(x AS DOUBLE) * {_PQT_SCALE}) AS BIGINT)"
+    vec = emb.select(
+        "vec_id",
+        "label",
+        F.expr(f"transform(embedding, x -> {scale})").alias("sv"),
+    )
+    dims = vec.select(
+        "label", F.posexplode("sv").alias("dim", "xi")
+    )
+    coarse = dims.groupBy("label", "dim").agg(
+        F.floor(F.sum("xi").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cm")
+    )
+    coarse_arr = coarse.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, cm))),"
+            " s -> s.cm)"
+        ).alias("cv")
+    )
+    rvec = vec.join(F.broadcast(coarse_arr), "label").select(
+        "vec_id",
+        "label",
+        F.expr("zip_with(sv, cv, (x, c) -> x - c)").alias("rv"),
+    )
+    subs = F.expr(
+        f"transform(sequence(0, {_PQT_M - 1}), m -> struct(m AS m,"
+        f" slice(rv, m * {_PQT_SUB} + 1, {_PQT_SUB}) AS subv))"
+    )
+    rsx = rvec.select(
+        "vec_id", "label", F.explode(subs).alias("s")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("s.m").alias("m"),
+        F.col("s.subv").alias("subv"),
+    )
+    cent = rsx.filter(F.col("vec_id") < _PQT_K).select(
+        "m", F.col("vec_id").alias("code_id"), F.col("subv").alias("sc")
+    )
+    for _ in range(iters):
+        asg = (
+            rsx.join(F.broadcast(cent), "m")
+            .withColumn("d2", F.expr(_IVFR_D2))
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct("d2", "code_id")).alias("b"))
+            .select("vec_id", "m", F.col("b.code_id").alias("code_id"))
+            .join(rsx, ["vec_id", "m"])
+            .localCheckpoint(eager=False)
+        )
+        dimsums = (
+            asg.select(
+                "m", "code_id", F.posexplode("subv").alias("sd", "xi")
+            )
+            .groupBy("m", "code_id", "sd")
+            .agg(
+                F.floor(F.sum("xi").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("ci")
+            )
+        )
+        cent = dimsums.groupBy("m", "code_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sd, ci))),"
+                " s -> s.ci)"
+            ).alias("sc")
+        )
+    return vec, coarse_arr, rsx, cent
+
+
+def _ivfpq_residual_frame(
+    spark: SparkSession, sf_dir: str, iters: int
+) -> DataFrame:
+    vec, coarse_arr, rsx, cent = _ivfpq_residual_state(
+        spark, sf_dir, iters
+    )
+    # corpus codes: nearest residual code per (vector, subspace),
+    # label carried for the probed-cell join
+    codes = (
+        rsx.join(F.broadcast(cent), "m")
+        .withColumn("d2", F.expr(_IVFR_D2))
+        .groupBy("vec_id", "label", "m")
+        .agg(F.min(F.struct("d2", "code_id")).alias("b"))
+        .select(
+            "vec_id", "label", "m", F.col("b.code_id").alias("code_id")
+        )
+    )
+    # probe election: integer L2 of each query to each cell centroid
+    qv = vec.filter(F.col("vec_id") < _PQT_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("sv").alias("qsv")
+    )
+    cell_d2 = F.expr(
+        "aggregate(zip_with(qsv, pcv, (x, c) -> x - c), 0L,"
+        " (acc, dx) -> acc + dx * dx)"
+    )
+    qcell = qv.crossJoin(
+        F.broadcast(
+            coarse_arr.select(
+                F.col("label").alias("plabel"), F.col("cv").alias("pcv")
+            )
+        )
+    ).select("query_id", "plabel", "qsv", "pcv", cell_d2.alias("cd2"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cd2").asc(), F.col("plabel").asc()
+    )
+    probes = qcell.withColumn("pr", F.row_number().over(wp)).filter(
+        F.col("pr") <= _IVFR_NPROBE
+    )
+    # per-probe query residual subvectors → ADC tables against the
+    # residual codebook (one tiny relation: NQ × nprobe × M × K rows)
+    qsubs = F.expr(
+        f"transform(sequence(0, {_PQT_M - 1}), m -> struct(m AS m,"
+        f" slice(zip_with(qsv, pcv, (x, c) -> x - c),"
+        f" m * {_PQT_SUB} + 1, {_PQT_SUB}) AS subv))"
+    )
+    qrs = probes.select(
+        "query_id", "plabel", F.explode(qsubs).alias("s")
+    ).select(
+        "query_id",
+        "plabel",
+        F.col("s.m").alias("m"),
+        F.col("s.subv").alias("subv"),
+    )
+    tbl = (
+        qrs.join(F.broadcast(cent), "m")
+        .withColumn("td2", F.expr(_IVFR_D2))
+        .select("query_id", "plabel", "m", "code_id", "td2")
+    )
+    # ADC scoring INSIDE probed cells only: the join key includes the
+    # cell, so per-query work is bounded by its nprobe cell sizes
+    approx = (
+        codes.join(
+            F.broadcast(tbl),
+            (F.col("label") == F.col("plabel"))
+            & (codes["m"] == tbl["m"])
+            & (codes["code_id"] == tbl["code_id"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("td2").alias("ad2"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("ad2").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        approx.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= _PQT_RERANK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qfull = vec.select(
+        F.col("vec_id").alias("query_id"), F.col("sv").alias("qv")
+    ).filter(F.col("query_id") < _PQT_NQ)
+    nfull = vec.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("sv").alias("nv")
+    )
+    pair_d2 = F.expr(
+        "aggregate(zip_with(qv, nv, (x, c) -> x - c), 0L,"
+        " (acc, dx) -> acc + dx * dx)"
+    )
+    dots = (
+        cand.join(F.broadcast(qfull), "query_id")
+        .join(nfull, "neighbor_id")
+        .select("query_id", "neighbor_id", pair_d2.alias("d2"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc()
+    )
+    return dots.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= _PQT_TOPK
+    )
+
+
+def _ivfpq_residual_oracle(iters: int = _IVFR_ITERS) -> str:
+    """DuckDB twin of the residual-PQ pipeline: coarse integer cell
+    means → residuals → the per-subspace Lloyd CTE chain over
+    residual subvectors → codes → probe election → per-probe ADC
+    tables → cell-bounded scoring → exact BIGINT rerank."""
+    parts = [
+        f"""ex AS MATERIALIZED (
+  SELECT vec_id, label, i - 1 AS dim,
+         CAST(FLOOR(embedding[i]::DOUBLE * {_PQT_SCALE}) AS BIGINT) AS xi
+  FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)
+),
+coarse AS MATERIALIZED (
+  SELECT label, dim,
+         CAST(FLOOR(CAST(SUM(xi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+  FROM ex GROUP BY 1, 2
+),
+rsx AS MATERIALIZED (
+  SELECT e.vec_id, e.label, e.dim // {_PQT_SUB} AS m,
+         e.dim % {_PQT_SUB} AS sd, e.xi - c.cm AS ri
+  FROM ex e JOIN coarse c ON c.label = e.label AND c.dim = e.dim
+),
+cent1 AS (SELECT m, vec_id AS code_id, sd, ri AS ci
+          FROM rsx WHERE vec_id < {_PQT_K})"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+d{it} AS (
+  SELECT s.vec_id, s.m, c.code_id,
+         SUM((s.ri - c.ci) * (s.ri - c.ci)) AS d2
+  FROM rsx s JOIN cent{it} c ON c.m = s.m AND c.sd = s.sd
+  GROUP BY 1, 2, 3
+),
+a{it} AS (
+  SELECT vec_id, m, code_id FROM (
+    SELECT vec_id, m, code_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2, code_id) AS rn
+    FROM d{it}) WHERE rn = 1
+),
+cent{it + 1} AS (
+  SELECT a.m, a.code_id, s.sd,
+         CAST(FLOOR(CAST(SUM(s.ri) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ci
+  FROM a{it} a JOIN rsx s ON s.vec_id = a.vec_id AND s.m = a.m
+  GROUP BY 1, 2, 3
+)"""
+        )
+    cf = f"cent{iters + 1}"
+    parts.append(
+        f""",
+dcode AS (
+  SELECT s.vec_id, s.label, s.m, c.code_id,
+         SUM((s.ri - c.ci) * (s.ri - c.ci)) AS d2
+  FROM rsx s JOIN {cf} c ON c.m = s.m AND c.sd = s.sd
+  GROUP BY 1, 2, 3, 4
+),
+acode AS (
+  SELECT vec_id, label, m, code_id FROM (
+    SELECT vec_id, label, m, code_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2, code_id) AS rn
+    FROM dcode) WHERE rn = 1
+),
+qcell AS (
+  SELECT e.vec_id AS query_id, c.label AS plabel,
+         SUM((e.xi - c.cm) * (e.xi - c.cm)) AS cd2
+  FROM ex e JOIN coarse c ON c.dim = e.dim
+  WHERE e.vec_id < {_PQT_NQ}
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT query_id, plabel FROM (
+    SELECT query_id, plabel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cd2, plabel) AS pr
+    FROM qcell) WHERE pr <= {_IVFR_NPROBE}
+),
+qrs AS (
+  SELECT p.query_id, p.plabel, e.dim // {_PQT_SUB} AS m,
+         e.dim % {_PQT_SUB} AS sd, e.xi - c.cm AS ri
+  FROM probes p
+  JOIN ex e ON e.vec_id = p.query_id
+  JOIN coarse c ON c.label = p.plabel AND c.dim = e.dim
+),
+tblq AS (
+  SELECT q.query_id, q.plabel, c.m, c.code_id,
+         SUM((q.ri - c.ci) * (q.ri - c.ci)) AS td2
+  FROM qrs q JOIN {cf} c ON c.m = q.m AND c.sd = q.sd
+  GROUP BY 1, 2, 3, 4
+),
+approx AS (
+  SELECT t.query_id, a.vec_id AS neighbor_id, SUM(t.td2) AS ad2
+  FROM acode a
+  JOIN tblq t ON t.plabel = a.label AND t.m = a.m
+             AND t.code_id = a.code_id
+  WHERE a.vec_id <> t.query_id GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ad2, neighbor_id) AS cr
+    FROM approx) WHERE cr <= {_PQT_RERANK}
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(SUM((q.xi - n.xi) * (q.xi - n.xi)) AS BIGINT) AS d2
+  FROM cand c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex n ON n.vec_id = c.neighbor_id AND n.dim = q.dim
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, d2, rank FROM (
+  SELECT query_id, neighbor_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2, neighbor_id) AS rank
+  FROM dots) WHERE rank <= {_PQT_TOPK}"""
+    )
+    return "WITH " + "".join(parts)
+
+
+@register("ext_sim_ivfpq_residual", oracle=_ivfpq_residual_oracle())
+def ext_sim_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ composed the way FAISS ships it (IVFADC, Jégou et al.
+    2011 §IV): PQ codes on the RESIDUAL of each vector to its coarse
+    cell centroid, scored only inside each query's nprobe probed
+    cells — the r11 verdict's next-round task 8. The two halves
+    existed separately (`ext_sim_ivf_nprobe` coarse probing,
+    `ext_sim_ivfpq_trained` trained PQ on raw vectors); residual
+    coding is what makes them compose: after subtracting the cell
+    centroid the residual distribution is near-centered, so ONE
+    shared codebook spends its 16 codes per subspace on fine
+    structure instead of cell offsets (recall gate: residual ≥ plain
+    trained PQ on the clustered fixture,
+    tests/test_round12_properties.py).
+
+    Pipeline, BIGINT-exact at every rank decision (the ivf/pq
+    convention — FLOOR(x·1e6) grid, integer cell means via the same
+    FLOOR-mean update the Lloyd step uses): coarse = integer cell
+    centroids of the corpus cluster key; residuals r = x − c(x);
+    per-subspace Lloyd training of the residual codebook
+    (_IVFR_ITERS iterations, all M=8 subspaces in ONE keyed
+    relation); corpus encoded as (cell, M codes); queries rank cells
+    by integer L2 and probe the top _IVFR_NPROBE; per-probe query
+    residuals build the ADC tables (query residual depends on the
+    PROBED cell — the IVFADC subtlety); candidates score via the
+    cell-bounded broadcast join; exact integer-L2 rerank of the top
+    _PQT_RERANK. The generated DuckDB CTE chain replays coarse →
+    residual → train → encode → probe → ADC → rerank value-for-value.
+
+    100 TB shape: the coarse table is |cells|×d longs and the
+    codebook M×K×8 longs (both broadcast); corpus state after
+    encoding is one cell id + M codes per vector (~250× smaller than
+    float32); ADC scoring joins ONLY probed cells (per-query work =
+    nprobe/|cells| of the corpus, the IVF economics) via table
+    lookups that never touch raw vectors; the only full-vector reads
+    are the training scan and the RERANK×NQ rescore."""
+    return _ivfpq_residual_frame(spark, sf_dir, _IVFR_ITERS)
 _RP_K = 4  # output dimensions of the sparse random projection
 _RP_DIM = 64  # embedding dim (pinned by the fixture; see FIXTURES.md)
 _RP_SCALE = 1_000_000  # FLOOR scale: no tie, exact bigint accumulation

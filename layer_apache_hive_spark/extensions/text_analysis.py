@@ -1746,15 +1746,22 @@ def _bpe_train_frame(
     localCheckpoints (the _kmeans_train_frame contract) so the
     exchange count per added iteration is constant.
 
-    STOP RULE (r11): the loop is declarative, so the data-dependent
-    stop cannot branch the plan — instead each iteration's winner
-    carries a 1-row ``go`` flag (count ≥ min_count), the merge
-    application is conditional on it (CASE WHEN go THEN replaced ELSE
-    unchanged), a running 1-row ``alive`` frame ANDs the flags, and
-    each iteration's audit rows are gated on the PREVIOUS iterations'
-    alive — so the stopping iteration is emitted once with stopped=1
-    (its merge unapplied) and later iterations emit nothing, exactly
-    the oracle's bool_and gate."""
+    STOP RULE (r11, cost-trimmed r12): the loop is declarative, so the
+    data-dependent stop cannot branch the plan — instead each
+    iteration's winner carries a 1-row ``go`` flag (count ≥
+    min_count) and the merge application is conditional on it (CASE
+    WHEN go THEN replaced ELSE unchanged). The cumulative alive flag
+    (AND of the previous iterations' go) RIDES THE STATE FRAME as a
+    constant column instead of a separate 1-row frame (the r11 shape
+    cost one extra crossJoin + checkpoint per iteration for the alive
+    bookkeeping alone — the one real per-query regression in the r11
+    bench): it folds into the pair aggregate for free (bool_and over
+    an already-keyed reduction) and gates each iteration's audit rows
+    with a plain filter — so the stopping iteration is emitted once
+    with stopped=1 (its merge unapplied) and later iterations emit
+    nothing, exactly the oracle's bool_and gate. Once stopped, go
+    stays false naturally: the state is unchanged, so every later
+    election re-elects the same below-floor argmax."""
     sep = "chr(31)"
     d = read_table(spark, sf_dir, "documents")
     vocab = (
@@ -1764,13 +1771,13 @@ def _bpe_train_frame(
         .agg(F.count(F.lit(1)).alias("wc"))
     )
     state = vocab.select(
-        F.split("w", "").alias("sy"), "wc"
+        F.split("w", "").alias("sy"), "wc", F.lit(True).alias("alive")
     ).localCheckpoint(eager=False)
-    alive = spark.range(1).select(F.lit(True).alias("alive"))
     audits: list[DataFrame] = []
     for it in range(1, iters + 1):
         pairs = state.select(
             "wc",
+            "alive",
             F.explode(
                 F.expr(
                     "zip_with(slice(sy, 1, size(sy) - 1),"
@@ -1780,7 +1787,8 @@ def _bpe_train_frame(
             ).alias("p"),
         )
         pc = pairs.groupBy("p.left_sym", "p.right_sym").agg(
-            F.sum("wc").alias("pair_count")
+            F.sum("wc").alias("pair_count"),
+            F.expr("bool_and(alive)").alias("alive"),
         )
         # UNPARTITIONED window over the aggregated pair table —
         # O(alphabet² · merge growth) rows, scale-invariant in corpus
@@ -1795,8 +1803,7 @@ def _bpe_train_frame(
             .localCheckpoint(eager=False)
         )
         audits.append(
-            ranked.crossJoin(F.broadcast(alive))
-            .filter(F.col("alive"))
+            ranked.filter(F.col("alive"))
             .select(
                 F.lit(it).alias("iteration"),
                 "pair_rank",
@@ -1842,12 +1849,8 @@ def _bpe_train_frame(
                     .otherwise(F.col("sy"))
                     .alias("sy"),
                     "wc",
+                    (F.col("alive") & F.col("go")).alias("alive"),
                 )
-                .localCheckpoint(eager=False)
-            )
-            alive = (
-                alive.crossJoin(F.broadcast(winner.select("go")))
-                .select((F.col("alive") & F.col("go")).alias("alive"))
                 .localCheckpoint(eager=False)
             )
     out = audits[0]

@@ -89,6 +89,7 @@ from layer_apache_hive_spark.acid import (
     TransactionCatalog,
     publish_to_catalog,
 )
+from layer_apache_hive_spark.sources.hive_acid import HiveWriteIdLedger
 
 TXN_CLASS = "sparkgraft.SparkGraftTxn"
 DEFAULT_CLASSES_DIR = "/root/repo/.tmp/hs2_txn_classes"
@@ -170,17 +171,21 @@ public class SparkGraftTxn
   private static final Pattern GRANT_LIKE = Pattern.compile(
       "(?is)^\\\\s*(GRANT|REVOKE|SHOW\\\\s+GRANTS)\\\\b.*");
 
-  // hive-ACID served statements: bare INSERT INTO (single-statement
-  // auto-commit transactions against enrolled ACID layouts) and
-  // ALTER TABLE ... COMPACT (a statement vanilla Spark cannot
-  // parse). The Python handler PASSes any INSERT whose target it
-  // does not govern, so INSERT INTO <ordinary table> still reaches
-  // Spark's own writer; SELECTs never cross the bridge.
+  // hive-ACID served statements: bare DML (single-statement
+  // auto-commit transactions against enrolled ACID layouts — INSERT
+  // INTO/OVERWRITE, UPDATE, DELETE per HIVE-14035 split-update) and
+  // ALTER TABLE ... COMPACT / SHOW LOCKS (statements vanilla Spark
+  // cannot parse or serve). The Python handler PASSes any DML whose
+  // target it does not govern, so INSERT INTO <ordinary table> still
+  // reaches Spark's own writer; SELECTs never cross the bridge.
   private static final Pattern ACID_LIKE = Pattern.compile(
-      "(?is)^\\\\s*(INSERT\\\\s+INTO\\\\b.*"
+      "(?is)^\\\\s*(INSERT\\\\s+(?:INTO|OVERWRITE)\\\\b.*"
+      + "|UPDATE\\\\s+\\\\S+\\\\s+SET\\\\b.*"
+      + "|DELETE\\\\s+FROM\\\\b.*"
       + "|ALTER\\\\s+TABLE\\\\s+\\\\S+\\\\s+COMPACT\\\\b.*"
       + "|SHOW\\\\s+COMPACTIONS\\\\s*;?\\\\s*"
-      + "|SHOW\\\\s+TRANSACTIONS\\\\s*;?\\\\s*)$");
+      + "|SHOW\\\\s+TRANSACTIONS\\\\s*;?\\\\s*"
+      + "|SHOW\\\\s+LOCKS\\\\b[^;]*;?\\\\s*)$");
 
   @Override
   public BoxedUnit apply(SparkSessionExtensions ext) {
@@ -380,6 +385,9 @@ _SHOW_COMPACTIONS_STMT_RE = re.compile(
 _SHOW_TXNS_STMT_RE = re.compile(
     r"(?is)^\s*SHOW\s+TRANSACTIONS\s*;?\s*$"
 )
+_SHOW_LOCKS_STMT_RE = re.compile(
+    r"(?is)^\s*SHOW\s+LOCKS(?:\s+(?P<name>[\w.`]+))?\s*;?\s*$"
+)
 
 # --- GRANT/REVOKE/SHOW GRANTS over the wire (HS2 SQL-std auth) -------------
 
@@ -478,6 +486,7 @@ class TxnSessionManager:
         publish: bool = True,
         max_retries: int = 5,
         initiator=None,
+        ledger: "HiveWriteIdLedger | None" = None,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -488,6 +497,13 @@ class TxnSessionManager:
         #: wire (enroll_hive_acid): name -> {root, schema, fields,
         #: n_buckets, bucket_col}
         self._acid: dict[str, dict] = {}
+        #: writeid ledger (the metastore TXNS analog, r12): serializes
+        #: allocation across concurrent wire sessions, keeps in-flight
+        #: writeids invisible to every served election, and — when
+        #: given a persistent path — survives the manager so recover()
+        #: can abort a crashed commit's writeids. An in-memory ledger
+        #: by default (same-process guarantees only).
+        self.ledger = ledger if ledger is not None else HiveWriteIdLedger()
         #: optional HiveAcidInitiator: the ALTER TABLE ... COMPACT
         #: queue target (and the daemon that republishes after folds)
         self.initiator = initiator
@@ -571,6 +587,31 @@ class TxnSessionManager:
                 "SQL:SELECT txn_session, state, txn_user, n_buffered "
                 "FROM global_temp.sparkgraft_transactions"
             )
+        m = _SHOW_LOCKS_STMT_RE.match(sql_text)
+        if m:
+            # Hive's SHOW LOCKS (metastore HIVE_LOCKS): every open
+            # BEGIN block holds a SHARED_WRITE intent on each table it
+            # has buffered DML for `[upstream: hive DDLTask SHOW LOCKS
+            # → TxnStore showLocks]`; a plain read, legal inside or
+            # outside a transaction, empties after COMMIT/ROLLBACK
+            rows = [
+                (sid, t, "SHARED_WRITE", "ACQUIRED",
+                 self._txn_user.get(sid, ""))
+                for sid, ops_ in sorted(self._open.items())
+                for t in sorted({tbl for tbl, _ in ops_})
+            ]
+            if m.group("name"):
+                want = _bare_name(m.group("name"))
+                rows = [r for r in rows if r[1] == want]
+            self.spark.createDataFrame(
+                rows,
+                "lock_session string, table_name string, lock_type "
+                "string, state string, lock_user string",
+            ).createOrReplaceGlobalTempView("sparkgraft_locks")
+            return (
+                "SQL:SELECT lock_session, table_name, lock_type, "
+                "state, lock_user FROM global_temp.sparkgraft_locks"
+            )
         if _BEGIN_RE.match(sql_text):
             if session_id in self._open:
                 return (
@@ -583,13 +624,16 @@ class TxnSessionManager:
             return f"ACTIVE:Transaction started (catalog v{base})"
         ops = self._open.get(session_id)
         if ops is None:
-            # outside any transaction: a bare INSERT INTO an enrolled
+            # outside any transaction: bare DML against an enrolled
             # hive-ACID layout is a single-statement auto-commit
             # transaction (Hive's default posture — every DML runs in
             # its own txn); anything else passes to the delegate
-            m = _INSERT_RE.match(sql_text)
-            if m and _bare_name(m.group("name")) in self._acid:
-                return self._acid_autocommit(user, m)
+            try:
+                parsed = self._parse_dml(sql_text)
+            except ValueError:
+                parsed = None  # malformed DML: the delegate refuses it
+            if parsed is not None and parsed[0] in self._acid:
+                return self._acid_autocommit(user, parsed[0], parsed[1])
             return "PASS"  # stale Java-side flag: not in a txn
         if _COMMIT_RE.match(sql_text):
             return self._commit(session_id, ops)
@@ -598,36 +642,46 @@ class TxnSessionManager:
             self._open.pop(session_id, None)
             self._txn_user.pop(session_id, None)
             return f"DONE:Transaction rolled back ({n} buffered statements discarded)"
+        try:
+            parsed = self._parse_dml(sql_text)
+        except ValueError as e:
+            return f"ERR_ACTIVE:{_sanitize(e)}"
+        if parsed is not None:
+            return self._buffer(session_id, parsed[0], parsed[1])
+        # reads (and anything else) pass through: statement-level READ
+        # COMMITTED against the published catalog state — Hive ACID's
+        # read posture for open transactions
+        return "PASS"
+
+    @staticmethod
+    def _parse_dml(sql_text: str):
+        """One statement against the DML grammar → (bare target name,
+        op tuple) or None when not DML. Raises ValueError for a
+        malformed UPDATE SET clause."""
         m = _INSERT_RE.match(sql_text)
         if m:
-            return self._buffer(
-                session_id, m.group("name"),
-                ("insert", m.group("mode").lower(), m.group("body")),
+            return _bare_name(m.group("name")), (
+                "insert",
+                m.group("mode").lower(),
+                m.group("body"),
             )
         m = _DELETE_RE.match(sql_text)
         if m:
-            return self._buffer(
-                session_id, m.group("name"), ("delete", m.group("pred"))
-            )
+            return _bare_name(m.group("name")), ("delete", m.group("pred"))
         m = _UPDATE_RE.match(sql_text)
         if m:
             sets = []
             for part in _split_top_level(m.group("sets")):
                 if "=" not in part:
-                    return (
-                        "ERR_ACTIVE:malformed SET clause: "
-                        + _sanitize(part)
-                    )
+                    raise ValueError(f"malformed SET clause: {part}")
                 col, expr = part.split("=", 1)
                 sets.append((col.strip().replace("`", ""), expr.strip()))
-            return self._buffer(
-                session_id, m.group("name"),
-                ("update", tuple(sets), m.group("pred")),
+            return _bare_name(m.group("name")), (
+                "update",
+                tuple(sets),
+                m.group("pred"),
             )
-        # reads (and anything else) pass through: statement-level READ
-        # COMMITTED against the published catalog state — Hive ACID's
-        # read posture for open transactions
-        return "PASS"
+        return None
 
     # -- GRANT/REVOKE/SHOW GRANTS (HS2 SQL-std auth statements) -----------
 
@@ -719,15 +773,20 @@ class TxnSessionManager:
         """Make an AcidUtils layout DML-addressable over the wire:
         ``INSERT INTO <name> …`` appends ``delta_W_W`` dirs (one
         writeid per transaction, ``delta_W_W_ssss`` statement dirs for
-        multi-statement BEGIN blocks) and the served global-temp view
-        re-publishes after each commit — the charm-era user's first
-        write attempt, which previously failed because the interceptor
-        routed DML to VersionedTable targets only. When the manager
-        holds an initiator, the layout is enrolled there too (under
-        the same served name) so threshold folds and ``ALTER TABLE …
-        COMPACT`` keep the view fresh. ``insert_only=True`` enrolls
-        an MM table (HIVE-14535): INSERTs land as whole plain-file
-        delta dirs with no identity assignment."""
+        multi-statement BEGIN blocks), ``UPDATE``/``DELETE`` write
+        HIVE-14035 split-update delete_delta (+ insert) dirs, and
+        ``INSERT OVERWRITE`` writes a new ``base_W`` — each a
+        single-statement auto-commit transaction through the manager's
+        writeid ledger, with the served global-temp view re-published
+        after each commit. When the manager holds an initiator, the
+        layout is enrolled there too (under the same served name, with
+        the ledger's valid-writeid closure) so threshold folds and
+        ``ALTER TABLE … COMPACT`` keep the view fresh and never fold
+        aborted events. ``insert_only=True`` enrolls an MM table
+        (HIVE-14535): INSERTs land as whole plain-file delta dirs with
+        no identity assignment, and row-level UPDATE/DELETE are
+        refused (the format has no row identities to target).
+        ``serve=False`` enrolls for DML without publishing a view."""
         ent = {
             "root": root,
             "schema": payload_schema,
@@ -737,6 +796,7 @@ class TxnSessionManager:
             "name": _bare_name(name),
             "insert_only": insert_only,
             "fmt": fmt,
+            "serve": serve,
         }
         self._acid[ent["name"]] = ent
         if self.initiator is not None:
@@ -747,6 +807,9 @@ class TxnSessionManager:
                 serve_as=ent["name"] if serve else None,
                 insert_only=insert_only,
                 fmt=fmt,
+                valid_writeids_fn=lambda r=root, n=ent[
+                    "name"
+                ]: self.ledger.valid_writeids(r, table=n),
             )
         elif serve:
             self._republish_acid(ent)
@@ -758,20 +821,36 @@ class TxnSessionManager:
             publish_hive_mm,
         )
 
-        if ent.get("insert_only"):
-            publish_hive_mm(
-                self.spark,
-                ent["root"],
-                ent["fmt"],
-                ent["name"],
-                empty_schema=", ".join(
-                    f"{n} {t}" for n, t in ent["schema"]
-                ),
+        if not ent.get("serve", True):
+            return  # enroll_hive_acid(serve=False): never publish
+        # the whole election + view write serializes under the publish
+        # lock: with concurrent committers, a publish whose ELECTION
+        # ran before another thread's commit must never overwrite that
+        # thread's own (fresher) publish — the same slower-publisher
+        # rule the catalog commit path applies
+        with self._publish_lock:
+            vw = self.ledger.valid_writeids(
+                ent["root"], table=ent["name"]
             )
-        else:
-            publish_hive_acid(
-                self.spark, ent["root"], ent["schema"], ent["name"]
-            )
+            if ent.get("insert_only"):
+                publish_hive_mm(
+                    self.spark,
+                    ent["root"],
+                    ent["fmt"],
+                    ent["name"],
+                    empty_schema=", ".join(
+                        f"{n} {t}" for n, t in ent["schema"]
+                    ),
+                    valid_writeids=vw,
+                )
+            else:
+                publish_hive_acid(
+                    self.spark,
+                    ent["root"],
+                    ent["schema"],
+                    ent["name"],
+                    valid_writeids=vw,
+                )
 
     def _append_one(self, ent: dict, df, w: int, stmt=None):
         """One statement's delta append, routed by table kind."""
@@ -804,69 +883,171 @@ class TxnSessionManager:
                 f"INSERT column count {len(incoming.columns)} != "
                 f"acid table arity {len(names)}"
             )
-        return incoming.toDF(*names)
+        aligned = incoming.toDF(*names)
+        # normalize to the declared schema for BOTH table kinds: the
+        # full-ACID path casts again inside append_delta, but the MM
+        # path writes the frame raw — an `INSERT … VALUES (1, 2.0)`
+        # would land int/decimal parquet next to long/double files and
+        # poison later reads (r11 advisor)
+        for n, t in ent["schema"]:
+            aligned = aligned.withColumn(n, F.col(n).cast(t))
+        return aligned
 
-    def _acid_autocommit(self, user: str, m: "re.Match[str]") -> str:
-        """Bare INSERT INTO an enrolled acid layout: one
-        single-statement transaction — allocate the next writeid,
-        append one delta, re-publish the served view."""
-        from layer_apache_hive_spark.sources.hive_acid import (
-            next_writeid,
-        )
-
-        name = _bare_name(m.group("name"))
-        ent = self._acid[name]
-        if m.group("mode").lower() != "into":
+    def _mm_dml_refusal(self, ent: dict, op: tuple) -> str | None:
+        if ent.get("insert_only") and op[0] in ("update", "delete"):
             return (
-                "ERR_ENDED:INSERT OVERWRITE is not an ACID append; "
-                "use a major compaction / rewrite path"
+                f"insert-only (MM) table '{ent['name']}' has no row "
+                "identities: UPDATE/DELETE need a full-ACID table "
+                "(HIVE-14535 — MM tables accept INSERT and INSERT "
+                "OVERWRITE only)"
             )
-        denial = self._authorize_op(
-            user, name, ("insert", "into", m.group("body"))
+        return None
+
+    def _apply_acid_op(
+        self, ent: dict, op: tuple, w: int, stmt: int | None = None
+    ) -> str:
+        """Apply one statement's write under an ALLOCATED (still-open)
+        writeid; the target scans for UPDATE/DELETE read under the
+        ledger's minted list, which excludes ``w`` itself and every
+        other in-flight transaction — statement reads resolve against
+        the committed pre-transaction state (no read-your-own-writes
+        on this surface, Hive ACID's statement-level snapshot)."""
+        from layer_apache_hive_spark.sources.hive_acid import (
+            hive_acid_delete,
+            hive_acid_overwrite,
+            hive_acid_update,
+            hive_mm_overwrite,
         )
+
+        vw = self.ledger.valid_writeids(ent["root"], table=ent["name"])
+        kind = op[0]
+        if kind == "insert":
+            df = self._acid_insert_df(ent, op[2])
+            if op[1] == "overwrite":
+                path = (
+                    hive_mm_overwrite(
+                        self.spark, ent["root"], df, w, fmt=ent["fmt"]
+                    )
+                    if ent.get("insert_only")
+                    else hive_acid_overwrite(
+                        self.spark,
+                        ent["root"],
+                        df,
+                        ent["schema"],
+                        ent["fields"],
+                        w,
+                        n_buckets=ent["n_buckets"],
+                        bucket_col=ent["bucket_col"],
+                    )
+                )
+                return os.path.basename(path)
+            path = self._append_one(ent, df, w, stmt=stmt)
+            return (
+                os.path.basename(path)
+                if path is not None
+                else "empty statement, no delta"
+            )
+        if kind == "delete":
+            path = hive_acid_delete(
+                self.spark,
+                ent["root"],
+                ent["schema"],
+                ent["fields"],
+                w,
+                pred=op[1],
+                valid_writeids=vw,
+                stmt=stmt,
+            )
+            return (
+                os.path.basename(path)
+                if path is not None
+                else "no rows matched, no delete_delta"
+            )
+        if kind == "update":
+            del_path, ins_path = hive_acid_update(
+                self.spark,
+                ent["root"],
+                ent["schema"],
+                ent["fields"],
+                w,
+                set_exprs=list(op[1]),
+                pred=op[2],
+                n_buckets=ent["n_buckets"],
+                bucket_col=ent["bucket_col"],
+                valid_writeids=vw,
+                stmt=stmt,
+            )
+            parts = [
+                os.path.basename(p)
+                for p in (del_path, ins_path)
+                if p is not None
+            ]
+            return "+".join(parts) or "no rows matched"
+        raise ValueError(f"unknown acid op {kind!r}")  # pragma: no cover
+
+    def _acid_autocommit(self, user: str, name: str, op: tuple) -> str:
+        """Bare DML against an enrolled acid layout: one
+        single-statement transaction — allocate a writeid through the
+        ledger (serialized across concurrent sessions), apply the
+        write, mark the writeid committed, re-publish the served view.
+        Any failure aborts the writeid, so a half-written statement is
+        never elected."""
+        ent = self._acid[name]
+        refusal = self._mm_dml_refusal(ent, op)
+        if refusal is not None:
+            return f"ERR_ENDED:{refusal}"
+        denial = self._authorize_op(user, name, op)
         if denial is not None:
             return f"ERR_ENDED:Authorization error: {denial}"
-        df = self._acid_insert_df(ent, m.group("body"))
-        w = next_writeid(ent["root"])
-        path = self._append_one(ent, df, w)
+        w = self.ledger.allocate(ent["root"])
+        try:
+            desc = self._apply_acid_op(ent, op, w)
+            self.ledger.commit(ent["root"], w)
+        except Exception as e:
+            self.ledger.abort(ent["root"], w)
+            return (
+                f"ERR_ENDED:statement failed (writeid {w} aborted): "
+                f"{_sanitize(e)}"
+            )
         self._republish_acid(ent)
-        if path is None:
-            return f"DONE:Committed writeid {w} (empty statement, no delta)"
-        return (
-            f"DONE:Committed writeid {w} "
-            f"({os.path.basename(path)} on '{name}')"
-        )
+        return f"DONE:Committed writeid {w} ({desc} on '{name}')"
 
     def _commit_acid(self, ops: list[tuple]) -> str:
         """COMMIT of a transaction whose buffered statements all
         target enrolled acid layouts: per touched table, ONE writeid;
-        a single statement appends the plain ``delta_W_W``, several
-        append per-statement ``delta_W_W_ssss`` dirs (Hive's
-        multi-statement layout — the same dirs _parse_acid_name
-        elects and a minor compaction later merges). Statement writes
-        commit in order via scratch-then-rename; with several tables
-        the per-table renames are not a single atomic unit (two
-        stores, no metastore TXNS table) — documented boundary, the
-        crash window is between renames only."""
-        from layer_apache_hive_spark.sources.hive_acid import (
-            next_writeid,
-        )
-
+        a single statement appends the plain ``delta_W_W`` (or
+        delete_delta), several append per-statement
+        ``delta_W_W_ssss`` dirs (Hive's multi-statement layout — the
+        same dirs _parse_acid_name elects and a minor compaction later
+        merges). All writeids are allocated (OPEN) before any dir
+        renames, every table's dirs are written, and then ONE ledger
+        record commits them together (HiveWriteIdLedger.commit_many —
+        the metastore commitTxn analog): a crash anywhere before that
+        record leaves only OPEN writeids that recover() aborts, so
+        ledger-aware readers never see a partial transaction — the
+        r11-documented crash window between renames is closed."""
         per_table: dict[str, list[tuple]] = {}
         for table, op in ops:
             per_table.setdefault(table, []).append(op)
         written: list[str] = []
-        for table, t_ops in per_table.items():
-            ent = self._acid[table]
-            w = next_writeid(ent["root"])
-            for i, op in enumerate(t_ops):
-                df = self._acid_insert_df(ent, op[2])
-                path = self._append_one(
-                    ent, df, w, stmt=i if len(t_ops) > 1 else None
-                )
-                if path is not None:
-                    written.append(os.path.basename(path))
-            self._republish_acid(ent)
+        pairs: list[tuple[str, int]] = []
+        try:
+            for table, t_ops in per_table.items():
+                ent = self._acid[table]
+                w = self.ledger.allocate(ent["root"])
+                pairs.append((ent["root"], w))
+                for i, op in enumerate(t_ops):
+                    desc = self._apply_acid_op(
+                        ent, op, w, stmt=i if len(t_ops) > 1 else None
+                    )
+                    written.append(desc)
+            self.ledger.commit_many(pairs)
+        except Exception:
+            if pairs:
+                self.ledger.abort_many(pairs)
+            raise
+        for table in per_table:
+            self._republish_acid(self._acid[table])
         return (
             f"DONE:Committed {len(ops)} statements to "
             f"{len(per_table)} acid tables ({', '.join(written) or 'no rows'})"
@@ -1063,7 +1244,16 @@ class TxnSessionManager:
                 exprs.append(op[2])
         if not exprs:
             return []
-        pinned = self.catalog.table(table).read(self.spark)
+        ent = self._acid.get(table)
+        if ent is not None:
+            # acid targets are not catalog tables: probe expressions
+            # against an empty frame of the declared payload schema
+            # (same columns resolve, no election read spent on authz)
+            pinned = self.spark.createDataFrame(
+                [], ", ".join(f"{n} {t}" for n, t in ent["schema"])
+            )
+        else:
+            pinned = self.catalog.table(table).read(self.spark)
         out: list[tuple[str | None, str]] = []
         for e in exprs:
             probe = pinned.select(F.expr(e).alias("__authz_probe__"))
@@ -1079,13 +1269,19 @@ class TxnSessionManager:
         table = _bare_name(name)
         is_acid = table in self._acid
         if is_acid:
-            if op[0] != "insert" or op[1] != "into":
+            if op[0] == "insert" and op[1] == "overwrite":
+                # IOW writes base_W — a whole-table rewrite cannot be
+                # one STATEMENT of a multi-statement writeid (the
+                # base would hide its sibling statements' dirs);
+                # Hive's IOW-in-txn runs as its own transaction too
                 return (
-                    "ERR_ACTIVE:hive-acid tables accept INSERT INTO "
-                    "only on this surface (UPDATE/DELETE/OVERWRITE "
-                    "need the split-update writer — use the "
-                    "export/compaction API)"
+                    "ERR_ACTIVE:INSERT OVERWRITE on a hive-acid table "
+                    "is a single-statement transaction; COMMIT or "
+                    "ROLLBACK first, then run it bare"
                 )
+            refusal = self._mm_dml_refusal(self._acid[table], op)
+            if refusal is not None:
+                return f"ERR_ACTIVE:{refusal}"
         elif table not in self.catalog.resolve():
             return (
                 f"ERR_ACTIVE:table '{table}' is not enrolled in the "

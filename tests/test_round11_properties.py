@@ -509,17 +509,23 @@ def test_acid_store_mixing_refused(spark, acid_mgr):
     mgr.handle("s1", "ROLLBACK")
 
 
-def test_acid_update_delete_and_overwrite_refused(spark, acid_mgr):
+def test_acid_update_delete_and_overwrite_served(spark, acid_mgr):
+    """r12: the verbs the r11 surface refused are now served — IOW
+    writes a base_W (single-statement transaction), and UPDATE/DELETE
+    buffer inside BEGIN blocks as split-update statements. IOW inside
+    an open transaction stays refused (a base cannot be one statement
+    dir of a multi-statement writeid)."""
     mgr, root = acid_mgr
-    out = mgr.handle("s1", "INSERT OVERWRITE acid_orders SELECT 1, 'A', 1.0")
-    # refused with a pointer at the right tool (the wire interceptor
-    # only routes INSERT INTO, but a direct caller gets the honest
-    # refusal instead of a confusing view-not-writable error)
-    assert out.startswith("ERR_ENDED:") and "not an ACID append" in out
+    out = mgr.handle("s1", "INSERT OVERWRITE acid_orders SELECT 9, 'Z', 9.0")
+    assert out.startswith("DONE:Committed writeid 2 (base_0000002"), out
+    assert _served(spark) == {9}
     mgr.handle("s1", "BEGIN")
-    out = mgr.handle("s1", "DELETE FROM acid_orders WHERE k = 1")
-    assert out.startswith("ERR_ACTIVE:") and "INSERT INTO only" in out
-    mgr.handle("s1", "ROLLBACK")
+    out = mgr.handle("s1", "INSERT OVERWRITE acid_orders SELECT 1, 'A', 1.0")
+    assert out.startswith("ERR_ACTIVE:") and "single-statement" in out
+    out = mgr.handle("s1", "DELETE FROM acid_orders WHERE k = 9")
+    assert out.startswith("ACTIVE:Buffered"), out
+    assert mgr.handle("s1", "COMMIT").startswith("DONE:Committed 1")
+    assert _served(spark) == set()
 
 
 def test_acid_compact_statement_lifecycle(spark, acid_mgr):

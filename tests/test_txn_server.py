@@ -398,6 +398,49 @@ print("SHOW_COMPACTIONS_WIRE_OK")
 assert served("SHOW TRANSACTIONS") == []
 print("SHOW_TRANSACTIONS_WIRE_OK")
 
+# 7. wire UPDATE (r12): HIVE-14035 split-update -> delete_delta on the
+# old identity + insert delta with the new image, one writeid
+out = beeline_script(
+    "UPDATE acid_orders SET price = price + 0.5 WHERE k = 2", port)
+assert "Committed writeid 4" in out, out[-1500:]
+entries = sorted(os.listdir(root))
+assert "delete_delta_0000004_0000004" in entries, entries
+assert "delta_0000004_0000004" in entries, entries
+assert served(
+    "SELECT price FROM global_temp.acid_orders WHERE k = 2") == [["2.5"]]
+assert [int(r[0]) for r in served(q)] == [1, 2, 3, 10, 11]
+print("ACID_UPDATE_WIRE_OK")
+
+# 8. wire DELETE: delete_delta only, rows gone from the served view
+out = beeline_script("DELETE FROM acid_orders WHERE k >= 10", port)
+assert "Committed writeid 5" in out, out[-1500:]
+assert "delete_delta_0000005_0000005" in sorted(os.listdir(root))
+assert "delta_0000005_0000005" not in sorted(os.listdir(root))
+assert [int(r[0]) for r in served(q)] == [1, 2, 3]
+print("ACID_DELETE_WIRE_OK")
+
+# 9. SHOW LOCKS: an open BEGIN block's table appears (from another
+# connection), empties after ROLLBACK; vanilla Spark cannot parse the
+# statement at all
+out = beeline_script(
+    "BEGIN; "
+    "UPDATE acid_orders SET price = 0.0 WHERE k = 1; "
+    "SHOW LOCKS; "
+    "ROLLBACK", port)
+assert "SHARED_WRITE" in out and "acid_orders" in out, out[-2000:]
+assert served("SHOW LOCKS") == []
+assert served(
+    "SELECT price FROM global_temp.acid_orders WHERE k = 1") == [["1.0"]]
+print("SHOW_LOCKS_WIRE_OK")
+
+# 10. wire INSERT OVERWRITE: a new base_W replaces everything
+out = beeline_script(
+    "INSERT OVERWRITE acid_orders SELECT 7, 'Z', 7.0", port)
+assert "Committed writeid 6" in out, out[-1500:]
+assert "base_0000006" in sorted(os.listdir(root))
+assert served(q) == [["7"]]
+print("ACID_IOW_WIRE_OK")
+
 server.stop()
 spark.stop()
 """
@@ -431,3 +474,7 @@ def test_thrift_server_acid_dml_and_compact():
         assert "ACID_COMPACT_WIRE_OK" in out
         assert "SHOW_COMPACTIONS_WIRE_OK" in out
         assert "SHOW_TRANSACTIONS_WIRE_OK" in out
+        assert "ACID_UPDATE_WIRE_OK" in out
+        assert "ACID_DELETE_WIRE_OK" in out
+        assert "SHOW_LOCKS_WIRE_OK" in out
+        assert "ACID_IOW_WIRE_OK" in out
