@@ -2111,6 +2111,172 @@ def hive_acid_update(
     return del_path, ins_path
 
 
+def hive_acid_merge(
+    spark: SparkSession,
+    root: str,
+    payload_schema: list[tuple[str, str]],
+    payload_fields,
+    writeid: int,
+    source_df: DataFrame,
+    on_cond: str,
+    target_alias: str = "t",
+    source_alias: str = "s",
+    matched_clauses: "list[tuple[str | None, object]] | None" = None,
+    insert_values: "list[str] | None" = None,
+    n_buckets: int = 4,
+    bucket_col: str | None = None,
+    valid_writeids: "ValidWriteIdList | None" = None,
+    stmt: int | None = None,
+) -> tuple[str | None, str | None]:
+    """``MERGE INTO t USING s ON cond WHEN …`` on an AcidUtils layout
+    via split-update `[upstream: hive ql/parse/MergeSemanticAnalyzer,
+    HIVE-14035 — Hive rewrites MERGE into a multi-insert of
+    delete_delta events + insert deltas]`:
+
+    * ``matched_clauses``: ordered ``(extra_cond_or_None, action)``
+      pairs where action is ``"delete"`` or a ``[(col, expr), …]``
+      SET list — Hive's first-matching-clause-wins rule is encoded by
+      guarding each clause with NOT(earlier conds);
+    * ``insert_values``: the WHEN NOT MATCHED THEN INSERT expression
+      list (source-side rows only), or None.
+
+    All events land under ONE writeid: one delete_delta carrying the
+    old identities of updated+deleted rows, one insert delta carrying
+    update images + not-matched inserts. The target snapshot (with
+    identities) is materialized BEFORE any rename so every clause
+    reads the same pre-merge election. Hive's cardinality rule is
+    enforced: a target row matched by more than one source row raises
+    (hive.merge.cardinality.check).
+
+    Scale: cost = one election read of the target + one join with the
+    source per clause family (Catalyst plans the equi-join case as a
+    shuffle/broadcast join on the ON keys) + writes sized to the HIT
+    sets — surviving rows are never rewritten (the split-update
+    economy)."""
+    import uuid
+
+    matched_clauses = matched_clauses or []
+    names = [n for n, _ in payload_schema]
+    tag = uuid.uuid4().hex[:12]
+    tv, sv = f"__merge_t_{tag}", f"__merge_s_{tag}"
+    snap = read_hive_acid(
+        spark,
+        root,
+        payload_schema,
+        keep_identity=True,
+        valid_writeids=valid_writeids,
+    ).localCheckpoint(eager=True)
+    snap.createOrReplaceTempView(tv)
+    source_df.createOrReplaceTempView(sv)
+    try:
+        join = (
+            f"FROM {tv} {target_alias} JOIN {sv} {source_alias} "
+            f"ON {on_cond}"
+        )
+        dup = spark.sql(
+            f"SELECT {target_alias}.otid {join} "
+            f"GROUP BY {target_alias}.otid, {target_alias}.bucket,"
+            f" {target_alias}.rid HAVING COUNT(*) > 1 LIMIT 1"
+        ).take(1)
+        if dup:
+            raise ValueError(
+                "MERGE cardinality violation: a target row matches "
+                "more than one source row "
+                "(hive.merge.cardinality.check)"
+            )
+        del_parts: list[DataFrame] = []
+        ins_parts: list[DataFrame] = []
+        earlier: list[str] = []
+        for extra, action in matched_clauses:
+            guards = [f"({c})" for c in earlier]
+            where = " AND ".join(
+                ([f"({extra})"] if extra else [])
+                + [f"NOT coalesce({g}, FALSE)" for g in guards]
+            )
+            clause_where = f"WHERE {where}" if where else ""
+            ident = (
+                f"{target_alias}.otid, {target_alias}.bucket, "
+                f"{target_alias}.rid"
+            )
+            if action == "delete":
+                del_parts.append(
+                    spark.sql(f"SELECT {ident} {join} {clause_where}")
+                )
+            else:  # SET list: split-update = delete event + new image
+                set_map = dict(action)
+                unknown = set(set_map) - set(names)
+                if unknown:
+                    raise ValueError(
+                        f"MERGE UPDATE SET references unknown columns "
+                        f"{sorted(unknown)}"
+                    )
+                del_parts.append(
+                    spark.sql(f"SELECT {ident} {join} {clause_where}")
+                )
+                sel = ", ".join(
+                    f"({set_map[n]}) AS {n}"
+                    if n in set_map
+                    else f"{target_alias}.{n}"
+                    for n in names
+                )
+                ins_parts.append(
+                    spark.sql(f"SELECT {sel} {join} {clause_where}")
+                )
+            if extra:
+                earlier.append(extra)
+            else:
+                earlier.append("TRUE")
+        if insert_values is not None:
+            if len(insert_values) != len(names):
+                raise ValueError(
+                    f"MERGE INSERT arity {len(insert_values)} != "
+                    f"table arity {len(names)}"
+                )
+            sel = ", ".join(
+                f"({e}) AS {n}" for n, e in zip(names, insert_values)
+            )
+            ins_parts.append(
+                spark.sql(
+                    f"SELECT {sel} FROM {sv} {source_alias} "
+                    f"LEFT ANTI JOIN {tv} {target_alias} ON {on_cond}"
+                )
+            )
+        del_path = None
+        if del_parts:
+            dels = del_parts[0]
+            for p in del_parts[1:]:
+                dels = dels.unionByName(p)
+            del_path = append_delete_delta(
+                spark,
+                root,
+                dels.select("otid", "bucket", "rid"),
+                payload_schema,
+                payload_fields,
+                writeid,
+                stmt=stmt,
+            )
+        ins_path = None
+        if ins_parts:
+            ins = ins_parts[0]
+            for p in ins_parts[1:]:
+                ins = ins.unionByName(p)
+            ins_path = append_delta(
+                spark,
+                root,
+                ins,
+                payload_schema,
+                payload_fields,
+                writeid,
+                stmt=stmt,
+                n_buckets=n_buckets,
+                bucket_col=bucket_col,
+            )
+        return del_path, ins_path
+    finally:
+        spark.catalog.dropTempView(tv)
+        spark.catalog.dropTempView(sv)
+
+
 def hive_acid_overwrite(
     spark: SparkSession,
     root: str,
@@ -2648,6 +2814,79 @@ def sink_hive_acid_iow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta_0000001_0000001", "delta_0000002_0000002"
     } & after, sorted(after)
     vwil = mgr.ledger.valid_writeids(root, table="iow_orders")
+    return read_hive_acid(
+        spark, root, _ORDERS_SCHEMA, valid_writeids=vwil
+    )
+
+
+@register(
+    "sink_hive_acid_wire_merge",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 6 = 0
+            THEN o_totalprice + (o_totalprice + 0.5)
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE o_orderkey % 3 = 0
+  AND NOT (o_orderkey % 6 = 0 AND o_orderkey % 5 = 0)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice + 0.5 AS o_totalprice
+FROM orders
+WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+""",
+)
+def sink_hive_acid_wire_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE INTO`` over the served statement surface — the third
+    HIVE-14035 verb, completing UPDATE/DELETE/MERGE `[upstream: hive
+    ql/parse/MergeSemanticAnalyzer — Hive rewrites MERGE into a
+    multi-insert of delete events + insert deltas]`: one statement
+    carries an ordered WHEN MATCHED AND…THEN DELETE, WHEN MATCHED
+    THEN UPDATE SET (first-matching-clause-wins, encoded as
+    NOT(earlier-cond) guards), and WHEN NOT MATCHED THEN INSERT —
+    all landing under ONE ledger-allocated writeid as one
+    delete_delta (deleted + updated old identities) plus one insert
+    delta (update images + inserts).
+
+    Algebra: target seeds k % 3 = 0 (writeid 1); the source is the
+    k % 2 = 0 slice with price shifted +0.5; ON t.key = s.key, so
+    matched = k % 6 = 0. Matched & k % 5 = 0 rows DELETE
+    (first clause); remaining matched rows take price ←
+    t.price + s.price; unmatched source rows INSERT. The oracle
+    replays the three-way split with the addition composed in the
+    same IEEE order. Hive's cardinality rule (a target row matched
+    by >1 source row raises) is enforced and unit-pinned."""
+    work = _fresh_dml_root(sf_dir, "hive_acid_wire_merge")
+    root = os.path.join(work, "table")
+    os.makedirs(root, exist_ok=True)
+    mgr = _wire_manager(spark, work)
+    mgr.enroll_hive_acid(
+        "wire_merge_orders", root, _ORDERS_SCHEMA,
+        _orders_arrow_fields(), serve=False,
+    )
+    read_table(spark, sf_dir, "orders").select(
+        *_ORDERS_PAYLOAD
+    ).createOrReplaceTempView("wire_merge_src")
+    out = mgr.handle(
+        "merge_s1",
+        "INSERT INTO wire_merge_orders SELECT * FROM wire_merge_src "
+        "WHERE o_orderkey % 3 = 0",
+    )
+    assert out.startswith("DONE:"), out
+    out = mgr.handle(
+        "merge_s1",
+        "MERGE INTO wire_merge_orders t USING ("
+        "SELECT o_orderkey, o_orderstatus,"
+        " o_totalprice + 0.5 AS o_totalprice"
+        " FROM wire_merge_src WHERE o_orderkey % 2 = 0) s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND t.o_orderkey % 5 = 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET"
+        " o_totalprice = t.o_totalprice + s.o_totalprice "
+        "WHEN NOT MATCHED THEN INSERT VALUES"
+        " (s.o_orderkey, s.o_orderstatus, s.o_totalprice)",
+    )
+    assert out.startswith("DONE:Committed writeid 2"), out
+    vwil = mgr.ledger.valid_writeids(root, table="wire_merge_orders")
     return read_hive_acid(
         spark, root, _ORDERS_SCHEMA, valid_writeids=vwil
     )

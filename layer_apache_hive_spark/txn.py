@@ -182,6 +182,7 @@ public class SparkGraftTxn
       "(?is)^\\\\s*(INSERT\\\\s+(?:INTO|OVERWRITE)\\\\b.*"
       + "|UPDATE\\\\s+\\\\S+\\\\s+SET\\\\b.*"
       + "|DELETE\\\\s+FROM\\\\b.*"
+      + "|MERGE\\\\s+INTO\\\\b.*"
       + "|ALTER\\\\s+TABLE\\\\s+\\\\S+\\\\s+COMPACT\\\\b.*"
       + "|SHOW\\\\s+COMPACTIONS\\\\s*;?\\\\s*"
       + "|SHOW\\\\s+TRANSACTIONS\\\\s*;?\\\\s*"
@@ -378,6 +379,24 @@ _UPDATE_RE = re.compile(
 _ALTER_COMPACT_RE = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+COMPACT\s+"
     r"'(?P<kind>\w+)'\s*;?\s*$"
+)
+_MERGE_RE = re.compile(
+    r"(?is)^\s*MERGE\s+INTO\s+(?P<name>[\w.`]+)"
+    r"(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<src>\(.+?\)|[\w.`]+)"
+    r"(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<cond>.+?)"
+    r"(?P<clauses>\s+WHEN\s+.+?)\s*;?\s*$"
+)
+_MERGE_WHEN_RE = re.compile(
+    r"(?is)WHEN\s+(?P<not_>NOT\s+)?MATCHED"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)"
+    r"(?=\s+WHEN\s+|\s*$)"
+)
+_MERGE_INSERT_RE = re.compile(
+    r"(?is)^INSERT\s+(?:\(\s*(?P<cols>[\w`\s,]+?)\s*\)\s+)?"
+    r"VALUES\s*\(\s*(?P<vals>.+?)\s*\)\s*$"
 )
 _SHOW_COMPACTIONS_STMT_RE = re.compile(
     r"(?is)^\s*SHOW\s+COMPACTIONS\s*;?\s*$"
@@ -670,18 +689,106 @@ class TxnSessionManager:
             return _bare_name(m.group("name")), ("delete", m.group("pred"))
         m = _UPDATE_RE.match(sql_text)
         if m:
-            sets = []
-            for part in _split_top_level(m.group("sets")):
-                if "=" not in part:
-                    raise ValueError(f"malformed SET clause: {part}")
-                col, expr = part.split("=", 1)
-                sets.append((col.strip().replace("`", ""), expr.strip()))
             return _bare_name(m.group("name")), (
                 "update",
-                tuple(sets),
+                TxnSessionManager._parse_set_list(m.group("sets")),
                 m.group("pred"),
             )
+        m = _MERGE_RE.match(sql_text)
+        if m:
+            return TxnSessionManager._parse_merge(m)
         return None
+
+    @staticmethod
+    def _parse_set_list(sets_text: str) -> tuple:
+        sets = []
+        for part in _split_top_level(sets_text):
+            if "=" not in part:
+                raise ValueError(f"malformed SET clause: {part}")
+            col, expr = part.split("=", 1)
+            # strip an optional target-alias prefix (SET t.price = …)
+            sets.append(
+                (
+                    col.strip().replace("`", "").split(".")[-1],
+                    expr.strip(),
+                )
+            )
+        return tuple(sets)
+
+    @staticmethod
+    def _parse_merge(m: "re.Match[str]"):
+        """MERGE INTO t USING src ON cond WHEN … → the op tuple
+        ("merge", src_sql, on_cond, talias, salias, matched_clauses,
+        insert_cols, insert_vals). Supported form (documented): any
+        ordered mix of WHEN MATCHED [AND c] THEN UPDATE SET …/DELETE
+        plus at most one unconditional WHEN NOT MATCHED THEN INSERT
+        [(cols)] VALUES (…) — Hive's own MERGE surface minus
+        conditional inserts."""
+        name = _bare_name(m.group("name"))
+        talias = m.group("talias") or name
+        src = m.group("src").strip()
+        if src.startswith("("):
+            if not m.group("salias"):
+                raise ValueError(
+                    "MERGE subquery source needs an alias: USING "
+                    "(SELECT …) s"
+                )
+            src_sql = src[1:-1].strip()
+        else:
+            src_sql = f"SELECT * FROM {src}"
+        salias = m.group("salias") or _bare_name(src)
+        matched: list[tuple] = []
+        insert_cols = insert_vals = None
+        for wm in _MERGE_WHEN_RE.finditer(m.group("clauses")):
+            action = wm.group("action").strip()
+            if wm.group("not_"):
+                im = _MERGE_INSERT_RE.match(action)
+                if im is None:
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports THEN INSERT "
+                        "[(cols)] VALUES (…) only"
+                    )
+                if wm.group("cond") is not None:
+                    raise ValueError(
+                        "conditional WHEN NOT MATCHED AND … is not "
+                        "supported on this surface"
+                    )
+                if insert_vals is not None:
+                    raise ValueError(
+                        "at most one WHEN NOT MATCHED clause"
+                    )
+                insert_vals = tuple(
+                    _split_top_level(im.group("vals"))
+                )
+                if im.group("cols"):
+                    insert_cols = tuple(
+                        c.strip().replace("`", "").lower()
+                        for c in im.group("cols").split(",")
+                        if c.strip()
+                    )
+            elif action.upper() == "DELETE":
+                matched.append((wm.group("cond"), "delete"))
+            else:  # UPDATE SET …
+                matched.append(
+                    (
+                        wm.group("cond"),
+                        TxnSessionManager._parse_set_list(
+                            action[len("UPDATE SET"):]
+                        ),
+                    )
+                )
+        if not matched and insert_vals is None:
+            raise ValueError("MERGE needs at least one WHEN clause")
+        return name, (
+            "merge",
+            src_sql,
+            m.group("cond").strip(),
+            talias,
+            salias,
+            tuple(matched),
+            insert_cols,
+            insert_vals,
+        )
 
     # -- GRANT/REVOKE/SHOW GRANTS (HS2 SQL-std auth statements) -----------
 
@@ -894,12 +1001,16 @@ class TxnSessionManager:
         return aligned
 
     def _mm_dml_refusal(self, ent: dict, op: tuple) -> str | None:
-        if ent.get("insert_only") and op[0] in ("update", "delete"):
+        if ent.get("insert_only") and op[0] in (
+            "update",
+            "delete",
+            "merge",
+        ):
             return (
                 f"insert-only (MM) table '{ent['name']}' has no row "
-                "identities: UPDATE/DELETE need a full-ACID table "
-                "(HIVE-14535 — MM tables accept INSERT and INSERT "
-                "OVERWRITE only)"
+                "identities: UPDATE/DELETE/MERGE need a full-ACID "
+                "table (HIVE-14535 — MM tables accept INSERT and "
+                "INSERT OVERWRITE only)"
             )
         return None
 
@@ -972,6 +1083,54 @@ class TxnSessionManager:
                 w,
                 set_exprs=list(op[1]),
                 pred=op[2],
+                n_buckets=ent["n_buckets"],
+                bucket_col=ent["bucket_col"],
+                valid_writeids=vw,
+                stmt=stmt,
+            )
+            parts = [
+                os.path.basename(p)
+                for p in (del_path, ins_path)
+                if p is not None
+            ]
+            return "+".join(parts) or "no rows matched"
+        if kind == "merge":
+            from layer_apache_hive_spark.sources.hive_acid import (
+                hive_acid_merge,
+            )
+
+            _, src_sql, on_cond, talias, salias, matched, ic, iv = op
+            insert_values = None
+            if iv is not None:
+                names = [n for n, _ in ent["schema"]]
+                if ic is not None:
+                    unknown = set(ic) - set(names)
+                    if unknown:
+                        raise ValueError(
+                            "MERGE INSERT names unknown columns "
+                            f"{sorted(unknown)}"
+                        )
+                    if len(ic) != len(iv):
+                        raise ValueError(
+                            "MERGE INSERT column/value arity mismatch"
+                        )
+                    colmap = dict(zip(ic, iv))
+                    # unnamed columns take NULL (Hive's rule)
+                    insert_values = [colmap.get(n, "NULL") for n in names]
+                else:
+                    insert_values = list(iv)
+            del_path, ins_path = hive_acid_merge(
+                self.spark,
+                ent["root"],
+                ent["schema"],
+                ent["fields"],
+                w,
+                source_df=self.spark.sql(src_sql),
+                on_cond=on_cond,
+                target_alias=talias,
+                source_alias=salias,
+                matched_clauses=list(matched),
+                insert_values=insert_values,
                 n_buckets=ent["n_buckets"],
                 bucket_col=ent["bucket_col"],
                 valid_writeids=vw,
@@ -1201,6 +1360,9 @@ class TxnSessionManager:
         if op[0] == "insert":
             refs = self._referenced_tables(op[2])
             via = "the INSERT body"
+        elif op[0] == "merge":
+            refs = self._merge_references(table, op)
+            via = "the MERGE statement"
         else:
             # UPDATE SET right-hand sides and UPDATE/DELETE WHERE
             # predicates also execute at COMMIT as the in-process
@@ -1223,6 +1385,65 @@ class TxnSessionManager:
                     f"'{qual}' referenced by {via}"
                 )
         return None
+
+    def _merge_references(
+        self, table: str, op: tuple
+    ) -> list[tuple[str | None, str]]:
+        """Leaf relations referenced by a buffered MERGE: the source
+        body's analyzed plan (its leaves are real tables) plus a probe
+        of every ON/WHEN/SET/VALUES expression over EMPTY frames with
+        both aliases bound — subquery expressions inside conditions
+        analyze exactly as they will at COMMIT, while the probe frames
+        themselves are LocalRelations the walk ignores."""
+        import uuid
+
+        _, src_sql, on_cond, talias, salias, matched, _ic, iv = op
+        refs = self._referenced_tables(src_sql)
+        ent = self._acid[table]
+        tag = uuid.uuid4().hex[:12]
+        ptv, psv = f"__authz_mt_{tag}", f"__authz_ms_{tag}"
+        self.spark.createDataFrame(
+            [], ", ".join(f"{n} {t}" for n, t in ent["schema"])
+        ).createOrReplaceTempView(ptv)
+        self.spark.sql(src_sql).limit(0).createOrReplaceTempView(psv)
+        try:
+            exprs: list[str] = []
+            for cond, action in matched:
+                if cond:
+                    exprs.append(cond)
+                if action != "delete":
+                    exprs.extend(e for _, e in action)
+            sel = ", ".join(f"({e})" for e in exprs) or "1"
+            plan = (
+                self.spark.sql(
+                    f"SELECT {sel} FROM {ptv} {talias} "
+                    f"JOIN {psv} {salias} ON {on_cond}"
+                )
+                ._jdf.queryExecution()
+                .analyzed()
+            )
+            refs.extend(
+                self._relations_of_plan(plan, include_root_leaves=False)
+            )
+            if iv:
+                plan2 = (
+                    self.spark.sql(
+                        "SELECT "
+                        + ", ".join(f"({e})" for e in iv)
+                        + f" FROM {psv} {salias}"
+                    )
+                    ._jdf.queryExecution()
+                    .analyzed()
+                )
+                refs.extend(
+                    self._relations_of_plan(
+                        plan2, include_root_leaves=False
+                    )
+                )
+        finally:
+            self.spark.catalog.dropTempView(ptv)
+            self.spark.catalog.dropTempView(psv)
+        return refs
 
     def _expr_references(
         self, table: str, op: tuple
@@ -1287,6 +1508,12 @@ class TxnSessionManager:
                 f"ERR_ACTIVE:table '{table}' is not enrolled in the "
                 "transaction catalog; transactional DML is only atomic "
                 "for enrolled tables"
+            )
+        elif op[0] == "merge":
+            return (
+                "ERR_ACTIVE:MERGE targets enrolled hive-acid tables "
+                "only on this surface (catalog tables take "
+                "INSERT/UPDATE/DELETE)"
             )
         # one transaction, one store: catalog commits are atomic via a
         # single exclusive-create, acid commits via per-dir renames —

@@ -247,6 +247,7 @@ def mgr12(spark, tmp_path):
     from layer_apache_hive_spark.txn import TxnSessionManager
 
     cat = TransactionCatalog(str(tmp_path / "cat"))
+    cat.commit(spark, {"vt_t": spark.createDataFrame([(1,)], "a long")})
     led = HiveWriteIdLedger(str(tmp_path / "ledger.jsonl"))
     mgr = TxnSessionManager(spark, cat, publish=False, ledger=led)
     root = str(tmp_path / "acid12")
@@ -461,6 +462,83 @@ def test_mm_wire_update_delete_refused_iow_served(spark, mm_mgr12):
         for r in spark.table("global_temp.mm12").collect()
     }
     assert served == {(7, 7.0)}
+
+
+# --- 5b. MERGE (the third HIVE-14035 verb) ----------------------------------------
+
+
+def test_wire_merge_clause_order_and_split_update(spark, mgr12):
+    """MERGE with DELETE-before-UPDATE clause order: matched rows take
+    the FIRST matching clause (k=2 deletes; k=1,3 are unmatched /
+    updated per their conds); unmatched source rows insert. One
+    writeid, one delete_delta + one insert delta."""
+    mgr, root = mgr12
+    spark.createDataFrame(
+        [(1, "S", 10.0), (2, "S", 20.0), (9, "S", 90.0)], MM_DDL
+    ).createOrReplaceTempView("r12_merge_src")
+    out = mgr.handle(
+        "m1",
+        "MERGE INTO acid12 t USING r12_merge_src s ON t.k = s.k "
+        "WHEN MATCHED AND t.k = 2 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET price = t.price + s.price "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.status, s.price)",
+    )
+    assert out.startswith("DONE:Committed writeid 2"), out
+    entries = sorted(os.listdir(root))
+    assert "delete_delta_0000002_0000002" in entries, entries
+    assert "delta_0000002_0000002" in entries, entries
+    # target was {1: 1.0, 2: 2.0, 3: 3.0}; source {1: 10, 2: 20, 9: 90}
+    # k=2 deleted (first clause), k=1 updated 1+10, k=3 untouched,
+    # k=9 inserted
+    assert _view12(spark) == {(1, 11.0), (3, 3.0), (9, 90.0)}
+
+
+def test_wire_merge_cardinality_violation_aborts(spark, mgr12):
+    mgr, root = mgr12
+    spark.createDataFrame(
+        [(1, "S", 10.0), (1, "S", 11.0)], MM_DDL
+    ).createOrReplaceTempView("r12_merge_dup")
+    out = mgr.handle(
+        "m1",
+        "MERGE INTO acid12 t USING r12_merge_dup s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET price = s.price",
+    )
+    assert out.startswith("ERR_ENDED:") and "cardinality" in out, out
+    assert mgr.ledger.aborted_ids(root) == frozenset({2})
+    assert _view12(spark) == {(1, 1.0), (2, 2.0), (3, 3.0)}  # untouched
+
+
+def test_wire_merge_in_txn_and_refusals(spark, mgr12, mm_mgr12):
+    mgr, root = mgr12
+    spark.createDataFrame([(3, "S", 30.0)], MM_DDL).createOrReplaceTempView(
+        "r12_merge_one"
+    )
+    mgr.handle("m1", "BEGIN")
+    out = mgr.handle(
+        "m1",
+        "MERGE INTO acid12 t USING r12_merge_one s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert out.startswith("ACTIVE:Buffered"), out
+    assert mgr.handle("m1", "COMMIT").startswith("DONE:Committed 1")
+    assert _view12(spark) == {(1, 1.0), (2, 2.0)}
+    # MM tables refuse MERGE (no row identities)
+    mm, _mm_root = mm_mgr12
+    out = mm.handle(
+        "m2",
+        "MERGE INTO mm12 t USING r12_merge_one s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert out.startswith("ERR_ENDED:") and "insert-only" in out, out
+    # catalog (VersionedTable) targets refuse MERGE inside a txn
+    mgr.handle("m3", "BEGIN")
+    out = mgr.handle(
+        "m3",
+        "MERGE INTO vt_t t USING r12_merge_one s ON t.a = s.k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert out.startswith("ERR_ACTIVE:") and "hive-acid" in out, out
+    mgr.handle("m3", "ROLLBACK")
 
 
 # --- 6. SHOW LOCKS ---------------------------------------------------------------

@@ -441,6 +441,25 @@ assert "base_0000006" in sorted(os.listdir(root))
 assert served(q) == [["7"]]
 print("ACID_IOW_WIRE_OK")
 
+# 11. wire MERGE (the third HIVE-14035 verb): matched row updates,
+# unmatched source row inserts — one writeid, split-update dirs
+spark.createDataFrame(
+    [(7, "M", 1.0), (8, "M", 8.0)],
+    "k long, status string, price double").createOrReplaceTempView(
+    "merge_src")
+out = beeline_script(
+    "MERGE INTO acid_orders t USING merge_src s ON t.k = s.k "
+    "WHEN MATCHED THEN UPDATE SET price = t.price + s.price "
+    "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.status, s.price)",
+    port)
+assert "Committed writeid 7" in out, out[-1500:]
+entries = sorted(os.listdir(root))
+assert "delete_delta_0000007_0000007" in entries, entries
+assert "delta_0000007_0000007" in entries, entries
+assert served("SELECT k, price FROM global_temp.acid_orders ORDER BY k") == [
+    ["7", "8.0"], ["8", "8.0"]]
+print("ACID_MERGE_WIRE_OK")
+
 server.stop()
 spark.stop()
 """
@@ -478,3 +497,4 @@ def test_thrift_server_acid_dml_and_compact():
         assert "ACID_DELETE_WIRE_OK" in out
         assert "SHOW_LOCKS_WIRE_OK" in out
         assert "ACID_IOW_WIRE_OK" in out
+        assert "ACID_MERGE_WIRE_OK" in out
