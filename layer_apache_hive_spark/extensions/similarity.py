@@ -1998,7 +1998,7 @@ def _ivfpq_residual_state(spark: SparkSession, sf_dir: str, iters: int):
     ext_sim_ivf convention) with centroids as FLOOR-scaled integer
     cell means — the same centroid-update rule the PQ training uses,
     so every residual lands exactly on the BIGINT grid. Returns
-    (vec, coarse_arr, rsx, cent)."""
+    (vec, coarse, coarse_arr, rsx, cent)."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
@@ -2069,13 +2069,13 @@ def _ivfpq_residual_state(spark: SparkSession, sf_dir: str, iters: int):
                 " s -> s.ci)"
             ).alias("sc")
         )
-    return vec, coarse_arr, rsx, cent
+    return vec, coarse, coarse_arr, rsx, cent
 
 
 def _ivfpq_residual_frame(
     spark: SparkSession, sf_dir: str, iters: int
 ) -> DataFrame:
-    vec, coarse_arr, rsx, cent = _ivfpq_residual_state(
+    vec, coarse, coarse_arr, rsx, cent = _ivfpq_residual_state(
         spark, sf_dir, iters
     )
     # corpus codes: nearest residual code per (vector, subspace),
@@ -2089,26 +2089,48 @@ def _ivfpq_residual_frame(
             "vec_id", "label", "m", F.col("b.code_id").alias("code_id")
         )
     )
-    # probe election: integer L2 of each query to each cell centroid
+    # probe election: integer L2 of each query to each cell centroid —
+    # exploded-dims equi-join on dim (the ext_sim_ivf_nprobe shape:
+    # BroadcastHashJoin, never a nested loop), then the top-nprobe cut
     qv = vec.filter(F.col("vec_id") < _PQT_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("sv").alias("qsv")
     )
-    cell_d2 = F.expr(
-        "aggregate(zip_with(qsv, pcv, (x, c) -> x - c), 0L,"
-        " (acc, dx) -> acc + dx * dx)"
+    qd = qv.select(
+        "query_id", F.posexplode("qsv").alias("dim", "xi")
     )
-    qcell = qv.crossJoin(
-        F.broadcast(
-            coarse_arr.select(
-                F.col("label").alias("plabel"), F.col("cv").alias("pcv")
-            )
+    qcell = (
+        qd.join(
+            F.broadcast(
+                coarse.select(
+                    F.col("label").alias("plabel"), "dim", "cm"
+                )
+            ),
+            "dim",
         )
-    ).select("query_id", "plabel", "qsv", "pcv", cell_d2.alias("cd2"))
+        .groupBy("query_id", "plabel")
+        .agg(
+            F.sum(
+                (F.col("xi") - F.col("cm"))
+                * (F.col("xi") - F.col("cm"))
+            ).alias("cd2")
+        )
+    )
     wp = Window.partitionBy("query_id").orderBy(
         F.col("cd2").asc(), F.col("plabel").asc()
     )
-    probes = qcell.withColumn("pr", F.row_number().over(wp)).filter(
-        F.col("pr") <= _IVFR_NPROBE
+    probes = (
+        qcell.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= _IVFR_NPROBE)
+        .join(
+            F.broadcast(
+                coarse_arr.select(
+                    F.col("label").alias("plabel"),
+                    F.col("cv").alias("pcv"),
+                )
+            ),
+            "plabel",
+        )
+        .join(F.broadcast(qv), "query_id")
     )
     # per-probe query residual subvectors → ADC tables against the
     # residual codebook (one tiny relation: NQ × nprobe × M × K rows)
