@@ -1914,6 +1914,11 @@ class HiveWriteIdLedger:
                 self._append(stale, "aborted")
             return stale
 
+    def entries(self, root: str) -> dict[int, str]:
+        """writeid → state snapshot for one root (SHOW TRANSACTIONS)."""
+        with self._lock:
+            return dict(self._state.get(root, {}))
+
     def aborted_ids(self, root: str) -> frozenset:
         with self._lock:
             return frozenset(
@@ -2123,6 +2128,7 @@ def hive_acid_merge(
     source_alias: str = "s",
     matched_clauses: "list[tuple[str | None, object]] | None" = None,
     insert_values: "list[str] | None" = None,
+    insert_cond: "str | None" = None,
     n_buckets: int = 4,
     bucket_col: str | None = None,
     valid_writeids: "ValidWriteIdList | None" = None,
@@ -2138,7 +2144,10 @@ def hive_acid_merge(
       SET list — Hive's first-matching-clause-wins rule is encoded by
       guarding each clause with NOT(earlier conds);
     * ``insert_values``: the WHEN NOT MATCHED THEN INSERT expression
-      list (source-side rows only), or None.
+      list (source-side rows only), or None; ``insert_cond`` is the
+      optional WHEN NOT MATCHED AND … guard (source-side predicate —
+      unmatched rows failing it are simply not inserted, Hive's
+      semantics).
 
     All events land under ONE writeid: one delete_delta carrying the
     old identities of updated+deleted rows, one insert delta carrying
@@ -2235,10 +2244,16 @@ def hive_acid_merge(
             sel = ", ".join(
                 f"({e}) AS {n}" for n, e in zip(names, insert_values)
             )
+            iw = (
+                f" WHERE coalesce(({insert_cond}), FALSE)"
+                if insert_cond is not None
+                else ""
+            )
             ins_parts.append(
                 spark.sql(
                     f"SELECT {sel} FROM {sv} {source_alias} "
                     f"LEFT ANTI JOIN {tv} {target_alias} ON {on_cond}"
+                    f"{iw}"
                 )
             )
         del_path = None

@@ -590,12 +590,22 @@ class TxnSessionManager:
                 f"FROM global_temp.{self.initiator.serve_compactions_as}"
             )
         if _SHOW_TXNS_STMT_RE.match(sql_text):
-            # Hive's SHOW TRANSACTIONS (metastore TXNS) — here the
-            # live per-connection buffers ARE the transaction table;
+            # Hive's SHOW TRANSACTIONS (metastore TXNS) — the live
+            # per-connection buffers plus the writeid ledger's
+            # non-committed entries (open = in-flight acid commits,
+            # aborted = failed/crashed writeids awaiting the Cleaner —
+            # Hive shows OPEN and ABORTED txns, never committed ones);
             # published fresh and rewritten onto the served view
             rows = [
                 (sid, "OPEN", self._txn_user.get(sid, ""), len(ops_))
                 for sid, ops_ in sorted(self._open.items())
+            ] + [
+                (f"{name}:writeid-{w}", state.upper(), "", 0)
+                for name, ent in sorted(self._acid.items())
+                for w, state in sorted(
+                    self.ledger.entries(ent["root"]).items()
+                )
+                if state != "committed"
             ]
             self.spark.createDataFrame(
                 rows,
@@ -719,11 +729,11 @@ class TxnSessionManager:
     def _parse_merge(m: "re.Match[str]"):
         """MERGE INTO t USING src ON cond WHEN … → the op tuple
         ("merge", src_sql, on_cond, talias, salias, matched_clauses,
-        insert_cols, insert_vals). Supported form (documented): any
-        ordered mix of WHEN MATCHED [AND c] THEN UPDATE SET …/DELETE
-        plus at most one unconditional WHEN NOT MATCHED THEN INSERT
-        [(cols)] VALUES (…) — Hive's own MERGE surface minus
-        conditional inserts."""
+        insert_cols, insert_vals, insert_cond). Supported form
+        (documented): any ordered mix of WHEN MATCHED [AND c] THEN
+        UPDATE SET …/DELETE plus at most one WHEN NOT MATCHED
+        [AND c] THEN INSERT [(cols)] VALUES (…) — Hive's own MERGE
+        surface."""
         name = _bare_name(m.group("name"))
         talias = m.group("talias") or name
         src = m.group("src").strip()
@@ -738,7 +748,7 @@ class TxnSessionManager:
             src_sql = f"SELECT * FROM {src}"
         salias = m.group("salias") or _bare_name(src)
         matched: list[tuple] = []
-        insert_cols = insert_vals = None
+        insert_cols = insert_vals = insert_cond = None
         for wm in _MERGE_WHEN_RE.finditer(m.group("clauses")):
             action = wm.group("action").strip()
             if wm.group("not_"):
@@ -748,15 +758,11 @@ class TxnSessionManager:
                         "WHEN NOT MATCHED supports THEN INSERT "
                         "[(cols)] VALUES (…) only"
                     )
-                if wm.group("cond") is not None:
-                    raise ValueError(
-                        "conditional WHEN NOT MATCHED AND … is not "
-                        "supported on this surface"
-                    )
                 if insert_vals is not None:
                     raise ValueError(
                         "at most one WHEN NOT MATCHED clause"
                     )
+                insert_cond = wm.group("cond")
                 insert_vals = tuple(
                     _split_top_level(im.group("vals"))
                 )
@@ -788,6 +794,7 @@ class TxnSessionManager:
             tuple(matched),
             insert_cols,
             insert_vals,
+            insert_cond,
         )
 
     # -- GRANT/REVOKE/SHOW GRANTS (HS2 SQL-std auth statements) -----------
@@ -1099,7 +1106,7 @@ class TxnSessionManager:
                 hive_acid_merge,
             )
 
-            _, src_sql, on_cond, talias, salias, matched, ic, iv = op
+            _, src_sql, on_cond, talias, salias, matched, ic, iv, icond = op
             insert_values = None
             if iv is not None:
                 names = [n for n, _ in ent["schema"]]
@@ -1131,6 +1138,7 @@ class TxnSessionManager:
                 source_alias=salias,
                 matched_clauses=list(matched),
                 insert_values=insert_values,
+                insert_cond=icond,
                 n_buckets=ent["n_buckets"],
                 bucket_col=ent["bucket_col"],
                 valid_writeids=vw,
@@ -1397,7 +1405,7 @@ class TxnSessionManager:
         themselves are LocalRelations the walk ignores."""
         import uuid
 
-        _, src_sql, on_cond, talias, salias, matched, _ic, iv = op
+        _, src_sql, on_cond, talias, salias, matched, _ic, iv, icond = op
         refs = self._referenced_tables(src_sql)
         ent = self._acid[table]
         tag = uuid.uuid4().hex[:12]
@@ -1429,7 +1437,11 @@ class TxnSessionManager:
                 plan2 = (
                     self.spark.sql(
                         "SELECT "
-                        + ", ".join(f"({e})" for e in iv)
+                        + ", ".join(
+                            f"({e})"
+                            for e in list(iv)
+                            + ([icond] if icond else [])
+                        )
                         + f" FROM {psv} {salias}"
                     )
                     ._jdf.queryExecution()

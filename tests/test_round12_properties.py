@@ -541,6 +541,46 @@ def test_wire_merge_in_txn_and_refusals(spark, mgr12, mm_mgr12):
     mgr.handle("m3", "ROLLBACK")
 
 
+def test_wire_merge_conditional_not_matched(spark, mgr12):
+    """WHEN NOT MATCHED AND c THEN INSERT: unmatched source rows
+    failing the guard are simply not inserted (Hive's semantics)."""
+    mgr, root = mgr12
+    spark.createDataFrame(
+        [(8, "S", 8.0), (9, "S", 9.0)], MM_DDL
+    ).createOrReplaceTempView("r12_merge_cond_src")
+    out = mgr.handle(
+        "mc1",
+        "MERGE INTO acid12 t USING r12_merge_cond_src s ON t.k = s.k "
+        "WHEN NOT MATCHED AND s.k % 2 = 0 THEN INSERT VALUES"
+        " (s.k, s.status, s.price)",
+    )
+    assert out.startswith("DONE:Committed writeid 2"), out
+    assert _view12(spark) == {(1, 1.0), (2, 2.0), (3, 3.0), (8, 8.0)}
+
+
+def test_show_transactions_includes_ledger_state(spark, mgr12):
+    """SHOW TRANSACTIONS surfaces the writeid ledger's OPEN/ABORTED
+    entries alongside live wire buffers — the metastore TXNS view
+    (committed writeids never show, Hive's rule)."""
+    mgr, root = mgr12
+    out = mgr.handle(
+        "t9", "INSERT INTO acid12 SELECT 1 AS k, 'Z'"  # arity error
+    )
+    assert out.startswith("ERR_ENDED:statement failed"), out
+    w_open = mgr.ledger.allocate(root)  # an in-flight transaction
+    out = mgr.handle("t9", "SHOW TRANSACTIONS")
+    rows = {
+        (r.txn_session, r.state)
+        for r in spark.table(
+            "global_temp.sparkgraft_transactions"
+        ).collect()
+    }
+    assert ("acid12:writeid-2", "ABORTED") in rows, rows
+    assert (f"acid12:writeid-{w_open}", "OPEN") in rows, rows
+    # the seed commit (writeid 1) is committed -> never listed
+    assert not any("writeid-1" in s for s, _ in rows), rows
+
+
 # --- 6. SHOW LOCKS ---------------------------------------------------------------
 
 
