@@ -2007,6 +2007,7 @@ def hive_acid_delete(
     pred: str | None = None,
     valid_writeids: "ValidWriteIdList | None" = None,
     stmt: int | None = None,
+    snapshot: DataFrame | None = None,
 ) -> str | None:
     """Row-level ``DELETE FROM t [WHERE pred]`` on an AcidUtils
     layout: the election read (with identities) finds the target
@@ -2016,13 +2017,20 @@ def hive_acid_delete(
     ``pred`` is a SQL boolean over the payload columns (NULL = no
     match, DELETE's three-valued WHERE). Cost: one election read of
     the table + one delete_delta write sized to the HIT set — no
-    rewrite of surviving rows (the split-update economy)."""
-    snap = read_hive_acid(
-        spark,
-        root,
-        payload_schema,
-        keep_identity=True,
-        valid_writeids=valid_writeids,
+    rewrite of surviving rows (the split-update economy).
+    ``snapshot`` (an identity-carrying frame the caller already
+    materialized — the per-transaction shared snapshot) skips the
+    election read entirely."""
+    snap = (
+        snapshot
+        if snapshot is not None
+        else read_hive_acid(
+            spark,
+            root,
+            payload_schema,
+            keep_identity=True,
+            valid_writeids=valid_writeids,
+        )
     )
     hits = (
         snap.filter(F.coalesce(F.expr(pred), F.lit(False)))
@@ -2052,6 +2060,7 @@ def hive_acid_update(
     bucket_col: str | None = None,
     valid_writeids: "ValidWriteIdList | None" = None,
     stmt: int | None = None,
+    snapshot: DataFrame | None = None,
 ) -> tuple[str | None, str | None]:
     """Row-level ``UPDATE t SET c = e, ... [WHERE pred]`` as Hive 3's
     SPLIT-UPDATE `[upstream: hive UpdateDeleteSemanticAnalyzer,
@@ -2063,8 +2072,10 @@ def hive_acid_update(
     The hit set is materialized (localCheckpoint) BEFORE either dir
     renames into place: both writes must observe the same pre-update
     election, not re-elect after the first rename lands (the insert
-    delta would otherwise feed the delete's target scan). Returns
-    (delete_delta_path, delta_path)."""
+    delta would otherwise feed the delete's target scan). A caller
+    passing ``snapshot`` (already materialized — the per-transaction
+    shared snapshot) skips both the election read and the extra
+    checkpoint. Returns (delete_delta_path, delta_path)."""
     names = [n for n, _ in payload_schema]
     set_map = dict(set_exprs)
     unknown = set(set_map) - set(names)
@@ -2072,19 +2083,22 @@ def hive_acid_update(
         raise ValueError(
             f"UPDATE SET references unknown columns {sorted(unknown)}"
         )
-    snap = read_hive_acid(
-        spark,
-        root,
-        payload_schema,
-        keep_identity=True,
-        valid_writeids=valid_writeids,
-    )
     hit = (
         F.coalesce(F.expr(pred), F.lit(False))
         if pred is not None
         else F.lit(True)
     )
-    hits = snap.filter(hit).localCheckpoint(eager=True)
+    if snapshot is not None:
+        hits = snapshot.filter(hit)
+    else:
+        snap = read_hive_acid(
+            spark,
+            root,
+            payload_schema,
+            keep_identity=True,
+            valid_writeids=valid_writeids,
+        )
+        hits = snap.filter(hit).localCheckpoint(eager=True)
     del_path = append_delete_delta(
         spark,
         root,
@@ -2133,6 +2147,7 @@ def hive_acid_merge(
     bucket_col: str | None = None,
     valid_writeids: "ValidWriteIdList | None" = None,
     stmt: int | None = None,
+    snapshot: DataFrame | None = None,
 ) -> tuple[str | None, str | None]:
     """``MERGE INTO t USING s ON cond WHEN …`` on an AcidUtils layout
     via split-update `[upstream: hive ql/parse/MergeSemanticAnalyzer,
@@ -2168,13 +2183,17 @@ def hive_acid_merge(
     names = [n for n, _ in payload_schema]
     tag = uuid.uuid4().hex[:12]
     tv, sv = f"__merge_t_{tag}", f"__merge_s_{tag}"
-    snap = read_hive_acid(
-        spark,
-        root,
-        payload_schema,
-        keep_identity=True,
-        valid_writeids=valid_writeids,
-    ).localCheckpoint(eager=True)
+    snap = (
+        snapshot
+        if snapshot is not None
+        else read_hive_acid(
+            spark,
+            root,
+            payload_schema,
+            keep_identity=True,
+            valid_writeids=valid_writeids,
+        ).localCheckpoint(eager=True)
+    )
     snap.createOrReplaceTempView(tv)
     source_df.createOrReplaceTempView(sv)
     try:

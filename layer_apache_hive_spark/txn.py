@@ -1021,15 +1021,51 @@ class TxnSessionManager:
             )
         return None
 
+    def _txn_snapshot(self, ent: dict, snap_cache: dict | None):
+        """The transaction's ONE materialized identity snapshot of
+        ``ent`` (built on first use, shared by every UPDATE/DELETE/
+        MERGE statement targeting the table): semantics-equal to each
+        statement reading the committed pre-txn state separately —
+        the minted list excludes every in-flight writeid — but paying
+        the election read once per (transaction, table) instead of
+        once per statement."""
+        from layer_apache_hive_spark.sources.hive_acid import (
+            read_hive_acid,
+        )
+
+        if snap_cache is None:
+            return None  # single-statement caller: writers self-read
+        key = ent["name"]
+        if key not in snap_cache:
+            vw = self.ledger.valid_writeids(
+                ent["root"], table=ent["name"]
+            )
+            snap_cache[key] = read_hive_acid(
+                self.spark,
+                ent["root"],
+                ent["schema"],
+                keep_identity=True,
+                valid_writeids=vw,
+            ).localCheckpoint(eager=True)
+        return snap_cache[key]
+
     def _apply_acid_op(
-        self, ent: dict, op: tuple, w: int, stmt: int | None = None
+        self,
+        ent: dict,
+        op: tuple,
+        w: int,
+        stmt: int | None = None,
+        snap_cache: dict | None = None,
     ) -> str:
         """Apply one statement's write under an ALLOCATED (still-open)
-        writeid; the target scans for UPDATE/DELETE read under the
-        ledger's minted list, which excludes ``w`` itself and every
-        other in-flight transaction — statement reads resolve against
-        the committed pre-transaction state (no read-your-own-writes
-        on this surface, Hive ACID's statement-level snapshot)."""
+        writeid; the target scans for UPDATE/DELETE/MERGE read under
+        the ledger's minted list, which excludes ``w`` itself and
+        every other in-flight transaction — statement reads resolve
+        against the committed pre-transaction state (no
+        read-your-own-writes on this surface, Hive ACID's
+        statement-level snapshot). Inside a multi-statement COMMIT,
+        ``snap_cache`` shares ONE materialized snapshot per table
+        across the row-level statements."""
         from layer_apache_hive_spark.sources.hive_acid import (
             hive_acid_delete,
             hive_acid_overwrite,
@@ -1075,6 +1111,7 @@ class TxnSessionManager:
                 pred=op[1],
                 valid_writeids=vw,
                 stmt=stmt,
+                snapshot=self._txn_snapshot(ent, snap_cache),
             )
             return (
                 os.path.basename(path)
@@ -1094,6 +1131,7 @@ class TxnSessionManager:
                 bucket_col=ent["bucket_col"],
                 valid_writeids=vw,
                 stmt=stmt,
+                snapshot=self._txn_snapshot(ent, snap_cache),
             )
             parts = [
                 os.path.basename(p)
@@ -1143,6 +1181,7 @@ class TxnSessionManager:
                 bucket_col=ent["bucket_col"],
                 valid_writeids=vw,
                 stmt=stmt,
+                snapshot=self._txn_snapshot(ent, snap_cache),
             )
             parts = [
                 os.path.basename(p)
@@ -1199,13 +1238,18 @@ class TxnSessionManager:
         written: list[str] = []
         pairs: list[tuple[str, int]] = []
         try:
+            snap_cache: dict = {}
             for table, t_ops in per_table.items():
                 ent = self._acid[table]
                 w = self.ledger.allocate(ent["root"])
                 pairs.append((ent["root"], w))
                 for i, op in enumerate(t_ops):
                     desc = self._apply_acid_op(
-                        ent, op, w, stmt=i if len(t_ops) > 1 else None
+                        ent,
+                        op,
+                        w,
+                        stmt=i if len(t_ops) > 1 else None,
+                        snap_cache=snap_cache,
                     )
                     written.append(desc)
             self.ledger.commit_many(pairs)
