@@ -186,7 +186,8 @@ public class SparkGraftTxn
       + "|ALTER\\\\s+TABLE\\\\s+\\\\S+\\\\s+COMPACT\\\\b.*"
       + "|SHOW\\\\s+COMPACTIONS\\\\s*;?\\\\s*"
       + "|SHOW\\\\s+TRANSACTIONS\\\\s*;?\\\\s*"
-      + "|SHOW\\\\s+LOCKS\\\\b[^;]*;?\\\\s*)$");
+      + "|SHOW\\\\s+LOCKS\\\\b[^;]*;?\\\\s*"
+      + "|ABORT\\\\s+TRANSACTIONS\\\\b.*)$");
 
   @Override
   public BoxedUnit apply(SparkSessionExtensions ext) {
@@ -406,6 +407,12 @@ _SHOW_TXNS_STMT_RE = re.compile(
 )
 _SHOW_LOCKS_STMT_RE = re.compile(
     r"(?is)^\s*SHOW\s+LOCKS(?:\s+(?P<name>[\w.`]+))?\s*;?\s*$"
+)
+_ABORT_TXNS_RE = re.compile(
+    r"(?is)^\s*ABORT\s+TRANSACTIONS\s+(?P<ids>[\w.,:\-\s]+?)\s*;?\s*$"
+)
+_ABORT_TOKEN_RE = re.compile(
+    r"(?i)^(?P<name>[\w.]+):writeid-(?P<w>\d+)$"
 )
 
 # --- GRANT/REVOKE/SHOW GRANTS over the wire (HS2 SQL-std auth) -------------
@@ -641,6 +648,9 @@ class TxnSessionManager:
                 "SQL:SELECT lock_session, table_name, lock_type, "
                 "state, lock_user FROM global_temp.sparkgraft_locks"
             )
+        m = _ABORT_TXNS_RE.match(sql_text)
+        if m:
+            return self._abort_transactions(session_id, user, m)
         if _BEGIN_RE.match(sql_text):
             if session_id in self._open:
                 return (
@@ -653,6 +663,15 @@ class TxnSessionManager:
             return f"ACTIVE:Transaction started (catalog v{base})"
         ops = self._open.get(session_id)
         if ops is None:
+            # a COMMIT/ROLLBACK with no open transaction: happens when
+            # this session's BEGIN block was killed remotely (ABORT
+            # TRANSACTIONS) — answer honestly instead of letting the
+            # delegate parser throw on the bare keyword
+            if _COMMIT_RE.match(sql_text) or _ROLLBACK_RE.match(sql_text):
+                return (
+                    "ERR_ENDED:no transaction is open on this session "
+                    "(it may have been aborted by an administrator)"
+                )
             # outside any transaction: bare DML against an enrolled
             # hive-ACID layout is a single-statement auto-commit
             # transaction (Hive's default posture — every DML runs in
@@ -1303,6 +1322,57 @@ class TxnSessionManager:
             f"DONE:Compaction request queued: {kind} on '{name}' "
             "(state 'initiated'; the next initiator pass runs it)"
         )
+
+    def _abort_transactions(
+        self, session_id: str, user: str, m: "re.Match[str]"
+    ) -> str:
+        """``ABORT TRANSACTIONS <id> [<id> …]`` — Hive's admin kill
+        switch for stuck transactions `[upstream: hive HIVE-12634,
+        DDLTask ABORT TRANSACTIONS → TxnStore abortTxns]`. Two id
+        kinds, both as SHOW TRANSACTIONS prints them: an open wire
+        session id (its buffer drops — the remote BEGIN block is
+        rolled back from outside) and ``<table>:writeid-<W>`` (an
+        OPEN ledger writeid flips to ABORTED — a hung commit's
+        partial dirs become poison and the Cleaner reclaims them).
+        Admin-gated like COMPACT; refused inside an open BEGIN (not
+        a transactional statement)."""
+        if session_id in self._open:
+            return (
+                "ERR_ACTIVE:ABORT TRANSACTIONS is not a transactional "
+                "statement; COMMIT or ROLLBACK first"
+            )
+        if user and self._full_grants(user) is not None:
+            return (
+                f"ERR_ENDED:user '{user}' lacks admin privilege: only "
+                "'*'-granted users (or the in-process session) may "
+                "ABORT TRANSACTIONS"
+            )
+        done: list[str] = []
+        for tok in m.group("ids").replace(",", " ").split():
+            if tok in self._open:
+                n = len(self._open.pop(tok))
+                self._txn_user.pop(tok, None)
+                done.append(
+                    f"{tok}: wire buffer rolled back ({n} statements)"
+                )
+                continue
+            tm = _ABORT_TOKEN_RE.match(tok)
+            if tm and _bare_name(tm.group("name")) in self._acid:
+                ent = self._acid[_bare_name(tm.group("name"))]
+                w = int(tm.group("w"))
+                try:
+                    self.ledger.abort(ent["root"], w)
+                except ValueError as e:
+                    return f"ERR_ENDED:{_sanitize(e)}"
+                self._republish_acid(ent)
+                done.append(f"{tok}: writeid aborted")
+                continue
+            return (
+                f"ERR_ENDED:unknown transaction id '{_sanitize(tok)}' "
+                "(expected an open wire session id or "
+                "<table>:writeid-<W> as SHOW TRANSACTIONS prints them)"
+            )
+        return f"DONE:Aborted {len(done)}: {'; '.join(done)}"
 
     # -- transaction-surface authorization ---------------------------------
 

@@ -606,6 +606,38 @@ def test_show_locks_lifecycle(spark, mgr12):
     assert spark.sql(out[4:]).count() == 0  # empties after COMMIT
 
 
+def test_abort_transactions_statement(spark, mgr12):
+    """ABORT TRANSACTIONS (HIVE-12634): kills an open wire BEGIN
+    block from another session AND flips a hung OPEN writeid to
+    ABORTED (the ledger kill switch); the killed session's next
+    COMMIT gets an honest error; committed writeids refuse."""
+    mgr, root = mgr12
+    mgr.handle("victim", "BEGIN")
+    mgr.handle(
+        "victim", "INSERT INTO acid12 SELECT 7 AS k, 'V' AS s, 7.0 AS p"
+    )
+    w_hung = mgr.ledger.allocate(root)  # a crashed commit's writeid
+    out = mgr.handle(
+        "admin", f"ABORT TRANSACTIONS victim, acid12:writeid-{w_hung}"
+    )
+    assert out.startswith("DONE:Aborted 2"), out
+    assert "victim" not in mgr._open
+    assert w_hung in mgr.ledger.aborted_ids(root)
+    # the killed session's dangling COMMIT answers honestly
+    out = mgr.handle("victim", "COMMIT")
+    assert out.startswith("ERR_ENDED:no transaction is open"), out
+    # terminal writeids refuse re-abort; unknown tokens refuse
+    out = mgr.handle("admin", f"ABORT TRANSACTIONS acid12:writeid-{w_hung}")
+    assert out.startswith("ERR_ENDED:") and "not open" in out, out
+    out = mgr.handle("admin", "ABORT TRANSACTIONS nothing:writeid-9")
+    assert out.startswith("ERR_ENDED:unknown transaction id"), out
+    # not transactional: refused inside an open BEGIN
+    mgr.handle("a2", "BEGIN")
+    out = mgr.handle("a2", "ABORT TRANSACTIONS whatever")
+    assert out.startswith("ERR_ACTIVE:"), out
+    mgr.handle("a2", "ROLLBACK")
+
+
 # --- 7. the direct writer APIs ----------------------------------------------------
 
 

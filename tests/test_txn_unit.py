@@ -39,7 +39,12 @@ def test_protocol_lifecycle(mgr, spark):
         "s1", "UPDATE inv SET qty = qty + 1 WHERE item = 'w'"
     ).startswith("ACTIVE:Buffered statement 1")
     # a SECOND session is independent state
-    assert mgr.handle("s2", "COMMIT") == "PASS"  # s2 has no txn
+    # a SECOND session has no txn: its COMMIT answers honestly (r12 —
+    # previously PASS, which let the delegate parser throw on the
+    # bare keyword; the ERR_ENDED also resets a stale Java-side flag)
+    assert mgr.handle("s2", "COMMIT").startswith(
+        "ERR_ENDED:no transaction is open"
+    )
     assert mgr.handle("s1", "ROLLBACK").startswith("DONE:Transaction rolled")
     assert mgr.catalog.current_version() == 1  # nothing committed
 
@@ -126,7 +131,9 @@ def test_commit_failures_end_transaction(mgr, spark):
     mgr.handle(sid, "INSERT INTO inv VALUES (1)")
     out = mgr.handle(sid, "COMMIT")
     assert out.startswith("ERR_ENDED:commit failed"), out
-    assert mgr.handle(sid, "COMMIT") == "PASS"  # txn is gone
+    assert mgr.handle(sid, "COMMIT").startswith(  # txn is gone (r12)
+        "ERR_ENDED:no transaction is open"
+    )
     assert mgr.catalog.current_version() == 1
 
     # unknown SET column
