@@ -558,6 +558,29 @@ def test_wire_merge_conditional_not_matched(spark, mgr12):
     assert _view12(spark) == {(1, 1.0), (2, 2.0), (3, 3.0), (8, 8.0)}
 
 
+def test_wire_merge_empty_source_writes_nothing(spark, mgr12):
+    """MERGE whose source relation is EMPTY: the statement still
+    commits (Hive runs the rewrite and writes no events), no
+    delete_delta/delta dir lands, and the table is untouched — the
+    degenerate case a scheduled nightly MERGE hits whenever the
+    staging feed is empty."""
+    mgr, root = mgr12
+    before = sorted(os.listdir(root))
+    spark.createDataFrame([], MM_DDL).createOrReplaceTempView(
+        "r12_merge_empty_src"
+    )
+    out = mgr.handle(
+        "me1",
+        "MERGE INTO acid12 t USING r12_merge_empty_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET price = s.price "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.status, s.price)",
+    )
+    assert out.startswith("DONE:Committed writeid 2"), out
+    assert "no rows matched" in out, out
+    assert sorted(os.listdir(root)) == before  # not one new dir
+    assert _view12(spark) == {(1, 1.0), (2, 2.0), (3, 3.0)}
+
+
 def test_show_transactions_includes_ledger_state(spark, mgr12):
     """SHOW TRANSACTIONS surfaces the writeid ledger's OPEN/ABORTED
     entries alongside live wire buffers — the metastore TXNS view
