@@ -446,6 +446,14 @@ def _elect_dirs(
             parsed
             and parsed[0] == "base"
             and (max_writeid is None or parsed[2] <= max_writeid)
+            # only a VALID base elects (AcidUtils isValidBase): a base
+            # whose writeid is in-flight or aborted (a crashed/ABORTed
+            # INSERT OVERWRITE) must not suppress committed deltas ≤ N
+            # — electing it read the table EMPTY (its own events are
+            # invalid-filtered at decode while everything it shadowed
+            # stayed suppressed). Skipping here falls back to the
+            # next-highest valid base, or the originals (r12 advisor).
+            and parsed[2] not in invalid
         ):
             # sorted() scan: on equal N the lexicographically later
             # entry (higher zero-padded _v suffix) wins — Hive orders
@@ -1001,7 +1009,11 @@ def minor_compact_hive_acid(
     return lo, hi
 
 
-def clean_hive_acid(root: str, aborted: frozenset = frozenset()) -> list[str]:
+def clean_hive_acid(
+    root: str,
+    aborted: frozenset = frozenset(),
+    open_ids: frozenset = frozenset(),
+) -> list[str]:
     """Hive's Cleaner: drop directories the highest base supersedes
     (any base_N' < base_N and any delta/delete_delta whose max
     writeid ≤ N). Driver-side metadata-only, idempotent; in Hive it
@@ -1016,11 +1028,26 @@ def clean_hive_acid(root: str, aborted: frozenset = frozenset()) -> list[str]:
     Cleaner removes aborted deltas once the metastore marks their
     txns aborted `[upstream: hive ql/txn/compactor/Cleaner +
     TxnStore markCleaned]`. Merged dirs only partially aborted stay
-    (their committed events are filtered per event at read)."""
+    (their committed events are filtered per event at read).
+
+    Only a VALID base supersedes (the election's isValidBase rule,
+    r12 advisor): a base whose writeid is in ``aborted`` never sets
+    the supersession watermark — with the old behavior an ABORTED
+    INSERT OVERWRITE base caused the Cleaner to permanently delete
+    the committed deltas it appeared to shadow (unrecoverable data
+    loss) while the aborted base itself survived. Now the aborted
+    base IS the debris (removed) and the committed deltas stay.
+    ``open_ids`` (in-flight writeids) likewise never supersede and
+    are never removed — their outcome is not yet known."""
     base_n, has_base = 0, False
     for e in os.listdir(root):
         parsed = _parse_acid_name(e)
-        if parsed and parsed[0] == "base":
+        if (
+            parsed
+            and parsed[0] == "base"
+            and parsed[1] not in aborted
+            and parsed[1] not in open_ids
+        ):
             base_n, has_base = max(base_n, parsed[1]), True
     removed = []
     for e in sorted(os.listdir(root)):
@@ -1032,7 +1059,12 @@ def clean_hive_acid(root: str, aborted: frozenset = frozenset()) -> list[str]:
                 removed.append(e)
             continue
         kind, lo, hi, _stmt = parsed
-        if kind == "base" and (hi < base_n and has_base):
+        if lo == hi and hi in open_ids:
+            continue  # in-flight single-writeid dir: outcome unknown
+        if kind == "base" and hi in aborted:
+            # aborted-IOW debris: the base never committed
+            removed.append(e)
+        elif kind == "base" and (hi < base_n and has_base):
             removed.append(e)
         elif kind != "base" and has_base and hi <= base_n:
             removed.append(e)
@@ -1707,13 +1739,24 @@ def next_writeid(root: str) -> int:
     """1 + the highest writeid named by ANY grammar-valid entry at
     ``root`` — elected or not: aborted and not-yet-visible dirs still
     consume their ids (Hive's writeid allocator is monotone per
-    table; reusing an aborted id would resurrect its events)."""
+    table; reusing an aborted id would resurrect its events).
+
+    Writeids are TABLE-level even for partitioned layouts (r13), so
+    first-level ``col=value`` partition dirs are descended: the
+    allocator must clear every id any PARTITION's dirs consume."""
     w = 0
     if os.path.isdir(root):
         for e in os.listdir(root):
             parsed = _parse_acid_name(e)
             if parsed:
                 w = max(w, parsed[2])
+            elif _PARTITION_DIR_RE.match(e):
+                sub = os.path.join(root, e)
+                if os.path.isdir(sub):
+                    for s in os.listdir(sub):
+                        p2 = _parse_acid_name(s)
+                        if p2:
+                            w = max(w, p2[2])
     return w + 1
 
 
@@ -1849,9 +1892,13 @@ class HiveWriteIdLedger:
     def _append(self, pairs: list[tuple[str, int]], state: str) -> None:
         """ONE durable record (single fsync'd line) covering every
         (root, writeid) pair — a multi-table COMMIT flips all its
-        tables atomically, the metastore commitTxn analog."""
-        for root, w in pairs:
-            self._state.setdefault(root, {})[w] = state
+        tables atomically, the metastore commitTxn analog.
+
+        Durable-first (r12 advisor): the JSONL append + fsync happens
+        BEFORE the in-memory transition — if the disk write fails
+        (full disk, torn fh) this process must NOT keep serving a
+        commit/abort a successor manager will never replay; the
+        exception propagates with memory unchanged."""
         if self.path:
             if len(pairs) == 1:
                 rec = {"root": pairs[0][0], "w": pairs[0][1], "state": state}
@@ -1861,6 +1908,8 @@ class HiveWriteIdLedger:
                 fh.write(self._json.dumps(rec) + "\n")
                 fh.flush()
                 os.fsync(fh.fileno())
+        for root, w in pairs:
+            self._state.setdefault(root, {})[w] = state
 
     def allocate(self, root: str) -> int:
         """Next writeid for ``root``: above every ledgered id AND
@@ -2382,6 +2431,553 @@ def hive_mm_overwrite(
     shutil.rmtree(final, ignore_errors=True)
     os.rename(scratch, final)
     return final
+
+
+# --- partitioned transactional layouts (r13 verdict task 1) ------------------
+#
+# Hive's transactional tables are overwhelmingly PARTITIONED: the layout is
+# root/<col>=<value>/{base_N, delta_x_y, delete_delta_x_y, …} — one
+# independent AcidUtils directory state PER PARTITION, while writeids stay
+# TABLE-level (TXN_TO_WRITE_ID is keyed by (txn, db, table): one allocation
+# covers every partition a transaction touches) `[upstream: hive
+# ql/io/AcidUtils — getAcidState runs per partition; standalone-metastore
+# TxnHandler allocateTableWriteIds; CompactionRequest carries (db, table,
+# partition) — public-knowledge reconstruction, SURVEY.md §0]`.
+
+_PARTITION_DIR_RE = _re.compile(r"^(?P<col>[A-Za-z_]\w*)=(?P<val>.+)$")
+
+#: Hive's spelling for the NULL dynamic-partition value
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def partition_dirs(root: str, partition_col: str) -> list[tuple[str, str]]:
+    """[(value_string, abs_dir)] for the first-level ``col=value``
+    entries of a partitioned layout — driver-side metadata only, the
+    listing AcidUtils' per-partition getAcidState starts from.
+    Entries whose column name differs (or that are ACID dirs of an
+    unpartitioned layout) are ignored."""
+    out: list[tuple[str, str]] = []
+    if os.path.isdir(root):
+        for e in sorted(os.listdir(root)):
+            m = _PARTITION_DIR_RE.match(e)
+            if m and m.group("col") == partition_col and os.path.isdir(
+                os.path.join(root, e)
+            ):
+                out.append((m.group("val"), os.path.join(root, e)))
+    return out
+
+
+def partition_subdir(root: str, partition_col: str, value) -> str:
+    """``root/<col>=<value>`` — NULL spells HIVE_DEFAULT_PARTITION."""
+    sval = HIVE_DEFAULT_PARTITION if value is None else str(value)
+    return os.path.join(root, f"{partition_col}={sval}")
+
+
+def read_hive_acid_partitioned(
+    spark: SparkSession,
+    root: str,
+    payload_schema: list[tuple[str, str]],
+    partition_col: str,
+    partition_type: str = "string",
+    keep_identity: bool = False,
+    partition_values=None,
+    max_writeid: int | None = None,
+    valid_writeids: "ValidWriteIdList | None" = None,
+) -> DataFrame:
+    """The partitioned sibling of :func:`read_hive_acid`: one
+    AcidUtils election PER PARTITION DIR (each partition's
+    base/delta/delete_delta state is independent — exactly
+    getAcidState-per-partition), ONE combined file manifest, ONE
+    distributed decode job. The partition column is synthesized from
+    the directory name (Hive never stores it in the files) and cast
+    to ``partition_type``; NULL round-trips through
+    ``__HIVE_DEFAULT_PARTITION__``.
+
+    **Partition pruning** happens HERE, driver-side, before any file
+    is listed or elected: ``partition_values`` (an iterable of
+    values; None = all) bounds the election to matching partition
+    dirs, so a pruned read never stats — let alone decodes — the
+    other partitions' files. This is the metadata-layer analog of
+    PartitionFilters on a FileSourceScan, and it is structural: the
+    manifest the decode job receives simply does not contain pruned
+    files (pinned by tests).
+
+    The delete anti-join keys on (partition, otid, bucket, rid) —
+    row identities are unique only WITHIN a partition dir (each
+    partition's writers assign their own rowId windows), so two
+    partitions may legitimately carry identical triples.
+
+    Scale: the driver-side work is O(partitions × dirs) metadata,
+    the same class as Hive's metastore partition listing; decode
+    parallelism comes from the combined manifest (stripe-split when
+    few large files), so a 1000-partition table is one job, not
+    1000."""
+    import glob as _glob
+
+    names = [n for n, _ in payload_schema]
+    if partition_col in names:
+        raise ValueError(
+            f"partition column '{partition_col}' must not appear in "
+            "the payload schema (Hive stores it only in the dir name)"
+        )
+    max_writeid, invalid = _effective_bounds(max_writeid, valid_writeids)
+    invalid_list = sorted(invalid)
+    wanted = (
+        None
+        if partition_values is None
+        else {
+            HIVE_DEFAULT_PARTITION if v is None else str(v)
+            for v in partition_values
+        }
+    )
+    parts = [
+        (v, d)
+        for v, d in partition_dirs(root, partition_col)
+        if wanted is None or v in wanted
+    ]
+    data_units: list[tuple] = []  # (path, min_ctid, max_ctid, pval)
+    del_units: list[tuple] = []
+    orig_units: list[tuple] = []  # (path, rid_offset, pval)
+    for pval, pdir in parts:
+        data_dirs, delete_dirs, original_files, bounds = _elect_dirs(
+            pdir, max_writeid, invalid
+        )
+        for d in data_dirs:
+            lo, hi = bounds.get(d, (0, _MAX_WRITEID))
+            for f in sorted(_glob.glob(os.path.join(d, "bucket_*"))):
+                data_units.append((f, lo, hi, pval))
+        for d in delete_dirs:
+            lo, hi = bounds.get(d, (0, _MAX_WRITEID))
+            for f in sorted(_glob.glob(os.path.join(d, "bucket_*"))):
+                del_units.append((f, lo, hi, pval))
+        # pre-conversion originals per partition: synthesized ids,
+        # rowIds continuing across a bucket's files in filename order
+        # (the single-root reader's rule, scoped to this partition).
+        # Offsets need footer row counts ONLY when a bucket holds
+        # several _copy files — a transitional state the first
+        # compaction folds; footer reads are metadata-sized.
+        buckets = [
+            int(os.path.basename(p).split("_")[0])
+            for p in original_files
+        ]
+        multi_copy = len(set(buckets)) != len(buckets)
+        next_rid: dict[int, int] = {}
+        for p in sorted(original_files, key=os.path.basename):
+            b = int(os.path.basename(p).split("_")[0])
+            orig_units.append((p, next_rid.get(b, 0), pval))
+            if multi_copy:
+                from pyarrow import orc as pa_orc
+
+                next_rid[b] = next_rid.get(b, 0) + pa_orc.ORCFile(p).nrows
+
+    unbounded = _MAX_WRITEID
+
+    def _flt(flat, min_ctid, max_ctid):
+        if not min_ctid and max_ctid == unbounded and not invalid_list:
+            return flat
+        ct = flat["currentTransaction"]
+        keep = (ct >= min_ctid) & (ct <= max_ctid)
+        if invalid_list:
+            keep &= ~ct.isin(invalid_list)
+        return flat[keep]
+
+    def read_data(it):
+        import pandas as pd
+        import pyarrow as pa
+        from pyarrow import orc as pa_orc
+
+        for pdf in it:
+            for path, min_ctid, max_ctid, pval, stripe in zip(
+                pdf["path"],
+                pdf["min_ctid"],
+                pdf["max_ctid"],
+                pdf["pval"],
+                pdf["stripe"],
+            ):
+                f = pa_orc.ORCFile(path)
+                t = (
+                    f.read()
+                    if stripe < 0
+                    else pa.Table.from_batches([f.read_stripe(stripe)])
+                )
+                flat = _flt(
+                    t.flatten().to_pandas(), min_ctid, max_ctid
+                )
+                out = {
+                    "otid": flat["originalTransaction"],
+                    "bucket": flat["bucket"],
+                    "rid": flat["rowId"],
+                }
+                for n in names:
+                    out[n] = flat[f"row.{n}"]
+                frame = pd.DataFrame(out)
+                frame["__pval"] = pval
+                yield frame
+
+    def read_deletes(it):
+        import pandas as pd
+        from pyarrow import orc as pa_orc
+
+        for pdf in it:
+            for path, min_ctid, max_ctid, pval in zip(
+                pdf["path"], pdf["min_ctid"], pdf["max_ctid"], pdf["pval"]
+            ):
+                t = _flt(
+                    pa_orc.ORCFile(path).read().to_pandas(),
+                    min_ctid,
+                    max_ctid,
+                )
+                frame = pd.DataFrame(
+                    {
+                        "otid": t["originalTransaction"],
+                        "bucket": t["bucket"],
+                        "rid": t["rowId"],
+                    }
+                )
+                frame["__pval"] = pval
+                yield frame
+
+    def read_originals(it):
+        import pandas as pd
+        from pyarrow import orc as pa_orc
+
+        for pdf in it:
+            for path, off, pval in zip(
+                pdf["path"], pdf["rid_offset"], pdf["pval"]
+            ):
+                t = pa_orc.ORCFile(path).read().to_pandas()
+                out = {
+                    "otid": [0] * len(t),
+                    "bucket": [
+                        int(os.path.basename(path).split("_")[0])
+                    ]
+                    * len(t),
+                    "rid": list(range(off, off + len(t))),
+                }
+                for n in names:
+                    out[n] = t[n]
+                frame = pd.DataFrame(out)
+                frame["__pval"] = pval
+                yield frame
+
+    payload_ddl = ", ".join(f"{n} {t}" for n, t in payload_schema)
+    acid_ddl = (
+        f"otid long, bucket int, rid long, {payload_ddl}, __pval string"
+    )
+    units = _decode_units(
+        data_units, spark.sparkContext.defaultParallelism
+    )
+    live = (
+        spark.createDataFrame(
+            units,
+            "path string, min_ctid long, max_ctid long, pval string, "
+            "stripe int",
+        )
+        .repartition(max(len(units), 1))
+        .mapInPandas(read_data, acid_ddl)
+    )
+    if orig_units:
+        live = live.unionByName(
+            spark.createDataFrame(
+                orig_units, "path string, rid_offset long, pval string"
+            )
+            .repartition(len(orig_units))
+            .mapInPandas(read_originals, acid_ddl)
+        )
+    dels = (
+        spark.createDataFrame(
+            del_units,
+            "path string, min_ctid long, max_ctid long, pval string",
+        )
+        .repartition(max(len(del_units), 1))
+        .mapInPandas(
+            read_deletes,
+            "otid long, bucket int, rid long, __pval string",
+        )
+    )
+    merged = live.join(
+        F.broadcast(dels), ["otid", "bucket", "rid", "__pval"], "left_anti"
+    )
+    out = merged.withColumn(
+        partition_col,
+        F.when(
+            F.col("__pval") == HIVE_DEFAULT_PARTITION, F.lit(None)
+        ).otherwise(F.col("__pval")).cast(partition_type),
+    ).drop("__pval")
+    if keep_identity:
+        return out
+    return out.select(*names, partition_col)
+
+
+def hive_acid_insert_partitioned(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    payload_schema: list[tuple[str, str]],
+    payload_fields,
+    writeid: int,
+    partition_col: str,
+    static_value=None,
+    stmt: int | None = None,
+    n_buckets: int = 4,
+    bucket_col: str | None = None,
+    overwrite: bool = False,
+) -> list[str]:
+    """``INSERT [OVERWRITE] … [PARTITION (col=value)]`` on a
+    partitioned ACID layout, one TABLE-level writeid across every
+    partition the statement touches:
+
+    * **static** (``static_value`` given): ``df`` carries the payload
+      columns only; every row lands in that one partition dir —
+      Hive's ``PARTITION (p='v') SELECT payload…`` form;
+    * **dynamic** (``static_value`` None): ``df`` additionally
+      carries ``partition_col``; rows split by its value (NULL →
+      ``__HIVE_DEFAULT_PARTITION__``, Hive's spelling) and each
+      touched partition gets its own delta dir under the SAME
+      writeid. ``overwrite=True`` writes a ``base_W`` per touched
+      partition — dynamic IOW overwrites exactly the partitions
+      present in the output, leaving the rest untouched (Hive's
+      nonstrict dynamic-overwrite rule).
+
+    The distinct-value collect is metadata-sized (one row per touched
+    partition — the same class as Hive's dynamic-partition descriptor
+    list); each partition's write is a distributed filtered job.
+    Returns the written dir paths."""
+    if static_value is not None:
+        pairs = [(static_value, df)]
+    else:
+        if partition_col not in df.columns:
+            raise ValueError(
+                f"dynamic partitioned INSERT needs '{partition_col}' "
+                "in the SELECT output (Hive's last-column rule)"
+            )
+        vals = [
+            r[0]
+            for r in df.select(partition_col).distinct().collect()
+        ]
+        pairs = [
+            (
+                v,
+                df.filter(
+                    F.col(partition_col).isNull()
+                    if v is None
+                    else F.col(partition_col) == F.lit(v)
+                ).drop(partition_col),
+            )
+            for v in vals
+        ]
+    written: list[str] = []
+    for value, pdf in pairs:
+        pdir = partition_subdir(root, partition_col, value)
+        if overwrite:
+            written.append(
+                hive_acid_overwrite(
+                    spark,
+                    pdir,
+                    pdf,
+                    payload_schema,
+                    payload_fields,
+                    writeid,
+                    n_buckets=n_buckets,
+                    bucket_col=bucket_col,
+                )
+            )
+        else:
+            p = append_delta(
+                spark,
+                pdir,
+                pdf,
+                payload_schema,
+                payload_fields,
+                writeid,
+                stmt=stmt,
+                n_buckets=n_buckets,
+                bucket_col=bucket_col,
+            )
+            if p is not None:
+                written.append(p)
+    return written
+
+
+def hive_acid_delete_partitioned(
+    spark: SparkSession,
+    root: str,
+    payload_schema: list[tuple[str, str]],
+    payload_fields,
+    writeid: int,
+    partition_col: str,
+    partition_type: str = "string",
+    pred: str | None = None,
+    valid_writeids: "ValidWriteIdList | None" = None,
+    stmt: int | None = None,
+    snapshot: DataFrame | None = None,
+) -> list[str]:
+    """Row-level DELETE across a partitioned layout: ONE writeid, one
+    ``delete_delta_W_W[_ssss]`` per TOUCHED partition (Hive's
+    per-partition event dirs under a table-level writeid). The
+    predicate may reference the partition column — matching it prunes
+    exactly like a read (only touched partitions get a dir)."""
+    snap = (
+        snapshot
+        if snapshot is not None
+        else read_hive_acid_partitioned(
+            spark,
+            root,
+            payload_schema,
+            partition_col,
+            partition_type,
+            keep_identity=True,
+            valid_writeids=valid_writeids,
+        ).localCheckpoint(eager=True)
+    )
+    hits = (
+        snap.filter(F.coalesce(F.expr(pred), F.lit(False)))
+        if pred is not None
+        else snap
+    )
+    touched = [
+        r[0] for r in hits.select(partition_col).distinct().collect()
+    ]
+    written: list[str] = []
+    for v in touched:
+        pdir = partition_subdir(root, partition_col, v)
+        ids = hits.filter(
+            F.col(partition_col).isNull()
+            if v is None
+            else F.col(partition_col) == F.lit(v)
+        ).select("otid", "bucket", "rid")
+        p = append_delete_delta(
+            spark,
+            pdir,
+            ids,
+            payload_schema,
+            payload_fields,
+            writeid,
+            stmt=stmt,
+        )
+        if p is not None:
+            written.append(p)
+    return written
+
+
+def hive_acid_update_partitioned(
+    spark: SparkSession,
+    root: str,
+    payload_schema: list[tuple[str, str]],
+    payload_fields,
+    writeid: int,
+    partition_col: str,
+    set_exprs: list[tuple[str, str]],
+    partition_type: str = "string",
+    pred: str | None = None,
+    n_buckets: int = 4,
+    bucket_col: str | None = None,
+    valid_writeids: "ValidWriteIdList | None" = None,
+    stmt: int | None = None,
+    snapshot: DataFrame | None = None,
+) -> list[str]:
+    """Split-update UPDATE across a partitioned layout: per touched
+    partition, one delete_delta on the old identities + one insert
+    delta with the new images, all under ONE table-level writeid.
+    SET of the partition column is refused — Hive does not allow
+    updating partition columns (a row never moves between partitions
+    via UPDATE) `[upstream: hive UpdateDeleteSemanticAnalyzer —
+    partition columns are not updatable]`."""
+    names = [n for n, _ in payload_schema]
+    set_map = dict(set_exprs)
+    if partition_col in set_map:
+        raise ValueError(
+            f"UPDATE may not SET partition column '{partition_col}' "
+            "(Hive refuses; DELETE + INSERT moves rows)"
+        )
+    unknown = set(set_map) - set(names)
+    if unknown:
+        raise ValueError(
+            f"UPDATE SET references unknown columns {sorted(unknown)}"
+        )
+    snap = (
+        snapshot
+        if snapshot is not None
+        else read_hive_acid_partitioned(
+            spark,
+            root,
+            payload_schema,
+            partition_col,
+            partition_type,
+            keep_identity=True,
+            valid_writeids=valid_writeids,
+        ).localCheckpoint(eager=True)
+    )
+    hits = (
+        snap.filter(F.coalesce(F.expr(pred), F.lit(False)))
+        if pred is not None
+        else snap
+    )
+    touched = [
+        r[0] for r in hits.select(partition_col).distinct().collect()
+    ]
+    written: list[str] = []
+    for v in touched:
+        pdir = partition_subdir(root, partition_col, v)
+        part_hits = hits.filter(
+            F.col(partition_col).isNull()
+            if v is None
+            else F.col(partition_col) == F.lit(v)
+        )
+        p = append_delete_delta(
+            spark,
+            pdir,
+            part_hits.select("otid", "bucket", "rid"),
+            payload_schema,
+            payload_fields,
+            writeid,
+            stmt=stmt,
+        )
+        if p is not None:
+            written.append(p)
+        new_img = part_hits.select(
+            *[
+                F.expr(set_map[n]).cast(t).alias(n)
+                if n in set_map
+                else F.col(n)
+                for n, t in payload_schema
+            ]
+        )
+        p = append_delta(
+            spark,
+            pdir,
+            new_img,
+            payload_schema,
+            payload_fields,
+            writeid,
+            stmt=stmt,
+            n_buckets=n_buckets,
+            bucket_col=bucket_col,
+        )
+        if p is not None:
+            written.append(p)
+    return written
+
+
+def publish_hive_acid_partitioned(
+    spark: SparkSession,
+    root: str,
+    payload_schema: list[tuple[str, str]],
+    name: str,
+    partition_col: str,
+    partition_type: str = "string",
+    valid_writeids: "ValidWriteIdList | None" = None,
+) -> None:
+    """Serve the partitioned election as a global-temp view (the
+    partitioned sibling of publish_hive_acid)."""
+    read_hive_acid_partitioned(
+        spark,
+        root,
+        payload_schema,
+        partition_col,
+        partition_type,
+        valid_writeids=valid_writeids,
+    ).createOrReplaceGlobalTempView(name)
 
 
 # --- insert-only (micromanaged / MM) transactional tables (r11) -------------

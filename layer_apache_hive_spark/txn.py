@@ -367,7 +367,14 @@ _COMMIT_RE = re.compile(r"(?is)^\s*COMMIT(?:\s+WORK)?\s*;?\s*$")
 _ROLLBACK_RE = re.compile(r"(?is)^\s*ROLLBACK(?:\s+WORK)?\s*;?\s*$")
 _INSERT_RE = re.compile(
     r"(?is)^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
-    r"(?P<name>[\w.`]+)\s+(?P<body>.+?)\s*;?\s*$"
+    r"(?P<name>[\w.`]+)"
+    r"(?:\s+PARTITION\s*\(\s*(?P<part>[^)]*?)\s*\))?"
+    r"\s+(?P<body>.+?)\s*;?\s*$"
+)
+# one PARTITION spec entry: `col='v'` (static) or bare `col` (dynamic)
+_PARTITION_SPEC_RE = re.compile(
+    r"(?is)^\s*(?P<col>[\w`]+)\s*"
+    r"(?:=\s*(?P<val>'[^']*'|\"[^\"]*\"|[^\s,()]+))?\s*$"
 )
 _DELETE_RE = re.compile(
     r"(?is)^\s*DELETE\s+FROM\s+(?P<name>[\w.`]+)"
@@ -378,8 +385,9 @@ _UPDATE_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$"
 )
 _ALTER_COMPACT_RE = re.compile(
-    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+COMPACT\s+"
-    r"'(?P<kind>\w+)'\s*;?\s*$"
+    r"(?is)^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)"
+    r"(?:\s+PARTITION\s*\(\s*(?P<part>[^)]*?)\s*\))?"
+    r"\s+COMPACT\s+'(?P<kind>\w+)'\s*;?\s*$"
 )
 _MERGE_RE = re.compile(
     r"(?is)^\s*MERGE\s+INTO\s+(?P<name>[\w.`]+)"
@@ -678,8 +686,13 @@ class TxnSessionManager:
             # its own txn); anything else passes to the delegate
             try:
                 parsed = self._parse_dml(sql_text)
-            except ValueError:
-                parsed = None  # malformed DML: the delegate refuses it
+            except ValueError as e:
+                # the statement matched a DML grammar head but its
+                # body did not parse (malformed SET list, unsupported
+                # MERGE clause): OURS to refuse — passing it through
+                # would run against the served VIEW (r12 advisor: the
+                # silently-truncated MERGE previously committed here)
+                return f"ERR_ENDED:{_sanitize(e)}"
             if parsed is not None and parsed[0] in self._acid:
                 return self._acid_autocommit(user, parsed[0], parsed[1])
             return "PASS"  # stale Java-side flag: not in a txn
@@ -712,6 +725,7 @@ class TxnSessionManager:
                 "insert",
                 m.group("mode").lower(),
                 m.group("body"),
+                m.group("part"),
             )
         m = _DELETE_RE.match(sql_text)
         if m:
@@ -768,7 +782,28 @@ class TxnSessionManager:
         salias = m.group("salias") or _bare_name(src)
         matched: list[tuple] = []
         insert_cols = insert_vals = insert_cond = None
-        for wm in _MERGE_WHEN_RE.finditer(m.group("clauses")):
+        clauses_text = m.group("clauses")
+        # total-coverage guard (r12 advisor): the WHEN-clause regex
+        # silently skipped anything it could not match — 'WHEN NOT
+        # MATCHED BY SOURCE THEN DELETE' parsed to just the OTHER
+        # clauses and the partial MERGE committed. Require the matched
+        # spans to tile the entire clauses text (whitespace-only gaps)
+        # so unsupported/garbled clauses refuse instead of dropping.
+        # An embedded CASE WHEN inside a SET expression also lands
+        # here (the lookahead truncates the action, leaving residue)
+        # — refused explicitly rather than mis-split.
+        cursor = 0
+        for wm in _MERGE_WHEN_RE.finditer(clauses_text):
+            gap = clauses_text[cursor:wm.start()]
+            if gap.strip():
+                raise ValueError(
+                    "unsupported MERGE clause text: "
+                    f"{gap.strip()[:80]!r} (supported: WHEN MATCHED "
+                    "[AND c] THEN UPDATE SET …/DELETE, WHEN NOT "
+                    "MATCHED [AND c] THEN INSERT [(cols)] VALUES (…); "
+                    "CASE WHEN inside MERGE actions is not supported)"
+                )
+            cursor = wm.end()
             action = wm.group("action").strip()
             if wm.group("not_"):
                 im = _MERGE_INSERT_RE.match(action)
@@ -802,6 +837,11 @@ class TxnSessionManager:
                         ),
                     )
                 )
+        if clauses_text[cursor:].strip():
+            raise ValueError(
+                "unsupported MERGE clause text: "
+                f"{clauses_text[cursor:].strip()[:80]!r}"
+            )
         if not matched and insert_vals is None:
             raise ValueError("MERGE needs at least one WHEN clause")
         return name, (
@@ -1347,31 +1387,47 @@ class TxnSessionManager:
                 "'*'-granted users (or the in-process session) may "
                 "ABORT TRANSACTIONS"
             )
-        done: list[str] = []
-        for tok in m.group("ids").replace(",", " ").split():
+        # validate EVERY token before applying ANY abort (r12 advisor:
+        # the old token-by-token loop had already dropped earlier
+        # sessions when a later token errored — partial effect behind
+        # a pure-failure message). All-or-nothing like abortTxns.
+        tokens = m.group("ids").replace(",", " ").split()
+        plan: list[tuple] = []
+        for tok in tokens:
             if tok in self._open:
-                n = len(self._open.pop(tok))
-                self._txn_user.pop(tok, None)
-                done.append(
-                    f"{tok}: wire buffer rolled back ({n} statements)"
-                )
+                plan.append(("session", tok))
                 continue
             tm = _ABORT_TOKEN_RE.match(tok)
             if tm and _bare_name(tm.group("name")) in self._acid:
                 ent = self._acid[_bare_name(tm.group("name"))]
                 w = int(tm.group("w"))
-                try:
-                    self.ledger.abort(ent["root"], w)
-                except ValueError as e:
-                    return f"ERR_ENDED:{_sanitize(e)}"
-                self._republish_acid(ent)
-                done.append(f"{tok}: writeid aborted")
+                if self.ledger.entries(ent["root"]).get(w) != "open":
+                    return (
+                        f"ERR_ENDED:writeid {w} on '{_sanitize(tok)}' "
+                        "is not open (nothing aborted)"
+                    )
+                plan.append(("writeid", tok, ent, w))
                 continue
             return (
                 f"ERR_ENDED:unknown transaction id '{_sanitize(tok)}' "
                 "(expected an open wire session id or "
-                "<table>:writeid-<W> as SHOW TRANSACTIONS prints them)"
+                "<table>:writeid-<W> as SHOW TRANSACTIONS prints "
+                "them; nothing aborted)"
             )
+        done: list[str] = []
+        for item in plan:
+            if item[0] == "session":
+                tok = item[1]
+                n = len(self._open.pop(tok))
+                self._txn_user.pop(tok, None)
+                done.append(
+                    f"{tok}: wire buffer rolled back ({n} statements)"
+                )
+            else:
+                _, tok, ent, w = item
+                self.ledger.abort(ent["root"], w)
+                self._republish_acid(ent)
+                done.append(f"{tok}: writeid aborted")
         return f"DONE:Aborted {len(done)}: {'; '.join(done)}"
 
     # -- transaction-surface authorization ---------------------------------
