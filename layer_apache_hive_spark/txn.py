@@ -942,6 +942,8 @@ class TxnSessionManager:
         serve: bool = True,
         insert_only: bool = False,
         fmt: str = "parquet",
+        partition_col: str | None = None,
+        partition_type: str = "string",
     ) -> str:
         """Make an AcidUtils layout DML-addressable over the wire:
         ``INSERT INTO <name> …`` appends ``delta_W_W`` dirs (one
@@ -959,7 +961,23 @@ class TxnSessionManager:
         (HIVE-14535): INSERTs land as whole plain-file delta dirs with
         no identity assignment, and row-level UPDATE/DELETE are
         refused (the format has no row identities to target).
-        ``serve=False`` enrolls for DML without publishing a view."""
+        ``serve=False`` enrolls for DML without publishing a view.
+
+        ``partition_col`` enrolls a PARTITIONED layout (r13):
+        ``root/<col>=<value>/…`` with one AcidUtils state per
+        partition dir and TABLE-level writeids — ``INSERT … PARTITION
+        (col='v')`` (static), dynamic INSERT carrying the partition
+        column last, per-partition UPDATE/DELETE event dirs under one
+        writeid, single-partition INSERT OVERWRITE, and ``ALTER TABLE
+        … PARTITION (col='v') COMPACT`` routing one partition to the
+        initiator `[upstream: hive AcidUtils getAcidState per
+        partition; CompactionRequest (db, table, partition)]`.
+        Partitioned MM tables are not supported yet (refused)."""
+        if partition_col is not None and insert_only:
+            raise ValueError(
+                "partitioned insert-only (MM) enrollment is not "
+                "supported: partition_col requires a full-ACID table"
+            )
         ent = {
             "root": root,
             "schema": payload_schema,
@@ -970,8 +988,18 @@ class TxnSessionManager:
             "insert_only": insert_only,
             "fmt": fmt,
             "serve": serve,
+            "partition_col": partition_col,
+            "partition_type": partition_type,
         }
         self._acid[ent["name"]] = ent
+        if partition_col is not None:
+            # partition dirs enroll in the initiator LAZILY, at the
+            # first ALTER TABLE … PARTITION (…) COMPACT — the set of
+            # partitions is dynamic and the whole-root thresholds do
+            # not apply to a root holding only col=value dirs
+            if serve:
+                self._republish_acid(ent)
+            return f"global_temp.{ent['name']}"
         if self.initiator is not None:
             self.initiator.enroll(
                 root,
@@ -991,6 +1019,7 @@ class TxnSessionManager:
     def _republish_acid(self, ent: dict) -> None:
         from layer_apache_hive_spark.sources.hive_acid import (
             publish_hive_acid,
+            publish_hive_acid_partitioned,
             publish_hive_mm,
         )
 
@@ -1005,7 +1034,17 @@ class TxnSessionManager:
             vw = self.ledger.valid_writeids(
                 ent["root"], table=ent["name"]
             )
-            if ent.get("insert_only"):
+            if ent.get("partition_col"):
+                publish_hive_acid_partitioned(
+                    self.spark,
+                    ent["root"],
+                    ent["schema"],
+                    ent["name"],
+                    ent["partition_col"],
+                    ent["partition_type"],
+                    valid_writeids=vw,
+                )
+            elif ent.get("insert_only"):
                 publish_hive_mm(
                     self.spark,
                     ent["root"],
@@ -1066,6 +1105,112 @@ class TxnSessionManager:
             aligned = aligned.withColumn(n, F.col(n).cast(t))
         return aligned
 
+    @staticmethod
+    def _parse_partition_spec(spec: str | None):
+        """``PARTITION (p='v')`` → ("p", "v") static; ``PARTITION
+        (p)`` → ("p", None) declared-dynamic; None when no clause.
+        Single partition column only (the enrollment surface);
+        multi-column specs refuse."""
+        if spec is None:
+            return None
+        m = _PARTITION_SPEC_RE.match(spec)
+        if m is None:
+            raise ValueError(
+                f"malformed PARTITION spec: ({spec}) — expected "
+                "(col='value') or (col)"
+            )
+        col = m.group("col").replace("`", "").lower()
+        val = m.group("val")
+        if val is not None and len(val) >= 2 and val[0] in "'\"" and (
+            val[-1] == val[0]
+        ):
+            val = val[1:-1]
+        return col, val
+
+    def _acid_insert_df_partitioned(
+        self, ent: dict, body: str, static: bool
+    ) -> DataFrame:
+        """Analyze an INSERT body against a partitioned enrollment:
+        static bodies carry the payload columns only, dynamic bodies
+        carry the partition column LAST (Hive's dynamic-partition
+        column rule). Casts to the declared schema either way."""
+        incoming = self.spark.sql(body)
+        names = [n for n, _ in ent["schema"]]
+        pc = ent["partition_col"]
+        cols = names if static else names + [pc]
+        if len(incoming.columns) != len(cols):
+            raise ValueError(
+                f"INSERT column count {len(incoming.columns)} != "
+                f"expected {len(cols)} "
+                f"({'payload only — static PARTITION' if static else 'payload + partition column last — dynamic'})"
+            )
+        aligned = incoming.toDF(*cols)
+        for n, t in ent["schema"]:
+            aligned = aligned.withColumn(n, F.col(n).cast(t))
+        if not static:
+            aligned = aligned.withColumn(
+                pc, F.col(pc).cast(ent["partition_type"])
+            )
+        return aligned
+
+    def _apply_partitioned_row_op(
+        self, ent, op, w, stmt, snap_cache, vw
+    ) -> str:
+        """UPDATE/DELETE on a partitioned enrollment: per-partition
+        event dirs under ONE table-level writeid. MERGE is refused
+        (documented boundary this round)."""
+        from layer_apache_hive_spark.sources.hive_acid import (
+            hive_acid_delete_partitioned,
+            hive_acid_update_partitioned,
+        )
+
+        kind = op[0]
+        if kind == "merge":
+            raise ValueError(
+                "MERGE INTO a partitioned hive-acid table is not "
+                "supported yet (INSERT/UPDATE/DELETE/IOW are)"
+            )
+        if kind == "delete":
+            paths = hive_acid_delete_partitioned(
+                self.spark,
+                ent["root"],
+                ent["schema"],
+                ent["fields"],
+                w,
+                ent["partition_col"],
+                ent["partition_type"],
+                pred=op[1],
+                valid_writeids=vw,
+                stmt=stmt,
+                snapshot=self._txn_snapshot(ent, snap_cache),
+            )
+            rel = "+".join(
+                os.path.relpath(p, ent["root"]) for p in paths
+            )
+            return rel or "no rows matched, no delete_delta"
+        if kind == "update":
+            paths = hive_acid_update_partitioned(
+                self.spark,
+                ent["root"],
+                ent["schema"],
+                ent["fields"],
+                w,
+                ent["partition_col"],
+                list(op[1]),
+                ent["partition_type"],
+                pred=op[2],
+                n_buckets=ent["n_buckets"],
+                bucket_col=ent["bucket_col"],
+                valid_writeids=vw,
+                stmt=stmt,
+                snapshot=self._txn_snapshot(ent, snap_cache),
+            )
+            rel = "+".join(
+                os.path.relpath(p, ent["root"]) for p in paths
+            )
+            return rel or "no rows matched"
+        raise ValueError(f"unknown acid op {kind!r}")  # pragma: no cover
+
     def _mm_dml_refusal(self, ent: dict, op: tuple) -> str | None:
         if ent.get("insert_only") and op[0] in (
             "update",
@@ -1090,6 +1235,7 @@ class TxnSessionManager:
         once per statement."""
         from layer_apache_hive_spark.sources.hive_acid import (
             read_hive_acid,
+            read_hive_acid_partitioned,
         )
 
         if snap_cache is None:
@@ -1099,13 +1245,25 @@ class TxnSessionManager:
             vw = self.ledger.valid_writeids(
                 ent["root"], table=ent["name"]
             )
-            snap_cache[key] = read_hive_acid(
-                self.spark,
-                ent["root"],
-                ent["schema"],
-                keep_identity=True,
-                valid_writeids=vw,
-            ).localCheckpoint(eager=True)
+            if ent.get("partition_col"):
+                snap = read_hive_acid_partitioned(
+                    self.spark,
+                    ent["root"],
+                    ent["schema"],
+                    ent["partition_col"],
+                    ent["partition_type"],
+                    keep_identity=True,
+                    valid_writeids=vw,
+                )
+            else:
+                snap = read_hive_acid(
+                    self.spark,
+                    ent["root"],
+                    ent["schema"],
+                    keep_identity=True,
+                    valid_writeids=vw,
+                )
+            snap_cache[key] = snap.localCheckpoint(eager=True)
         return snap_cache[key]
 
     def _apply_acid_op(
@@ -1127,6 +1285,7 @@ class TxnSessionManager:
         across the row-level statements."""
         from layer_apache_hive_spark.sources.hive_acid import (
             hive_acid_delete,
+            hive_acid_insert_partitioned,
             hive_acid_overwrite,
             hive_acid_update,
             hive_mm_overwrite,
@@ -1134,7 +1293,51 @@ class TxnSessionManager:
 
         vw = self.ledger.valid_writeids(ent["root"], table=ent["name"])
         kind = op[0]
+        pc = ent.get("partition_col")
+        if pc is not None and kind != "insert":
+            return self._apply_partitioned_row_op(
+                ent, op, w, stmt, snap_cache, vw
+            )
         if kind == "insert":
+            part_spec = self._parse_partition_spec(
+                op[3] if len(op) > 3 else None
+            )
+            if pc is not None:
+                if part_spec is not None and part_spec[0] != pc:
+                    raise ValueError(
+                        f"unknown partition column "
+                        f"'{part_spec[0]}' (table is partitioned by "
+                        f"'{pc}')"
+                    )
+                static_val = (
+                    part_spec[1] if part_spec is not None else None
+                )
+                df = self._acid_insert_df_partitioned(
+                    ent, op[2], static=static_val is not None
+                )
+                written = hive_acid_insert_partitioned(
+                    self.spark,
+                    ent["root"],
+                    df,
+                    ent["schema"],
+                    ent["fields"],
+                    w,
+                    pc,
+                    static_value=static_val,
+                    stmt=stmt,
+                    n_buckets=ent["n_buckets"],
+                    bucket_col=ent["bucket_col"],
+                    overwrite=op[1] == "overwrite",
+                )
+                rel = "+".join(
+                    os.path.relpath(p, ent["root"]) for p in written
+                )
+                return rel or "empty statement, no delta"
+            if part_spec is not None:
+                raise ValueError(
+                    f"table '{ent['name']}' is not partitioned: "
+                    "PARTITION clause refused"
+                )
             df = self._acid_insert_df(ent, op[2])
             if op[1] == "overwrite":
                 path = (
@@ -1356,6 +1559,64 @@ class TxnSessionManager:
                 f"ERR_ENDED:user '{user}' lacks admin privilege: only "
                 "'*'-granted users (or the in-process session) may "
                 "request compactions"
+            )
+        try:
+            spec = self._parse_partition_spec(m.group("part"))
+        except ValueError as e:
+            return f"ERR_ENDED:{_sanitize(e)}"
+        pc = ent.get("partition_col")
+        if pc is not None:
+            # Hive compacts partitioned transactional tables one
+            # PARTITION at a time — CompactionRequest carries (db,
+            # table, partition) and getAcidState runs per partition
+            if spec is None or spec[1] is None:
+                return (
+                    f"ERR_ENDED:'{name}' is partitioned: COMPACT "
+                    f"needs PARTITION ({pc}='value') — Hive "
+                    "compaction requests name one partition"
+                )
+            if spec[0] != pc:
+                return (
+                    f"ERR_ENDED:unknown partition column "
+                    f"'{spec[0]}' (table is partitioned by '{pc}')"
+                )
+            from layer_apache_hive_spark.sources.hive_acid import (
+                partition_subdir,
+            )
+
+            pdir = partition_subdir(ent["root"], pc, spec[1])
+            if not os.path.isdir(pdir):
+                return (
+                    f"ERR_ENDED:partition {pc}={spec[1]} does not "
+                    f"exist on '{name}'"
+                )
+            enrolled = ent.setdefault("_compact_enrolled", set())
+            if pdir not in enrolled:
+                # lazy per-partition initiator enrollment: the fold
+                # and Cleaner see the TABLE-level valid-writeid
+                # closure, and the served view re-publishes (whole
+                # partitioned election) after any fold/clean
+                self.initiator.enroll(
+                    pdir,
+                    ent["schema"],
+                    ent["fields"],
+                    serve_as=None,
+                    valid_writeids_fn=lambda r=ent["root"], n=ent[
+                        "name"
+                    ]: self.ledger.valid_writeids(r, table=n),
+                    republish_fn=lambda e=ent: self._republish_acid(e),
+                )
+                enrolled.add(pdir)
+            self.initiator.request_compaction(pdir, kind)
+            return (
+                f"DONE:Compaction request queued: {kind} on "
+                f"'{name}' partition {pc}={spec[1]} (state "
+                "'initiated'; the next initiator pass runs it)"
+            )
+        if spec is not None:
+            return (
+                f"ERR_ENDED:table '{name}' is not partitioned: "
+                "PARTITION clause refused"
             )
         self.initiator.request_compaction(ent["root"], kind)
         return (
@@ -1651,9 +1912,15 @@ class TxnSessionManager:
         if ent is not None:
             # acid targets are not catalog tables: probe expressions
             # against an empty frame of the declared payload schema
-            # (same columns resolve, no election read spent on authz)
+            # (same columns resolve, no election read spent on authz);
+            # partitioned enrollments expose the partition column too
+            cols = list(ent["schema"])
+            if ent.get("partition_col"):
+                cols.append(
+                    (ent["partition_col"], ent["partition_type"])
+                )
             pinned = self.spark.createDataFrame(
-                [], ", ".join(f"{n} {t}" for n, t in ent["schema"])
+                [], ", ".join(f"{n} {t}" for n, t in cols)
             )
         else:
             pinned = self.catalog.table(table).read(self.spark)
@@ -1685,6 +1952,14 @@ class TxnSessionManager:
             refusal = self._mm_dml_refusal(self._acid[table], op)
             if refusal is not None:
                 return f"ERR_ACTIVE:{refusal}"
+            if op[0] == "merge" and self._acid[table].get(
+                "partition_col"
+            ):
+                return (
+                    "ERR_ACTIVE:MERGE INTO a partitioned hive-acid "
+                    "table is not supported yet "
+                    "(INSERT/UPDATE/DELETE/IOW are)"
+                )
         elif table not in self.catalog.resolve():
             return (
                 f"ERR_ACTIVE:table '{table}' is not enrolled in the "
