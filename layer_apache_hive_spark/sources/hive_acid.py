@@ -1824,6 +1824,25 @@ def append_delta(
 # --- writeid ledger: the metastore TXNS analog (r12 verdict task 3) ---------
 
 
+class HiveWriteConflictError(Exception):
+    """First-committer-wins violation at COMMIT `[upstream: hive
+    standalone-metastore TxnHandler commitTxn WRITE_SET validation,
+    HIVE-13395]`: another transaction committed an overlapping
+    update/delete write set after this transaction's snapshot."""
+
+    def __init__(self, root: str, other_writeid: int, tokens):
+        self.root = root
+        self.other_writeid = other_writeid
+        self.tokens = sorted(tokens)
+        super().__init__(
+            "write-write conflict: writeid "
+            f"{other_writeid} committed an overlapping update/delete "
+            f"write set {self.tokens} on {root!r} after this "
+            "transaction's snapshot (first-committer-wins, "
+            "HIVE-13395)"
+        )
+
+
 class HiveWriteIdLedger:
     """Persisted writeid state per table root — the manager-owned
     analog of the Hive metastore's TXNS/TXN_TO_WRITE_ID tables
@@ -1867,6 +1886,11 @@ class HiveWriteIdLedger:
         self._lock = threading.RLock()
         #: root -> {writeid: 'open' | 'committed' | 'aborted'}
         self._state: dict[str, dict[int, str]] = {}
+        #: root -> {writeid: tuple of update/delete write-set tokens}
+        #: — the WRITE_SET table analog (HIVE-13395): '*' for an
+        #: unpartitioned table's row-level write, partition values
+        #: for a partitioned one; absent for pure INSERTs
+        self._wsets: dict[str, dict[int, tuple]] = {}
         if path and os.path.exists(path):
             with open(path) as fh:
                 for line in fh:
@@ -1888,28 +1912,48 @@ class HiveWriteIdLedger:
                         self._state.setdefault(root, {})[int(w)] = rec[
                             "state"
                         ]
+                    for root, w, toks in rec.get("ws", []):
+                        self._wsets.setdefault(root, {})[int(w)] = (
+                            tuple(toks)
+                        )
 
-    def _append(self, pairs: list[tuple[str, int]], state: str) -> None:
+    def _append(
+        self,
+        pairs: list[tuple[str, int]],
+        state: str,
+        write_sets: "dict[str, set] | None" = None,
+    ) -> None:
         """ONE durable record (single fsync'd line) covering every
         (root, writeid) pair — a multi-table COMMIT flips all its
         tables atomically, the metastore commitTxn analog.
+        ``write_sets`` (root → update/delete tokens) rides the same
+        record — the WRITE_SET rows land atomically with the commit.
 
         Durable-first (r12 advisor): the JSONL append + fsync happens
         BEFORE the in-memory transition — if the disk write fails
         (full disk, torn fh) this process must NOT keep serving a
         commit/abort a successor manager will never replay; the
         exception propagates with memory unchanged."""
+        ws_rows = [
+            [r, w, sorted(write_sets[r])]
+            for r, w in pairs
+            if write_sets and write_sets.get(r)
+        ]
         if self.path:
             if len(pairs) == 1:
                 rec = {"root": pairs[0][0], "w": pairs[0][1], "state": state}
             else:
                 rec = {"multi": [[r, w] for r, w in pairs], "state": state}
+            if ws_rows:
+                rec["ws"] = ws_rows
             with open(self.path, "a") as fh:
                 fh.write(self._json.dumps(rec) + "\n")
                 fh.flush()
                 os.fsync(fh.fileno())
         for root, w in pairs:
             self._state.setdefault(root, {})[w] = state
+        for root, w, toks in ws_rows:
+            self._wsets.setdefault(root, {})[w] = tuple(toks)
 
     def allocate(self, root: str) -> int:
         """Next writeid for ``root``: above every ledgered id AND
@@ -1922,7 +1966,11 @@ class HiveWriteIdLedger:
             return w
 
     def _transition(
-        self, pairs: list[tuple[str, int]], state: str
+        self,
+        pairs: list[tuple[str, int]],
+        state: str,
+        write_sets: "dict[str, set] | None" = None,
+        snapshots: "dict[str, frozenset] | None" = None,
     ) -> None:
         with self._lock:
             for root, w in pairs:
@@ -1931,16 +1979,83 @@ class HiveWriteIdLedger:
                         f"writeid {w} on {root!r} is not open "
                         f"({self._state.get(root, {}).get(w)!r})"
                     )
-            self._append(pairs, state)
+            if state == "committed" and write_sets and snapshots:
+                self._validate_write_sets(write_sets, snapshots)
+            self._append(pairs, state, write_sets=write_sets)
 
-    def commit(self, root: str, w: int) -> None:
-        self._transition([(root, w)], "committed")
+    def _validate_write_sets(
+        self,
+        write_sets: "dict[str, set]",
+        snapshots: "dict[str, frozenset]",
+    ) -> None:
+        """HIVE-13395 first-committer-wins, UNDER the allocation lock
+        (the serialization point Hive gets from the metastore RDBMS):
+        for every root this transaction row-level-wrote, any writeid
+        COMMITTED since the transaction's snapshot whose recorded
+        write set overlaps ours raises — the later committer aborts.
+        Token algebra mirrors Hive's partition granularity: '*' (an
+        unpartitioned table's update/delete) conflicts with
+        everything on that root; partition tokens conflict on
+        intersection. Pure INSERTs carry no write set and never
+        conflict (concurrent INSERT+UPDATE is legal in Hive too)."""
+        for root, ours in write_sets.items():
+            if not ours:
+                continue
+            snap = snapshots.get(root, frozenset())
+            st = self._state.get(root, {})
+            for w2, s in st.items():
+                if s != "committed" or w2 in snap:
+                    continue
+                theirs = self._wsets.get(root, {}).get(w2)
+                if not theirs:
+                    continue
+                if (
+                    "*" in ours
+                    or "*" in theirs
+                    or (set(ours) & set(theirs))
+                ):
+                    raise HiveWriteConflictError(root, w2, theirs)
 
-    def commit_many(self, pairs: list[tuple[str, int]]) -> None:
+    def commit(
+        self,
+        root: str,
+        w: int,
+        write_set: "set | None" = None,
+        snapshot: "frozenset | None" = None,
+    ) -> None:
+        self._transition(
+            [(root, w)],
+            "committed",
+            write_sets={root: write_set} if write_set else None,
+            snapshots={root: snapshot} if snapshot is not None else None,
+        )
+
+    def commit_many(
+        self,
+        pairs: list[tuple[str, int]],
+        write_sets: "dict[str, set] | None" = None,
+        snapshots: "dict[str, frozenset] | None" = None,
+    ) -> None:
         """Commit every (root, writeid) of one multi-table transaction
         in ONE durable record — all tables flip together or (after a
-        crash) none do, the metastore commitTxn atomicity."""
-        self._transition(pairs, "committed")
+        crash) none do, the metastore commitTxn atomicity. With
+        ``write_sets`` + ``snapshots``, the commit first validates
+        first-committer-wins (raises HiveWriteConflictError, leaving
+        every writeid OPEN for the caller to abort)."""
+        self._transition(
+            pairs, "committed", write_sets=write_sets,
+            snapshots=snapshots,
+        )
+
+    def committed_ids(self, root: str) -> frozenset:
+        """The committed-writeid snapshot a transaction records at
+        open — the baseline commitTxn validates against."""
+        with self._lock:
+            return frozenset(
+                w
+                for w, s in self._state.get(root, {}).items()
+                if s == "committed"
+            )
 
     def abort(self, root: str, w: int) -> None:
         self._transition([(root, w)], "aborted")
@@ -3750,6 +3865,91 @@ def sink_hive_acid_partitioned(
         _PART_ORDERS_SCHEMA,
         "o_orderstatus",
         valid_writeids=vwil,
+    )
+
+
+@register(
+    "sink_hive_acid_conflict",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 1.0
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+WHERE o_orderkey % 3 = 0
+""",
+)
+def sink_hive_acid_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-write conflict detection at COMMIT (r13 verdict task 2)
+    `[upstream: hive standalone-metastore TxnHandler commitTxn
+    WRITE_SET validation, HIVE-13395]`: two interleaved BEGIN blocks
+    update overlapping rows; the FIRST committer wins, the second
+    COMMIT aborts under the ledger lock (the serialization point),
+    its writeid reads ABORTED, and its half-written statement dirs
+    are invisible to every election — so the final state is exactly
+    the winner's algebra, which the oracle replays. A surface that
+    let both commit would double-apply (T2's +2.0 on top of T1's
+    +1.0, or a duplicated image from the split-update race) and
+    break the value hash.
+
+    Flow: w1 seeds k % 3 = 0; T1 and T2 both BEGIN and buffer
+    UPDATE … WHERE k % 7 = 3 (T1: +1.0, T2: +2.0); T1 COMMITs (w2),
+    T2's COMMIT aborts (w3 ABORTED — asserted, plus the
+    lost-update-free final read). A third, NON-conflicting pair
+    (INSERT vs the committed state) then proves inserts never
+    conflict: w4 commits and is deleted again under w5 so the oracle
+    stays the winner's algebra."""
+    work = _fresh_dml_root(sf_dir, "hive_acid_conflict")
+    root = os.path.join(work, "table")
+    os.makedirs(root, exist_ok=True)
+    mgr = _wire_manager(spark, work)
+    mgr.enroll_hive_acid(
+        "conflict_orders", root, _ORDERS_SCHEMA,
+        _orders_arrow_fields(), serve=False,
+    )
+    read_table(spark, sf_dir, "orders").select(
+        *_ORDERS_PAYLOAD
+    ).createOrReplaceTempView("conflict_orders_src")
+    out = mgr.handle(
+        "seed",
+        "INSERT INTO conflict_orders SELECT * FROM conflict_orders_src "
+        "WHERE o_orderkey % 3 = 0",
+    )
+    assert out.startswith("DONE:"), out
+    for s in ("T1", "T2"):
+        assert mgr.handle(s, "BEGIN").startswith("ACTIVE:")
+    bump = (
+        "UPDATE conflict_orders SET o_totalprice = o_totalprice + {} "
+        "WHERE o_orderkey % 7 = 3"
+    )
+    assert mgr.handle("T1", bump.format("1.0")).startswith("ACTIVE:")
+    assert mgr.handle("T2", bump.format("2.0")).startswith("ACTIVE:")
+    assert mgr.handle("T1", "COMMIT").startswith("DONE:")
+    out = mgr.handle("T2", "COMMIT")
+    assert out.startswith("ERR_ENDED:") and "conflict" in out, out
+    entries = mgr.ledger.entries(root)
+    assert entries[2] == "committed" and entries[3] == "aborted", entries
+    # inserts never conflict: a concurrent append pair both commit
+    mgr.handle("T3", "BEGIN")
+    mgr.handle("T4", "BEGIN")
+    assert mgr.handle(
+        "T3",
+        "INSERT INTO conflict_orders "
+        "SELECT -1 AS k, 'X' AS s, 0.0 AS p",
+    ).startswith("ACTIVE:")
+    assert mgr.handle(
+        "T4",
+        "UPDATE conflict_orders SET o_totalprice = 0.0 "
+        "WHERE o_orderkey = -1",
+    ).startswith("ACTIVE:")
+    assert mgr.handle("T3", "COMMIT").startswith("DONE:")
+    assert mgr.handle("T4", "COMMIT").startswith("DONE:")
+    out = mgr.handle(
+        "seed", "DELETE FROM conflict_orders WHERE o_orderkey < 0"
+    )
+    assert out.startswith("DONE:"), out
+    vwil = mgr.ledger.valid_writeids(root, table="conflict_orders")
+    return read_hive_acid(
+        spark, root, _ORDERS_SCHEMA, valid_writeids=vwil
     )
 
 

@@ -554,12 +554,67 @@ class TxnSessionManager:
         #: enforce grants ITSELF or a scoped user could launder reads
         #: of ungranted tables through an INSERT body (r8).
         self._txn_user: dict[str, str] = {}
+        #: sessionId -> {acid root -> committed-writeid snapshot at
+        #: the transaction's FIRST statement against that table} —
+        #: the baseline commitTxn's write-set validation uses
+        #: (HIVE-13395 first-committer-wins, r13 task 2)
+        self._txn_snap: dict[str, dict[str, frozenset]] = {}
+        #: live lock table (the DbLockManager / HIVE_LOCKS analog,
+        #: r13 task 6): SHARED_WRITE for row-level DML + INSERT,
+        #: EXCLUSIVE for INSERT OVERWRITE; acquired at buffer time
+        #: (BEGIN blocks) or statement entry (autocommit), released
+        #: at COMMIT/ROLLBACK/ABORT/statement end. Conflicts REFUSE
+        #: (Hive would queue; the non-blocking refusal is this
+        #: surface's documented posture).
+        self._locks: list[dict] = []
+        self._locks_mutex = threading.Lock()
         if publish:
             spark.sql(
                 f"CREATE DATABASE IF NOT EXISTS `"
                 + publish_db.replace("`", "``")
                 + "`"
             )
+
+    # -- lock manager (DbLockManager analog, r13 task 6) -----------------
+
+    def _acquire_lock(
+        self, session: str, table: str, ltype: str, user: str
+    ) -> str | None:
+        """Acquire a table lock or explain the refusal. Compatibility
+        matrix `[upstream: hive DbLockManager / LockType]`:
+        SHARED_WRITE ∥ SHARED_WRITE (row-level DML and INSERTs
+        interleave — writeids and the write-set validation order
+        them), anything ∥ EXCLUSIVE refuses (IOW rewrites the
+        table). Re-acquisition by the same session is a no-op."""
+        with self._locks_mutex:
+            for lk in self._locks:
+                if lk["table"] != table:
+                    continue
+                if lk["session"] == session:
+                    if lk["type"] == ltype or lk["type"] == "EXCLUSIVE":
+                        return None  # already held (same or stronger)
+                    continue
+                if ltype == "EXCLUSIVE" or lk["type"] == "EXCLUSIVE":
+                    return (
+                        f"cannot acquire {ltype} lock on '{table}': "
+                        f"conflicting {lk['type']} lock held by "
+                        f"session '{lk['session']}'"
+                    )
+            self._locks.append(
+                {
+                    "session": session,
+                    "table": table,
+                    "type": ltype,
+                    "user": user,
+                }
+            )
+            return None
+
+    def _release_session_locks(self, session: str) -> None:
+        with self._locks_mutex:
+            self._locks = [
+                lk for lk in self._locks if lk["session"] != session
+            ]
 
     # -- bridge entry ----------------------------------------------------
 
@@ -633,17 +688,24 @@ class TxnSessionManager:
             )
         m = _SHOW_LOCKS_STMT_RE.match(sql_text)
         if m:
-            # Hive's SHOW LOCKS (metastore HIVE_LOCKS): every open
-            # BEGIN block holds a SHARED_WRITE intent on each table it
-            # has buffered DML for `[upstream: hive DDLTask SHOW LOCKS
-            # → TxnStore showLocks]`; a plain read, legal inside or
-            # outside a transaction, empties after COMMIT/ROLLBACK
-            rows = [
-                (sid, t, "SHARED_WRITE", "ACQUIRED",
-                 self._txn_user.get(sid, ""))
-                for sid, ops_ in sorted(self._open.items())
-                for t in sorted({tbl for tbl, _ in ops_})
-            ]
+            # Hive's SHOW LOCKS (metastore HIVE_LOCKS), served from
+            # the REAL lock table (r13 task 6): SHARED_WRITE acquired
+            # at buffer time for every table an open BEGIN block has
+            # buffered DML for, EXCLUSIVE for an in-flight IOW;
+            # released at COMMIT/ROLLBACK/ABORT `[upstream: hive
+            # DDLTask SHOW LOCKS → TxnStore showLocks;
+            # DbLockManager]`
+            with self._locks_mutex:
+                rows = sorted(
+                    (
+                        lk["session"],
+                        lk["table"],
+                        lk["type"],
+                        "ACQUIRED",
+                        lk["user"],
+                    )
+                    for lk in self._locks
+                )
             if m.group("name"):
                 want = _bare_name(m.group("name"))
                 rows = [r for r in rows if r[1] == want]
@@ -667,6 +729,7 @@ class TxnSessionManager:
                 )
             self._open[session_id] = []
             self._txn_user[session_id] = user
+            self._txn_snap[session_id] = {}
             base = self.catalog.current_version()
             return f"ACTIVE:Transaction started (catalog v{base})"
         ops = self._open.get(session_id)
@@ -694,7 +757,9 @@ class TxnSessionManager:
                 # silently-truncated MERGE previously committed here)
                 return f"ERR_ENDED:{_sanitize(e)}"
             if parsed is not None and parsed[0] in self._acid:
-                return self._acid_autocommit(user, parsed[0], parsed[1])
+                return self._acid_autocommit(
+                    session_id, user, parsed[0], parsed[1]
+                )
             return "PASS"  # stale Java-side flag: not in a txn
         if _COMMIT_RE.match(sql_text):
             return self._commit(session_id, ops)
@@ -702,6 +767,8 @@ class TxnSessionManager:
             n = len(ops)
             self._open.pop(session_id, None)
             self._txn_user.pop(session_id, None)
+            self._txn_snap.pop(session_id, None)
+            self._release_session_locks(session_id)
             return f"DONE:Transaction rolled back ({n} buffered statements discarded)"
         try:
             parsed = self._parse_dml(sql_text)
@@ -1154,7 +1221,7 @@ class TxnSessionManager:
         return aligned
 
     def _apply_partitioned_row_op(
-        self, ent, op, w, stmt, snap_cache, vw
+        self, ent, op, w, stmt, snap_cache, vw, note_ws=None
     ) -> str:
         """UPDATE/DELETE on a partitioned enrollment: per-partition
         event dirs under ONE table-level writeid. MERGE is refused
@@ -1184,6 +1251,13 @@ class TxnSessionManager:
                 stmt=stmt,
                 snapshot=self._txn_snapshot(ent, snap_cache),
             )
+            if note_ws is not None:
+                note_ws(
+                    {
+                        os.path.relpath(p, ent["root"]).split(os.sep)[0]
+                        for p in paths
+                    }
+                )
             rel = "+".join(
                 os.path.relpath(p, ent["root"]) for p in paths
             )
@@ -1205,6 +1279,13 @@ class TxnSessionManager:
                 stmt=stmt,
                 snapshot=self._txn_snapshot(ent, snap_cache),
             )
+            if note_ws is not None:
+                note_ws(
+                    {
+                        os.path.relpath(p, ent["root"]).split(os.sep)[0]
+                        for p in paths
+                    }
+                )
             rel = "+".join(
                 os.path.relpath(p, ent["root"]) for p in paths
             )
@@ -1273,6 +1354,7 @@ class TxnSessionManager:
         w: int,
         stmt: int | None = None,
         snap_cache: dict | None = None,
+        ws_out: dict | None = None,
     ) -> str:
         """Apply one statement's write under an ALLOCATED (still-open)
         writeid; the target scans for UPDATE/DELETE/MERGE read under
@@ -1294,9 +1376,19 @@ class TxnSessionManager:
         vw = self.ledger.valid_writeids(ent["root"], table=ent["name"])
         kind = op[0]
         pc = ent.get("partition_col")
+
+        def note_ws(tokens):
+            # record this statement's update/delete/overwrite write
+            # set for commit-time first-committer-wins validation
+            # (HIVE-13395): '*' = the whole unpartitioned table,
+            # else the touched partition dirs. Pure INSERTs never
+            # note anything (they cannot conflict).
+            if ws_out is not None and tokens:
+                ws_out.setdefault(ent["root"], set()).update(tokens)
+
         if pc is not None and kind != "insert":
             return self._apply_partitioned_row_op(
-                ent, op, w, stmt, snap_cache, vw
+                ent, op, w, stmt, snap_cache, vw, note_ws
             )
         if kind == "insert":
             part_spec = self._parse_partition_spec(
@@ -1329,6 +1421,15 @@ class TxnSessionManager:
                     bucket_col=ent["bucket_col"],
                     overwrite=op[1] == "overwrite",
                 )
+                if op[1] == "overwrite":
+                    note_ws(
+                        {
+                            os.path.relpath(p, ent["root"]).split(
+                                os.sep
+                            )[0]
+                            for p in written
+                        }
+                    )
                 rel = "+".join(
                     os.path.relpath(p, ent["root"]) for p in written
                 )
@@ -1356,6 +1457,7 @@ class TxnSessionManager:
                         bucket_col=ent["bucket_col"],
                     )
                 )
+                note_ws({"*"})
                 return os.path.basename(path)
             path = self._append_one(ent, df, w, stmt=stmt)
             return (
@@ -1375,6 +1477,8 @@ class TxnSessionManager:
                 stmt=stmt,
                 snapshot=self._txn_snapshot(ent, snap_cache),
             )
+            if path is not None:
+                note_ws({"*"})
             return (
                 os.path.basename(path)
                 if path is not None
@@ -1395,6 +1499,8 @@ class TxnSessionManager:
                 stmt=stmt,
                 snapshot=self._txn_snapshot(ent, snap_cache),
             )
+            if del_path is not None or ins_path is not None:
+                note_ws({"*"})
             parts = [
                 os.path.basename(p)
                 for p in (del_path, ins_path)
@@ -1445,6 +1551,8 @@ class TxnSessionManager:
                 stmt=stmt,
                 snapshot=self._txn_snapshot(ent, snap_cache),
             )
+            if del_path is not None or ins_path is not None:
+                note_ws({"*"})
             parts = [
                 os.path.basename(p)
                 for p in (del_path, ins_path)
@@ -1453,13 +1561,24 @@ class TxnSessionManager:
             return "+".join(parts) or "no rows matched"
         raise ValueError(f"unknown acid op {kind!r}")  # pragma: no cover
 
-    def _acid_autocommit(self, user: str, name: str, op: tuple) -> str:
+    def _acid_autocommit(
+        self, session_id: str, user: str, name: str, op: tuple
+    ) -> str:
         """Bare DML against an enrolled acid layout: one
         single-statement transaction — allocate a writeid through the
         ledger (serialized across concurrent sessions), apply the
         write, mark the writeid committed, re-publish the served view.
         Any failure aborts the writeid, so a half-written statement is
-        never elected."""
+        never elected.
+
+        Locking (r13 task 6): the statement holds a real table lock
+        for its duration — EXCLUSIVE for INSERT OVERWRITE (refused
+        while any other session holds ANY lock: an open BEGIN block's
+        SHARED_WRITE blocks a concurrent IOW, Hive's DbLockManager
+        matrix), SHARED_WRITE otherwise. Its committed-writeid
+        snapshot is recorded before the write and validated at commit
+        (HIVE-13395) — a concurrent transaction that committed an
+        overlapping update/delete in the window aborts THIS one."""
         ent = self._acid[name]
         refusal = self._mm_dml_refusal(ent, op)
         if refusal is not None:
@@ -1467,10 +1586,34 @@ class TxnSessionManager:
         denial = self._authorize_op(user, name, op)
         if denial is not None:
             return f"ERR_ENDED:Authorization error: {denial}"
-        w = self.ledger.allocate(ent["root"])
+        ltype = (
+            "EXCLUSIVE"
+            if op[0] == "insert" and op[1] == "overwrite"
+            else "SHARED_WRITE"
+        )
+        lock_token = f"{session_id}#stmt"
+        err = self._acquire_lock(lock_token, name, ltype, user)
+        if err is not None:
+            return f"ERR_ENDED:{err}"
         try:
-            desc = self._apply_acid_op(ent, op, w)
-            self.ledger.commit(ent["root"], w)
+            return self._acid_autocommit_locked(ent, name, op)
+        finally:
+            self._release_session_locks(lock_token)
+
+    def _acid_autocommit_locked(
+        self, ent: dict, name: str, op: tuple
+    ) -> str:
+        snapshot = self.ledger.committed_ids(ent["root"])
+        w = self.ledger.allocate(ent["root"])
+        write_sets: dict[str, set] = {}
+        try:
+            desc = self._apply_acid_op(ent, op, w, ws_out=write_sets)
+            self.ledger.commit(
+                ent["root"],
+                w,
+                write_set=write_sets.get(ent["root"]),
+                snapshot=snapshot,
+            )
         except Exception as e:
             self.ledger.abort(ent["root"], w)
             return (
@@ -1480,7 +1623,9 @@ class TxnSessionManager:
         self._republish_acid(ent)
         return f"DONE:Committed writeid {w} ({desc} on '{name}')"
 
-    def _commit_acid(self, ops: list[tuple]) -> str:
+    def _commit_acid(
+        self, ops: list[tuple], snapshots: dict | None = None
+    ) -> str:
         """COMMIT of a transaction whose buffered statements all
         target enrolled acid layouts: per touched table, ONE writeid;
         a single statement appends the plain ``delta_W_W`` (or
@@ -1493,12 +1638,22 @@ class TxnSessionManager:
         the metastore commitTxn analog): a crash anywhere before that
         record leaves only OPEN writeids that recover() aborts, so
         ledger-aware readers never see a partial transaction — the
-        r11-documented crash window between renames is closed."""
+        r11-documented crash window between renames is closed.
+
+        ``snapshots`` (root → committed-writeid set recorded at this
+        transaction's first statement per table) arms the write-set
+        validation (r13 task 2, HIVE-13395): commit_many checks —
+        under the ledger lock, the serialization point — that no
+        writeid committed since the snapshot carries an overlapping
+        update/delete write set; on conflict every writeid of THIS
+        transaction aborts (first-committer-wins) and the conflict
+        error surfaces."""
         per_table: dict[str, list[tuple]] = {}
         for table, op in ops:
             per_table.setdefault(table, []).append(op)
         written: list[str] = []
         pairs: list[tuple[str, int]] = []
+        write_sets: dict[str, set] = {}
         try:
             snap_cache: dict = {}
             for table, t_ops in per_table.items():
@@ -1512,9 +1667,12 @@ class TxnSessionManager:
                         w,
                         stmt=i if len(t_ops) > 1 else None,
                         snap_cache=snap_cache,
+                        ws_out=write_sets,
                     )
                     written.append(desc)
-            self.ledger.commit_many(pairs)
+            self.ledger.commit_many(
+                pairs, write_sets=write_sets, snapshots=snapshots or {}
+            )
         except Exception:
             if pairs:
                 self.ledger.abort_many(pairs)
@@ -1681,6 +1839,8 @@ class TxnSessionManager:
                 tok = item[1]
                 n = len(self._open.pop(tok))
                 self._txn_user.pop(tok, None)
+                self._txn_snap.pop(tok, None)
+                self._release_session_locks(tok)
                 done.append(
                     f"{tok}: wire buffer rolled back ({n} statements)"
                 )
@@ -2003,6 +2163,25 @@ class TxnSessionManager:
             )
         if denial is not None:
             return f"ERR_ACTIVE:Authorization error: {denial}"
+        if is_acid:
+            # real lock acquisition (r13 task 6): SHARED_WRITE on the
+            # target — a concurrent session's EXCLUSIVE (in-flight
+            # IOW) refuses the statement, the transaction stays open
+            err = self._acquire_lock(
+                session_id,
+                table,
+                "SHARED_WRITE",
+                self._txn_user.get(session_id, ""),
+            )
+            if err is not None:
+                return f"ERR_ACTIVE:{err}"
+            # the transaction's committed-writeid snapshot for this
+            # table, recorded at its FIRST statement against it — the
+            # write-set validation baseline (HIVE-13395, r13 task 2)
+            ent = self._acid[table]
+            self._txn_snap.setdefault(session_id, {}).setdefault(
+                ent["root"], self.ledger.committed_ids(ent["root"])
+            )
         self._open[session_id].append((table, op))
         n = len(self._open[session_id])
         return f"ACTIVE:Buffered statement {n} for table '{table}'"
@@ -2010,13 +2189,17 @@ class TxnSessionManager:
     def _commit(self, session_id: str, ops: list[tuple]) -> str:
         self._open.pop(session_id, None)  # closed whatever happens next
         self._txn_user.pop(session_id, None)
+        snaps = self._txn_snap.pop(session_id, {})
         if not ops:
+            self._release_session_locks(session_id)
             return "DONE:Nothing to commit (empty transaction)"
         if ops[0][0] in self._acid:  # homogeneity enforced at _buffer
             try:
-                return self._commit_acid(ops)
+                return self._commit_acid(ops, snaps)
             except Exception as e:
                 return f"ERR_ENDED:commit failed: {_sanitize(e)}"
+            finally:
+                self._release_session_locks(session_id)
         # compose per-table transforms in statement order; evaluation
         # happens inside TransactionCatalog.commit against the catalog
         # snapshot pinned at commit (rebased on conflict)
@@ -2060,7 +2243,12 @@ class TxnSessionManager:
             for op in t_ops:
                 kind = op[0]
                 if kind == "insert":
-                    _, mode, body = op
+                    _, mode, body, part = op
+                    if part is not None:
+                        raise ValueError(
+                            "PARTITION clauses target partitioned "
+                            "hive-acid enrollments, not catalog tables"
+                        )
                     incoming = spark.sql(body)
                     if len(incoming.columns) != len(out.columns):
                         raise ValueError(

@@ -578,3 +578,124 @@ def test_wire_unpartitioned_table_refuses_partition_clause(
         "SELECT 7 AS k, 'C' AS s, 7.0 AS pr",
     )
     assert out.startswith("ERR_ENDED:") and "not partitioned" in out, out
+
+
+# --- part 3: write-set conflicts (HIVE-13395) + real locks (r13 tasks 2+6) ---
+
+
+from layer_apache_hive_spark.sources.hive_acid import (  # noqa: E402
+    HiveWriteConflictError,
+)
+
+
+def test_interleaved_conflicting_updates_second_commit_aborts(
+    spark, mgr13
+):
+    """The verdict's acceptance test: two interleaved BEGIN blocks
+    updating the SAME row — first committer wins, the second COMMIT
+    aborts, its writeid reads ABORTED, and the winner's image is the
+    only one served (the lost-update anomaly impossible)."""
+    mgr, root = mgr13
+    mgr.handle("T1", "BEGIN")
+    mgr.handle("T2", "BEGIN")
+    mgr.handle("T1", "UPDATE acid13 SET price = 100.0 WHERE k = 1")
+    mgr.handle("T2", "UPDATE acid13 SET price = 200.0 WHERE k = 1")
+    assert mgr.handle("T1", "COMMIT").startswith("DONE:")
+    out = mgr.handle("T2", "COMMIT")
+    assert out.startswith("ERR_ENDED:") and "conflict" in out, out
+    # the loser's writeid is ABORTED (SHOW TRANSACTIONS material)
+    assert mgr.ledger.entries(root)[3] == "aborted"
+    assert _view13(spark) == {(1, 100.0), (2, 2.0), (3, 3.0)}
+    # and SHOW TRANSACTIONS lists it as ABORTED
+    out = mgr.handle("adm", "SHOW TRANSACTIONS")
+    rows = {
+        (r[0], r[1]) for r in spark.sql(out[4:]).collect()
+    }
+    assert ("acid13:writeid-3", "ABORTED") in rows, rows
+
+
+def test_non_overlapping_pair_both_commit(spark, mgr13):
+    """INSERT never conflicts with a concurrent UPDATE (no write set
+    recorded for appends — Hive's rule), and two updates on DISTINCT
+    tables both commit."""
+    mgr, root = mgr13
+    mgr.handle("T1", "BEGIN")
+    mgr.handle("T2", "BEGIN")
+    mgr.handle(
+        "T1", "INSERT INTO acid13 SELECT 10 AS k, 'X' AS s, 10.0 AS p"
+    )
+    mgr.handle("T2", "UPDATE acid13 SET price = 5.0 WHERE k = 2")
+    assert mgr.handle("T1", "COMMIT").startswith("DONE:")
+    assert mgr.handle("T2", "COMMIT").startswith("DONE:")
+    assert (10, 10.0) in _view13(spark) and (2, 5.0) in _view13(spark)
+
+
+def test_partitioned_conflict_is_partition_granular(spark, pmgr13):
+    """Write-set tokens are PARTITION-granular for partitioned
+    tables (Hive's WRITE_SET carries the partition): concurrent
+    updates to DIFFERENT partitions both commit; to the SAME
+    partition, the second aborts."""
+    mgr, root, init = pmgr13
+    mgr.handle(
+        "s0",
+        "INSERT INTO pt13 SELECT 1 AS k, 'A' AS s, 1.0 AS pr, 'X' AS p "
+        "UNION ALL SELECT 2, 'B', 2.0, 'Y'",
+    )
+    mgr.handle("T1", "BEGIN")
+    mgr.handle("T2", "BEGIN")
+    mgr.handle("T1", "UPDATE pt13 SET price = 11.0 WHERE p = 'X'")
+    mgr.handle("T2", "UPDATE pt13 SET price = 22.0 WHERE p = 'Y'")
+    assert mgr.handle("T1", "COMMIT").startswith("DONE:")
+    assert mgr.handle("T2", "COMMIT").startswith("DONE:")
+    assert _pview(spark) == [(1, 11.0, "X"), (2, 22.0, "Y")]
+    mgr.handle("T3", "BEGIN")
+    mgr.handle("T4", "BEGIN")
+    mgr.handle("T3", "UPDATE pt13 SET price = 1.0 WHERE p = 'X'")
+    mgr.handle("T4", "UPDATE pt13 SET price = 2.0 WHERE p = 'X'")
+    assert mgr.handle("T3", "COMMIT").startswith("DONE:")
+    out = mgr.handle("T4", "COMMIT")
+    assert out.startswith("ERR_ENDED:") and "conflict" in out, out
+    assert _pview(spark) == [(1, 1.0, "X"), (2, 22.0, "Y")]
+
+
+def test_ledger_write_sets_survive_restart(tmp_path):
+    """WRITE_SET rows ride the commit record: a successor ledger
+    replays them, so validation works across manager restarts."""
+    p = str(tmp_path / "l.jsonl")
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    led = HiveWriteIdLedger(p)
+    snap0 = led.committed_ids(root)
+    w1 = led.allocate(root)
+    led.commit(root, w1, write_set={"*"}, snapshot=snap0)
+    succ = HiveWriteIdLedger(p)
+    w2 = succ.allocate(root)
+    with pytest.raises(HiveWriteConflictError):
+        succ.commit(root, w2, write_set={"*"}, snapshot=snap0)
+    # the failed commit left w2 OPEN (caller aborts it)
+    assert succ.entries(root)[w2] == "open"
+
+
+def test_exclusive_iow_lock_lifecycle(spark, mgr13):
+    """An open BEGIN block's SHARED_WRITE blocks a concurrent IOW
+    (EXCLUSIVE); released on ROLLBACK, the IOW proceeds; and while
+    nothing is held, two sessions' row-level DML interleave."""
+    mgr, root = mgr13
+    mgr.handle("A", "BEGIN")
+    mgr.handle("A", "UPDATE acid13 SET price = 0.0 WHERE k = 1")
+    out = mgr.handle(
+        "B", "INSERT OVERWRITE acid13 SELECT 9 AS k, 'Z' AS s, 9.0 AS p"
+    )
+    assert out.startswith("ERR_ENDED:") and "EXCLUSIVE" in out, out
+    # SHOW LOCKS shows the real holder
+    rows = spark.sql(mgr.handle("C", "SHOW LOCKS")[4:]).collect()
+    assert [(r.lock_session, r.table_name, r.lock_type) for r in rows] == [
+        ("A", "acid13", "SHARED_WRITE")
+    ]
+    mgr.handle("A", "ROLLBACK")
+    assert spark.sql(mgr.handle("C", "SHOW LOCKS")[4:]).count() == 0
+    out = mgr.handle(
+        "B", "INSERT OVERWRITE acid13 SELECT 9 AS k, 'Z' AS s, 9.0 AS p"
+    )
+    assert out.startswith("DONE:"), out
+    assert _view13(spark) == {(9, 9.0)}
