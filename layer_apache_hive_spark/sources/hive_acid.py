@@ -1891,6 +1891,10 @@ class HiveWriteIdLedger:
         #: unpartitioned table's row-level write, partition values
         #: for a partitioned one; absent for pure INSERTs
         self._wsets: dict[str, dict[int, tuple]] = {}
+        #: root -> {writeid: commit metadata} — e.g. the streaming
+        #: batch id a commit ingested (the exactly-once replay guard
+        #: rides the SAME durable record as the commit itself, r13)
+        self._meta: dict[str, dict[int, dict]] = {}
         if path and os.path.exists(path):
             with open(path) as fh:
                 for line in fh:
@@ -1916,12 +1920,17 @@ class HiveWriteIdLedger:
                         self._wsets.setdefault(root, {})[int(w)] = (
                             tuple(toks)
                         )
+                    if rec.get("meta") and rec.get("root") is not None:
+                        self._meta.setdefault(rec["root"], {})[
+                            int(rec["w"])
+                        ] = rec["meta"]
 
     def _append(
         self,
         pairs: list[tuple[str, int]],
         state: str,
         write_sets: "dict[str, set] | None" = None,
+        meta: "dict | None" = None,
     ) -> None:
         """ONE durable record (single fsync'd line) covering every
         (root, writeid) pair — a multi-table COMMIT flips all its
@@ -1946,6 +1955,8 @@ class HiveWriteIdLedger:
                 rec = {"multi": [[r, w] for r, w in pairs], "state": state}
             if ws_rows:
                 rec["ws"] = ws_rows
+            if meta and len(pairs) == 1:
+                rec["meta"] = meta
             with open(self.path, "a") as fh:
                 fh.write(self._json.dumps(rec) + "\n")
                 fh.flush()
@@ -1954,6 +1965,8 @@ class HiveWriteIdLedger:
             self._state.setdefault(root, {})[w] = state
         for root, w, toks in ws_rows:
             self._wsets.setdefault(root, {})[w] = tuple(toks)
+        if meta and len(pairs) == 1:
+            self._meta.setdefault(pairs[0][0], {})[pairs[0][1]] = meta
 
     def allocate(self, root: str) -> int:
         """Next writeid for ``root``: above every ledgered id AND
@@ -1971,6 +1984,7 @@ class HiveWriteIdLedger:
         state: str,
         write_sets: "dict[str, set] | None" = None,
         snapshots: "dict[str, frozenset] | None" = None,
+        meta: "dict | None" = None,
     ) -> None:
         with self._lock:
             for root, w in pairs:
@@ -1981,7 +1995,7 @@ class HiveWriteIdLedger:
                     )
             if state == "committed" and write_sets and snapshots:
                 self._validate_write_sets(write_sets, snapshots)
-            self._append(pairs, state, write_sets=write_sets)
+            self._append(pairs, state, write_sets=write_sets, meta=meta)
 
     def _validate_write_sets(
         self,
@@ -2022,13 +2036,27 @@ class HiveWriteIdLedger:
         w: int,
         write_set: "set | None" = None,
         snapshot: "frozenset | None" = None,
+        meta: "dict | None" = None,
     ) -> None:
         self._transition(
             [(root, w)],
             "committed",
             write_sets={root: write_set} if write_set else None,
             snapshots={root: snapshot} if snapshot is not None else None,
+            meta=meta,
         )
+
+    def committed_meta(self, root: str) -> dict[int, dict]:
+        """writeid -> commit metadata for COMMITTED writeids of one
+        root (aborted commits' meta never counts — their batch did
+        not land)."""
+        with self._lock:
+            st = self._state.get(root, {})
+            return {
+                w: m
+                for w, m in self._meta.get(root, {}).items()
+                if st.get(w) == "committed"
+            }
 
     def commit_many(
         self,
@@ -3304,6 +3332,69 @@ def append_mm_delta(
     df.write.format(fmt).save(scratch)
     os.rename(scratch, final)
     return final
+
+
+def hive_stream_commit_batch(
+    spark: SparkSession,
+    root: str,
+    ledger: "HiveWriteIdLedger",
+    batch_df: DataFrame,
+    batch_id: int,
+    payload_schema: "list[tuple[str, str]] | None" = None,
+    payload_fields=None,
+    insert_only: bool = False,
+    n_buckets: int = 4,
+    fmt: str = "parquet",
+) -> int | None:
+    """One streaming micro-batch as one LEDGER transaction — the
+    HiveStreamingConnection analog (r13 verdict task 3) `[upstream:
+    hive-streaming HiveStreamingConnection — txn batches allocated
+    through the metastore, not by listing directories]`:
+
+      allocate (writeid OPEN — the in-flight batch is invisible to
+      every ledger-aware election AND listed by SHOW TRANSACTIONS)
+      → write the ``delta_W_W`` dir (scratch + atomic rename)
+      → commit, with the BATCH ID riding the same fsync'd record.
+
+    Exactly-once on an at-least-once harness, by ledger state instead
+    of the r12 rename-existence guard: a replayed batch id that
+    appears in any COMMITTED writeid's metadata drops itself. The
+    crash windows all resolve safely: death before the rename leaves
+    an OPEN writeid ``recover()`` aborts (no dir); death between
+    rename and commit leaves an OPEN writeid + dir — recover()
+    aborts it, the dir is poison the Cleaner removes, and the
+    re-delivered batch ingests under a FRESH writeid (aborted ids
+    are never reused); death after commit → the replay guard drops
+    the duplicate. Returns the committed writeid, or None for a
+    replayed batch.
+
+    Scale: per-batch cost is O(batch rows) + one rename + two
+    O(1) ledger records — table size never enters; the ledger is
+    manager-node metadata exactly like the metastore RDBMS."""
+    done = {
+        m.get("batch") for m in ledger.committed_meta(root).values()
+    }
+    if int(batch_id) in done:
+        return None  # replayed batch: its transaction already landed
+    w = ledger.allocate(root)
+    try:
+        if insert_only:
+            append_mm_delta(spark, root, batch_df, w, fmt=fmt)
+        else:
+            append_delta(
+                spark,
+                root,
+                batch_df,
+                payload_schema,
+                payload_fields,
+                w,
+                n_buckets=n_buckets,
+            )
+        ledger.commit(root, w, meta={"batch": int(batch_id)})
+    except Exception:
+        ledger.abort(root, w)
+        raise
+    return w
 
 
 @register(

@@ -2738,8 +2738,8 @@ def evt_stream_hive_acid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
     from layer_apache_hive_spark.sources.hive_acid import (
-        _OP_INSERT,
-        _write_version_dirs,
+        HiveWriteIdLedger,
+        hive_stream_commit_batch,
         read_hive_acid,
     )
 
@@ -2748,41 +2748,29 @@ def evt_stream_hive_acid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)  # reseed: idempotent per run
     os.makedirs(root, exist_ok=True)
     payload = ["event_id", "event_type", "value"]
+    schema = [
+        ("event_id", "long"),
+        ("event_type", "string"),
+        ("value", "double"),
+    ]
     fields = [
         ("event_id", pa.int64()),
         ("event_type", pa.string()),
         ("value", pa.float64()),
     ]
+    # r13 task 3: batch writeids are LEDGER-minted (allocate -> write
+    # -> commit per micro-batch, batch id riding the commit record),
+    # so an in-flight batch is OPEN (invisible even mid-rename to
+    # ledger-aware readers, visible to SHOW TRANSACTIONS) and a
+    # crashed batch recover()-aborts -- HiveStreamingConnection's
+    # metastore txn-batch shape, replacing the rename-existence guard
+    ledger = HiveWriteIdLedger(os.path.join(root, "ledger.jsonl"))
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = int(batch_id) + 1
-        final = os.path.join(root, f"delta_{w:07d}_{w:07d}")
-        if os.path.exists(final):
-            return  # replayed batch: its transaction already landed
-        events = (
-            batch_df.select(*payload)
-            .withColumn(
-                "__bucket",
-                F.pmod(F.hash("event_id"), F.lit(4)).cast("int"),
-            )
-            .withColumn(
-                "__rid",
-                (
-                    F.row_number().over(
-                        Window.partitionBy("__bucket").orderBy("event_id")
-                    )
-                    - 1
-                ).cast("long"),
-            )
-            .withColumn("__otid", F.lit(w).cast("long"))
-            .withColumn("__ctid", F.lit(w).cast("long"))
-            .withColumn("__op", F.lit(_OP_INSERT))
+        hive_stream_commit_batch(
+            spark, root, ledger, batch_df.select(*payload), batch_id,
+            payload_schema=schema, payload_fields=fields,
         )
-        scratch = os.path.join(root, f".scratch_delta_{w:07d}")
-        shutil.rmtree(scratch, ignore_errors=True)
-        _write_version_dirs(events, None, scratch, None, fields)
-        if os.path.exists(scratch):  # empty batches emit no dir
-            os.rename(scratch, final)
 
     src = _stream_source_parts(spark, sf_dir, n_parts=2)
     with _stream_partitions(spark):
@@ -2808,13 +2796,15 @@ def evt_stream_hive_acid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_deltas = len(
         [d for d in os.listdir(root) if d.startswith("delta_")]
     )
-    schema = [
-        ("event_id", "long"),
-        ("event_type", "string"),
-        ("value", "double"),
-    ]
+    assert sorted(ledger.committed_meta(root).values(),
+                  key=lambda m: m["batch"]) == [
+        {"batch": 0}, {"batch": 1}
+    ], ledger.entries(root)
     return (
-        read_hive_acid(spark, root, schema)
+        read_hive_acid(
+            spark, root, schema,
+            valid_writeids=ledger.valid_writeids(root),
+        )
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -2863,7 +2853,8 @@ def evt_stream_hive_mm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds). This is the 100 TB shape for streaming ingestion
     into a Hive-3 default managed table."""
     from layer_apache_hive_spark.sources.hive_acid import (
-        append_mm_delta,
+        HiveWriteIdLedger,
+        hive_stream_commit_batch,
         read_hive_mm,
     )
 
@@ -2872,13 +2863,15 @@ def evt_stream_hive_mm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)  # reseed: idempotent per run
     os.makedirs(root, exist_ok=True)
     payload = ["event_id", "event_type", "value"]
+    # ledger-minted batch writeids (r13 task 3) -- see the full-ACID
+    # sibling; for MM the per-batch write is a plain parquet save
+    ledger = HiveWriteIdLedger(os.path.join(root, "ledger.jsonl"))
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = int(batch_id) + 1
-        final = os.path.join(root, f"delta_{w:07d}_{w:07d}")
-        if os.path.exists(final):
-            return  # replayed batch: its transaction already landed
-        append_mm_delta(spark, root, batch_df.select(*payload), w)
+        hive_stream_commit_batch(
+            spark, root, ledger, batch_df.select(*payload), batch_id,
+            insert_only=True,
+        )
 
     src = _stream_source_parts(spark, sf_dir, n_parts=2)
     with _stream_partitions(spark):
@@ -2908,6 +2901,7 @@ def evt_stream_hive_mm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_hive_mm(
             spark,
             root,
+            valid_writeids=ledger.valid_writeids(root),
             empty_schema="event_id long, event_type string, value double",
         )
         .groupBy("event_type")

@@ -699,3 +699,104 @@ def test_exclusive_iow_lock_lifecycle(spark, mgr13):
     )
     assert out.startswith("DONE:"), out
     assert _view13(spark) == {(9, 9.0)}
+
+
+# --- part 4: ledger-minted streaming ingest (r13 verdict task 3) -------------
+
+
+from layer_apache_hive_spark.sources.hive_acid import (  # noqa: E402
+    hive_stream_commit_batch,
+)
+
+
+def test_stream_batch_commit_replay_and_show_transactions_surface(
+    spark, tmp_path
+):
+    led = HiveWriteIdLedger(str(tmp_path / "l.jsonl"))
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, "A", 1.0)], MM_DDL)
+    w = hive_stream_commit_batch(
+        spark, root, led, df, 0, payload_schema=SCHEMA,
+        payload_fields=_fields(),
+    )
+    assert w == 1 and led.entries(root)[1] == "committed"
+    # replayed batch 0 drops itself (the commit-record batch guard)
+    assert hive_stream_commit_batch(
+        spark, root, led, df, 0, payload_schema=SCHEMA,
+        payload_fields=_fields(),
+    ) is None
+    assert [d for d in sorted(os.listdir(root))
+            if d.startswith("delta_")] == ["delta_0000001_0000001"]
+
+
+def test_stream_crash_mid_batch_reads_pre_batch_state(spark, tmp_path):
+    """The verdict's acceptance: a batch that crashed between the
+    delta rename and the ledger commit is OPEN — invisible to reads —
+    and a successor's recover() aborts it; the table reads the
+    PRE-batch state throughout, the Cleaner removes the debris, and
+    the re-delivered batch ingests under a FRESH writeid."""
+    path = str(tmp_path / "l.jsonl")
+    led = HiveWriteIdLedger(path)
+    root = str(tmp_path / "s")
+    os.makedirs(root)
+    df0 = spark.createDataFrame([(1, "A", 1.0)], MM_DDL)
+    df1 = spark.createDataFrame([(2, "B", 2.0)], MM_DDL)
+    assert hive_stream_commit_batch(
+        spark, root, led, df0, 0, payload_schema=SCHEMA,
+        payload_fields=_fields(),
+    ) == 1
+    # batch 1 crashes AFTER the rename, BEFORE the commit record:
+    w = led.allocate(root)
+    append_delta(spark, root, df1, SCHEMA, _fields(), w)
+    del led  # the manager dies here; writeid w is OPEN on disk
+
+    succ = HiveWriteIdLedger(path)
+    # even BEFORE recover(), a ledger-aware read excludes the open id
+    ks = {
+        r.k
+        for r in read_hive_acid(
+            spark, root, SCHEMA,
+            valid_writeids=succ.valid_writeids(root),
+        ).collect()
+    }
+    assert ks == {1}  # pre-batch state
+    assert succ.recover() == [(root, w)]
+    removed = clean_hive_acid(root, aborted=succ.aborted_ids(root))
+    assert f"delta_{w:07d}_{w:07d}" in removed, removed
+    # the re-delivered batch lands under a FRESH writeid (never w)
+    w2 = hive_stream_commit_batch(
+        spark, root, succ, df1, 1, payload_schema=SCHEMA,
+        payload_fields=_fields(),
+    )
+    assert w2 == w + 1
+    ks = {
+        r.k
+        for r in read_hive_acid(
+            spark, root, SCHEMA,
+            valid_writeids=succ.valid_writeids(root),
+        ).collect()
+    }
+    assert ks == {1, 2}
+
+
+def test_stream_mm_batch_ledger_path(spark, tmp_path):
+    led = HiveWriteIdLedger()
+    root = str(tmp_path / "mm")
+    df = spark.createDataFrame([(1, "A", 1.0)], MM_DDL)
+    from layer_apache_hive_spark.sources.hive_acid import read_hive_mm
+
+    assert hive_stream_commit_batch(
+        spark, root, led, df, 7, insert_only=True,
+    ) == 1
+    assert hive_stream_commit_batch(
+        spark, root, led, df, 7, insert_only=True,
+    ) is None
+    got = {
+        r.k
+        for r in read_hive_mm(
+            spark, root, valid_writeids=led.valid_writeids(root),
+            empty_schema=MM_DDL,
+        ).collect()
+    }
+    assert got == {1}
