@@ -508,7 +508,13 @@ def _drop_subsumed(dirs: list[str]) -> list[str]:
     statement-id dirs (the compactor's merge of a multi-statement
     transaction's per-statement dirs covers the identical range), but
     same-range stmt siblings never subsume EACH OTHER — all of a
-    transaction's statement dirs are elected together."""
+    transaction's statement dirs are elected together.
+
+    Re-attempted compactions (r13): two dirs IDENTICAL in
+    (lo, hi, stmt) but differing in the ``_vNNNNNNN`` visibility
+    suffix are the same merge attempted twice — only the
+    lexicographically LAST (highest visibility txn) is kept, Hive's
+    HIVE-20823 ordering rule."""
 
     def key(p: str) -> tuple[int, int, int | None]:
         parsed = _parse_acid_name(os.path.basename(p))
@@ -533,6 +539,13 @@ def _drop_subsumed(dirs: list[str]) -> list[str]:
                     or (qstmt is None and stmt is not None)
                 )
             ):
+                subsumed = True
+                break
+            if (
+                (qlo, qhi, qstmt) == (lo, hi, stmt)
+                and os.path.basename(q) > os.path.basename(p)
+            ):
+                # identical range+stmt, later visibility suffix wins
                 subsumed = True
                 break
         if not subsumed:
@@ -784,6 +797,7 @@ def compact_hive_acid(
     payload_fields,
     max_writeid: int | None = None,
     valid_writeids: "ValidWriteIdList | None" = None,
+    visibility_txn: int | None = None,
 ) -> int:
     """MAJOR compaction of an ACID layout we (or Hive) wrote: fold
     every elected directory with writeid ≤ ``max_writeid`` into one
@@ -810,6 +824,9 @@ def compact_hive_acid(
     the fold — Hive's compactor removes aborted events permanently
     (the new base only carries committed rows), and the watermark
     is capped at the list's high watermark."""
+    vsuffix = (
+        f"_v{visibility_txn:07d}" if visibility_txn is not None else ""
+    )
     max_writeid, invalid = _effective_bounds(max_writeid, valid_writeids)
     data_dirs, _, _originals, _ = _elect_dirs(root, max_writeid, invalid)
     if not data_dirs:
@@ -846,7 +863,7 @@ def compact_hive_acid(
     _write_version_dirs(
         events,
         None,
-        os.path.join(root, f"base_{w:07d}"),
+        os.path.join(root, f"base_{w:07d}{vsuffix}"),
         None,
         payload_fields,
     )
@@ -860,6 +877,7 @@ def minor_compact_hive_acid(
     payload_fields,
     max_writeid: int | None = None,
     valid_writeids: "ValidWriteIdList | None" = None,
+    visibility_txn: int | None = None,
 ) -> tuple[int, int] | None:
     """MINOR compaction: merge the elected delta directories into one
     ``delta_minW_maxW`` (and the delete_delta dirs into one
@@ -885,6 +903,9 @@ def minor_compact_hive_acid(
     must not subsume)."""
     import glob as _glob
 
+    vsuffix = (
+        f"_v{visibility_txn:07d}" if visibility_txn is not None else ""
+    )
     max_writeid, invalid = _effective_bounds(max_writeid, valid_writeids)
     invalid_list = sorted(invalid)
     data_dirs, delete_dirs, _, bounds = _elect_dirs(
@@ -986,7 +1007,7 @@ def minor_compact_hive_acid(
         _write_version_dirs(
             ins,
             None,
-            os.path.join(root, f"delta_{lo:07d}_{hi:07d}"),
+            os.path.join(root, f"delta_{lo:07d}_{hi:07d}{vsuffix}"),
             None,
             payload_fields,
         )
@@ -1002,7 +1023,9 @@ def minor_compact_hive_acid(
             empty,
             dels,
             scratch,
-            os.path.join(root, f"delete_delta_{lo:07d}_{hi:07d}"),
+            os.path.join(
+                root, f"delete_delta_{lo:07d}_{hi:07d}{vsuffix}"
+            ),
             payload_fields,
         )
         shutil.rmtree(scratch, ignore_errors=True)
@@ -1039,8 +1062,8 @@ def clean_hive_acid(
     base IS the debris (removed) and the committed deltas stay.
     ``open_ids`` (in-flight writeids) likewise never supersede and
     are never removed — their outcome is not yet known."""
-    base_n, has_base = 0, False
-    for e in os.listdir(root):
+    base_n, has_base, best_base = 0, False, None
+    for e in sorted(os.listdir(root)):
         parsed = _parse_acid_name(e)
         if (
             parsed
@@ -1048,7 +1071,11 @@ def clean_hive_acid(
             and parsed[1] not in aborted
             and parsed[1] not in open_ids
         ):
-            base_n, has_base = max(base_n, parsed[1]), True
+            # sorted scan: on equal N the lexicographically later
+            # entry (higher _v visibility suffix) wins — the same
+            # tie-break the election applies (HIVE-20823)
+            if parsed[1] >= base_n:
+                base_n, has_base, best_base = parsed[1], True, e
     removed = []
     for e in sorted(os.listdir(root)):
         parsed = _parse_acid_name(e)
@@ -1064,7 +1091,12 @@ def clean_hive_acid(
         if kind == "base" and hi in aborted:
             # aborted-IOW debris: the base never committed
             removed.append(e)
-        elif kind == "base" and (hi < base_n and has_base):
+        elif kind == "base" and has_base and hi <= base_n and (
+            e != best_base
+        ):
+            # superseded by a higher base, or a re-attempted
+            # compaction's same-N sibling with a lower visibility
+            # suffix — either way the elected base carries its rows
             removed.append(e)
         elif kind != "base" and has_base and hi <= base_n:
             removed.append(e)
@@ -1895,6 +1927,10 @@ class HiveWriteIdLedger:
         #: batch id a commit ingested (the exactly-once replay guard
         #: rides the SAME durable record as the commit itself, r13)
         self._meta: dict[str, dict[int, dict]] = {}
+        #: compaction visibility-txn counter (HIVE-20823): its OWN
+        #: sequence — Hive's visibility ids are TXN ids, so minting
+        #: them must never consume (or shift) table writeids
+        self._vis: int = 0
         if path and os.path.exists(path):
             with open(path) as fh:
                 for line in fh:
@@ -1913,6 +1949,8 @@ class HiveWriteIdLedger:
                     for root, w in rec.get(
                         "multi", [(rec.get("root"), rec.get("w"))]
                     ):
+                        if root is None or w is None:
+                            continue  # a vis-counter (or alien) record
                         self._state.setdefault(root, {})[int(w)] = rec[
                             "state"
                         ]
@@ -1924,6 +1962,8 @@ class HiveWriteIdLedger:
                         self._meta.setdefault(rec["root"], {})[
                             int(rec["w"])
                         ] = rec["meta"]
+                    if "vis" in rec:
+                        self._vis = max(self._vis, int(rec["vis"]))
 
     def _append(
         self,
@@ -2045,6 +2085,21 @@ class HiveWriteIdLedger:
             snapshots={root: snapshot} if snapshot is not None else None,
             meta=meta,
         )
+
+    def next_visibility_txn(self) -> int:
+        """Mint a compaction visibility txn (HIVE-20823): monotone,
+        durable, and on its OWN sequence — table writeids are never
+        consumed or shifted by compactions (Hive's visibility ids
+        are metastore TXN ids, not writeids)."""
+        with self._lock:
+            v = self._vis + 1
+            if self.path:
+                with open(self.path, "a") as fh:
+                    fh.write(self._json.dumps({"vis": v}) + "\n")
+                    fh.flush()
+                    os.fsync(fh.fileno())
+            self._vis = v
+            return v
 
     def committed_meta(self, root: str) -> dict[int, dict]:
         """writeid -> commit metadata for COMMITTED writeids of one
@@ -3203,6 +3258,7 @@ def minor_compact_hive_mm(
     fmt: str = "parquet",
     valid_writeids: "ValidWriteIdList | None" = None,
     empty_schema: str | None = None,
+    visibility_txn: int | None = None,
 ) -> tuple[int, int] | None:
     """MM MINOR compaction: merge the elected committed delta dirs
     into one ``delta_minW_maxW`` of plain files — a distributed read
@@ -3231,6 +3287,9 @@ def minor_compact_hive_mm(
         for f in sorted(os.listdir(d))
         if not f.startswith((".", "_"))
     ]
+    vsuffix = (
+        f"_v{visibility_txn:07d}" if visibility_txn is not None else ""
+    )
     scratch = os.path.join(root, f".mm_minor_{lo:07d}_{hi:07d}")
     shutil.rmtree(scratch, ignore_errors=True)
     if files:
@@ -3241,7 +3300,7 @@ def minor_compact_hive_mm(
         spark.createDataFrame([], empty_schema).write.format(fmt).save(
             scratch
         )
-    final = os.path.join(root, f"delta_{lo:07d}_{hi:07d}")
+    final = os.path.join(root, f"delta_{lo:07d}_{hi:07d}{vsuffix}")
     shutil.rmtree(final, ignore_errors=True)
     os.rename(scratch, final)
     return lo, hi
@@ -3276,6 +3335,7 @@ def compact_hive_mm(
     max_writeid: int | None = None,
     valid_writeids: "ValidWriteIdList | None" = None,
     empty_schema: str | None = None,
+    visibility_txn: int | None = None,
 ) -> int:
     """MAJOR compaction of an insert-only table: rewrite the elected
     files into ``base_W`` `[upstream: hive ql/txn/compactor MM major
@@ -3302,10 +3362,13 @@ def compact_hive_mm(
         valid_writeids=valid_writeids,
         empty_schema=empty_schema,
     )
+    vsuffix = (
+        f"_v{visibility_txn:07d}" if visibility_txn is not None else ""
+    )
     scratch = os.path.join(root, f".mm_compact_{w:07d}")
     shutil.rmtree(scratch, ignore_errors=True)
     df.write.format(fmt).save(scratch)
-    final = os.path.join(root, f"base_{w:07d}")
+    final = os.path.join(root, f"base_{w:07d}{vsuffix}")
     shutil.rmtree(final, ignore_errors=True)
     os.rename(scratch, final)
     return w
@@ -4236,6 +4299,7 @@ class HiveAcidInitiator:
         fmt: str = "parquet",
         valid_writeids_fn=None,
         republish_fn=None,
+        visibility_fn=None,
     ) -> None:
         """Enroll a layout. ``insert_only=True`` enrolls an MM table
         (HIVE-14535): same thresholds and Cleaner, but folds route to
@@ -4251,7 +4315,12 @@ class HiveAcidInitiator:
         runs after any fold/clean that changed this root — the seam a
         PARTITION enrollment uses (r13): the root here is one
         partition dir, but the served view is the whole partitioned
-        table, which only the manager knows how to publish."""
+        table, which only the manager knows how to publish.
+        ``visibility_fn`` (no-arg callable → int, normally a
+        ledger-allocation closure) mints the COMPACTION VISIBILITY
+        TXN stamped on fold output (``base_W_vNNNNNNN`` /
+        ``delta_lo_hi_vNNNNNNN``, HIVE-20823) so re-attempted
+        compactions order by suffix (r13 task 5)."""
         with self._lock:
             t = {
                 "root": root,
@@ -4262,6 +4331,7 @@ class HiveAcidInitiator:
                 "fmt": fmt,
                 "valid_writeids_fn": valid_writeids_fn,
                 "republish_fn": republish_fn,
+                "visibility_fn": visibility_fn,
             }
             self.tables.append(t)
             if serve_as:
@@ -4403,6 +4473,8 @@ class HiveAcidInitiator:
                 f"{n} {typ}" for n, typ in t["schema"]
             )
             vw = self._vw(t)
+            vfn = t.get("visibility_fn")
+            vis = vfn() if (vfn is not None and kind) else None
             if kind == "major":
                 detail = (
                     compact_hive_mm(
@@ -4411,6 +4483,7 @@ class HiveAcidInitiator:
                         t["fmt"],
                         empty_schema=mm_schema,
                         valid_writeids=vw,
+                        visibility_txn=vis,
                     )
                     if mm
                     else compact_hive_acid(
@@ -4419,6 +4492,7 @@ class HiveAcidInitiator:
                         t["schema"],
                         t["fields"],
                         valid_writeids=vw,
+                        visibility_txn=vis,
                     )
                 )
                 changed = True
@@ -4430,6 +4504,7 @@ class HiveAcidInitiator:
                         t["fmt"],
                         empty_schema=mm_schema,
                         valid_writeids=vw,
+                        visibility_txn=vis,
                     )
                     if mm
                     else minor_compact_hive_acid(
@@ -4438,6 +4513,7 @@ class HiveAcidInitiator:
                         t["schema"],
                         t["fields"],
                         valid_writeids=vw,
+                        visibility_txn=vis,
                     )
                 )
                 changed = detail is not None

@@ -575,6 +575,14 @@ class TxnSessionManager:
                 + "`"
             )
 
+    def _mint_visibility(self, root: str) -> int:
+        """A compaction's visibility txn (HIVE-20823), minted from the
+        ledger's dedicated visibility sequence — monotone and durable,
+        so re-attempted folds order by their ``_vNNNNNNN`` suffix,
+        and table writeids are never consumed by compactions (Hive's
+        visibility ids are TXN ids, not writeids)."""
+        return self.ledger.next_visibility_txn()
+
     # -- lock manager (DbLockManager analog, r13 task 6) -----------------
 
     def _acquire_lock(
@@ -1078,6 +1086,7 @@ class TxnSessionManager:
                 valid_writeids_fn=lambda r=root, n=ent[
                     "name"
                 ]: self.ledger.valid_writeids(r, table=n),
+                visibility_fn=lambda r=root: self._mint_visibility(r),
             )
         elif serve:
             self._republish_acid(ent)
@@ -1763,6 +1772,9 @@ class TxnSessionManager:
                         "name"
                     ]: self.ledger.valid_writeids(r, table=n),
                     republish_fn=lambda e=ent: self._republish_acid(e),
+                    visibility_fn=lambda r=ent[
+                        "root"
+                    ]: self._mint_visibility(r),
                 )
                 enrolled.add(pdir)
             self.initiator.request_compaction(pdir, kind)

@@ -81,6 +81,14 @@ SLICE = [
     # entropy gate read documents BY NAME through the catalog
     "ext_dedup_substring",
     "ext_text_entropy",
+    # round-13 (verdict task 7): the wire-DML statement surface under
+    # a Derby-catalog session — INSERT/UPDATE/DELETE and MERGE routed
+    # through TxnSessionManager.handle with the source orders table
+    # resolved BY NAME through the Hive catalog (read_table under
+    # SPARK_GRAFT_USE_METASTORE), proving the transactional verbs see
+    # the same bytes under catalog resolution
+    "sink_hive_acid_wire_dml",
+    "sink_hive_acid_wire_merge",
 ]
 
 

@@ -545,7 +545,9 @@ def test_acid_compact_statement_lifecycle(spark, acid_mgr):
         for r in spark.table("global_temp.r11_compactions").collect()
     ]
     assert states == [("major", "succeeded")]
-    assert sorted(os.listdir(root)) == ["base_0000002"]
+    # r13: manager-driven folds stamp the HIVE-20823 visibility
+    # suffix from the ledger's dedicated sequence
+    assert sorted(os.listdir(root)) == ["base_0000002_v0000001"]
     # unknown table / bad kind / inside-txn refusals
     assert mgr.handle(
         "s1", "ALTER TABLE nope COMPACT 'major'"
@@ -867,5 +869,5 @@ def test_mm_enrollment_wire_dml_and_initiator(spark, tmp_path):
     assert out.startswith("DONE:Compaction request queued"), out
     done = init.run_once()
     assert done and done[0][1] == "major" and done[0][2] == 3, done
-    assert sorted(os.listdir(root)) == ["base_0000003"]
+    assert sorted(os.listdir(root)) == ["base_0000003_v0000001"]
     assert served() == {1, 2, 3, 4}

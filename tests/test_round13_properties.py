@@ -800,3 +800,112 @@ def test_stream_mm_batch_ledger_path(spark, tmp_path):
         ).collect()
     }
     assert got == {1}
+
+
+# --- part 5: compactor visibility suffixes (r13 verdict task 5) --------------
+
+
+from layer_apache_hive_spark.sources.hive_acid import (  # noqa: E402
+    compact_hive_acid,
+    minor_compact_hive_acid,
+)
+
+
+def test_major_recompaction_elects_later_visibility_suffix(
+    spark, tmp_path
+):
+    """Two attempts of the SAME major fold (equal base_N) stamped
+    with increasing visibility txns: readers elect the later suffix
+    (HIVE-20823 ordering), never double-count, and the Cleaner
+    removes the superseded same-N sibling."""
+    led = HiveWriteIdLedger(str(tmp_path / "l.jsonl"))
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, "A", 1.0), (2, "B", 2.0)], MM_DDL)
+    for i in range(2):
+        w = led.allocate(root)
+        append_delta(
+            spark, root,
+            df.withColumn("k", F.col("k") + 10 * i),
+            SCHEMA, _fields(), w,
+        )
+        led.commit(root, w)
+    v1 = led.next_visibility_txn()
+    w = compact_hive_acid(
+        spark, root, SCHEMA, _fields(), visibility_txn=v1
+    )
+    assert f"base_{w:07d}_v{v1:07d}" in os.listdir(root)
+    v2 = led.next_visibility_txn()
+    assert v2 > v1
+    compact_hive_acid(spark, root, SCHEMA, _fields(), visibility_txn=v2)
+    entries = sorted(os.listdir(root))
+    assert f"base_{w:07d}_v{v1:07d}" in entries
+    assert f"base_{w:07d}_v{v2:07d}" in entries
+    got = sorted(
+        r.k for r in read_hive_acid(spark, root, SCHEMA).collect()
+    )
+    assert got == [1, 2, 11, 12]  # no double count across attempts
+    removed = clean_hive_acid(root)
+    assert f"base_{w:07d}_v{v1:07d}" in removed, removed
+    assert f"base_{w:07d}_v{v2:07d}" not in removed
+    got = sorted(
+        r.k for r in read_hive_acid(spark, root, SCHEMA).collect()
+    )
+    assert got == [1, 2, 11, 12]
+
+
+def test_minor_recompaction_same_range_suffix_dedup(spark, tmp_path):
+    led = HiveWriteIdLedger()
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    df = spark.createDataFrame([(1, "A", 1.0)], MM_DDL)
+    for i in range(2):
+        w = led.allocate(root)
+        append_delta(
+            spark, root,
+            df.withColumn("k", F.lit(i + 1).cast("long")),
+            SCHEMA, _fields(), w,
+        )
+        led.commit(root, w)
+    r1 = minor_compact_hive_acid(
+        spark, root, SCHEMA, _fields(), visibility_txn=1
+    )
+    assert r1 == (1, 2)
+    assert "delta_0000001_0000002_v0000001" in os.listdir(root)
+    # a RE-ATTEMPTED merge leaves two dirs identical in range and
+    # differing only in the visibility suffix (the first attempt's
+    # worker died before its queue entry closed; the second re-ran):
+    # simulate the second attempt's output directly
+    import shutil as _sh
+
+    _sh.copytree(
+        os.path.join(root, "delta_0000001_0000002_v0000001"),
+        os.path.join(root, "delta_0000001_0000002_v0000002"),
+    )
+    entries = sorted(os.listdir(root))
+    assert "delta_0000001_0000002_v0000002" in entries, entries
+    got = sorted(
+        r.k for r in read_hive_acid(spark, root, SCHEMA).collect()
+    )
+    assert got == [1, 2]  # same-range attempts never double-count
+    clean_hive_acid(root)
+    entries = sorted(os.listdir(root))
+    assert "delta_0000001_0000002_v0000001" not in entries, entries
+    assert "delta_0000001_0000002_v0000002" in entries, entries
+
+
+def test_visibility_counter_durable_and_separate_from_writeids(
+    tmp_path,
+):
+    p = str(tmp_path / "l.jsonl")
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    led = HiveWriteIdLedger(p)
+    w1 = led.allocate(root)
+    assert led.next_visibility_txn() == 1
+    assert led.next_visibility_txn() == 2
+    # visibility ids never consume writeids
+    led.commit(root, w1)
+    assert led.allocate(root) == w1 + 1
+    succ = HiveWriteIdLedger(p)
+    assert succ.next_visibility_txn() == 3  # durable counter

@@ -381,7 +381,9 @@ done = init.run_once()
 assert done and done[0][1] == "major", done
 assert served("SELECT kind, state FROM global_temp.compactions") == [
     ["major", "succeeded"]]
-assert sorted(os.listdir(root)) == ["base_0000003"]
+# r13: manager-driven folds stamp the visibility-txn suffix
+# (HIVE-20823) from the ledger's dedicated sequence
+assert sorted(os.listdir(root)) == ["base_0000003_v0000001"]
 assert [int(r[0]) for r in served(q)] == [1, 2, 3, 10, 11]
 print("ACID_COMPACT_WIRE_OK")
 
