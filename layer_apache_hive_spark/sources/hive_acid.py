@@ -3157,6 +3157,210 @@ def hive_acid_update_partitioned(
     return written
 
 
+def hive_acid_merge_partitioned(
+    spark: SparkSession,
+    root: str,
+    payload_schema: list[tuple[str, str]],
+    payload_fields,
+    writeid: int,
+    partition_col: str,
+    source_df: DataFrame,
+    on_cond: str,
+    target_alias: str = "t",
+    source_alias: str = "s",
+    matched_clauses: "list[tuple[str | None, object]] | None" = None,
+    insert_values: "list[str] | None" = None,
+    insert_cond: "str | None" = None,
+    partition_type: str = "string",
+    n_buckets: int = 4,
+    bucket_col: str | None = None,
+    valid_writeids: "ValidWriteIdList | None" = None,
+    stmt: int | None = None,
+    snapshot: DataFrame | None = None,
+) -> list[str]:
+    """MERGE INTO a PARTITIONED transactional layout (r13): the same
+    MergeSemanticAnalyzer split-update rewrite as
+    :func:`hive_acid_merge` — first-matching-clause-wins via
+    NOT(earlier) guards, cardinality rule, one writeid — but the
+    target snapshot carries the partition column (ON/clause
+    predicates may reference it), row events land in per-TOUCHED-
+    partition delete_delta/delta dirs, and the WHEN NOT MATCHED
+    INSERT expression list carries the partition value LAST (the
+    dynamic-partition column rule — an inserted row's partition comes
+    from its expression, an updated row stays in its partition: SET
+    of the partition column is refused upstream). Returns the
+    written dir paths."""
+    import uuid
+
+    matched_clauses = matched_clauses or []
+    names = [n for n, _ in payload_schema]
+    tag = uuid.uuid4().hex[:12]
+    tv, sv = f"__pmerge_t_{tag}", f"__pmerge_s_{tag}"
+    snap = (
+        snapshot
+        if snapshot is not None
+        else read_hive_acid_partitioned(
+            spark,
+            root,
+            payload_schema,
+            partition_col,
+            partition_type,
+            keep_identity=True,
+            valid_writeids=valid_writeids,
+        ).localCheckpoint(eager=True)
+    )
+    snap.createOrReplaceTempView(tv)
+    source_df.createOrReplaceTempView(sv)
+    try:
+        join = (
+            f"FROM {tv} {target_alias} JOIN {sv} {source_alias} "
+            f"ON {on_cond}"
+        )
+        ident = (
+            f"{target_alias}.otid, {target_alias}.bucket, "
+            f"{target_alias}.rid, {target_alias}.{partition_col}"
+        )
+        dup = spark.sql(
+            f"SELECT {target_alias}.otid {join} "
+            f"GROUP BY {ident} HAVING COUNT(*) > 1 LIMIT 1"
+        ).take(1)
+        if dup:
+            raise ValueError(
+                "MERGE cardinality violation: a target row matches "
+                "more than one source row "
+                "(hive.merge.cardinality.check)"
+            )
+        del_parts: list[DataFrame] = []
+        ins_parts: list[DataFrame] = []
+        earlier: list[str] = []
+        for extra, action in matched_clauses:
+            guards = [f"({c})" for c in earlier]
+            where = " AND ".join(
+                ([f"({extra})"] if extra else [])
+                + [f"NOT coalesce({g}, FALSE)" for g in guards]
+            )
+            clause_where = f"WHERE {where}" if where else ""
+            if action == "delete":
+                del_parts.append(
+                    spark.sql(f"SELECT {ident} {join} {clause_where}")
+                )
+            else:  # SET list: split-update, partition pinned
+                set_map = dict(action)
+                if partition_col in set_map:
+                    raise ValueError(
+                        "MERGE may not SET partition column "
+                        f"'{partition_col}' (Hive refuses)"
+                    )
+                unknown = set(set_map) - set(names)
+                if unknown:
+                    raise ValueError(
+                        f"MERGE UPDATE SET references unknown columns "
+                        f"{sorted(unknown)}"
+                    )
+                del_parts.append(
+                    spark.sql(f"SELECT {ident} {join} {clause_where}")
+                )
+                sel = ", ".join(
+                    f"({set_map[n]}) AS {n}"
+                    if n in set_map
+                    else f"{target_alias}.{n}"
+                    for n in names
+                )
+                ins_parts.append(
+                    spark.sql(
+                        f"SELECT {sel}, {target_alias}."
+                        f"{partition_col} AS {partition_col} "
+                        f"{join} {clause_where}"
+                    )
+                )
+            earlier.append(extra if extra else "TRUE")
+        if insert_values is not None:
+            if len(insert_values) != len(names) + 1:
+                raise ValueError(
+                    f"MERGE INSERT arity {len(insert_values)} != "
+                    f"{len(names) + 1} (payload + partition column "
+                    "LAST on a partitioned table)"
+                )
+            sel = ", ".join(
+                f"({e}) AS {n}"
+                for n, e in zip(names + [partition_col], insert_values)
+            )
+            iw = (
+                f" WHERE coalesce(({insert_cond}), FALSE)"
+                if insert_cond is not None
+                else ""
+            )
+            ins_parts.append(
+                spark.sql(
+                    f"SELECT {sel} FROM {sv} {source_alias} "
+                    f"LEFT ANTI JOIN {tv} {target_alias} ON {on_cond}"
+                    f"{iw}"
+                )
+            )
+        written: list[str] = []
+        dels = ins = None
+        if del_parts:
+            dels = del_parts[0]
+            for p in del_parts[1:]:
+                dels = dels.unionByName(p)
+            dels = dels.localCheckpoint(eager=True)
+        if ins_parts:
+            ins = ins_parts[0]
+            for p in ins_parts[1:]:
+                ins = ins.unionByName(p)
+            ins = ins.withColumn(
+                partition_col, F.col(partition_col).cast(partition_type)
+            ).localCheckpoint(eager=True)
+        touched: set = set()
+        if dels is not None:
+            touched |= {
+                r[0]
+                for r in dels.select(partition_col).distinct().collect()
+            }
+        if ins is not None:
+            touched |= {
+                r[0]
+                for r in ins.select(partition_col).distinct().collect()
+            }
+        for v in sorted(touched, key=lambda x: (x is None, str(x))):
+            pdir = partition_subdir(root, partition_col, v)
+            pf = (
+                F.col(partition_col).isNull()
+                if v is None
+                else F.col(partition_col) == F.lit(v)
+            )
+            if dels is not None:
+                p = append_delete_delta(
+                    spark,
+                    pdir,
+                    dels.filter(pf).select("otid", "bucket", "rid"),
+                    payload_schema,
+                    payload_fields,
+                    writeid,
+                    stmt=stmt,
+                )
+                if p is not None:
+                    written.append(p)
+            if ins is not None:
+                p = append_delta(
+                    spark,
+                    pdir,
+                    ins.filter(pf).drop(partition_col),
+                    payload_schema,
+                    payload_fields,
+                    writeid,
+                    stmt=stmt,
+                    n_buckets=n_buckets,
+                    bucket_col=bucket_col,
+                )
+                if p is not None:
+                    written.append(p)
+        return written
+    finally:
+        spark.catalog.dropTempView(tv)
+        spark.catalog.dropTempView(sv)
+
+
 def publish_hive_acid_partitioned(
     spark: SparkSession,
     root: str,
@@ -3902,9 +4106,24 @@ WITH w1 AS (
 ), deleted AS (
     SELECT * FROM updated
     WHERE NOT (part = 'F' AND o_orderkey % 5 = 0)
+), merged AS (
+    SELECT d.o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL AND d.part = 'O'
+                THEN d.o_totalprice + 100.0
+                ELSE d.o_totalprice END AS o_totalprice,
+           d.part
+    FROM deleted d
+    LEFT JOIN (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 0
+    ) s ON d.o_orderkey = s.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'M' AS part
+    FROM orders
+    WHERE o_orderkey % 13 = 0
+      AND o_orderkey NOT IN (SELECT o_orderkey FROM deleted)
 )
 SELECT o_orderkey, o_totalprice, part AS o_orderstatus
-FROM deleted WHERE part <> 'P'
+FROM merged WHERE part <> 'P'
 UNION ALL
 SELECT o_orderkey, o_totalprice, 'P' AS o_orderstatus
 FROM orders WHERE o_orderkey % 11 = 0
@@ -3934,7 +4153,13 @@ def sink_hive_acid_partitioned(
       w4 DELETE WHERE o_orderstatus = 'F' AND k % 5 = 0 — the
          partition-column predicate prunes the event dirs to one
          partition;
-      w5 INSERT OVERWRITE PARTITION (o_orderstatus='P') k % 11 = 0 —
+      w5 MERGE USING (k % 13 = 0): WHEN MATCHED AND t.status='O'
+         THEN UPDATE (+100, stays in 'O'), WHEN NOT MATCHED THEN
+         INSERT VALUES (…, 'M') — the partition value rides the LAST
+         insert expression (dynamic-partition column rule), so a new
+         partition 'M' materializes; matched rows in other partitions
+         take no clause and stay untouched;
+      w6 INSERT OVERWRITE PARTITION (o_orderstatus='P') k % 11 = 0 —
          a base_W in ONE partition: P's history (including its w3
          updates) vanishes, every other partition is untouched;
       then ALTER TABLE … PARTITION (o_orderstatus='O') COMPACT
@@ -3985,6 +4210,14 @@ def sink_hive_acid_partitioned(
         "WHERE o_orderkey % 7 = 3",
         "DELETE FROM part_orders "
         "WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0",
+        "MERGE INTO part_orders t USING "
+        "(SELECT o_orderkey, o_totalprice FROM part_orders_src "
+        "WHERE o_orderkey % 13 = 0) s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND t.o_orderstatus = 'O' THEN UPDATE SET "
+        "o_totalprice = t.o_totalprice + 100.0 "
+        "WHEN NOT MATCHED THEN INSERT VALUES "
+        "(s.o_orderkey, s.o_totalprice, 'M')",
         "INSERT OVERWRITE part_orders PARTITION (o_orderstatus='P') "
         "SELECT o_orderkey, o_totalprice FROM part_orders_src "
         "WHERE o_orderkey % 11 = 0",

@@ -1043,9 +1043,10 @@ class TxnSessionManager:
         partition dir and TABLE-level writeids — ``INSERT … PARTITION
         (col='v')`` (static), dynamic INSERT carrying the partition
         column last, per-partition UPDATE/DELETE event dirs under one
-        writeid, single-partition INSERT OVERWRITE, and ``ALTER TABLE
-        … PARTITION (col='v') COMPACT`` routing one partition to the
-        initiator `[upstream: hive AcidUtils getAcidState per
+        writeid, single-partition INSERT OVERWRITE, MERGE (insert
+        expressions carry the partition value last), and ``ALTER
+        TABLE … PARTITION (col='v') COMPACT`` routing one partition
+        to the initiator `[upstream: hive AcidUtils getAcidState per
         partition; CompactionRequest (db, table, partition)]`.
         Partitioned MM tables are not supported yet (refused)."""
         if partition_col is not None and insert_only:
@@ -1232,9 +1233,10 @@ class TxnSessionManager:
     def _apply_partitioned_row_op(
         self, ent, op, w, stmt, snap_cache, vw, note_ws=None
     ) -> str:
-        """UPDATE/DELETE on a partitioned enrollment: per-partition
-        event dirs under ONE table-level writeid. MERGE is refused
-        (documented boundary this round)."""
+        """UPDATE/DELETE/MERGE on a partitioned enrollment:
+        per-partition event dirs under ONE table-level writeid; the
+        MERGE INSERT expression list carries the partition value LAST
+        (the dynamic-partition column rule)."""
         from layer_apache_hive_spark.sources.hive_acid import (
             hive_acid_delete_partitioned,
             hive_acid_update_partitioned,
@@ -1242,10 +1244,68 @@ class TxnSessionManager:
 
         kind = op[0]
         if kind == "merge":
-            raise ValueError(
-                "MERGE INTO a partitioned hive-acid table is not "
-                "supported yet (INSERT/UPDATE/DELETE/IOW are)"
+            from layer_apache_hive_spark.sources.hive_acid import (
+                hive_acid_merge_partitioned,
             )
+
+            _, src_sql, on_cond, talias, salias, matched, ic, iv, icond = op
+            names = [n for n, _ in ent["schema"]]
+            pc = ent["partition_col"]
+            insert_values = None
+            if iv is not None:
+                full = names + [pc]
+                if ic is not None:
+                    unknown = set(ic) - set(full)
+                    if unknown:
+                        raise ValueError(
+                            "MERGE INSERT names unknown columns "
+                            f"{sorted(unknown)}"
+                        )
+                    if len(ic) != len(iv):
+                        raise ValueError(
+                            "MERGE INSERT column/value arity mismatch"
+                        )
+                    colmap = dict(zip(ic, iv))
+                    # unnamed columns take NULL (Hive's rule); an
+                    # unnamed PARTITION column inserts into
+                    # __HIVE_DEFAULT_PARTITION__ via NULL
+                    insert_values = [
+                        colmap.get(n, "NULL") for n in full
+                    ]
+                else:
+                    insert_values = list(iv)
+            paths = hive_acid_merge_partitioned(
+                self.spark,
+                ent["root"],
+                ent["schema"],
+                ent["fields"],
+                w,
+                pc,
+                source_df=self.spark.sql(src_sql),
+                on_cond=on_cond,
+                target_alias=talias,
+                source_alias=salias,
+                matched_clauses=list(matched),
+                insert_values=insert_values,
+                insert_cond=icond,
+                partition_type=ent["partition_type"],
+                n_buckets=ent["n_buckets"],
+                bucket_col=ent["bucket_col"],
+                valid_writeids=vw,
+                stmt=stmt,
+                snapshot=self._txn_snapshot(ent, snap_cache),
+            )
+            if note_ws is not None:
+                note_ws(
+                    {
+                        os.path.relpath(p, ent["root"]).split(os.sep)[0]
+                        for p in paths
+                    }
+                )
+            rel = "+".join(
+                os.path.relpath(p, ent["root"]) for p in paths
+            )
+            return rel or "no rows matched"
         if kind == "delete":
             paths = hive_acid_delete_partitioned(
                 self.spark,
@@ -2124,14 +2184,6 @@ class TxnSessionManager:
             refusal = self._mm_dml_refusal(self._acid[table], op)
             if refusal is not None:
                 return f"ERR_ACTIVE:{refusal}"
-            if op[0] == "merge" and self._acid[table].get(
-                "partition_col"
-            ):
-                return (
-                    "ERR_ACTIVE:MERGE INTO a partitioned hive-acid "
-                    "table is not supported yet "
-                    "(INSERT/UPDATE/DELETE/IOW are)"
-                )
         elif table not in self.catalog.resolve():
             return (
                 f"ERR_ACTIVE:table '{table}' is not enrolled in the "

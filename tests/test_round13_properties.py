@@ -547,25 +547,74 @@ def test_wire_partitioned_compact_one_partition(spark, pmgr13):
     assert _pview(spark) == [(1, 2.0, "X"), (2, 3.0, "Y")]
 
 
-def test_wire_partitioned_merge_refused(spark, pmgr13):
+def test_wire_partitioned_merge(spark, pmgr13):
+    """MERGE on a partitioned enrollment: matched rows delete/update
+    in THEIR partitions (updates never move partitions), unmatched
+    source rows insert into the partition their LAST insert
+    expression names (the dynamic-partition column rule), all under
+    one writeid."""
     mgr, root, init = pmgr13
-    spark.createDataFrame([(1, "S", 1.0)], MM_DDL).createOrReplaceTempView(
-        "r13_pmerge_src"
+    mgr.handle(
+        "s1",
+        "INSERT INTO pt13 SELECT 1 AS k, 'A' AS s, 1.0 AS pr, 'X' AS p "
+        "UNION ALL SELECT 2, 'B', 2.0, 'Y' "
+        "UNION ALL SELECT 3, 'C', 3.0, 'Y'",
     )
+    spark.createDataFrame(
+        [(1, "S", 10.0, "ignored"), (2, "S", 20.0, "ignored"),
+         (9, "S", 90.0, "Z")],
+        MM_DDL + ", src_p string",
+    ).createOrReplaceTempView("r13_pmerge_src")
     out = mgr.handle(
         "s1",
         "MERGE INTO pt13 t USING r13_pmerge_src s ON t.k = s.k "
-        "WHEN MATCHED THEN DELETE",
+        "WHEN MATCHED AND t.k = 2 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET price = t.price + s.price "
+        "WHEN NOT MATCHED THEN INSERT VALUES "
+        "(s.k, s.status, s.price, s.src_p)",
     )
-    assert out.startswith("ERR_ENDED:") and "partitioned" in out, out
-    mgr.handle("s1", "BEGIN")
+    assert out.startswith("DONE:Committed writeid 2"), out
+    # X: k=1 updated in place; Y: k=2 deleted, k=3 untouched;
+    # Z: k=9 inserted (partition from the LAST insert expression)
+    assert _pview(spark) == [
+        (1, 11.0, "X"), (3, 3.0, "Y"), (9, 90.0, "Z")
+    ]
+    entries = set(os.listdir(os.path.join(root, "p=X")))
+    assert {"delete_delta_0000002_0000002",
+            "delta_0000002_0000002"} <= entries, entries
+    assert "delete_delta_0000002_0000002" in os.listdir(
+        os.path.join(root, "p=Y")
+    )
+    assert os.listdir(os.path.join(root, "p=Z")) == [
+        "delta_0000002_0000002"
+    ]
+
+
+def test_wire_partitioned_merge_refuses_partition_set_and_cardinality(
+    spark, pmgr13
+):
+    mgr, root, init = pmgr13
+    mgr.handle(
+        "s1",
+        "INSERT INTO pt13 PARTITION (p='X') "
+        "SELECT 1 AS k, 'A' AS s, 1.0 AS pr",
+    )
+    spark.createDataFrame(
+        [(1, "S", 1.0), (1, "S", 2.0)], MM_DDL
+    ).createOrReplaceTempView("r13_pmerge_dup")
     out = mgr.handle(
         "s1",
-        "MERGE INTO pt13 t USING r13_pmerge_src s ON t.k = s.k "
-        "WHEN MATCHED THEN DELETE",
+        "MERGE INTO pt13 t USING r13_pmerge_dup s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET price = s.price",
     )
-    assert out.startswith("ERR_ACTIVE:") and "partitioned" in out, out
-    mgr.handle("s1", "ROLLBACK")
+    assert out.startswith("ERR_ENDED:") and "cardinality" in out, out
+    out = mgr.handle(
+        "s1",
+        "MERGE INTO pt13 t USING r13_pmerge_dup s ON t.k = s.k "
+        "AND s.price = 1.0 WHEN MATCHED THEN UPDATE SET p = 'Z'",
+    )
+    assert out.startswith("ERR_ENDED:") and "partition column" in out, out
+    assert _pview(spark) == [(1, 1.0, "X")]  # untouched throughout
 
 
 def test_wire_unpartitioned_table_refuses_partition_clause(
