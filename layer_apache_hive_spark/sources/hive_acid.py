@@ -4231,9 +4231,15 @@ def sink_hive_acid_partitioned(
         for v, d in partition_dirs(root, "o_orderstatus")
         if v != "O"
     }
-    init.run_once()
     o_dir = partition_subdir(root, "o_orderstatus", "O")
-    assert any(
+    o_had_data = any(
+        _parse_acid_name(e) for e in os.listdir(o_dir)
+    )
+    init.run_once()
+    # on an EMPTY corpus (the edge_empty sweep) partition O holds no
+    # dirs and Hive's compactor never writes a base for an empty
+    # election — the fold is a no-op, asserted only when data existed
+    assert not o_had_data or any(
         e.startswith("base_") for e in os.listdir(o_dir)
     ), sorted(os.listdir(o_dir))
     siblings_after = {
@@ -4310,11 +4316,21 @@ def sink_hive_acid_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert mgr.handle("T1", bump.format("1.0")).startswith("ACTIVE:")
     assert mgr.handle("T2", bump.format("2.0")).startswith("ACTIVE:")
-    assert mgr.handle("T1", "COMMIT").startswith("DONE:")
+    t1_out = mgr.handle("T1", "COMMIT")
+    assert t1_out.startswith("DONE:"), t1_out
     out = mgr.handle("T2", "COMMIT")
-    assert out.startswith("ERR_ENDED:") and "conflict" in out, out
-    entries = mgr.ledger.entries(root)
-    assert entries[2] == "committed" and entries[3] == "aborted", entries
+    if "no rows matched" in t1_out:
+        # empty corpus (the edge_empty sweep): T1's UPDATE hit no
+        # rows, wrote no delete_delta and recorded NO write set — so
+        # T2 legitimately commits (Hive's WRITE_SET holds written
+        # rows only; a no-op update conflicts with nothing)
+        assert out.startswith("DONE:"), out
+    else:
+        assert out.startswith("ERR_ENDED:") and "conflict" in out, out
+        entries = mgr.ledger.entries(root)
+        assert (
+            entries[2] == "committed" and entries[3] == "aborted"
+        ), entries
     # inserts never conflict: a concurrent append pair both commit
     mgr.handle("T3", "BEGIN")
     mgr.handle("T4", "BEGIN")
