@@ -512,48 +512,111 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_frame(emb: DataFrame) -> DataFrame:
     """The SemDeDup kernel over an embedding frame carrying
     (vec_id, label, embedding, nrm) — ``label`` is the coarse cell
-    (fixture label or learned cluster id); all joins key on it."""
-    dims, cent, cnorm = _centroid_frames(emb)
-    c2c = (
-        dims.join(F.broadcast(cent), ["label", "pos"])
-        .groupBy("vec_id")
-        .agg(
-            F.expr(
-                "CAST(SUM(CAST(FLOOR(x * cval * 1e12) AS BIGINT))"
-                " AS DOUBLE) / 1e12"
-            ).alias("cdot")
+    (fixture label or learned cluster id).
+
+    r13 optimization (guide §4.2): the centroid pass and the
+    within-cell pairwise cosine run as ONE grouped-by-cell
+    applyInPandas kernel — each task receives its cell's vectors once
+    and computes the centroid, every member's centroid cosine, and
+    the over-tau pair list with blocked numpy (the paper's own
+    per-cluster-matmul shape). The previous form shuffled the
+    exploded n·d dims relation for the centroid pass AND self-joined
+    the corpus on the cell key (cluster²·d interpreted zip_with
+    lambda evals); this moves each embedding across the Python
+    boundary once and emits only model-sized outputs. Every float op
+    replicates the JVM expressions bit-for-bit: FLOOR-scaled int64
+    sums for dots/norms/centroids, the same left-associated multiply
+    chains, the same IEEE divisions — the value oracle is unchanged."""
+    tau = _SEMDEDUP_TAU
+    label_dt = dict(emb.dtypes)["label"]
+
+    def cell_kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        lab = key[0]
+        n = len(pdf)
+        if n == 0:  # defensive: applyInPandas never emits empty groups
+            return pd.DataFrame(
+                {"label": [], "ia": [], "ib": [], "val": []}
+            ).astype({"ia": "int64", "ib": "int64", "val": "float64"})
+        ids = pdf["vec_id"].to_numpy()
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        out = []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # centroid: cval = (Σ FLOOR(x·1e12)::int64 / 1e12) / n —
+            # the _centroid_frames expression, exact int accumulation
+            S = np.floor(E * 1e12).astype(np.int64).sum(axis=0)
+            cval = (S.astype(np.float64) / 1e12) / float(n)
+            cnrm = float(
+                np.sqrt(
+                    np.floor(cval * cval * 1e12)
+                    .astype(np.int64)
+                    .sum()
+                    / 1e12
+                )
+            )
+            cdot = (
+                np.floor(E * cval[None, :] * 1e12)
+                .astype(np.int64)
+                .sum(axis=1)
+                / 1e12
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "label": lab,
+                        "ia": ids.astype("int64"),
+                        "ib": np.int64(-1),
+                        "val": cdot / (nrm * cnrm),
+                    }
+                )
+            )
+            # pairwise: FLOOR((x·y)·1e12)::int64 summed — the _DOT
+            # expression; row blocks bound the (B, n, d) intermediate
+            blk_rows = max(1, 33_000_000 // (max(n, 1) * E.shape[1] * 8))
+            for i0 in range(0, n, blk_rows):
+                blk = E[i0 : i0 + blk_rows]
+                P = (
+                    np.floor(blk[:, None, :] * E[None, :, :] * 1e12)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                cos = (P / 1e12) / (
+                    nrm[i0 : i0 + blk_rows, None] * nrm[None, :]
+                )
+                iu, ju = np.nonzero(cos >= tau)
+                ga, gb = ids[iu + i0], ids[ju]
+                keep = ga < gb
+                if keep.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "label": lab,
+                                "ia": ga[keep].astype("int64"),
+                                "ib": gb[keep].astype("int64"),
+                                "val": 0.0,
+                            }
+                        )
+                    )
+        return pd.concat(out, ignore_index=True)
+
+    kern = (
+        emb.select("vec_id", "label", "embedding", "nrm")
+        .groupBy("label")
+        .applyInPandas(
+            cell_kernel,
+            f"label {label_dt}, ia long, ib long, val double",
         )
+        .localCheckpoint(eager=False)  # feeds cc, psim, ndups, losers
     )
-    cc = (
-        emb.select("vec_id", "label", "nrm")
-        .join(c2c, "vec_id")
-        .join(F.broadcast(cnorm), "label")
-        .select(
-            "vec_id",
-            "label",
-            (F.col("cdot") / (F.col("nrm") * F.col("cnrm"))).alias(
-                "cent_cos"
-            ),
-        )
+    cc = kern.filter(F.col("ib") == -1).select(
+        F.col("ia").alias("vec_id"),
+        "label",
+        F.col("val").alias("cent_cos"),
     )
-    a = emb.select(
-        F.col("vec_id").alias("ia"),
-        F.col("label").alias("pl"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("ib"),
-        F.col("label").alias("pl"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    psim = (
-        a.join(b, "pl")
-        .filter(F.col("ia") < F.col("ib"))
-        .filter(_pair_cosine() >= _SEMDEDUP_TAU)
-        .select("ia", "ib")
-    )
+    psim = kern.filter(F.col("ib") >= 0).select("ia", "ib")
     ca = cc.select(
         F.col("vec_id").alias("ia"), F.col("cent_cos").alias("cc_a")
     )

@@ -1171,17 +1171,30 @@ def ext_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
-    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    # the bigram-type count table feeds BOTH the pruned model and the
+    # full continuation denominator — checkpoint it once (it is the
+    # model-sized artifact a web-scale LM materializes anyway) so the
+    # corpus bigram stream is exploded once for counting, not once
+    # per consumer (r13 optimization; guide §5 caching-when-reused)
+    c2 = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     c2f = c2.filter(F.col("c") >= _BIGRAM_CUTOFF)
     first_word = F.split(F.col("bigram"), " ").getItem(0)
     second_word = F.split(F.col("bigram"), " ").getItem(1)
     # denominator stays the FULL continuation count c(w1.) — pruning
     # trims the numerator table, not the MLE denominator
     c1 = c2.groupBy(first_word.alias("w1")).agg(F.sum("c").alias("total"))
+    # vocabulary table: consumed by the scalar token total (an eager
+    # collect) AND the backoff scores — the checkpoint makes the
+    # collect's materialization pay for both
     uni = (
         w.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=False)
     )
     # scalar-aggregate collect (the events.py:537 pattern): one
     # driver-side double for the corpus token total, embedded as a

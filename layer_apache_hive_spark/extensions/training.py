@@ -392,6 +392,12 @@ def _kmeans_train_frame(
         # test). The lazy localCheckpoint stays executor-side (no
         # driver data movement): one shared RDD per iteration,
         # computed once inside the single action.
+        # (r13 optimization note: carrying sv/vsum THROUGH the argmin
+        # aggregate to skip this join was tried and measured 2-3x
+        # SLOWER — the groupBy input then hauls the 64-long arrays
+        # into the aggregate buffers instead of slim (vec_id, d2)
+        # rows; the shuffle-slim-then-join-back shape is the right
+        # one, guide §2.3 "project before the exchange".)
         asg = win.join(vec, "vec_id").localCheckpoint(eager=False)
         stats.append(
             asg.groupBy("cluster_id").agg(

@@ -142,6 +142,107 @@ def _write_version_dirs(
             shutil.rmtree(d, ignore_errors=True)
 
 
+def _union_insert_delete(
+    events: DataFrame | None,
+    dels: DataFrame | None,
+    payload_schema: list[tuple[str, str]],
+) -> DataFrame:
+    """Union one writeid's insert and delete events into the single
+    ``__del``-flagged frame the one-job writers group on. Both sides
+    carry ``__pkey`` (partition token, '' unpartitioned) + the
+    identity/meta columns; delete events take NULL payload columns
+    (the delete_delta files never store them)."""
+    meta = ["__pkey", "__op", "__otid", "__bucket", "__rid", "__ctid"]
+    names = [n for n, _ in payload_schema]
+    if dels is None:
+        assert events is not None
+        return events.select(*meta, *names).withColumn(
+            "__del", F.lit(False)
+        )
+    dels_padded = dels.select(
+        *meta,
+        *[F.lit(None).cast(t).alias(n) for n, t in payload_schema],
+        F.lit(True).alias("__del"),
+    )
+    if events is None:
+        return dels_padded
+    return events.select(
+        *meta, *names, F.lit(False).alias("__del")
+    ).unionByName(dels_padded)
+
+
+def _write_acid_dirs_one_job(
+    unioned: DataFrame,
+    scratch_of,
+    final_of,
+    payload_fields,
+    replace_final: bool = False,
+    synth_rid: "tuple[str, int] | None" = None,
+) -> list[str]:
+    """Write EVERY (partition, kind, bucket) group of one writeid's
+    events in ONE distributed job (guide §2.4: the per-partition /
+    per-kind write loop was one full Spark job per dir — a
+    P-partition UPDATE paid 2·P jobs; this pays one). Tasks group by
+    (__pkey, __del, __bucket), create their scratch dir on demand and
+    write ``bucket_NNNNN`` via pyarrow.orc with the same sorted-run
+    contract as ``_write_version_dirs``; the driver then atomically
+    renames each TOUCHED scratch dir into place (a crash mid-job
+    leaves only invisible scratch dirs — the protocol is unchanged,
+    just batched). ``scratch_of``/``final_of`` map
+    (pkey, is_del) → absolute dir. Returns the renamed final dirs,
+    delete_delta before delta within each partition, partitions in
+    sorted order (NULL's token sorts as its literal spelling).
+
+    ``synth_rid`` = (bucket_col, rid_offset): insert events arrive
+    with NULL ``__rid`` and each task assigns write-order ordinals
+    (sort by the bucket column, 0..n-1 + offset) INSIDE the
+    (partition, bucket) group it already holds whole — the rowId
+    window used to be a separate shuffle+sort pass before the write
+    shuffle (guide §2.4); the assigned values are identical because
+    row_number partitioned by exactly this group ordered by the same
+    column."""
+    import pandas as pd  # noqa: F401  (imported for executors' env)
+
+    def write_one(key, pdf):
+        import numpy as np
+        import pandas as pd
+        from pyarrow import orc as pa_orc
+
+        pkey, is_del, b = str(key[0]), bool(key[1]), int(key[2])
+        if synth_rid is not None and not is_del:
+            bcol, roff = synth_rid
+            pdf = pdf.sort_values(bcol, kind="mergesort")
+            pdf["__rid"] = np.arange(len(pdf), dtype="int64") + roff
+        pdf = pdf.sort_values(["__otid", "__rid"])
+        sdir = scratch_of(pkey, is_del)
+        os.makedirs(sdir, exist_ok=True)
+        pa_orc.write_table(
+            _acid_arrow_table(pdf, payload_fields, is_del),
+            os.path.join(sdir, f"bucket_{b:05d}"),
+        )
+        return pd.DataFrame(
+            {"pkey": [pkey], "is_del": [is_del], "rows": [len(pdf)]}
+        )
+
+    manifest = (
+        unioned.groupBy("__pkey", "__del", "__bucket")
+        .applyInPandas(write_one, "pkey string, is_del boolean, rows long")
+        .collect()
+    )
+    touched = sorted(
+        {(r["pkey"], r["is_del"]) for r in manifest if r["rows"]},
+        key=lambda t: (t[0], not t[1]),  # per pkey: deletes first
+    )
+    written: list[str] = []
+    for pkey, is_del in touched:
+        final = final_of(pkey, is_del)
+        if replace_final:
+            shutil.rmtree(final, ignore_errors=True)
+        os.rename(scratch_of(pkey, is_del), final)
+        written.append(final)
+    return written
+
+
 def export_hive_acid(
     spark: SparkSession,
     read_version,
@@ -781,12 +882,18 @@ def read_hive_acid(
             read_originals, acid_ddl
         )
         live = live.unionByName(orig)
-    dels = files_df(delete_dirs).mapInPandas(
-        read_deletes, "otid long, bucket int, rid long"
-    )
-    merged = live.join(
-        F.broadcast(dels), ["otid", "bucket", "rid"], "left_anti"
-    )
+    if delete_dirs:
+        dels = files_df(delete_dirs).mapInPandas(
+            read_deletes, "otid long, bucket int, rid long"
+        )
+        merged = live.join(
+            F.broadcast(dels), ["otid", "bucket", "rid"], "left_anti"
+        )
+    else:
+        # no delete_delta elected (pure-insert history / post-
+        # compaction steady state): skip the delete-side decode job
+        # and the anti-join outright (r13 optimization)
+        merged = live
     return merged if keep_identity else merged.select(*names)
 
 
@@ -1828,29 +1935,27 @@ def append_delta(
             "__bucket",
             F.pmod(F.hash(bucket_col), F.lit(n_buckets)).cast("int"),
         )
-        .withColumn(
-            "__rid",
-            (
-                F.row_number().over(
-                    Window.partitionBy("__bucket").orderBy(bucket_col)
-                )
-                - 1
-                + F.lit(rid_offset)
-            ).cast("long"),
-        )
+        # __rid NULL: the write task assigns write-order ordinals per
+        # bucket group (synth_rid) — the rowId window was a separate
+        # shuffle+sort pass before the write shuffle (r13, guide §2.4)
+        .withColumn("__rid", F.lit(None).cast("long"))
         .withColumn("__otid", F.lit(writeid).cast("long"))
         .withColumn("__ctid", F.lit(writeid).cast("long"))
         .withColumn("__op", F.lit(_OP_INSERT))
+        .withColumn("__pkey", F.lit(""))
     )
     suffix = f"_{stmt:04d}" if stmt is not None else ""
     final = os.path.join(root, f"delta_{writeid:07d}_{writeid:07d}{suffix}")
     scratch = os.path.join(root, f".scratch_delta_{writeid:07d}{suffix}")
     shutil.rmtree(scratch, ignore_errors=True)
-    _write_version_dirs(events, None, scratch, None, payload_fields)
-    if not os.path.isdir(scratch):
-        return None  # empty statement: _write_version_dirs wrote nothing
-    os.rename(scratch, final)
-    return final
+    written = _write_acid_dirs_one_job(
+        _union_insert_delete(events, None, payload_schema),
+        lambda pkey, is_del: scratch,
+        lambda pkey, is_del: final,
+        payload_fields,
+        synth_rid=(bucket_col, rid_offset),
+    )
+    return written[0] if written else None
 
 
 # --- writeid ledger: the metastore TXNS analog (r12 verdict task 3) ---------
@@ -2245,6 +2350,100 @@ def append_delete_delta(
     return final
 
 
+def _split_update_one_job(
+    spark: SparkSession,
+    root: str,
+    ids_df: DataFrame | None,
+    new_img: DataFrame | None,
+    payload_schema: list[tuple[str, str]],
+    payload_fields,
+    writeid: int,
+    stmt: int | None = None,
+    n_buckets: int = 4,
+    bucket_col: str | None = None,
+) -> tuple[str | None, str | None]:
+    """One UNPARTITIONED writeid's delete events (``ids_df``: the old
+    identities) plus insert events (``new_img``: the new images) in a
+    SINGLE distributed job — the split-update pair used to pay one
+    full job per dir (append_delete_delta + append_delta); guide §2.4.
+    Identity assignment, sorted-run layout, scratch + atomic rename
+    and empty-side behavior (no dir) are byte-identical to the
+    two-job path. Returns (delete_delta_path, delta_path)."""
+    names = [n for n, _ in payload_schema]
+    bucket_col = bucket_col or names[0]
+    os.makedirs(root, exist_ok=True)
+    rid_offset = (stmt or 0) << 40
+    dels = None
+    if ids_df is not None:
+        dels = (
+            ids_df.select(
+                F.col("otid").cast("long").alias("__otid"),
+                F.col("bucket").cast("int").alias("__bucket"),
+                F.col("rid").cast("long").alias("__rid"),
+            )
+            .withColumn("__op", F.lit(_OP_DELETE))
+            .withColumn("__ctid", F.lit(writeid).cast("long"))
+            .withColumn("__pkey", F.lit(""))
+        )
+    events = None
+    if new_img is not None:
+        aligned = new_img
+        for n, t in payload_schema:
+            aligned = aligned.withColumn(n, F.col(n).cast(t))
+        events = (
+            aligned.select(*names)
+            .withColumn(
+                "__bucket",
+                F.pmod(F.hash(bucket_col), F.lit(n_buckets)).cast("int"),
+            )
+            # __rid NULL: the write task assigns write-order ordinals
+            # per bucket group (synth_rid) — no separate window pass
+            .withColumn("__rid", F.lit(None).cast("long"))
+            .withColumn("__otid", F.lit(writeid).cast("long"))
+            .withColumn("__ctid", F.lit(writeid).cast("long"))
+            .withColumn("__op", F.lit(_OP_INSERT))
+            .withColumn("__pkey", F.lit(""))
+        )
+    sfx = f"_{stmt:04d}" if stmt is not None else ""
+
+    def scratch_of(pkey: str, is_del: bool) -> str:
+        kind = "dd" if is_del else "delta"
+        return os.path.join(root, f".scratch_{kind}_{writeid:07d}{sfx}")
+
+    def final_of(pkey: str, is_del: bool) -> str:
+        kind = "delete_delta" if is_del else "delta"
+        return os.path.join(
+            root, f"{kind}_{writeid:07d}_{writeid:07d}{sfx}"
+        )
+
+    for is_del in (False, True):
+        shutil.rmtree(scratch_of("", is_del), ignore_errors=True)
+    written = _write_acid_dirs_one_job(
+        _union_insert_delete(events, dels, payload_schema),
+        scratch_of,
+        final_of,
+        payload_fields,
+        synth_rid=(bucket_col, rid_offset),
+    )
+    del_path = next(
+        (
+            p
+            for p in written
+            if os.path.basename(p).startswith("delete_delta_")
+        ),
+        None,
+    )
+    ins_path = next(
+        (
+            p
+            for p in written
+            if not os.path.basename(p).startswith("delete_delta_")
+        ),
+        None,
+    )
+    return del_path, ins_path
+
+
 def hive_acid_delete(
     spark: SparkSession,
     root: str,
@@ -2316,13 +2515,15 @@ def hive_acid_update(
     updating writeid with FRESH identities (bucket re-derived from
     the bucket column — an update may move a row between buckets).
 
-    The hit set is materialized (localCheckpoint) BEFORE either dir
-    renames into place: both writes must observe the same pre-update
-    election, not re-elect after the first rename lands (the insert
-    delta would otherwise feed the delete's target scan). A caller
-    passing ``snapshot`` (already materialized — the per-transaction
-    shared snapshot) skips both the election read and the extra
-    checkpoint. Returns (delete_delta_path, delta_path)."""
+    Both event dirs are written by ONE distributed job
+    (_split_update_one_job) whose renames land only after the job
+    completes, so every event observes the same pre-update election
+    by construction (the file manifest is pinned at plan time); the
+    hit set is lazily checkpointed so the election decode runs once
+    inside that job, not once per consumer. A caller passing
+    ``snapshot`` (already materialized — the per-transaction shared
+    snapshot) skips the election read. Returns
+    (delete_delta_path, delta_path)."""
     names = [n for n, _ in payload_schema]
     set_map = dict(set_exprs)
     unknown = set(set_map) - set(names)
@@ -2345,16 +2546,7 @@ def hive_acid_update(
             keep_identity=True,
             valid_writeids=valid_writeids,
         )
-        hits = snap.filter(hit).localCheckpoint(eager=True)
-    del_path = append_delete_delta(
-        spark,
-        root,
-        hits.select("otid", "bucket", "rid"),
-        payload_schema,
-        payload_fields,
-        writeid,
-        stmt=stmt,
-    )
+        hits = snap.filter(hit).localCheckpoint(eager=False)
     new_img = hits.select(
         *[
             F.expr(set_map[n]).cast(t).alias(n)
@@ -2363,9 +2555,10 @@ def hive_acid_update(
             for n, t in payload_schema
         ]
     )
-    ins_path = append_delta(
+    return _split_update_one_job(
         spark,
         root,
+        hits.select("otid", "bucket", "rid"),
         new_img,
         payload_schema,
         payload_fields,
@@ -2374,7 +2567,6 @@ def hive_acid_update(
         n_buckets=n_buckets,
         bucket_col=bucket_col,
     )
-    return del_path, ins_path
 
 
 def hive_acid_merge(
@@ -2439,7 +2631,9 @@ def hive_acid_merge(
             payload_schema,
             keep_identity=True,
             valid_writeids=valid_writeids,
-        ).localCheckpoint(eager=True)
+            # lazy: manifest pinned at frame build; decode runs
+            # inside the first consuming job (r13 optimization)
+        ).localCheckpoint(eager=False)
     )
     snap.createOrReplaceTempView(tv)
     source_df.createOrReplaceTempView(sv)
@@ -2522,37 +2716,31 @@ def hive_acid_merge(
                     f"{iw}"
                 )
             )
-        del_path = None
+        dels = ins = None
         if del_parts:
             dels = del_parts[0]
             for p in del_parts[1:]:
                 dels = dels.unionByName(p)
-            del_path = append_delete_delta(
-                spark,
-                root,
-                dels.select("otid", "bucket", "rid"),
-                payload_schema,
-                payload_fields,
-                writeid,
-                stmt=stmt,
-            )
-        ins_path = None
+            dels = dels.select("otid", "bucket", "rid")
         if ins_parts:
             ins = ins_parts[0]
             for p in ins_parts[1:]:
                 ins = ins.unionByName(p)
-            ins_path = append_delta(
-                spark,
-                root,
-                ins,
-                payload_schema,
-                payload_fields,
-                writeid,
-                stmt=stmt,
-                n_buckets=n_buckets,
-                bucket_col=bucket_col,
-            )
-        return del_path, ins_path
+        # both event dirs in ONE job (guide §2.4): the clause-family
+        # unions recompute against the checkpointed snapshot inside
+        # that single job; renames land only after it completes
+        return _split_update_one_job(
+            spark,
+            root,
+            dels,
+            ins,
+            payload_schema,
+            payload_fields,
+            writeid,
+            stmt=stmt,
+            n_buckets=n_buckets,
+            bucket_col=bucket_col,
+        )
     finally:
         spark.catalog.dropTempView(tv)
         spark.catalog.dropTempView(sv)
@@ -2586,26 +2774,27 @@ def hive_acid_overwrite(
             "__bucket",
             F.pmod(F.hash(bucket_col), F.lit(n_buckets)).cast("int"),
         )
-        .withColumn(
-            "__rid",
-            (
-                F.row_number().over(
-                    Window.partitionBy("__bucket").orderBy(bucket_col)
-                )
-                - 1
-            ).cast("long"),
-        )
+        # __rid NULL: write-order ordinals assigned in the write task
+        .withColumn("__rid", F.lit(None).cast("long"))
         .withColumn("__otid", F.lit(writeid).cast("long"))
         .withColumn("__ctid", F.lit(writeid).cast("long"))
         .withColumn("__op", F.lit(_OP_INSERT))
+        .withColumn("__pkey", F.lit(""))
     )
     final = os.path.join(root, f"base_{writeid:07d}")
     scratch = os.path.join(root, f".scratch_base_{writeid:07d}")
     shutil.rmtree(scratch, ignore_errors=True)
-    _write_version_dirs(events, None, scratch, None, payload_fields)
-    os.makedirs(scratch, exist_ok=True)  # empty overwrite: empty base
-    shutil.rmtree(final, ignore_errors=True)
-    os.rename(scratch, final)
+    written = _write_acid_dirs_one_job(
+        _union_insert_delete(events, None, payload_schema),
+        lambda pkey, is_del: scratch,
+        lambda pkey, is_del: final,
+        payload_fields,
+        replace_final=True,
+        synth_rid=(bucket_col, 0),
+    )
+    if not written:  # empty overwrite: empty base (old rows must hide)
+        shutil.rmtree(final, ignore_errors=True)
+        os.makedirs(final, exist_ok=True)
     return final
 
 
@@ -2882,20 +3071,27 @@ def read_hive_acid_partitioned(
             .repartition(len(orig_units))
             .mapInPandas(read_originals, acid_ddl)
         )
-    dels = (
-        spark.createDataFrame(
-            del_units,
-            "path string, min_ctid long, max_ctid long, pval string",
+    if del_units:
+        dels = (
+            spark.createDataFrame(
+                del_units,
+                "path string, min_ctid long, max_ctid long, pval string",
+            )
+            .repartition(max(len(del_units), 1))
+            .mapInPandas(
+                read_deletes,
+                "otid long, bucket int, rid long, __pval string",
+            )
         )
-        .repartition(max(len(del_units), 1))
-        .mapInPandas(
-            read_deletes,
-            "otid long, bucket int, rid long, __pval string",
+        merged = live.join(
+            F.broadcast(dels),
+            ["otid", "bucket", "rid", "__pval"],
+            "left_anti",
         )
-    )
-    merged = live.join(
-        F.broadcast(dels), ["otid", "bucket", "rid", "__pval"], "left_anti"
-    )
+    else:
+        # no partition elected a delete_delta: skip the delete-side
+        # decode job and the anti-join outright (r13 optimization)
+        merged = live
     out = merged.withColumn(
         partition_col,
         F.when(
@@ -2942,59 +3138,169 @@ def hive_acid_insert_partitioned(
     list); each partition's write is a distributed filtered job.
     Returns the written dir paths."""
     if static_value is not None:
-        pairs = [(static_value, df)]
-    else:
-        if partition_col not in df.columns:
-            raise ValueError(
-                f"dynamic partitioned INSERT needs '{partition_col}' "
-                "in the SELECT output (Hive's last-column rule)"
-            )
-        vals = [
-            r[0]
-            for r in df.select(partition_col).distinct().collect()
-        ]
-        pairs = [
-            (
-                v,
-                df.filter(
-                    F.col(partition_col).isNull()
-                    if v is None
-                    else F.col(partition_col) == F.lit(v)
-                ).drop(partition_col),
-            )
-            for v in vals
-        ]
-    written: list[str] = []
-    for value, pdf in pairs:
-        pdir = partition_subdir(root, partition_col, value)
+        # static PARTITION (col=value): one dir, the single-dir writers
+        pdir = partition_subdir(root, partition_col, static_value)
         if overwrite:
-            written.append(
+            return [
                 hive_acid_overwrite(
                     spark,
                     pdir,
-                    pdf,
+                    df,
                     payload_schema,
                     payload_fields,
                     writeid,
                     n_buckets=n_buckets,
                     bucket_col=bucket_col,
                 )
+            ]
+        p = append_delta(
+            spark,
+            pdir,
+            df,
+            payload_schema,
+            payload_fields,
+            writeid,
+            stmt=stmt,
+            n_buckets=n_buckets,
+            bucket_col=bucket_col,
+        )
+        return [p] if p is not None else []
+    if partition_col not in df.columns:
+        raise ValueError(
+            f"dynamic partitioned INSERT needs '{partition_col}' "
+            "in the SELECT output (Hive's last-column rule)"
+        )
+    # dynamic: EVERY touched partition's dir in ONE distributed job —
+    # the per-value loop paid one distinct().collect() pre-pass plus
+    # one full write job per partition (guide §2.4); dynamic IOW
+    # overwrites exactly the partitions present in the output (the
+    # write manifest), Hive's nonstrict dynamic-overwrite rule
+    return _split_update_one_job_partitioned(
+        spark,
+        root,
+        partition_col,
+        None,
+        df,
+        payload_schema,
+        payload_fields,
+        writeid,
+        stmt=None if overwrite else stmt,
+        n_buckets=n_buckets,
+        bucket_col=bucket_col,
+        kind="base" if overwrite else "delta",
+        replace_final=overwrite,
+    )
+
+
+def _pkey_col(partition_col: str) -> F.Column:
+    """The partition-dir token for a typed partition column: NULL
+    spells ``__HIVE_DEFAULT_PARTITION__`` (Hive's rule), everything
+    else the string form of the value — the same token
+    ``partition_subdir`` derives driver-side."""
+    return F.when(
+        F.col(partition_col).isNull(), F.lit(HIVE_DEFAULT_PARTITION)
+    ).otherwise(F.col(partition_col).cast("string"))
+
+
+def _split_update_one_job_partitioned(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    ids_df: DataFrame | None,
+    new_img: DataFrame | None,
+    payload_schema: list[tuple[str, str]],
+    payload_fields,
+    writeid: int,
+    stmt: int | None = None,
+    n_buckets: int = 4,
+    bucket_col: str | None = None,
+    kind: str = "delta",
+    replace_final: bool = False,
+) -> list[str]:
+    """The partitioned sibling of :func:`_split_update_one_job`: one
+    writeid's delete events (``ids_df``: identities + the partition
+    column) and insert events (``new_img``: payload + the partition
+    column) across EVERY touched partition in a SINGLE distributed
+    job — the per-partition write loop paid one full Spark job per
+    (partition, kind) dir, 2·P jobs for a P-partition UPDATE (guide
+    §2.4). Tasks group on (partition token, kind, bucket); identity
+    assignment windows on (partition, bucket) so each partition's
+    rowId space is exactly the per-partition loop's. ``kind`` names
+    the insert dir family (``delta`` | ``base`` for dynamic IOW, with
+    ``replace_final``). Touched partitions come from the write
+    manifest — no distinct().collect() pre-pass. Returns written
+    final dirs, delete_delta before delta per partition, partitions
+    sorted by token."""
+    names = [n for n, _ in payload_schema]
+    bucket_col = bucket_col or names[0]
+    rid_offset = (stmt or 0) << 40
+    dels = None
+    if ids_df is not None:
+        dels = ids_df.select(
+            _pkey_col(partition_col).alias("__pkey"),
+            F.col("otid").cast("long").alias("__otid"),
+            F.col("bucket").cast("int").alias("__bucket"),
+            F.col("rid").cast("long").alias("__rid"),
+        ).withColumn("__op", F.lit(_OP_DELETE)).withColumn(
+            "__ctid", F.lit(writeid).cast("long")
+        )
+    events = None
+    if new_img is not None:
+        aligned = new_img
+        for n, t in payload_schema:
+            aligned = aligned.withColumn(n, F.col(n).cast(t))
+        events = (
+            aligned.select(
+                _pkey_col(partition_col).alias("__pkey"), *names
             )
-        else:
-            p = append_delta(
-                spark,
-                pdir,
-                pdf,
-                payload_schema,
-                payload_fields,
-                writeid,
-                stmt=stmt,
-                n_buckets=n_buckets,
-                bucket_col=bucket_col,
+            .withColumn(
+                "__bucket",
+                F.pmod(F.hash(bucket_col), F.lit(n_buckets)).cast("int"),
             )
-            if p is not None:
-                written.append(p)
-    return written
+            # __rid NULL: the write task assigns write-order ordinals
+            # per (partition, bucket) group — no separate window pass
+            .withColumn("__rid", F.lit(None).cast("long"))
+            .withColumn("__otid", F.lit(writeid).cast("long"))
+            .withColumn("__ctid", F.lit(writeid).cast("long"))
+            .withColumn("__op", F.lit(_OP_INSERT))
+        )
+    sfx = f"_{stmt:04d}" if stmt is not None else ""
+    ins_scratch = f".scratch_{kind}_{writeid:07d}{sfx}"
+    ins_final = (
+        f"base_{writeid:07d}"
+        if kind == "base"
+        else f"delta_{writeid:07d}_{writeid:07d}{sfx}"
+    )
+
+    def scratch_of(pkey: str, is_del: bool) -> str:
+        name = f".scratch_dd_{writeid:07d}{sfx}" if is_del else ins_scratch
+        return os.path.join(root, f"{partition_col}={pkey}", name)
+
+    def final_of(pkey: str, is_del: bool) -> str:
+        name = (
+            f"delete_delta_{writeid:07d}_{writeid:07d}{sfx}"
+            if is_del
+            else ins_final
+        )
+        return os.path.join(root, f"{partition_col}={pkey}", name)
+
+    # stale-scratch hygiene (the per-dir writers rmtree'd their
+    # scratch before writing): existing partition dirs only — new
+    # partitions can't hold debris
+    for _v, pdir in partition_dirs(root, partition_col):
+        shutil.rmtree(
+            os.path.join(pdir, f".scratch_dd_{writeid:07d}{sfx}"),
+            ignore_errors=True,
+        )
+        shutil.rmtree(os.path.join(pdir, ins_scratch), ignore_errors=True)
+    return _write_acid_dirs_one_job(
+        _union_insert_delete(events, dels, payload_schema),
+        scratch_of,
+        final_of,
+        payload_fields,
+        replace_final=replace_final,
+        synth_rid=(bucket_col, rid_offset),
+    )
 
 
 def hive_acid_delete_partitioned(
@@ -3026,36 +3332,28 @@ def hive_acid_delete_partitioned(
             partition_type,
             keep_identity=True,
             valid_writeids=valid_writeids,
-        ).localCheckpoint(eager=True)
+            # lazy: manifest pinned at frame build; decode runs
+            # inside the first consuming job (r13 optimization)
+        ).localCheckpoint(eager=False)
     )
     hits = (
         snap.filter(F.coalesce(F.expr(pred), F.lit(False)))
         if pred is not None
         else snap
     )
-    touched = [
-        r[0] for r in hits.select(partition_col).distinct().collect()
-    ]
-    written: list[str] = []
-    for v in touched:
-        pdir = partition_subdir(root, partition_col, v)
-        ids = hits.filter(
-            F.col(partition_col).isNull()
-            if v is None
-            else F.col(partition_col) == F.lit(v)
-        ).select("otid", "bucket", "rid")
-        p = append_delete_delta(
-            spark,
-            pdir,
-            ids,
-            payload_schema,
-            payload_fields,
-            writeid,
-            stmt=stmt,
-        )
-        if p is not None:
-            written.append(p)
-    return written
+    # every touched partition's delete_delta in ONE job; touched
+    # partitions come from the write manifest (no distinct/collect)
+    return _split_update_one_job_partitioned(
+        spark,
+        root,
+        partition_col,
+        hits.select("otid", "bucket", "rid", partition_col),
+        None,
+        payload_schema,
+        payload_fields,
+        writeid,
+        stmt=stmt,
+    )
 
 
 def hive_acid_update_partitioned(
@@ -3104,57 +3402,38 @@ def hive_acid_update_partitioned(
             partition_type,
             keep_identity=True,
             valid_writeids=valid_writeids,
-        ).localCheckpoint(eager=True)
+            # lazy: manifest pinned at frame build; decode runs
+            # inside the first consuming job (r13 optimization)
+        ).localCheckpoint(eager=False)
     )
     hits = (
         snap.filter(F.coalesce(F.expr(pred), F.lit(False)))
         if pred is not None
         else snap
     )
-    touched = [
-        r[0] for r in hits.select(partition_col).distinct().collect()
-    ]
-    written: list[str] = []
-    for v in touched:
-        pdir = partition_subdir(root, partition_col, v)
-        part_hits = hits.filter(
-            F.col(partition_col).isNull()
-            if v is None
-            else F.col(partition_col) == F.lit(v)
-        )
-        p = append_delete_delta(
-            spark,
-            pdir,
-            part_hits.select("otid", "bucket", "rid"),
-            payload_schema,
-            payload_fields,
-            writeid,
-            stmt=stmt,
-        )
-        if p is not None:
-            written.append(p)
-        new_img = part_hits.select(
-            *[
-                F.expr(set_map[n]).cast(t).alias(n)
-                if n in set_map
-                else F.col(n)
-                for n, t in payload_schema
-            ]
-        )
-        p = append_delta(
-            spark,
-            pdir,
-            new_img,
-            payload_schema,
-            payload_fields,
-            writeid,
-            stmt=stmt,
-            n_buckets=n_buckets,
-            bucket_col=bucket_col,
-        )
-        if p is not None:
-            written.append(p)
-    return written
+    new_img = hits.select(
+        *[
+            F.expr(set_map[n]).cast(t).alias(n)
+            if n in set_map
+            else F.col(n)
+            for n, t in payload_schema
+        ],
+        partition_col,
+    )
+    # every touched partition's delete_delta + delta pair in ONE job
+    return _split_update_one_job_partitioned(
+        spark,
+        root,
+        partition_col,
+        hits.select("otid", "bucket", "rid", partition_col),
+        new_img,
+        payload_schema,
+        payload_fields,
+        writeid,
+        stmt=stmt,
+        n_buckets=n_buckets,
+        bucket_col=bucket_col,
+    )
 
 
 def hive_acid_merge_partitioned(
@@ -3207,7 +3486,9 @@ def hive_acid_merge_partitioned(
             partition_type,
             keep_identity=True,
             valid_writeids=valid_writeids,
-        ).localCheckpoint(eager=True)
+            # lazy: manifest pinned at frame build; decode runs
+            # inside the first consuming job (r13 optimization)
+        ).localCheckpoint(eager=False)
     )
     snap.createOrReplaceTempView(tv)
     source_df.createOrReplaceTempView(sv)
@@ -3297,65 +3578,36 @@ def hive_acid_merge_partitioned(
                     f"{iw}"
                 )
             )
-        written: list[str] = []
         dels = ins = None
         if del_parts:
             dels = del_parts[0]
             for p in del_parts[1:]:
                 dels = dels.unionByName(p)
-            dels = dels.localCheckpoint(eager=True)
         if ins_parts:
             ins = ins_parts[0]
             for p in ins_parts[1:]:
                 ins = ins.unionByName(p)
             ins = ins.withColumn(
                 partition_col, F.col(partition_col).cast(partition_type)
-            ).localCheckpoint(eager=True)
-        touched: set = set()
-        if dels is not None:
-            touched |= {
-                r[0]
-                for r in dels.select(partition_col).distinct().collect()
-            }
-        if ins is not None:
-            touched |= {
-                r[0]
-                for r in ins.select(partition_col).distinct().collect()
-            }
-        for v in sorted(touched, key=lambda x: (x is None, str(x))):
-            pdir = partition_subdir(root, partition_col, v)
-            pf = (
-                F.col(partition_col).isNull()
-                if v is None
-                else F.col(partition_col) == F.lit(v)
             )
-            if dels is not None:
-                p = append_delete_delta(
-                    spark,
-                    pdir,
-                    dels.filter(pf).select("otid", "bucket", "rid"),
-                    payload_schema,
-                    payload_fields,
-                    writeid,
-                    stmt=stmt,
-                )
-                if p is not None:
-                    written.append(p)
-            if ins is not None:
-                p = append_delta(
-                    spark,
-                    pdir,
-                    ins.filter(pf).drop(partition_col),
-                    payload_schema,
-                    payload_fields,
-                    writeid,
-                    stmt=stmt,
-                    n_buckets=n_buckets,
-                    bucket_col=bucket_col,
-                )
-                if p is not None:
-                    written.append(p)
-        return written
+        # every touched partition's event dirs in ONE job (guide
+        # §2.4): the clause-family unions recompute against the
+        # checkpointed snapshot inside that job; touched partitions
+        # come from the write manifest (the two eager checkpoints +
+        # two distinct().collect() pre-passes are gone)
+        return _split_update_one_job_partitioned(
+            spark,
+            root,
+            partition_col,
+            dels,
+            ins,
+            payload_schema,
+            payload_fields,
+            writeid,
+            stmt=stmt,
+            n_buckets=n_buckets,
+            bucket_col=bucket_col,
+        )
     finally:
         spark.catalog.dropTempView(tv)
         spark.catalog.dropTempView(sv)

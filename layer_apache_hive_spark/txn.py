@@ -1413,7 +1413,14 @@ class TxnSessionManager:
                     keep_identity=True,
                     valid_writeids=vw,
                 )
-            snap_cache[key] = snap.localCheckpoint(eager=True)
+            # lazy: the election manifest is pinned HERE (the
+            # directory listing runs at frame-build time, driver
+            # side); the decode materializes inside the first
+            # statement's single write job instead of a separate
+            # checkpoint job, and later statements reuse the cached
+            # RDD (r13 optimization — one fewer full job per
+            # (transaction, table))
+            snap_cache[key] = snap.localCheckpoint(eager=False)
         return snap_cache[key]
 
     def _apply_acid_op(
