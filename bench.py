@@ -99,8 +99,16 @@ def main() -> None:
             full_qs[qid](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
-    # 3) JVM/codegen warm-up on the first benched query.
-    next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # 3) JVM/codegen warm-up on the first benched query. The timed
+    #    loop runs in SORTED id order, so warm the first sorted id —
+    #    the previous `next(iter(qs.values()))` warmed the first
+    #    REGISTERED id instead, leaving the actual first timed query
+    #    (alphabetically agg_approx_ndv) to absorb first-query JIT
+    #    costs in-map (observed 11.3 s cold vs 2.4 s on the next run;
+    #    measurement-bug fix, r13 — methodology otherwise unchanged).
+    sorted(qs.items())[0][1](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for qid, fn in sorted(qs.items()):

@@ -1304,13 +1304,22 @@ def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos0", "h"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    # checkpoint the anchor index: it feeds the df histogram AND both
+    # pair sides, and without the barrier each consumer re-runs the
+    # md5-per-window pass (no ReusedExchange in the measured plan —
+    # 3-4 full anchor computations per query). Materializing anchor
+    # hashes is the Lee-et-al shape anyway (their tool materializes
+    # the far larger suffix array); slim int64 triples, spill-safe.
+    # (r13 optimization; guide §5 caching-when-reused)
+    anchors = anchors.localCheckpoint(eager=False)
     dup = (
         anchors.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("dd"))
         .filter((F.col("dd") >= 2) & (F.col("dd") <= _SUBSTR_MAX_DF))
         .select("h")
     )
-    hits = anchors.join(dup, "h")
+    # df-filtered hits feed both pair sides: one more slim barrier
+    hits = anchors.join(dup, "h").localCheckpoint(eager=False)
     a = hits.select(
         "h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
     )

@@ -977,6 +977,50 @@ _CDC_WIN = 4  # rolling window (words) the boundary hash covers
 _CDC_DIV = 8  # boundary divisor → expected segment length ~8 words
 
 
+def _cdc_segment_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC chunk table: (doc_id, seg_id, n_tokens, seg_hash).
+
+    Split out of ``ext_text_cdc_segments`` so its structural
+    properties (narrow exploded rows — no O(L²) array carry) stay
+    inspectable in the optimized plan; the registered query wraps
+    this in a lazy localCheckpoint whose LogicalRDD hides the
+    lineage from plan tests.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    per_pos = (
+        f"transform(sequence(1, size(w)), i -> struct("
+        f"  i AS i,"
+        f"  element_at(w, i) AS token,"
+        f"  CASE WHEN i >= {_CDC_WIN} AND"
+        f"    CAST(conv(substring(md5(concat_ws(' ',"
+        f"      slice(w, i - {_CDC_WIN - 1}, {_CDC_WIN}))), 1, 8),"
+        f"      16, 10) AS BIGINT) % {_CDC_DIV} = 0"
+        f"  THEN 1 ELSE 0 END AS cut))"
+    )
+    toks = (
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(per_pos)).alias("s"))
+        .select("doc_id", "s.i", "s.token", "s.cut")
+    )
+    from pyspark.sql import Window
+
+    seg_id = F.sum("cut").over(
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = toks.select("doc_id", "i", "token", seg_id.alias("seg_id"))
+    return seg.groupBy("doc_id", "seg_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list("
+                "struct(i, token))), s -> s.token))"
+            )
+        ).alias("seg_hash"),
+    )
+
+
 @register(
     "ext_text_cdc_segments",
     oracle=f"""
@@ -1037,41 +1081,12 @@ def ext_text_cdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     document through the exchange: a real long-document hazard, and
     the reason this query led the text family's bench cost).
     """
-    d = read_table(spark, sf_dir, "documents")
-    per_pos = (
-        f"transform(sequence(1, size(w)), i -> struct("
-        f"  i AS i,"
-        f"  element_at(w, i) AS token,"
-        f"  CASE WHEN i >= {_CDC_WIN} AND"
-        f"    CAST(conv(substring(md5(concat_ws(' ',"
-        f"      slice(w, i - {_CDC_WIN - 1}, {_CDC_WIN}))), 1, 8),"
-        f"      16, 10) AS BIGINT) % {_CDC_DIV} = 0"
-        f"  THEN 1 ELSE 0 END AS cut))"
-    )
-    toks = (
-        d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
-        .select("doc_id", F.explode(F.expr(per_pos)).alias("s"))
-        .select("doc_id", "s.i", "s.token", "s.cut")
-    )
-    from pyspark.sql import Window
-
-    seg_id = F.sum("cut").over(
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    seg = toks.select(
-        "doc_id", "i", "token", seg_id.alias("seg_id")
-    )
-    segs = seg.groupBy("doc_id", "seg_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.md5(
-            F.expr(
-                "concat_ws(' ', transform(array_sort(collect_list("
-                "struct(i, token))), s -> s.token))"
-            )
-        ).alias("seg_hash"),
-    )
+    # the segment table feeds the occurrence count AND the final
+    # join — checkpoint it once so the explode + cumulative-window +
+    # ordered-aggregation chain runs once, not per consumer (r13
+    # optimization; guide §5 caching-when-reused; the chunk table is
+    # the artifact a CDC pipeline stores anyway)
+    segs = _cdc_segment_table(spark, sf_dir).localCheckpoint(eager=False)
     occ = segs.groupBy("seg_hash").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )

@@ -184,8 +184,15 @@ def test_cdc_segments_explode_rows_are_narrow(spark):
     """ext_text_cdc_segments (round 4): the exploded relation must
     carry only (i, token, cut) per row — never the full token array
     (the O(L^2)-bytes-per-document shape this rewrite removed). Pin
-    it structurally: no post-explode attribute of array type."""
-    df = _REGISTRY["ext_text_cdc_segments"].fn(spark, SF_DIR)
+    it structurally: no post-explode attribute of array type.
+    Inspected on the pre-checkpoint segment builder — the registered
+    query's lazy localCheckpoint (r13) hides the lineage behind a
+    LogicalRDD."""
+    from layer_apache_hive_spark.extensions.text_analysis import (
+        _cdc_segment_table,
+    )
+
+    df = _cdc_segment_table(spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     import re
 
