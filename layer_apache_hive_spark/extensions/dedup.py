@@ -574,6 +574,10 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = minhashes.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
     )
+    # feeds BOTH sides of the band self-join: checkpoint so the
+    # 60-way min-hash aggregation over the shingle relation runs
+    # once, not per join side (r13; guide §5)
+    banded = banded.localCheckpoint(eager=False)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), "band_key")
@@ -671,6 +675,10 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
+    # one row per doc; feeds BOTH sides of the block self-join below —
+    # checkpoint so the shingle scan + 20-buffer packed aggregation
+    # runs once, not per join side (r13; guide §5)
+    sig = sig.localCheckpoint(eager=False)
     blocks = sig.select(
         "doc_id",
         "simhash",
@@ -907,8 +915,10 @@ def ext_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical with split('\\n\\n') segments.
 
     Plan: token arrays → fixed-width segments via transform+slice
-    (split stays OUT of the lambda — the CollapseProject O(tokens²)
-    pathology), one window shuffle partitioned BY SEGMENT CONTENT
+    (split textually repeated, but SubExprEvaluationRuntime caches
+    the common subexpression per row — an explicit hoist measured
+    neutral in an r13 A/B and was not kept), one window shuffle
+    partitioned BY SEGMENT CONTENT
     (first-occurrence rank), one groupBy on doc_id. At 100 TB the
     segment-content shuffle is the dedup shuffle — key it on a
     content hash, AQE splits the head of the zipf curve (boilerplate

@@ -1185,6 +1185,11 @@ def lsh_candidates(spark: SparkSession, sf_dir: str):
             )
 
     sig = emb.mapInPandas(signatures, schema="vec_id long, band_no long, band_key long")
+    # the signature relation feeds BOTH sides of the band self-join:
+    # without a barrier each side re-runs the corpus scan + Python
+    # matmul kernel (two boundary crossings of the whole corpus).
+    # Slim (vec_id, band_no, band_key) longs (r13; guide §4/§5)
+    sig = sig.localCheckpoint(eager=False)
     a = sig.select(F.col("vec_id").alias("vec_a"), "band_no", "band_key")
     b = sig.select(F.col("vec_id").alias("vec_b"), "band_no", "band_key")
     cand = (
@@ -1829,6 +1834,13 @@ def _pq_trained_state(spark: SparkSession, sf_dir: str, iters: int):
     sx = vec.select("vec_id", F.explode(subs).alias("s")).select(
         "vec_id", F.col("s.m").alias("m"), F.col("s.subv").alias("subv")
     )
+    # the subvector relation feeds codebook init, every Lloyd
+    # iteration's argmin AND join-back, and the final encode/ADC
+    # scoring — without a barrier each consumer re-runs the corpus
+    # scan + 8-way explode (10 parquet scans in the before-plan).
+    # Materialize it once: slim (vec_id, m, subv) rows, the encode
+    # input a PQ build materializes anyway (r13; guide §5)
+    sx = sx.localCheckpoint(eager=False)
     cent = sx.filter(F.col("vec_id") < _PQT_K).select(
         "m", F.col("vec_id").alias("code_id"), F.col("subv").alias("sc")
     )
@@ -2074,11 +2086,16 @@ def _ivfpq_residual_state(spark: SparkSession, sf_dir: str, iters: int):
     dims = vec.select(
         "label", F.posexplode("sv").alias("dim", "xi")
     )
+    # the coarse centroid table feeds the residual computation (via
+    # coarse_arr), the query probe election AND the probe residuals —
+    # checkpoint the tiny cells×dims relation so each consumer stops
+    # re-running the full-corpus dims-explode aggregation (r13;
+    # guide §5)
     coarse = dims.groupBy("label", "dim").agg(
         F.floor(F.sum("xi").cast("double") / F.count(F.lit(1)))
         .cast("long")
         .alias("cm")
-    )
+    ).localCheckpoint(eager=False)
     coarse_arr = coarse.groupBy("label").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(dim, cm))),"
@@ -2102,6 +2119,11 @@ def _ivfpq_residual_state(spark: SparkSession, sf_dir: str, iters: int):
         F.col("s.m").alias("m"),
         F.col("s.subv").alias("subv"),
     )
+    # residual subvectors feed codebook init, both Lloyd iterations
+    # and the corpus encode — each consumer otherwise re-derives the
+    # residuals (scan + coarse join + explode; 18 parquet scans in
+    # the before-plan). One barrier, slim rows (r13; guide §5)
+    rsx = rsx.localCheckpoint(eager=False)
     cent = rsx.filter(F.col("vec_id") < _PQT_K).select(
         "m", F.col("vec_id").alias("code_id"), F.col("subv").alias("sc")
     )

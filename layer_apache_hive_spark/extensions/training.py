@@ -364,6 +364,11 @@ def _kmeans_train_frame(
     vec = emb.withColumn(
         "vsum", F.expr("aggregate(sv, 0L, (acc, v) -> acc + v)")
     )
+    # vec feeds every iteration's assignment crossJoin AND join-back
+    # (2 consumers x iters): materialize the scaled-vector relation
+    # once instead of re-running the scan + transform per consumer
+    # (r13; guide §5 caching-when-reused)
+    vec = vec.localCheckpoint(eager=False)
     cent = emb.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("sv").alias("sc")
     )
@@ -1605,6 +1610,10 @@ def _kmeans_centroids_after(
         "vec_id",
         F.expr(f"transform(embedding, x -> {scale})").alias("sv"),
     )
+    # consumed by every iteration's crossJoin + join-back and by the
+    # downstream index build/search — one barrier instead of a
+    # parquet re-scan per consumer (r13; guide §5)
+    vec = vec.localCheckpoint(eager=False)
     cent = vec.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("sv").alias("sc")
     )
