@@ -1805,15 +1805,57 @@ _PQT_D2 = (
     " (acc, dx) -> acc + dx * dx)"
 )
 
+# Map-only PQ code assignment (r13; guide §2.4 "remove shuffles
+# outright"): the M×K codebook folds into ONE broadcast row carrying
+# map<m, array<struct<code_id, sc>>> and the per-(vector, subspace)
+# argmin becomes array_min(transform(...)) — the same lexicographic
+# (d2, code_id) struct-min as the old groupBy(vec_id, m)
+# min(struct(d2, code_id)) aggregate, with the identical
+# left-associated zip_with/aggregate BIGINT distance, so rows are
+# bit-identical. vs the join+groupBy+join-back form this removes, per
+# Lloyd iteration AND per corpus encode, the argmin Exchange of the
+# n·M·K joined rows and the join back to the subvector relation; at
+# 100 TB the E-step shuffles nothing — only the M-step's slim
+# (m, code_id, sd, xi) reduction moves data. The map (not a
+# positional array) keyed by m stays correct even if a subspace's
+# code set is sparse.
+_PQ_BEST = (
+    "array_min(transform(element_at(cents, m), c -> struct("
+    " aggregate(zip_with(subv, c.sc, (x, cc) -> x - cc), 0L,"
+    "           (acc, dx) -> acc + dx * dx) AS d2,"
+    " c.code_id AS code_id)))"
+)
+
+
+def _pq_cent_map(cent: DataFrame) -> DataFrame:
+    """Fold the (m, code_id, sc) codebook relation into the single
+    broadcast row _PQ_BEST consumes (array_sort for determinism —
+    code_id leads the struct, so the sort is by code_id)."""
+    return (
+        cent.groupBy("m")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(code_id, sc)))"
+            ).alias("codes")
+        )
+        .groupBy()
+        .agg(
+            F.expr(
+                "map_from_entries(collect_list(struct(m, codes)))"
+            ).alias("cents")
+        )
+    )
+
 
 def _pq_trained_state(spark: SparkSession, sf_dir: str, iters: int):
     """Per-subspace Lloyd training of the PQ codebooks — the
     ext_sim_ivf_trained kernel (training.py) run over all M subspaces
     SIMULTANEOUSLY: one relation keyed by (vec_id, m) holds every
     vector's integer subvectors, the codebook is keyed by (m,
-    code_id), and each iteration is one broadcast join + two keyed
-    reductions for ALL subspaces at once (exchange count flat per
-    iteration and independent of M). Init = subvectors of the K
+    code_id), and each iteration is one MAP-ONLY broadcast assignment
+    (_PQ_BEST) + two keyed reductions for ALL subspaces at once
+    (exchange count flat per iteration and independent of M, and the
+    E-step itself shuffles nothing). Init = subvectors of the K
     lowest-id vectors, Hive/FAISS's deterministic-seed stand-in.
     Returns (vec, sx, cent): full integer vectors, subvector
     relation, trained codebook."""
@@ -1845,13 +1887,18 @@ def _pq_trained_state(spark: SparkSession, sf_dir: str, iters: int):
         "m", F.col("vec_id").alias("code_id"), F.col("subv").alias("sc")
     )
     for _ in range(iters):
+        # map-only E-step (r13, see _PQ_BEST): no argmin shuffle, no
+        # join back — the checkpoint still truncates lineage at the
+        # iteration boundary (executor-side, inside the first action)
         asg = (
-            sx.join(F.broadcast(cent), "m")
-            .withColumn("d2", F.expr(_PQT_D2))
-            .groupBy("vec_id", "m")
-            .agg(F.min(F.struct("d2", "code_id")).alias("b"))
-            .select("vec_id", "m", F.col("b.code_id").alias("code_id"))
-            .join(sx, ["vec_id", "m"])
+            sx.crossJoin(F.broadcast(_pq_cent_map(cent)))
+            .withColumn("b", F.expr(_PQ_BEST))
+            .select(
+                "vec_id",
+                "m",
+                F.col("b.code_id").alias("code_id"),
+                "subv",
+            )
             .localCheckpoint(eager=False)
         )
         dimsums = (
@@ -1869,6 +1916,11 @@ def _pq_trained_state(spark: SparkSession, sf_dir: str, iters: int):
                 " s -> s.ci)"
             ).alias("sc")
         )
+    # the trained codebook feeds TWO consumers downstream (corpus
+    # encode + query ADC tables) — barrier the tiny M×K relation so
+    # the Lloyd chain runs once, not per consumer (r13; guide §5)
+    if iters:
+        cent = cent.localCheckpoint(eager=False)
     return vec, sx, cent
 
 
@@ -2002,19 +2054,26 @@ def _pq_trained_frame(
     iters=0 IS the untrained tier (the init codebook with no Lloyd
     step), which the recall gate compares against."""
     vec, sx, cent = _pq_trained_state(spark, sf_dir, iters)
-    scored = sx.join(F.broadcast(cent), "m").withColumn(
-        "d2", F.expr(_PQT_D2)
-    )
+    # corpus encode: map-only argmin (r13, _PQ_BEST) — the old
+    # groupBy(vec_id, m) over the n·M·K joined rows was the last
+    # corpus-sized shuffle of the build
     codes = (
-        scored.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "code_id")).alias("b"))
+        sx.crossJoin(F.broadcast(_pq_cent_map(cent)))
+        .withColumn("b", F.expr(_PQ_BEST))
         .select("vec_id", "m", F.col("b.code_id").alias("code_id"))
     )
-    tbl = scored.filter(F.col("vec_id") < _PQT_NQ).select(
-        F.col("vec_id").alias("query_id"),
-        "m",
-        "code_id",
-        F.col("d2").alias("td2"),
+    # query ADC tables need EVERY code's distance (not the argmin) —
+    # keep the join shape, but only over the NQ query rows
+    tbl = (
+        sx.filter(F.col("vec_id") < _PQT_NQ)
+        .join(F.broadcast(cent), "m")
+        .withColumn("d2", F.expr(_PQT_D2))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "code_id",
+            F.col("d2").alias("td2"),
+        )
     )
     approx = (
         codes.join(F.broadcast(tbl), ["m", "code_id"])
@@ -2128,13 +2187,18 @@ def _ivfpq_residual_state(spark: SparkSession, sf_dir: str, iters: int):
         "m", F.col("vec_id").alias("code_id"), F.col("subv").alias("sc")
     )
     for _ in range(iters):
+        # map-only E-step (r13, see _PQ_BEST): no argmin shuffle, no
+        # join back to the residual subvector relation
         asg = (
-            rsx.join(F.broadcast(cent), "m")
-            .withColumn("d2", F.expr(_IVFR_D2))
-            .groupBy("vec_id", "m")
-            .agg(F.min(F.struct("d2", "code_id")).alias("b"))
-            .select("vec_id", "m", F.col("b.code_id").alias("code_id"))
-            .join(rsx, ["vec_id", "m"])
+            rsx.crossJoin(F.broadcast(_pq_cent_map(cent)))
+            .withColumn("b", F.expr(_PQ_BEST))
+            .select(
+                "vec_id",
+                "label",
+                "m",
+                F.col("b.code_id").alias("code_id"),
+                "subv",
+            )
             .localCheckpoint(eager=False)
         )
         dimsums = (
@@ -2154,6 +2218,10 @@ def _ivfpq_residual_state(spark: SparkSession, sf_dir: str, iters: int):
                 " s -> s.ci)"
             ).alias("sc")
         )
+    # the residual codebook feeds the corpus encode AND the per-probe
+    # query ADC tables — barrier the tiny M×K relation (r13; guide §5)
+    if iters:
+        cent = cent.localCheckpoint(eager=False)
     return vec, coarse, coarse_arr, rsx, cent
 
 
@@ -2164,12 +2232,12 @@ def _ivfpq_residual_frame(
         spark, sf_dir, iters
     )
     # corpus codes: nearest residual code per (vector, subspace),
-    # label carried for the probed-cell join
+    # label carried for the probed-cell join — map-only argmin (r13,
+    # _PQ_BEST; the old groupBy over n·M·K joined rows shuffled the
+    # whole corpus encode)
     codes = (
-        rsx.join(F.broadcast(cent), "m")
-        .withColumn("d2", F.expr(_IVFR_D2))
-        .groupBy("vec_id", "label", "m")
-        .agg(F.min(F.struct("d2", "code_id")).alias("b"))
+        rsx.crossJoin(F.broadcast(_pq_cent_map(cent)))
+        .withColumn("b", F.expr(_PQ_BEST))
         .select(
             "vec_id", "label", "m", F.col("b.code_id").alias("code_id")
         )

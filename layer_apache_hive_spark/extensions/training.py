@@ -372,38 +372,49 @@ def _kmeans_train_frame(
     cent = emb.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("sv").alias("sc")
     )
-    d2 = F.expr(
-        "aggregate(zip_with(sv, sc, (x, c) -> x - c), 0L,"
-        " (acc, dx) -> acc + dx * dx)"
+    # per-row expression argmin over the k-centroid ARRAY: the k-row
+    # centroid frame folds into ONE broadcast row carrying
+    # array<struct<cluster_id, sc>>, and the assignment is
+    # array_min(transform(...)) — struct-min is the same
+    # lexicographic (d2, cluster_id) order as min(struct(d2, id)).
+    # vs the r9 crossJoin+groupBy(vec_id)+join-back form this removes
+    # the per-iteration argmin Exchange AND the join back to the
+    # vector relation outright (r13; guide §2.4 "remove shuffles
+    # outright"): measured 30 -> 25 Spark jobs / 4.4 -> 3.3 s warm at
+    # sf0.1, rows bit-identical. The E-step is now map-only; at
+    # 100 TB an iteration shuffles ONLY the M-step's slim
+    # (cluster_id, pos, xi) rows.
+    # (earlier r13 note, still true: carrying sv/vsum THROUGH a
+    # groupBy argmin was 2-3x slower — wide arrays in agg buffers.)
+    best = F.expr(
+        "array_min(transform(cents, c -> struct("
+        " aggregate(zip_with(sv, c.sc, (x, cc) -> x - cc), 0L,"
+        "           (acc, dx) -> acc + dx * dx) AS d2,"
+        " c.cluster_id AS cluster_id)))"
     )
     stats: list[DataFrame] = []
     for it in range(1, iters + 1):
-        win = (
-            vec.crossJoin(F.broadcast(cent))
-            .withColumn("d2", d2)
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cluster_id")).alias("b"))
+        cent_arr = cent.groupBy().agg(
+            F.expr(
+                "array_sort(collect_list(struct(cluster_id, sc)))"
+            ).alias("cents")
+        )
+        # lineage still truncates at the iteration boundary (the
+        # assignment feeds the audit row, the M-step, and every later
+        # iteration — the r9 flatness contract); the lazy
+        # localCheckpoint stays executor-side.
+        asg = (
+            vec.crossJoin(F.broadcast(cent_arr))
+            .withColumn("b", best)
             .select(
                 "vec_id",
                 F.col("b.cluster_id").alias("cluster_id"),
                 F.col("b.d2").alias("d2"),
+                "sv",
+                "vsum",
             )
+            .localCheckpoint(eager=False)
         )
-        # truncate lineage at the iteration boundary: the assignment
-        # feeds THREE consumers (audit row, M-step, and transitively
-        # every later iteration), and without this each union branch
-        # re-contains all prior iterations' subplans — exchange count
-        # grows QUADRATICALLY in depth (caught by the r9 flatness
-        # test). The lazy localCheckpoint stays executor-side (no
-        # driver data movement): one shared RDD per iteration,
-        # computed once inside the single action.
-        # (r13 optimization note: carrying sv/vsum THROUGH the argmin
-        # aggregate to skip this join was tried and measured 2-3x
-        # SLOWER — the groupBy input then hauls the 64-long arrays
-        # into the aggregate buffers instead of slim (vec_id, d2)
-        # rows; the shuffle-slim-then-join-back shape is the right
-        # one, guide §2.3 "project before the exchange".)
-        asg = win.join(vec, "vec_id").localCheckpoint(eager=False)
         stats.append(
             asg.groupBy("cluster_id").agg(
                 F.count(F.lit(1)).alias("n_members"),
@@ -1617,18 +1628,31 @@ def _kmeans_centroids_after(
     cent = vec.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster_id"), F.col("sv").alias("sc")
     )
-    d2 = F.expr(
-        "aggregate(zip_with(sv, sc, (x, c) -> x - c), 0L,"
-        " (acc, dx) -> acc + dx * dx)"
+    # same expression-argmin E-step as _kmeans_train_frame (r13): the
+    # k centroids fold into one broadcast array row and the
+    # assignment is a map-only array_min(transform(...)) — no argmin
+    # Exchange, no join back to the vector relation; struct-min
+    # preserves the exact (d2, cluster_id) order.
+    best = F.expr(
+        "array_min(transform(cents, c -> struct("
+        " aggregate(zip_with(sv, c.sc, (x, cc) -> x - cc), 0L,"
+        "           (acc, dx) -> acc + dx * dx) AS d2,"
+        " c.cluster_id AS cluster_id)))"
     )
     for _ in range(iters):
+        cent_arr = cent.groupBy().agg(
+            F.expr(
+                "array_sort(collect_list(struct(cluster_id, sc)))"
+            ).alias("cents")
+        )
         asg = (
-            vec.crossJoin(F.broadcast(cent))
-            .withColumn("d2", d2)
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cluster_id")).alias("b"))
-            .select("vec_id", F.col("b.cluster_id").alias("cluster_id"))
-            .join(vec, "vec_id")
+            vec.crossJoin(F.broadcast(cent_arr))
+            .withColumn("b", best)
+            .select(
+                "vec_id",
+                F.col("b.cluster_id").alias("cluster_id"),
+                "sv",
+            )
             .localCheckpoint(eager=False)
         )
         dimsums = (

@@ -68,6 +68,11 @@ NL_OK = {
     # trained-quantizer fan-out: crossJoin against the k-row (k=8)
     # broadcast centroid table for assignment + probe ranking (r9)
     "ext_sim_ivf_trained",
+    # PQ code assignment: crossJoin against the ONE-row broadcast
+    # codebook map (M×K codes folded into a single row) — the
+    # map-only E-step/encode that replaced the groupBy argmin over
+    # n·M·K joined rows (r13, _PQ_BEST)
+    "ext_sim_ivfpq_trained", "ext_sim_ivfpq_residual",
     # 1-row top-type relation attached to the 1-row wide aggregate
     "composite_dashboard",
 }
