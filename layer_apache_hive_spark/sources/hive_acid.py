@@ -2569,6 +2569,145 @@ def hive_acid_update(
     )
 
 
+def _merge_event_frames(
+    snap: DataFrame,
+    source_df: DataFrame,
+    on_cond: str,
+    target_alias: str,
+    source_alias: str,
+    matched_clauses: "list[tuple[str | None, object]]",
+    insert_values: "list[str] | None",
+    insert_cond: "str | None",
+    payload_schema: list[tuple[str, str]],
+    partition_col: str | None = None,
+) -> "tuple[DataFrame | None, DataFrame | None]":
+    """(delete events, insert events) of one MERGE statement, every
+    clause family carved out of ONE materialized target⋈source join —
+    Hive's own shape: MergeSemanticAnalyzer rewrites MERGE into a
+    multi-insert over a single right-outer join of the target with
+    the source `[upstream: hive ql/parse/MergeSemanticAnalyzer]`.
+
+    The previous derivation issued one inner join PER matched clause
+    family plus a LEFT ANTI join for WHEN NOT MATCHED plus a separate
+    cardinality-check join — five scans/joins of the same two
+    relations per statement (r13 profile: 12 Spark jobs for one
+    3-clause MERGE, ~3 of them the cardinality check alone). Here the
+    join runs ONCE: target and source rows ride as two STRUCT columns
+    named by the statement aliases — so every raw ON / WHEN-AND / SET
+    / INSERT expression (``t.col``, ``s.col``) evaluates unchanged
+    via struct-field access — the joined relation is pinned with one
+    lazy localCheckpoint, and the cardinality check, each clause's
+    delete/update events, and the not-matched inserts are all filters
+    over that one materialized relation. Matched rows are
+    ``t IS NOT NULL`` (right-outer preserves every source row;
+    targets matching nothing produce no events and are not carried).
+    At 100 TB this is one shuffle of each relation instead of five.
+
+    Guard semantics, clause order, first-matching-clause-wins
+    NOT(earlier) encoding, the cardinality rule and every error
+    message are byte-identical to the per-clause-join derivation."""
+    names = [n for n, _ in payload_schema]
+    t, s = target_alias, source_alias
+    tdf = snap.select(F.struct(*snap.columns).alias(t))
+    sdf = source_df.select(F.struct(*source_df.columns).alias(s))
+    joined = tdf.join(sdf, F.expr(on_cond), "right_outer").localCheckpoint(
+        eager=False
+    )
+    matched = joined.filter(F.col(t).isNotNull())
+    ident_cols = ["otid", "bucket", "rid"] + (
+        [partition_col] if partition_col is not None else []
+    )
+    ident = [F.expr(f"{t}.{c}").alias(c) for c in ident_cols]
+    dup = (
+        matched.groupBy(*ident)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .take(1)
+    )
+    if dup:
+        raise ValueError(
+            "MERGE cardinality violation: a target row matches "
+            "more than one source row "
+            "(hive.merge.cardinality.check)"
+        )
+    del_parts: list[DataFrame] = []
+    ins_parts: list[DataFrame] = []
+    earlier: list[str] = []
+    for extra, action in matched_clauses:
+        guards = [f"({c})" for c in earlier]
+        where = " AND ".join(
+            ([f"({extra})"] if extra else [])
+            + [f"NOT coalesce({g}, FALSE)" for g in guards]
+        )
+        rows = matched.filter(F.expr(where)) if where else matched
+        if action == "delete":
+            del_parts.append(rows.select(*ident))
+        else:  # SET list: split-update = delete event + new image
+            set_map = dict(action)
+            if partition_col is not None and partition_col in set_map:
+                raise ValueError(
+                    "MERGE may not SET partition column "
+                    f"'{partition_col}' (Hive refuses)"
+                )
+            unknown = set(set_map) - set(names)
+            if unknown:
+                raise ValueError(
+                    f"MERGE UPDATE SET references unknown columns "
+                    f"{sorted(unknown)}"
+                )
+            del_parts.append(rows.select(*ident))
+            img = [
+                F.expr(f"({set_map[n]})").alias(n)
+                if n in set_map
+                else F.expr(f"{t}.{n}").alias(n)
+                for n in names
+            ]
+            if partition_col is not None:
+                img.append(
+                    F.expr(f"{t}.{partition_col}").alias(partition_col)
+                )
+            ins_parts.append(rows.select(*img))
+        earlier.append(extra if extra else "TRUE")
+    if insert_values is not None:
+        full = names + (
+            [partition_col] if partition_col is not None else []
+        )
+        if len(insert_values) != len(full):
+            if partition_col is not None:
+                raise ValueError(
+                    f"MERGE INSERT arity {len(insert_values)} != "
+                    f"{len(names) + 1} (payload + partition column "
+                    "LAST on a partitioned table)"
+                )
+            raise ValueError(
+                f"MERGE INSERT arity {len(insert_values)} != "
+                f"table arity {len(names)}"
+            )
+        rows = joined.filter(F.col(t).isNull())
+        if insert_cond is not None:
+            rows = rows.filter(
+                F.coalesce(F.expr(f"({insert_cond})"), F.lit(False))
+            )
+        ins_parts.append(
+            rows.select(
+                *[
+                    F.expr(f"({e})").alias(n)
+                    for n, e in zip(full, insert_values)
+                ]
+            )
+        )
+    dels = ins = None
+    if del_parts:
+        dels = del_parts[0]
+        for p in del_parts[1:]:
+            dels = dels.unionByName(p)
+    if ins_parts:
+        ins = ins_parts[0]
+        for p in ins_parts[1:]:
+            ins = ins.unionByName(p)
+    return dels, ins
+
+
 def hive_acid_merge(
     spark: SparkSession,
     root: str,
@@ -2611,17 +2750,13 @@ def hive_acid_merge(
     enforced: a target row matched by more than one source row raises
     (hive.merge.cardinality.check).
 
-    Scale: cost = one election read of the target + one join with the
-    source per clause family (Catalyst plans the equi-join case as a
-    shuffle/broadcast join on the ON keys) + writes sized to the HIT
-    sets — surviving rows are never rewritten (the split-update
-    economy)."""
-    import uuid
-
+    Scale: cost = one election read of the target + ONE right-outer
+    join with the source (r13: the per-clause-family join fan was
+    folded into one materialized join — Hive's multi-insert-over-one-
+    join MERGE rewrite; see _merge_event_frames) + writes sized to
+    the HIT sets — surviving rows are never rewritten (the
+    split-update economy)."""
     matched_clauses = matched_clauses or []
-    names = [n for n, _ in payload_schema]
-    tag = uuid.uuid4().hex[:12]
-    tv, sv = f"__merge_t_{tag}", f"__merge_s_{tag}"
     snap = (
         snapshot
         if snapshot is not None
@@ -2635,115 +2770,32 @@ def hive_acid_merge(
             # inside the first consuming job (r13 optimization)
         ).localCheckpoint(eager=False)
     )
-    snap.createOrReplaceTempView(tv)
-    source_df.createOrReplaceTempView(sv)
-    try:
-        join = (
-            f"FROM {tv} {target_alias} JOIN {sv} {source_alias} "
-            f"ON {on_cond}"
-        )
-        dup = spark.sql(
-            f"SELECT {target_alias}.otid {join} "
-            f"GROUP BY {target_alias}.otid, {target_alias}.bucket,"
-            f" {target_alias}.rid HAVING COUNT(*) > 1 LIMIT 1"
-        ).take(1)
-        if dup:
-            raise ValueError(
-                "MERGE cardinality violation: a target row matches "
-                "more than one source row "
-                "(hive.merge.cardinality.check)"
-            )
-        del_parts: list[DataFrame] = []
-        ins_parts: list[DataFrame] = []
-        earlier: list[str] = []
-        for extra, action in matched_clauses:
-            guards = [f"({c})" for c in earlier]
-            where = " AND ".join(
-                ([f"({extra})"] if extra else [])
-                + [f"NOT coalesce({g}, FALSE)" for g in guards]
-            )
-            clause_where = f"WHERE {where}" if where else ""
-            ident = (
-                f"{target_alias}.otid, {target_alias}.bucket, "
-                f"{target_alias}.rid"
-            )
-            if action == "delete":
-                del_parts.append(
-                    spark.sql(f"SELECT {ident} {join} {clause_where}")
-                )
-            else:  # SET list: split-update = delete event + new image
-                set_map = dict(action)
-                unknown = set(set_map) - set(names)
-                if unknown:
-                    raise ValueError(
-                        f"MERGE UPDATE SET references unknown columns "
-                        f"{sorted(unknown)}"
-                    )
-                del_parts.append(
-                    spark.sql(f"SELECT {ident} {join} {clause_where}")
-                )
-                sel = ", ".join(
-                    f"({set_map[n]}) AS {n}"
-                    if n in set_map
-                    else f"{target_alias}.{n}"
-                    for n in names
-                )
-                ins_parts.append(
-                    spark.sql(f"SELECT {sel} {join} {clause_where}")
-                )
-            if extra:
-                earlier.append(extra)
-            else:
-                earlier.append("TRUE")
-        if insert_values is not None:
-            if len(insert_values) != len(names):
-                raise ValueError(
-                    f"MERGE INSERT arity {len(insert_values)} != "
-                    f"table arity {len(names)}"
-                )
-            sel = ", ".join(
-                f"({e}) AS {n}" for n, e in zip(names, insert_values)
-            )
-            iw = (
-                f" WHERE coalesce(({insert_cond}), FALSE)"
-                if insert_cond is not None
-                else ""
-            )
-            ins_parts.append(
-                spark.sql(
-                    f"SELECT {sel} FROM {sv} {source_alias} "
-                    f"LEFT ANTI JOIN {tv} {target_alias} ON {on_cond}"
-                    f"{iw}"
-                )
-            )
-        dels = ins = None
-        if del_parts:
-            dels = del_parts[0]
-            for p in del_parts[1:]:
-                dels = dels.unionByName(p)
-            dels = dels.select("otid", "bucket", "rid")
-        if ins_parts:
-            ins = ins_parts[0]
-            for p in ins_parts[1:]:
-                ins = ins.unionByName(p)
-        # both event dirs in ONE job (guide §2.4): the clause-family
-        # unions recompute against the checkpointed snapshot inside
-        # that single job; renames land only after it completes
-        return _split_update_one_job(
-            spark,
-            root,
-            dels,
-            ins,
-            payload_schema,
-            payload_fields,
-            writeid,
-            stmt=stmt,
-            n_buckets=n_buckets,
-            bucket_col=bucket_col,
-        )
-    finally:
-        spark.catalog.dropTempView(tv)
-        spark.catalog.dropTempView(sv)
+    dels, ins = _merge_event_frames(
+        snap,
+        source_df,
+        on_cond,
+        target_alias,
+        source_alias,
+        matched_clauses,
+        insert_values,
+        insert_cond,
+        payload_schema,
+    )
+    # both event dirs in ONE job (guide §2.4): the clause-family
+    # unions re-filter the MATERIALIZED join inside that single job;
+    # renames land only after it completes
+    return _split_update_one_job(
+        spark,
+        root,
+        dels,
+        ins,
+        payload_schema,
+        payload_fields,
+        writeid,
+        stmt=stmt,
+        n_buckets=n_buckets,
+        bucket_col=bucket_col,
+    )
 
 
 def hive_acid_overwrite(
@@ -3469,12 +3521,7 @@ def hive_acid_merge_partitioned(
     from its expression, an updated row stays in its partition: SET
     of the partition column is refused upstream). Returns the
     written dir paths."""
-    import uuid
-
     matched_clauses = matched_clauses or []
-    names = [n for n, _ in payload_schema]
-    tag = uuid.uuid4().hex[:12]
-    tv, sv = f"__pmerge_t_{tag}", f"__pmerge_s_{tag}"
     snap = (
         snapshot
         if snapshot is not None
@@ -3490,127 +3537,40 @@ def hive_acid_merge_partitioned(
             # inside the first consuming job (r13 optimization)
         ).localCheckpoint(eager=False)
     )
-    snap.createOrReplaceTempView(tv)
-    source_df.createOrReplaceTempView(sv)
-    try:
-        join = (
-            f"FROM {tv} {target_alias} JOIN {sv} {source_alias} "
-            f"ON {on_cond}"
+    dels, ins = _merge_event_frames(
+        snap,
+        source_df,
+        on_cond,
+        target_alias,
+        source_alias,
+        matched_clauses,
+        insert_values,
+        insert_cond,
+        payload_schema,
+        partition_col=partition_col,
+    )
+    if ins is not None:
+        ins = ins.withColumn(
+            partition_col, F.col(partition_col).cast(partition_type)
         )
-        ident = (
-            f"{target_alias}.otid, {target_alias}.bucket, "
-            f"{target_alias}.rid, {target_alias}.{partition_col}"
-        )
-        dup = spark.sql(
-            f"SELECT {target_alias}.otid {join} "
-            f"GROUP BY {ident} HAVING COUNT(*) > 1 LIMIT 1"
-        ).take(1)
-        if dup:
-            raise ValueError(
-                "MERGE cardinality violation: a target row matches "
-                "more than one source row "
-                "(hive.merge.cardinality.check)"
-            )
-        del_parts: list[DataFrame] = []
-        ins_parts: list[DataFrame] = []
-        earlier: list[str] = []
-        for extra, action in matched_clauses:
-            guards = [f"({c})" for c in earlier]
-            where = " AND ".join(
-                ([f"({extra})"] if extra else [])
-                + [f"NOT coalesce({g}, FALSE)" for g in guards]
-            )
-            clause_where = f"WHERE {where}" if where else ""
-            if action == "delete":
-                del_parts.append(
-                    spark.sql(f"SELECT {ident} {join} {clause_where}")
-                )
-            else:  # SET list: split-update, partition pinned
-                set_map = dict(action)
-                if partition_col in set_map:
-                    raise ValueError(
-                        "MERGE may not SET partition column "
-                        f"'{partition_col}' (Hive refuses)"
-                    )
-                unknown = set(set_map) - set(names)
-                if unknown:
-                    raise ValueError(
-                        f"MERGE UPDATE SET references unknown columns "
-                        f"{sorted(unknown)}"
-                    )
-                del_parts.append(
-                    spark.sql(f"SELECT {ident} {join} {clause_where}")
-                )
-                sel = ", ".join(
-                    f"({set_map[n]}) AS {n}"
-                    if n in set_map
-                    else f"{target_alias}.{n}"
-                    for n in names
-                )
-                ins_parts.append(
-                    spark.sql(
-                        f"SELECT {sel}, {target_alias}."
-                        f"{partition_col} AS {partition_col} "
-                        f"{join} {clause_where}"
-                    )
-                )
-            earlier.append(extra if extra else "TRUE")
-        if insert_values is not None:
-            if len(insert_values) != len(names) + 1:
-                raise ValueError(
-                    f"MERGE INSERT arity {len(insert_values)} != "
-                    f"{len(names) + 1} (payload + partition column "
-                    "LAST on a partitioned table)"
-                )
-            sel = ", ".join(
-                f"({e}) AS {n}"
-                for n, e in zip(names + [partition_col], insert_values)
-            )
-            iw = (
-                f" WHERE coalesce(({insert_cond}), FALSE)"
-                if insert_cond is not None
-                else ""
-            )
-            ins_parts.append(
-                spark.sql(
-                    f"SELECT {sel} FROM {sv} {source_alias} "
-                    f"LEFT ANTI JOIN {tv} {target_alias} ON {on_cond}"
-                    f"{iw}"
-                )
-            )
-        dels = ins = None
-        if del_parts:
-            dels = del_parts[0]
-            for p in del_parts[1:]:
-                dels = dels.unionByName(p)
-        if ins_parts:
-            ins = ins_parts[0]
-            for p in ins_parts[1:]:
-                ins = ins.unionByName(p)
-            ins = ins.withColumn(
-                partition_col, F.col(partition_col).cast(partition_type)
-            )
-        # every touched partition's event dirs in ONE job (guide
-        # §2.4): the clause-family unions recompute against the
-        # checkpointed snapshot inside that job; touched partitions
-        # come from the write manifest (the two eager checkpoints +
-        # two distinct().collect() pre-passes are gone)
-        return _split_update_one_job_partitioned(
-            spark,
-            root,
-            partition_col,
-            dels,
-            ins,
-            payload_schema,
-            payload_fields,
-            writeid,
-            stmt=stmt,
-            n_buckets=n_buckets,
-            bucket_col=bucket_col,
-        )
-    finally:
-        spark.catalog.dropTempView(tv)
-        spark.catalog.dropTempView(sv)
+    # every touched partition's event dirs in ONE job (guide §2.4):
+    # the clause-family unions re-filter the MATERIALIZED join inside
+    # that job; touched partitions come from the write manifest (the
+    # two eager checkpoints + two distinct().collect() pre-passes are
+    # gone)
+    return _split_update_one_job_partitioned(
+        spark,
+        root,
+        partition_col,
+        dels,
+        ins,
+        payload_schema,
+        payload_fields,
+        writeid,
+        stmt=stmt,
+        n_buckets=n_buckets,
+        bucket_col=bucket_col,
+    )
 
 
 def publish_hive_acid_partitioned(

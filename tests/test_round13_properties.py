@@ -243,6 +243,29 @@ def test_merge_embedded_case_when_refused(spark, mgr13):
     assert _view13(spark) == {(1, 1.0), (2, 2.0), (3, 3.0)}
 
 
+def test_merge_default_aliases_resolve_via_struct_columns(spark, mgr13):
+    """The r13 one-join MERGE derivation (_merge_event_frames) carries
+    target/source rows as STRUCT columns named by the statement
+    aliases; when the statement omits aliases those default to the
+    TABLE and SOURCE names — this pins that `acid13.k = r13_noalias.k`
+    resolves through the struct naming exactly as the per-clause
+    temp-view joins did."""
+    mgr, root = mgr13
+    spark.createDataFrame([(2, "S", 20.0), (9, "S", 9.0)], MM_DDL).createOrReplaceTempView(
+        "r13_noalias"
+    )
+    out = mgr.handle(
+        "m1",
+        "MERGE INTO acid13 USING r13_noalias "
+        "ON acid13.k = r13_noalias.k "
+        "WHEN MATCHED THEN UPDATE SET price = r13_noalias.price "
+        "WHEN NOT MATCHED THEN INSERT VALUES "
+        "(r13_noalias.k, r13_noalias.status, r13_noalias.price)",
+    )
+    assert out.startswith("DONE:"), out
+    assert _view13(spark) == {(1, 1.0), (2, 20.0), (3, 3.0), (9, 9.0)}
+
+
 def test_abort_transactions_all_or_nothing(spark, mgr13):
     mgr, root = mgr13
     assert mgr.handle("s1", "BEGIN").startswith("ACTIVE:")
