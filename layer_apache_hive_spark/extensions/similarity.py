@@ -1888,8 +1888,12 @@ def _pq_trained_state(spark: SparkSession, sf_dir: str, iters: int):
     )
     for _ in range(iters):
         # map-only E-step (r13, see _PQ_BEST): no argmin shuffle, no
-        # join back — the checkpoint still truncates lineage at the
-        # iteration boundary (executor-side, inside the first action)
+        # join back. The assignment has exactly ONE consumer (the
+        # M-step), so lineage truncates on the MODEL instead: the
+        # end-of-iteration checkpoint below persists the M×K codebook
+        # rows, never the corpus-sized assignment — per iteration the
+        # executors store K rows, not the corpus (r13 session 3;
+        # guide §5 "cache what is reused", and it must also be small)
         asg = (
             sx.crossJoin(F.broadcast(_pq_cent_map(cent)))
             .withColumn("b", F.expr(_PQ_BEST))
@@ -1899,7 +1903,6 @@ def _pq_trained_state(spark: SparkSession, sf_dir: str, iters: int):
                 F.col("b.code_id").alias("code_id"),
                 "subv",
             )
-            .localCheckpoint(eager=False)
         )
         dimsums = (
             asg.select("m", "code_id", F.posexplode("subv").alias("sd", "xi"))
@@ -1910,17 +1913,21 @@ def _pq_trained_state(spark: SparkSession, sf_dir: str, iters: int):
                 .alias("ci")
             )
         )
-        cent = dimsums.groupBy("m", "code_id").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(sd, ci))),"
-                " s -> s.ci)"
-            ).alias("sc")
+        # per-iteration barrier on the M×K model row set: truncates
+        # the Lloyd chain exactly like the old assignment checkpoint
+        # (each iteration's broadcast job re-runs ONE corpus pass,
+        # not i of them) and also serves the TWO downstream consumers
+        # of the final codebook (corpus encode + query ADC tables)
+        cent = (
+            dimsums.groupBy("m", "code_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(sd, ci))),"
+                    " s -> s.ci)"
+                ).alias("sc")
+            )
+            .localCheckpoint(eager=False)
         )
-    # the trained codebook feeds TWO consumers downstream (corpus
-    # encode + query ADC tables) — barrier the tiny M×K relation so
-    # the Lloyd chain runs once, not per consumer (r13; guide §5)
-    if iters:
-        cent = cent.localCheckpoint(eager=False)
     return vec, sx, cent
 
 
@@ -2188,7 +2195,11 @@ def _ivfpq_residual_state(spark: SparkSession, sf_dir: str, iters: int):
     )
     for _ in range(iters):
         # map-only E-step (r13, see _PQ_BEST): no argmin shuffle, no
-        # join back to the residual subvector relation
+        # join back to the residual subvector relation. Single
+        # consumer (the M-step), so lineage truncates on the MODEL —
+        # the end-of-iteration checkpoint below persists M×K codebook
+        # rows, never the corpus-sized assignment (r13 session 3;
+        # guide §5)
         asg = (
             rsx.crossJoin(F.broadcast(_pq_cent_map(cent)))
             .withColumn("b", F.expr(_PQ_BEST))
@@ -2199,7 +2210,6 @@ def _ivfpq_residual_state(spark: SparkSession, sf_dir: str, iters: int):
                 F.col("b.code_id").alias("code_id"),
                 "subv",
             )
-            .localCheckpoint(eager=False)
         )
         dimsums = (
             asg.select(
@@ -2212,16 +2222,19 @@ def _ivfpq_residual_state(spark: SparkSession, sf_dir: str, iters: int):
                 .alias("ci")
             )
         )
-        cent = dimsums.groupBy("m", "code_id").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(sd, ci))),"
-                " s -> s.ci)"
-            ).alias("sc")
+        # per-iteration model barrier — truncates the Lloyd chain and
+        # serves the final codebook's TWO downstream consumers (corpus
+        # encode + per-probe query ADC tables)
+        cent = (
+            dimsums.groupBy("m", "code_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(sd, ci))),"
+                    " s -> s.ci)"
+                ).alias("sc")
+            )
+            .localCheckpoint(eager=False)
         )
-    # the residual codebook feeds the corpus encode AND the per-probe
-    # query ADC tables — barrier the tiny M×K relation (r13; guide §5)
-    if iters:
-        cent = cent.localCheckpoint(eager=False)
     return vec, coarse, coarse_arr, rsx, cent
 
 

@@ -1645,6 +1645,10 @@ def _kmeans_centroids_after(
                 "array_sort(collect_list(struct(cluster_id, sc)))"
             ).alias("cents")
         )
+        # single consumer (the M-step): no assignment checkpoint —
+        # lineage truncates on the k-row MODEL below, so executors
+        # persist k rows per iteration, never the corpus (r13 s3;
+        # guide §5)
         asg = (
             vec.crossJoin(F.broadcast(cent_arr))
             .withColumn("b", best)
@@ -1653,7 +1657,6 @@ def _kmeans_centroids_after(
                 F.col("b.cluster_id").alias("cluster_id"),
                 "sv",
             )
-            .localCheckpoint(eager=False)
         )
         dimsums = (
             asg.select("cluster_id", F.posexplode("sv").alias("pos", "xi"))
@@ -1664,11 +1667,18 @@ def _kmeans_centroids_after(
                 .alias("ci")
             )
         )
-        cent = dimsums.groupBy("cluster_id").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, ci))),"
-                " s -> s.ci)"
-            ).alias("sc")
+        # per-iteration model barrier: also serves the downstream
+        # index build + probe election, which both read the frozen
+        # centroid table
+        cent = (
+            dimsums.groupBy("cluster_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, ci))),"
+                    " s -> s.ci)"
+                ).alias("sc")
+            )
+            .localCheckpoint(eager=False)
         )
     return vec, cent
 
