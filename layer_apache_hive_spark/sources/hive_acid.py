@@ -142,6 +142,25 @@ def _write_version_dirs(
             shutil.rmtree(d, ignore_errors=True)
 
 
+def _guard_rows(
+    guard: DataFrame, payload_schema: list[tuple[str, str]]
+) -> DataFrame:
+    """Map a cardinality-guard relation (any single column; one row
+    per violation) onto the one-job writer's union schema under the
+    _CARD_SENTINEL pseudo-partition, so the guard evaluates inside the
+    statement's write job instead of its own driver-blocking action."""
+    return guard.select(
+        F.lit(_CARD_SENTINEL).alias("__pkey"),
+        F.lit(_OP_DELETE).alias("__op"),
+        F.lit(-1).cast("long").alias("__otid"),
+        F.lit(-1).cast("int").alias("__bucket"),
+        F.lit(-1).cast("long").alias("__rid"),
+        F.lit(-1).cast("long").alias("__ctid"),
+        *[F.lit(None).cast(t).alias(n) for n, t in payload_schema],
+        F.lit(True).alias("__del"),
+    )
+
+
 def _union_insert_delete(
     events: DataFrame | None,
     dels: DataFrame | None,
@@ -169,6 +188,19 @@ def _union_insert_delete(
     return events.select(
         *meta, *names, F.lit(False).alias("__del")
     ).unionByName(dels_padded)
+
+
+#: sentinel partition token for MERGE cardinality-guard rows: the
+#: guard aggregation rides the statement's ONE write job (its rows
+#: land in this pseudo-group, which writes no file) instead of a
+#: separate driver-blocking take() pass over the materialized join —
+#: one fewer synchronous action per MERGE statement (guide §2.4).
+_CARD_SENTINEL = "\x00__merge_cardinality_guard__"
+_CARD_MSG = (
+    "MERGE cardinality violation: a target row matches "
+    "more than one source row "
+    "(hive.merge.cardinality.check)"
+)
 
 
 def _write_acid_dirs_one_job(
@@ -209,6 +241,11 @@ def _write_acid_dirs_one_job(
         from pyarrow import orc as pa_orc
 
         pkey, is_del, b = str(key[0]), bool(key[1]), int(key[2])
+        if pkey == _CARD_SENTINEL:
+            # cardinality-guard rows: report, never write a file
+            return pd.DataFrame(
+                {"pkey": [pkey], "is_del": [is_del], "rows": [len(pdf)]}
+            )
         if synth_rid is not None and not is_del:
             bcol, roff = synth_rid
             pdf = pdf.sort_values(bcol, kind="mergesort")
@@ -229,6 +266,11 @@ def _write_acid_dirs_one_job(
         .applyInPandas(write_one, "pkey string, is_del boolean, rows long")
         .collect()
     )
+    if any(r["pkey"] == _CARD_SENTINEL and r["rows"] for r in manifest):
+        # a MERGE cardinality guard fired: no rename happens, the
+        # scratch dirs stay invisible, the caller aborts the writeid —
+        # exactly the pre-write take() path's outcome
+        raise ValueError(_CARD_MSG)
     touched = sorted(
         {(r["pkey"], r["is_del"]) for r in manifest if r["rows"]},
         key=lambda t: (t[0], not t[1]),  # per pkey: deletes first
@@ -684,6 +726,23 @@ def _decode_units(paths: list[tuple], min_parallelism: int) -> list[tuple]:
     return units
 
 
+def _manifest_frame(
+    spark: SparkSession, rows: list[tuple], schema: str
+) -> DataFrame:
+    """DataFrame over a driver-built decode manifest (file paths +
+    validity bounds) with exactly one slice per row and NO Exchange:
+    ``createDataFrame(rows).repartition(n)`` paid a full shuffle — one
+    extra Spark job per decode side under AQE's stage materialization
+    — just to spread a metadata-sized list across tasks (guide §2.4:
+    remove shuffles outright; measured 2 jobs → 1 for the identical
+    manifest→mapInPandas→collect shape). ``parallelize(rows, n)``
+    slices the list deterministically (row i → slice i when n =
+    len(rows)) so each decode task still owns one file/stripe unit."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, max(len(rows), 1)), schema
+    )
+
+
 def read_hive_acid(
     spark: SparkSession,
     root: str,
@@ -744,9 +803,11 @@ def read_hive_acid(
             paths,
             spark.sparkContext.defaultParallelism if split_stripes else 0,
         )
-        return spark.createDataFrame(
-            units, "path string, min_ctid long, max_ctid long, stripe int"
-        ).repartition(max(len(units), 1))
+        return _manifest_frame(
+            spark,
+            units,
+            "path string, min_ctid long, max_ctid long, stripe int",
+        )
 
     names = [n for n, _ in payload_schema]
     unbounded = _MAX_WRITEID  # closure-local: shipped by value
@@ -863,10 +924,9 @@ def read_hive_acid(
         else:
             counts = {
                 r["path"]: r["n"]
-                for r in spark.createDataFrame(
-                    [(p,) for p in original_files], "path string"
+                for r in _manifest_frame(
+                    spark, [(p,) for p in original_files], "path string"
                 )
-                .repartition(len(original_files))
                 .mapInPandas(footer_counts, "path string, n long")
                 .collect()
             }
@@ -876,11 +936,9 @@ def read_hive_acid(
                 b = int(os.path.basename(p).split("_")[0])
                 offsets.append((p, next_rid.get(b, 0)))
                 next_rid[b] = next_rid.get(b, 0) + counts[p]
-        orig = spark.createDataFrame(
-            offsets, "path string, rid_offset long"
-        ).repartition(len(original_files)).mapInPandas(
-            read_originals, acid_ddl
-        )
+        orig = _manifest_frame(
+            spark, offsets, "path string, rid_offset long"
+        ).mapInPandas(read_originals, acid_ddl)
         live = live.unionByName(orig)
     if delete_dirs:
         dels = files_df(delete_dirs).mapInPandas(
@@ -1056,9 +1114,7 @@ def minor_compact_hive_acid(
             for d in dirs
             for f in sorted(_glob.glob(os.path.join(d, "bucket_*")))
         ]
-        return spark.createDataFrame(paths, "path string").repartition(
-            max(len(paths), 1)
-        )
+        return _manifest_frame(spark, paths, "path string")
 
     names = [n for n, _ in payload_schema]
     payload_ddl = ", ".join(f"{n} {t}" for n, t in payload_schema)
@@ -2235,6 +2291,23 @@ class HiveWriteIdLedger:
             snapshots=snapshots,
         )
 
+    def committed_write_sets_since(
+        self, root: str, snapshot: frozenset
+    ) -> dict[int, tuple]:
+        """COMMITTED writeids outside ``snapshot`` that recorded an
+        update/delete write set — the candidates a first-committer-wins
+        validation would test this transaction against. Used by the
+        commit-time pre-check to abort a doomed transaction BEFORE it
+        pays its distributed statement writes; a committed writeid can
+        never un-commit, so any conflict visible here is final."""
+        with self._lock:
+            st = self._state.get(root, {})
+            return {
+                w: toks
+                for w, toks in self._wsets.get(root, {}).items()
+                if st.get(w) == "committed" and w not in snapshot and toks
+            }
+
     def committed_ids(self, root: str) -> frozenset:
         """The committed-writeid snapshot a transaction records at
         open — the baseline commitTxn validates against."""
@@ -2361,6 +2434,7 @@ def _split_update_one_job(
     stmt: int | None = None,
     n_buckets: int = 4,
     bucket_col: str | None = None,
+    guard: DataFrame | None = None,
 ) -> tuple[str | None, str | None]:
     """One UNPARTITIONED writeid's delete events (``ids_df``: the old
     identities) plus insert events (``new_img``: the new images) in a
@@ -2368,7 +2442,11 @@ def _split_update_one_job(
     full job per dir (append_delete_delta + append_delta); guide §2.4.
     Identity assignment, sorted-run layout, scratch + atomic rename
     and empty-side behavior (no dir) are byte-identical to the
-    two-job path. Returns (delete_delta_path, delta_path)."""
+    two-job path. ``guard`` (one column, any name): rows that must
+    NOT exist — unioned into the write frame under _CARD_SENTINEL so
+    the check rides the same job; any surviving row fails the
+    statement before renames (the MERGE cardinality rule). Returns
+    (delete_delta_path, delta_path)."""
     names = [n for n, _ in payload_schema]
     bucket_col = bucket_col or names[0]
     os.makedirs(root, exist_ok=True)
@@ -2418,8 +2496,13 @@ def _split_update_one_job(
 
     for is_del in (False, True):
         shutil.rmtree(scratch_of("", is_del), ignore_errors=True)
+    unioned = _union_insert_delete(events, dels, payload_schema)
+    if guard is not None:
+        unioned = unioned.unionByName(
+            _guard_rows(guard, payload_schema)
+        )
     written = _write_acid_dirs_one_job(
-        _union_insert_delete(events, dels, payload_schema),
+        unioned,
         scratch_of,
         final_of,
         payload_fields,
@@ -2618,18 +2701,20 @@ def _merge_event_frames(
         [partition_col] if partition_col is not None else []
     )
     ident = [F.expr(f"{t}.{c}").alias(c) for c in ident_cols]
-    dup = (
+    # Hive's cardinality rule (hive.merge.cardinality.check) over ALL
+    # matched rows, guards notwithstanding. Previously enforced by an
+    # eager take() — one extra driver-blocking pass over the
+    # materialized join per MERGE statement; now returned as a lazy
+    # guard relation that rides the statement's single write job
+    # (_write_acid_dirs_one_job raises before any rename when a guard
+    # row survives). Value-identical: same grouping, same >1 filter,
+    # same error text, still aborts the writeid before visibility.
+    guard = (
         matched.groupBy(*ident)
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > 1)
-        .take(1)
+        .select(ident[0])
     )
-    if dup:
-        raise ValueError(
-            "MERGE cardinality violation: a target row matches "
-            "more than one source row "
-            "(hive.merge.cardinality.check)"
-        )
     del_parts: list[DataFrame] = []
     ins_parts: list[DataFrame] = []
     earlier: list[str] = []
@@ -2705,7 +2790,14 @@ def _merge_event_frames(
         ins = ins_parts[0]
         for p in ins_parts[1:]:
             ins = ins.unionByName(p)
-    return dels, ins
+    if dels is None and ins is None:
+        # no event-producing clause at all (parser-refused on the wire
+        # surface; kept for direct API callers): no write job will run
+        # to carry the guard — enforce it eagerly as before
+        if guard.take(1):
+            raise ValueError(_CARD_MSG)
+        guard = None
+    return dels, ins, guard
 
 
 def hive_acid_merge(
@@ -2770,7 +2862,7 @@ def hive_acid_merge(
             # inside the first consuming job (r13 optimization)
         ).localCheckpoint(eager=False)
     )
-    dels, ins = _merge_event_frames(
+    dels, ins, guard = _merge_event_frames(
         snap,
         source_df,
         on_cond,
@@ -2781,9 +2873,9 @@ def hive_acid_merge(
         insert_cond,
         payload_schema,
     )
-    # both event dirs in ONE job (guide §2.4): the clause-family
-    # unions re-filter the MATERIALIZED join inside that single job;
-    # renames land only after it completes
+    # both event dirs AND the cardinality guard in ONE job (guide
+    # §2.4): the clause-family unions re-filter the MATERIALIZED join
+    # inside that single job; renames land only after it completes
     return _split_update_one_job(
         spark,
         root,
@@ -2795,6 +2887,7 @@ def hive_acid_merge(
         stmt=stmt,
         n_buckets=n_buckets,
         bucket_col=bucket_col,
+        guard=guard,
     )
 
 
@@ -3106,34 +3199,28 @@ def read_hive_acid_partitioned(
     units = _decode_units(
         data_units, spark.sparkContext.defaultParallelism
     )
-    live = (
-        spark.createDataFrame(
-            units,
-            "path string, min_ctid long, max_ctid long, pval string, "
-            "stripe int",
-        )
-        .repartition(max(len(units), 1))
-        .mapInPandas(read_data, acid_ddl)
-    )
+    live = _manifest_frame(
+        spark,
+        units,
+        "path string, min_ctid long, max_ctid long, pval string, "
+        "stripe int",
+    ).mapInPandas(read_data, acid_ddl)
     if orig_units:
         live = live.unionByName(
-            spark.createDataFrame(
-                orig_units, "path string, rid_offset long, pval string"
-            )
-            .repartition(len(orig_units))
-            .mapInPandas(read_originals, acid_ddl)
+            _manifest_frame(
+                spark,
+                orig_units,
+                "path string, rid_offset long, pval string",
+            ).mapInPandas(read_originals, acid_ddl)
         )
     if del_units:
-        dels = (
-            spark.createDataFrame(
-                del_units,
-                "path string, min_ctid long, max_ctid long, pval string",
-            )
-            .repartition(max(len(del_units), 1))
-            .mapInPandas(
-                read_deletes,
-                "otid long, bucket int, rid long, __pval string",
-            )
+        dels = _manifest_frame(
+            spark,
+            del_units,
+            "path string, min_ctid long, max_ctid long, pval string",
+        ).mapInPandas(
+            read_deletes,
+            "otid long, bucket int, rid long, __pval string",
         )
         merged = live.join(
             F.broadcast(dels),
@@ -3268,6 +3355,7 @@ def _split_update_one_job_partitioned(
     bucket_col: str | None = None,
     kind: str = "delta",
     replace_final: bool = False,
+    guard: DataFrame | None = None,
 ) -> list[str]:
     """The partitioned sibling of :func:`_split_update_one_job`: one
     writeid's delete events (``ids_df``: identities + the partition
@@ -3537,7 +3625,7 @@ def hive_acid_merge_partitioned(
             # inside the first consuming job (r13 optimization)
         ).localCheckpoint(eager=False)
     )
-    dels, ins = _merge_event_frames(
+    dels, ins, guard = _merge_event_frames(
         snap,
         source_df,
         on_cond,
@@ -3553,11 +3641,11 @@ def hive_acid_merge_partitioned(
         ins = ins.withColumn(
             partition_col, F.col(partition_col).cast(partition_type)
         )
-    # every touched partition's event dirs in ONE job (guide §2.4):
-    # the clause-family unions re-filter the MATERIALIZED join inside
-    # that job; touched partitions come from the write manifest (the
-    # two eager checkpoints + two distinct().collect() pre-passes are
-    # gone)
+    # every touched partition's event dirs AND the cardinality guard
+    # in ONE job (guide §2.4): the clause-family unions re-filter the
+    # MATERIALIZED join inside that job; touched partitions come from
+    # the write manifest (the two eager checkpoints + two
+    # distinct().collect() pre-passes are gone)
     return _split_update_one_job_partitioned(
         spark,
         root,
@@ -3570,6 +3658,7 @@ def hive_acid_merge_partitioned(
         stmt=stmt,
         n_buckets=n_buckets,
         bucket_col=bucket_col,
+        guard=guard,
     )
 
 

@@ -1699,6 +1699,81 @@ class TxnSessionManager:
         self._republish_acid(ent)
         return f"DONE:Committed writeid {w} ({desc} on '{name}')"
 
+    def _abort_if_doomed(
+        self,
+        ent: dict,
+        t_ops: list[tuple],
+        snapshots: dict,
+        snap_cache: dict,
+    ) -> None:
+        """Optimistic first-committer-wins pre-check (HIVE-13395): when
+        another transaction already COMMITTED an overlapping
+        update/delete write set since this transaction's snapshot, the
+        post-write validation in ``commit_many`` is guaranteed to abort
+        us — so detect it BEFORE paying the statements' distributed
+        delta writes (at scale, the entire doomed shuffle+write of the
+        losing transaction is skipped; guide §1.2 — don't compute
+        things you throw away). A committed writeid can never
+        un-commit, so an abort decided here is the same outcome the
+        authoritative under-lock validation would reach; when the probe
+        finds no conflict the writes proceed and ``commit_many`` still
+        validates under the ledger lock (the serialization point) —
+        the probe never ADMITS a commit, it only fast-fails one.
+
+        The probe prices only what it must: with no committed
+        candidates (the uncontended fast path) it is a driver-side
+        ledger lookup and no Spark work. With candidates, each buffered
+        UPDATE/DELETE's write set is derived from the transaction's
+        shared snapshot — '*' iff any row matches (unpartitioned),
+        else the matched rows' partition tokens — the exact token
+        algebra ``note_ws`` records after a real write. The snapshot
+        materialized here is the same per-transaction cached frame the
+        statements would consume, so no work is wasted on the
+        no-conflict path. Pure INSERTs contribute no tokens (they never
+        conflict); MERGE write sets need the merge join itself, so
+        merges are not probed and fall through to the post-write
+        validation."""
+        from layer_apache_hive_spark.sources.hive_acid import (
+            HiveWriteConflictError,
+            _pkey_col,
+        )
+
+        root = ent["root"]
+        snap_ids = snapshots.get(root)
+        if snap_ids is None:
+            return
+        cands = self.ledger.committed_write_sets_since(root, snap_ids)
+        if not cands:
+            return
+        row_ops = [op for op in t_ops if op[0] in ("update", "delete")]
+        if not row_ops:
+            return
+        pc = ent.get("partition_col")
+        ours: set[str] = set()
+        for op in row_ops:
+            pred = op[2] if op[0] == "update" else op[1]
+            snap = self._txn_snapshot(ent, snap_cache)
+            hits = (
+                snap.filter(F.coalesce(F.expr(pred), F.lit(False)))
+                if pred is not None
+                else snap
+            )
+            if pc is None:
+                if not hits.isEmpty():
+                    ours.add("*")
+                    break  # '*' already overlaps every candidate
+            else:
+                ours.update(
+                    f"{pc}={r['__pk']}"
+                    for r in hits.select(_pkey_col(pc).alias("__pk"))
+                    .distinct()
+                    .collect()
+                )
+        for w2 in sorted(cands):
+            theirs = cands[w2]
+            if "*" in ours or "*" in theirs or (ours & set(theirs)):
+                raise HiveWriteConflictError(root, w2, theirs)
+
     def _commit_acid(
         self, ops: list[tuple], snapshots: dict | None = None
     ) -> str:
@@ -1736,6 +1811,9 @@ class TxnSessionManager:
                 ent = self._acid[table]
                 w = self.ledger.allocate(ent["root"])
                 pairs.append((ent["root"], w))
+                self._abort_if_doomed(
+                    ent, t_ops, snapshots or {}, snap_cache
+                )
                 for i, op in enumerate(t_ops):
                     desc = self._apply_acid_op(
                         ent,
